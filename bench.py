@@ -1,0 +1,72 @@
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized via a count-style action (``_run``) so the full
+plan executes without driver-side row transfer. A warmup pass primes the
+JVM/codegen caches; reported value is the best of 2 timed iterations
+(steady-state, matches how a long-running cluster behaves).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    # (name, queries() key) — mirror of BASELINE.md Part B
+    ("b1_filtered_agg", "group_agg"),
+    ("b2_star_join", "multi_join"),
+    ("b3_topk_window", "topk_per_group"),
+    ("b4_rollup", "rollup"),
+    ("b5_anti_join", "anti_join"),
+    ("b6_token_topk", "token_counts"),
+    ("b7_scaler_moments", "scaler_moments"),
+    ("b8_confusion", "confusion_matrix"),
+    ("b9_dedup", "dedup_exact"),
+    ("b10_cosine_topk", "cosine_topk"),
+    ("b11_event_window", "event_hourly_window"),
+    ("b12_sessionization", "sessionization"),
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as entry_mod
+    from keystone_spark import get_session
+
+    spark = get_session("keystone_spark_bench")
+    qs = entry_mod.queries()
+
+    timings: dict[str, float] = {}
+    for name, key in BENCH_QUERIES:
+        fn = qs[key]
+        fn(spark, sf_dir).count()  # warmup (plan + codegen + file listing)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "bench_suite_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,181 @@
+"""Text functions: tokenization, n-grams, fingerprints, quality signals.
+
+KeystoneML NLP nodes (reference: ``nodes/nlp/Tokenizer.scala``,
+``Trim.scala``, ``LowerCase.scala``, ``NGramsFeaturizer.scala``) are
+per-element maps; here each is a Column expression (codegen, zero Python).
+The LLM-data-pipeline additions (simhash, fingerprints, language ID,
+quality scoring) are likewise built from JVM-side primitives — xxhash64,
+higher-order array functions — so they hold up on 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"[^\p{L}\p{N}']+"  # unicode letters/digits/apostrophe
+
+# BPE-ish word/number/punct pieces for token *counting* (not a real BPE —
+# a deterministic proxy with similar scaling behavior).
+BPE_ISH_RE = r"(?i)[a-z]+|[0-9]{1,3}|[^\sa-z0-9]"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(text: Column | str, lowercase: bool = True) -> Column:
+    """text -> array<string> tokens (Trim + LowerCase + Tokenizer chain)."""
+    t = F.trim(_c(text))
+    if lowercase:
+        t = F.lower(t)
+    return F.filter(F.split(t, TOKEN_SPLIT_RE), lambda x: x != "")
+
+
+def word_ngrams(toks: Column | str, n: int, sep: str = " ") -> Column:
+    """array<string> tokens -> array<string> n-grams (space-joined).
+
+    Reference: ``nodes/nlp/NGramsFeaturizer.scala``. Pure SQL: slice over a
+    0..len-n index sequence; empty array when the doc is shorter than n.
+    """
+    t = _c(toks)
+    return F.when(F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - n + 1),
+            lambda i: F.concat_ws(sep, F.slice(t, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def char_shingles(text: Column | str, k: int = 5) -> Column:
+    """text -> array<string> of distinct k-char shingles (MinHash input)."""
+    t = F.lower(F.trim(_c(text)))
+    return F.when(F.length(t) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - k + 1),
+                lambda i: t.substr(i, F.lit(k)),
+            )
+        ),
+    ).otherwise(F.array(t))
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (cheap scaling proxy for doc sizing)."""
+    t = F.trim(_c(text))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Regex-piece token count — BPE-like granularity, deterministic."""
+    return F.size(F.regexp_extract_all(_c(text), F.lit(BPE_ISH_RE), F.lit(0)))
+
+
+STOPWORDS_EN = (
+    "the of and a to in is you that it he was for on are as with his they i".split()
+)
+STOPWORDS_ES = "de la que el en y a los del se las por un para con no una su".split()
+
+
+def quality_features(text: Column | str) -> Column:
+    """Struct of document-quality signals (length / punct / stopword ratios).
+
+    The LLM-pipeline 'quality score' building block: every field is a
+    codegen-able expression, no UDF.
+    """
+    t = _c(text)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    stop_hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS_EN])))
+    return F.struct(
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.when(n_tok > 0, n_chars.cast("double") / n_tok).alias("avg_token_len"),
+        (F.length(F.regexp_replace(t, r"[\p{L}\p{N}\s]", "")).cast("double")
+         / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
+        (F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("double")
+         / F.greatest(n_chars, F.lit(1))).alias("digit_ratio"),
+        F.when(n_tok > 0,
+               stop_hits.cast("double") / F.size(F.array_distinct(toks))
+               ).alias("stopword_hit_ratio"),
+    )
+
+
+def language_scores(text: Column | str) -> Column:
+    """Heuristic language ID: stopword-hit fraction per language + CJK ratio.
+
+    Returns struct<en:double, es:double, cjk:double>; argmax is the label.
+    """
+    t = _c(text)
+    toks = tokens(t)
+    denom = F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+    def hit_frac(words: list[str]) -> Column:
+        wl = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda x: F.array_contains(wl, x))) / denom
+
+    cjk = (
+        F.length(F.regexp_replace(t, r"[^一-鿿぀-ヿ가-힯]", ""))
+        .cast("double")
+        / F.greatest(F.length(t), F.lit(1))
+    )
+    return F.struct(
+        hit_frac(STOPWORDS_EN).alias("en"),
+        hit_frac(STOPWORDS_ES).alias("es"),
+        cjk.alias("cjk"),
+    )
+
+
+def simhash64(toks: Column | str) -> Column:
+    """64-bit SimHash of a token array — fully JVM-side.
+
+    Each token hashes to 64 bits (xxhash64); per bit position we sum +/-1
+    across tokens and keep the sign. Implemented as an ``aggregate`` with an
+    array<int> accumulator, so it scales linearly and never leaves codegen.
+    """
+    # bit masks for positions 0..63 (bit 63 is the sign bit of BIGINT)
+    masks = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+    mask_arr = F.array(*[F.lit(m).cast("long") for m in masks])
+    hashes = F.transform(_c(toks), lambda tok: F.xxhash64(tok))
+    zero = F.array_repeat(F.lit(0), 64)
+    counts = F.aggregate(
+        hashes,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                mask_arr,
+                lambda m: F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    # fold sign bits back into one BIGINT (masks are disjoint, XOR == OR)
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            mask_arr,
+            lambda cnt, m: F.when(cnt > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseXOR(x),
+    )
+
+
+def hamming64(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between two 64-bit simhashes."""
+    x = _c(a).bitwiseXOR(_c(b))
+    return F.bit_count(x)
+
+
+def rolling_fingerprint(toks: Column | str, window: int = 8) -> Column:
+    """Winnowing-style document fingerprint: min xxhash64 over every
+    ``window``-token shingle (content-defined, shift-invariant)."""
+    grams = word_ngrams(toks, window)
+    return F.when(
+        F.size(grams) > 0,
+        F.array_min(F.transform(grams, lambda g: F.xxhash64(g))),
+    ).otherwise(F.xxhash64(F.concat_ws(" ", _c(toks))))

@@ -1,0 +1,141 @@
+"""Relational operators beyond a bare join/groupBy call.
+
+KeystoneML has no relational layer (SURVEY.md §2.3/§2.7: no joins, no sorts,
+no set ops) — this module is the §2.11 extension surface the fixtures
+require, expressed so Catalyst/AQE keep every optimization opportunity:
+
+- top-k per group: window rank + filter (AQE handles skewed groups).
+- as-of join: range-join + per-left-row rank, or broadcast when the right
+  side is a small dimension.
+- salted join: explicit skew mitigation for hot keys when AQE's runtime
+  skew split is unavailable (e.g. pre-3.0 clusters or non-sort-merge plans).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Top-k rows per group via ROW_NUMBER + filter.
+
+    The relational generalization of KeystoneML's ``TopKClassifier``
+    (reference: ``nodes/util/TopKClassifier.scala``) from array-rank to
+    group-rank. One shuffle on the partition keys; rank+filter happens
+    map-side within each sorted partition.
+    """
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w)).where(F.col(rank_col) <= k)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    on: Sequence[str] = (),
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """As-of join: each left row picks the nearest right row at-or-before
+    (backward) / at-or-after (forward) its timestamp, optionally within a
+    tolerance and matching equi-keys.
+
+    Implementation: non-equi range join + per-left-row rank-1. With equi
+    keys the join shuffles on those keys (hash join) and the range predicate
+    is a post-filter; without keys Spark falls back to broadcast-nested-loop
+    — acceptable only when one side is small, which is the typical
+    "align events to reference points" shape.
+    """
+    lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    cond = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in on]
+    if direction == "backward":
+        cond.append(rts <= lts)
+        if tolerance_seconds is not None:
+            cond.append(
+                rts >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {tolerance_seconds} SECONDS")
+            )
+        order = [rts.desc()]
+    elif direction == "forward":
+        cond.append(rts >= lts)
+        if tolerance_seconds is not None:
+            cond.append(
+                rts <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {tolerance_seconds} SECONDS")
+            )
+        order = [rts.asc()]
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+
+    l = left.alias("l")
+    r = right.alias("r")
+    full_cond = cond[0]
+    for c in cond[1:]:
+        full_cond = full_cond & c
+    joined = l.join(r, on=full_cond, how="left")
+
+    left_cols = [F.col(f"l.{c}") for c in left.columns]
+    right_cols = [
+        F.col(f"r.{c}").alias(c + suffix if c in left.columns else c)
+        for c in right.columns
+    ]
+    w = Window.partitionBy(*[F.col(f"l.{c}") for c in _key_cols(left)]).orderBy(*order)
+    return (
+        joined.withColumn("__asof_rn", F.row_number().over(w))
+        .where(F.col("__asof_rn") == 1)
+        .select(*left_cols, *right_cols)
+    )
+
+
+def _key_cols(df: DataFrame) -> list[str]:
+    # as-of rank partitions by the full left row identity; callers with a
+    # unique id should pre-select it — we use all left columns as identity.
+    return df.columns
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-mitigated equi-join: salt the (large, skewed) left side's key,
+    explode the (smaller) right side across all salt buckets.
+
+    Prefer AQE's skew-join; this is the explicit fallback and a building
+    block for deliberate hot-key handling at 100 TB.
+    """
+    salted_l = left.withColumn("__salt", (F.rand(seed=7) * salt_buckets).cast("int"))
+    salted_r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = salted_l.join(salted_r, on=[on, "__salt"], how=how)
+    return out.drop("__salt")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    condition: Column,
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Theta/range join on an arbitrary non-equi condition.
+
+    Spark plans this as broadcast-nested-loop when one side fits in memory
+    (force with ``broadcast_right``) else cartesian+filter. Include at least
+    one equi-conjunct in ``condition`` whenever the data model allows — that
+    upgrades the plan to a hash join with a range post-filter.
+    """
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on=condition, how=how)

@@ -1,0 +1,88 @@
+"""SparkSession bootstrap for the engine.
+
+Two entry points:
+
+- ``get_session()``: build a local session with the engine's recommended
+  static + runtime confs (tests, bench, apps).
+- ``configure_session(spark)``: apply the *runtime-settable* confs to an
+  externally created session (e.g. the verification driver's). Safe to call
+  repeatedly.
+
+Scale notes (100 TB / 1000-executor design intent):
+- AQE on: runtime partition coalescing, skew-join splitting and
+  dynamic join-strategy re-pick replace hand-tuned shuffle counts.
+- ``spark.sql.shuffle.partitions`` is only the pre-AQE upper bound; on a
+  real cluster set it ~2-3x total cores and let AQE coalesce.
+- Arrow on: every pandas_udf / mapInPandas crossing is columnar-batched.
+- UTC + parquet-nanos conf: fixture parity (see FIXTURES.md §1) and, more
+  generally, deterministic timestamp semantics across engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are runtime-settable (SQLConf). Applied by configure_session.
+RUNTIME_CONFS: dict[str, str] = {
+    # fixture events.parquet stores TIMESTAMP(NANOS) which Spark's parquet
+    # reader rejects; read as bigint nanos and convert explicitly.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # deterministic timestamp behavior, parity with the duckdb oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # adaptive execution: coalesce shuffle partitions, split skewed joins,
+    # re-pick join strategies from runtime stats.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for all Python<->JVM columnar crossings.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # ANSI off: fixture queries rely on permissive casts (e.g. '' -> NULL).
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime confs to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # non-settable in this deployment; best effort.
+            pass
+    return spark
+
+
+def get_session(
+    app_name: str = "keystone_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    Local defaults come from env: ``SPARK_GRAFT_CPUS`` (parallelism) —
+    on a real cluster pass ``master=None`` with a cluster deploy config
+    and these local knobs are ignored.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        b = b.config(k, v)
+    for k, v in (extra_confs or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    return configure_session(spark)

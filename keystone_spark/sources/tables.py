@@ -1,0 +1,71 @@
+"""Fixture table loaders (scans).
+
+KeystoneML's "scans" are dataset loaders (reference:
+``src/main/scala/loaders/*.scala`` — CsvDataLoader, AmazonReviewsDataLoader,
+NewsgroupsDataLoader, ...). Here the equivalent is declarative
+``spark.read`` with per-table normalization, so Catalyst gets real parquet
+scans with pushdown + pruning (check ``.explain``: PushedFilters/ReadSchema).
+
+Scale notes: loaders return *unmaterialized* DataFrames — filters and column
+selects applied by callers reach the parquet reader. At 100 TB these tables
+would be directories of many files (+ partition columns); ``load_table``
+takes any path glob Spark accepts, nothing here assumes single-file.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# canonical fixture tables (TESTDATA.md / FIXTURES.md §1)
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _normalize_events(df: DataFrame) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS) read as bigint nanos (see
+    FIXTURES.md §1). Convert to a proper microsecond timestamp column."""
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Load one fixture table as a DataFrame (lazy scan, no action)."""
+    from keystone_spark.session import configure_session
+
+    configure_session(spark)  # nanos + UTC confs are required for events
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = _normalize_events(df)
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str | None = None, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, n, sf_dir) for n in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str | None = None, names: tuple[str, ...] = TABLES
+) -> None:
+    """Register every fixture table as a temp view for spark.sql use."""
+    for n, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(n)

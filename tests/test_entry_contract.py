@@ -1,0 +1,25 @@
+"""The driver contract: entry() runs, queries()/oracle_sql() keys line up,
+every query executes at sf0.001 and returns a stable schema."""
+
+import __spark_entry__ as entry_mod
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert set(df.columns) == {"r_name", "n_name", "n_orders", "rev"}
+
+
+def test_queries_have_oracles(spark):
+    qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
+    assert qs, "queries() must not be empty"
+    missing = set(os_) - set(qs)
+    assert not missing, f"oracle_sql keys without queries: {missing}"
+
+
+def test_all_queries_run(spark, sf_dir):
+    for name, fn in entry_mod.queries().items():
+        df = fn(spark, sf_dir)
+        assert df.columns, name
+        df.limit(5).collect()

@@ -1,0 +1,109 @@
+"""Unit tests for keystone_spark.functions — numpy oracles, seeded inputs
+(the reference's test style: Stats.aboutEq numeric-tolerance checks,
+see SURVEY.md §5)."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from keystone_spark.functions.vector import dot, l2_norm, cosine_similarity, scale_shift
+from keystone_spark.functions.text import (
+    tokens,
+    word_ngrams,
+    char_shingles,
+    token_count,
+    simhash64,
+    hamming64,
+    rolling_fingerprint,
+)
+
+RNG = np.random.default_rng(42)
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    a = RNG.normal(size=(16, 8)).tolist()
+    b = RNG.normal(size=(16, 8)).tolist()
+    return spark.createDataFrame(
+        [(i, a[i], b[i]) for i in range(16)], "id int, a array<double>, b array<double>"
+    ), np.array(a), np.array(b)
+
+
+def test_dot_and_norms(vec_df):
+    df, a, b = vec_df
+    rows = df.select("id", dot("a", "b").alias("d"), l2_norm("a").alias("n")).collect()
+    for r in rows:
+        assert math.isclose(r.d, float(a[r.id] @ b[r.id]), rel_tol=1e-9)
+        assert math.isclose(r.n, float(np.linalg.norm(a[r.id])), rel_tol=1e-9)
+
+
+def test_cosine(vec_df):
+    df, a, b = vec_df
+    rows = df.select("id", cosine_similarity("a", "b").alias("c")).collect()
+    for r in rows:
+        exp = float(a[r.id] @ b[r.id] / (np.linalg.norm(a[r.id]) * np.linalg.norm(b[r.id])))
+        assert math.isclose(r.c, exp, rel_tol=1e-9)
+
+
+def test_cosine_zero_norm(spark):
+    df = spark.createDataFrame([([0.0, 0.0], [1.0, 2.0])], "a array<double>, b array<double>")
+    assert df.select(cosine_similarity("a", "b").alias("c")).first().c is None
+
+
+def test_scale_shift(vec_df):
+    df, a, _ = vec_df
+    r = df.orderBy("id").select(scale_shift("a", 2.0, 1.0).alias("s")).first()
+    np.testing.assert_allclose(np.array(r.s), a[0] * 2.0 + 1.0, rtol=1e-12)
+
+
+def test_tokens_and_ngrams(spark):
+    df = spark.createDataFrame([("  The quick brown fox, jumps!  ",)], "t string")
+    r = df.select(
+        tokens("t").alias("toks"),
+        word_ngrams(tokens("t"), 2).alias("bi"),
+        token_count("t").alias("tc"),
+    ).first()
+    assert r.toks == ["the", "quick", "brown", "fox", "jumps"]
+    assert r.bi == ["the quick", "quick brown", "brown fox", "fox jumps"]
+    assert r.tc == 5
+
+
+def test_ngrams_short_input(spark):
+    df = spark.createDataFrame([(["a"],)], "toks array<string>")
+    assert df.select(word_ngrams("toks", 3).alias("g")).first().g == []
+
+
+def test_char_shingles(spark):
+    df = spark.createDataFrame([("abcdef",)], "t string")
+    r = df.select(char_shingles("t", 4).alias("s")).first()
+    assert r.s == ["abcd", "bcde", "cdef"]
+
+
+def test_simhash_properties(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    near = base.replace("lazy", "sleepy")
+    far = "completely different words entirely unrelated content here " * 4
+    df = spark.createDataFrame([(0, base), (1, near), (2, far)], "id int, t string")
+    h = df.select("id", simhash64(tokens("t")).alias("h")).orderBy("id").collect()
+    d_near = bin(h[0].h ^ h[1].h).count("1")
+    d_far = bin(h[0].h ^ h[2].h).count("1")
+    assert d_near < d_far, (d_near, d_far)
+    # deterministic + consistent with the hamming64 column fn
+    r = (
+        spark.createDataFrame([(h[0].h, h[1].h)], "a long, b long")
+        .select(hamming64("a", "b").alias("d"))
+        .first()
+    )
+    assert r.d == d_near
+
+
+def test_rolling_fingerprint_shift_invariance(spark):
+    doc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    shifted = "PREFIX " + doc  # winnowing min-hash usually survives a prefix edit
+    df = spark.createDataFrame([(0, doc), (1, doc), (2, "x y")], "id int, t string")
+    rows = df.select("id", rolling_fingerprint(tokens("t"), 4).alias("f")).collect()
+    fs = {r.id: r.f for r in rows}
+    assert fs[0] == fs[1]          # deterministic
+    assert fs[2] is not None       # short-doc fallback works
