@@ -19,7 +19,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from keystone_spark.sources import load_table
-from keystone_spark.functions.vector import cosine_similarity
 from keystone_spark.operators.relational import top_k_per_group
 
 
@@ -422,22 +421,16 @@ def q_scaler_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-10 for 10 probe vectors: broadcast probes x all,
-    JVM-side dot products (zip_with/aggregate), window top-k."""
+    """Exact cosine top-10 for 10 probe vectors. Arrow-batched gemm with
+    map-side top-k pruning (operators/similarity.cosine_topk) — the
+    KeystoneML rowsToMatrix+BLAS trick, Spark-first."""
+    from keystone_spark.operators.similarity import cosine_topk
+
     e = _t(spark, sf_dir, "embeddings")
-    probes = e.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("probe"), F.col("embedding").alias("p_emb")
-    )
-    pairs = e.join(F.broadcast(probes), F.col("vec_id") != F.col("probe"))
-    scored = pairs.select(
-        "probe",
-        "vec_id",
-        F.round(cosine_similarity("p_emb", "embedding"), 6).alias("cos"),
-    )
-    w = Window.partitionBy("probe").orderBy(F.col("cos").desc(), "vec_id")
+    probes = e.where(F.col("vec_id") < 10)
+    out = cosine_topk(e, probes, k=10)
     return (
-        scored.withColumn("rk", F.row_number().over(w).cast("long"))
-        .where(F.col("rk") <= 10)
+        out.select("probe", "vec_id", F.round("cos", 6).alias("cos"), "rk")
         .orderBy("probe", "rk")
     )
 
@@ -453,6 +446,149 @@ def q_one_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+def q_multiclass_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full per-class precision/recall/F1 as SQL (reference:
+    evaluation/MulticlassClassifierEvaluator.scala) over the deterministic
+    pred = vec_id % 10 rule."""
+    from keystone_spark.operators.evaluation import multiclass_metrics
+
+    e = _t(spark, sf_dir, "embeddings")
+    preds = e.select("label", (F.col("vec_id") % 10).cast("long").alias("pred"))
+    return multiclass_metrics(preds).select(
+        F.col("cls").cast("long").alias("cls"), "support", "precision", "recall", "f1"
+    ).orderBy("cls")
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (30-min gap) per user, batch path of the
+    streaming operator (keystone_spark.streaming.session_window_agg)."""
+    from keystone_spark.streaming.windows import session_window_agg
+
+    e = _t(spark, sf_dir, "events")
+    out = session_window_agg(e, gap="30 minutes", keys=("user_id",))
+    return (
+        out.select("user_id", "s_start", "n", F.round("sum_value", 6).alias("v"))
+        .orderBy("user_id", "s_start")
+    )
+
+
+def q_standard_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StandardScaler fit + transform (reference:
+    nodes/stats/StandardScaler.scala): z-scores of the first 4 dims."""
+    from keystone_spark.operators.stats import StandardScaler
+
+    e = _t(spark, sf_dir, "embeddings")
+    model = StandardScaler("embedding", "scaled")._fit(e)
+    return (
+        model(e)
+        .select("vec_id", F.posexplode("scaled").alias("i", "z"))
+        .where(F.col("i") < 4)
+        .select("vec_id", F.col("i").cast("long").alias("i"), F.round("z", 6).alias("z"))
+        .orderBy("vec_id", "i")
+    )
+
+
+_LM_SEED = 1234
+
+
+def _lm_weights(dim: int = 64, k: int = 3):
+    import numpy as np
+
+    rng = np.random.default_rng(_LM_SEED)
+    return rng.uniform(-1, 1, size=(dim, k)).round(4)
+
+
+def q_linear_mapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LinearMapper apply x->xW (reference: nodes/learning/LinearMapper.scala)
+    as an Arrow-batched gemm; W is seeded and mirrored into the oracle SQL."""
+    from keystone_spark.operators.learning import LinearMapper
+
+    e = _t(spark, sf_dir, "embeddings")
+    W = _lm_weights()
+    scored = LinearMapper(W, in_col="embedding", out_col="scores")(e)
+    return (
+        scored.select("vec_id", F.posexplode("scores").alias("j", "s"))
+        .select("vec_id", F.col("j").cast("long").alias("j"), F.round("s", 6).alias("s"))
+        .orderBy("vec_id", "j")
+    )
+
+
+def _lm_oracle_sql() -> str:
+    W = _lm_weights()
+    values = ",".join(
+        f"({i},{j},{W[i, j]!r})" for i in range(W.shape[0]) for j in range(W.shape[1])
+    )
+    return f"""
+        WITH w(i, j, v) AS (VALUES {values}),
+        ex AS (
+            SELECT vec_id, i, CAST(list_extract(embedding, i + 1) AS DOUBLE) AS x
+            FROM embeddings CROSS JOIN range(0, 64) r(i))
+        SELECT ex.vec_id, CAST(w.j AS BIGINT) AS j, ROUND(SUM(ex.x * w.v), 6) AS s
+        FROM ex JOIN w ON ex.i = w.i
+        GROUP BY ex.vec_id, w.j ORDER BY ex.vec_id, w.j
+    """
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dedup over documents (keep-first policy). Not
+    SQL-expressible (xxhash64 signatures) -> rows-only check."""
+    from keystone_spark.operators.dedup import minhash_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    out = minhash_dedup(d, n_hashes=64, n_bands=16, threshold=0.8)
+    return out.select("doc_id").orderBy("doc_id")
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs (hamming <= 3). Rows-only."""
+    from keystone_spark.operators.dedup import simhash_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_candidates(d, max_hamming=3).orderBy("i", "j")
+
+
+def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN: random-hyperplane LSH buckets + exact rerank.
+    Rows-only (approximation is seed-dependent by design)."""
+    from keystone_spark.operators.similarity import lsh_bucket_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") < 10)
+    out = lsh_bucket_topk(e, probes, k=10, n_bits=64, n_bands=16)
+    return out.select("probe", "vec_id", F.round("cos", 6).alias("cos"), "rk").orderBy(
+        "probe", "rk"
+    )
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeans fit + one-hot assignment sizes (reference:
+    nodes/learning/KMeansPlusPlus.scala). Seeded but iterative -> rows-only."""
+    from keystone_spark.operators.learning import KMeansEstimator
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "features", F.col("embedding").cast("array<double>")
+    )
+    model = KMeansEstimator(k=10, seed=42).fit(e)
+    return (
+        model(e).groupBy("cluster").agg(F.count("*").alias("n")).orderBy("cluster")
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload -> (stub) decode -> per-channel
+    mean/std features. Payloads derive from document text bytes so the
+    pipeline is deterministic. Rows-only (stubbed codec)."""
+    from keystone_spark.operators.multimodal import decode_images, image_features
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    media = d.select("doc_id", F.encode("text", "UTF-8").alias("content"))
+    imgs = decode_images(media, height=8, width=8, channels=3)
+    out = image_features(imgs)
+    return out.select(
+        "doc_id", F.round(F.element_at("img_features", 1), 6).alias("mean_c0")
+    ).orderBy("doc_id")
 
 
 def q_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -507,6 +643,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "one_hot_labels": q_one_hot,
         "confusion_matrix": q_confusion_matrix,
+        "multiclass_metrics": q_multiclass_metrics,
+        "session_window": q_session_window,
+        "standard_scaler": q_standard_scaler,
+        "linear_mapper": q_linear_mapper,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_pairs": q_simhash_pairs,
+        "lsh_cosine_topk": q_lsh_cosine_topk,
+        "kmeans_clusters": q_kmeans_clusters,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -725,4 +870,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, vec_id % 10 AS pred, COUNT(*) AS c
             FROM embeddings GROUP BY label, pred ORDER BY label, pred
         """,
+        "multiclass_metrics": """
+            WITH preds AS (SELECT label, vec_id % 10 AS pred FROM embeddings),
+            cls AS (SELECT DISTINCT label AS cls FROM preds
+                    UNION SELECT DISTINCT pred FROM preds),
+            tp AS (SELECT label AS cls, COUNT(*) AS tp FROM preds
+                   WHERE label = pred GROUP BY 1),
+            pt AS (SELECT pred AS cls, COUNT(*) AS pred_n FROM preds GROUP BY 1),
+            lt AS (SELECT label AS cls, COUNT(*) AS true_n FROM preds GROUP BY 1),
+            m AS (
+                SELECT c.cls,
+                       COALESCE(lt.true_n, 0) AS support,
+                       CASE WHEN COALESCE(pt.pred_n, 0) > 0
+                            THEN COALESCE(tp.tp, 0) * 1.0 / pt.pred_n
+                            ELSE 0.0 END AS p,
+                       CASE WHEN COALESCE(lt.true_n, 0) > 0
+                            THEN COALESCE(tp.tp, 0) * 1.0 / lt.true_n
+                            ELSE 0.0 END AS r
+                FROM cls c
+                LEFT JOIN tp USING (cls) LEFT JOIN pt USING (cls)
+                LEFT JOIN lt USING (cls))
+            SELECT CAST(cls AS BIGINT) AS cls, support,
+                   ROUND(p, 6) AS precision, ROUND(r, 6) AS recall,
+                   ROUND(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r)
+                              ELSE 0.0 END, 6) AS f1
+            FROM m ORDER BY cls
+        """,
+        "session_window": """
+            WITH g AS (
+                SELECT user_id, event_id, ts, value,
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                FROM events),
+            s AS (
+                SELECT user_id, ts, value,
+                       SUM(CASE WHEN prev IS NULL
+                                OR ts >= prev + INTERVAL 30 MINUTE
+                           THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                FROM g)
+            SELECT user_id,
+                   CAST(extract(epoch FROM DATE_TRUNC('second', MIN(ts))) AS BIGINT) AS s_start,
+                   COUNT(*) AS n, ROUND(SUM(value), 6) AS v
+            FROM s GROUP BY user_id, sid ORDER BY user_id, s_start
+        """,
+        "standard_scaler": """
+            WITH ex AS (
+                SELECT vec_id, i, CAST(list_extract(embedding, i + 1) AS DOUBLE) AS x
+                FROM embeddings CROSS JOIN range(0, 4) r(i)),
+            mo AS (SELECT i, AVG(x) AS m, STDDEV_SAMP(x) AS s FROM ex GROUP BY i)
+            SELECT ex.vec_id, ex.i, ROUND((ex.x - mo.m) / mo.s, 6) AS z
+            FROM ex JOIN mo USING (i) ORDER BY ex.vec_id, ex.i
+        """,
+        "linear_mapper": _lm_oracle_sql(),
     }

@@ -1,0 +1,234 @@
+"""Deduplication for LLM-scale corpora: exact, MinHash-LSH, SimHash,
+n-gram Jaccard, embedding-cosine.
+
+Scale design (100 TB of documents):
+- exact: hash-groupBy on a normalized content key — one shuffle, fully
+  map-side-combinable.
+- MinHash+LSH: shingle hashes are computed JVM-side (xxhash64 inside a
+  higher-order transform), signatures numpy-side per Arrow batch
+  (vectorized (a*h+b) mod p mins), candidates from an equi-join on
+  (band, band_hash) buckets — never an all-pairs comparison. Verification
+  reranks candidates only.
+- SimHash: 64-bit signature JVM-side (functions/text.simhash64), banded
+  into 4x16-bit keys; Hamming verify on candidates.
+- embedding near-dup: delegate to operators/similarity.lsh_bucket_topk.
+
+All candidate generators return PAIRS (i < j); ``keep_first_dedup``
+resolves pairs to a keep/drop set with a deterministic keep-lowest-id rule
+(one connected-components sweep approximated by min-id propagation, which
+is exact for the "drop anything similar to an earlier doc" policy).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+from keystone_spark.functions.text import char_shingles, simhash64, tokens
+
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Exact dedup via dropDuplicates (hash-groupBy; one shuffle)."""
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+def shingle_hashes(text_col, k: int = 5):
+    """Distinct k-char shingles -> array<long> xxhash64 values, JVM-side."""
+    return F.transform(char_shingles(text_col, k), lambda s: F.xxhash64(s))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 128,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig array<long>[n_hashes]) — MinHash over shingle hashes.
+
+    Shingling+hashing stays in codegen; the n_hashes mins are one numpy
+    broadcast op per Arrow batch: sig = min over shingles of (a*h+b) mod M.
+    """
+    rng = np.random.default_rng(seed)
+    A = rng.integers(1, _MERSENNE, size=n_hashes, dtype=np.int64)
+    B = rng.integers(0, _MERSENNE, size=n_hashes, dtype=np.int64)
+
+    hashed = df.select(
+        F.col(id_col).alias("__id"), shingle_hashes(F.col(text_col), shingle_k).alias("__h")
+    )
+    out_schema = StructType(
+        [StructField("__id", LongType()), StructField("sig", ArrayType(LongType()))]
+    )
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            sigs = []
+            for h in pdf["__h"]:
+                hv = np.asarray(h, dtype=np.uint64)
+                # (a*h + b) mod M, computed in uint64 with Mersenne trick
+                prods = (A.astype(np.uint64)[None, :] * hv[:, None] + B.astype(np.uint64)[None, :]) % np.uint64(_MERSENNE)
+                sigs.append(prods.min(axis=0).astype(np.int64).tolist())
+            yield pd.DataFrame({"__id": pdf["__id"], "sig": sigs})
+
+    return (
+        hashed.mapInPandas(part, out_schema)
+        .withColumnRenamed("__id", id_col)
+    )
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = 16,
+    n_hashes: int = 128,
+) -> DataFrame:
+    """Banded LSH: split each signature into n_bands rows keyed by
+    (band, xxhash64(band slice)); docs sharing any band bucket are
+    candidate pairs (i < j). Equi-join on the bucket key — shuffle, not
+    broadcast, so it scales with corpus size."""
+    assert n_hashes % n_bands == 0
+    rpb = n_hashes // n_bands
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                F.transform(
+                                    F.slice(F.col("sig"), b * rpb + 1, rpb),
+                                    lambda v: v.cast("string"),
+                                ),
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("i"), F.col(f"b.{id_col}").alias("j"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs only; keeps pairs with
+    jac >= threshold. Join-back of shingle arrays + JVM set ops."""
+    sh = df.select(
+        F.col(id_col), char_shingles(F.col(text_col), shingle_k).alias("__sh")
+    )
+    out = (
+        pairs.join(sh.select(F.col(id_col).alias("i"), F.col("__sh").alias("__si")), "i")
+        .join(sh.select(F.col(id_col).alias("j"), F.col("__sh").alias("__sj")), "j")
+        .withColumn("__inter", F.size(F.array_intersect("__si", "__sj")))
+        .withColumn(
+            "jac",
+            F.col("__inter")
+            / (F.size("__si") + F.size("__sj") - F.col("__inter")),
+        )
+        .where(F.col("jac") >= threshold)
+        .select("i", "j", F.round("jac", 6).alias("jac"))
+    )
+    return out
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 128,
+    n_bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end near-dedup: keep rows with no verified near-duplicate of
+    lower id ("keep first"). Returns the deduplicated DataFrame."""
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k, seed)
+    cand = minhash_lsh_candidates(sigs, id_col, n_bands, n_hashes)
+    dups = jaccard_verify(cand, df, id_col, text_col, shingle_k, threshold)
+    drop = dups.select(F.col("j").alias(id_col)).distinct()
+    return df.join(drop, id_col, "left_anti")
+
+
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup candidates: 64-bit signature banded into
+    n_bands segments (a pair within Hamming distance n_bands-1 shares at
+    least one exact band by pigeonhole); verify with bit_count."""
+    assert 64 % n_bands == 0
+    seg = 64 // n_bands
+    sh = df.select(
+        F.col(id_col), simhash64(tokens(F.col(text_col))).alias("__sh")
+    )
+    # band key = bits [b*seg, (b+1)*seg) extracted via shift+mask
+    mask = (1 << seg) - 1
+    banded = sh.select(
+        id_col,
+        "__sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("__sh"), b * seg)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "__sh", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("i"),
+            F.col(f"b.{id_col}").alias("j"),
+            F.bit_count(F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs

@@ -1,0 +1,400 @@
+"""Learning nodes: linear solvers, classifiers, clustering, decompositions.
+
+Strategy (SURVEY.md §2.5): where MLlib has the semantics, wrap it (the
+reference's hand-rolled BCD/LBFGS/TSQR exist because 2015-era MLlib didn't
+cover them; today's does). The solver *selection* cost model — the
+reference's flagship optimization (nodes/learning/LeastSquaresEstimator.scala)
+— survives in plans/optimizer.choose_solver. Feature columns are
+array<double>; conversion to MLlib VectorUDT happens at the wrapper
+boundary via pyspark.ml.functions.array_to_vector (JVM-side, no Python).
+
+Apply-side models (LinearMapper) run as Arrow-batched gemms — the
+per-partition rowsToMatrix+BLAS pattern (reference: utils/MatrixUtils.scala,
+nodes/learning/LinearMapper.scala).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.ml.functions import array_to_vector, vector_to_array
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+
+from keystone_spark.plans.optimizer import choose_solver
+from keystone_spark.plans.pipeline import Estimator, LabelEstimator, Transformer
+
+
+class LinearMapper(Transformer):
+    """Apply x -> xW + b as a batched gemm
+    (reference: nodes/learning/LinearMapper.scala)."""
+
+    def __init__(
+        self,
+        W: np.ndarray,
+        b: np.ndarray | None = None,
+        in_col: str = "features",
+        out_col: str = "scores",
+    ):
+        self.W = np.asarray(W, dtype=np.float64)
+        self.b = None if b is None else np.asarray(b, dtype=np.float64)
+        W_, b_ = self.W, self.b
+
+        @pandas_udf("array<double>")
+        def gemm(s: pd.Series) -> pd.Series:
+            X = np.asarray(list(s), dtype=np.float64)
+            out = X @ W_
+            if b_ is not None:
+                out = out + b_
+            return pd.Series(list(out))
+
+        super().__init__(
+            lambda df: df.withColumn(out_col, gemm(F.col(in_col))), "linear_mapper"
+        )
+
+
+class BlockLinearMapper(Transformer):
+    """Apply block-partitioned weights to block feature columns, summing the
+    per-block partial scores (reference: nodes/learning/BlockLinearMapper.scala).
+    Blocks are columns of ONE DataFrame, so no zipPartitions alignment is
+    needed (SURVEY §2.3)."""
+
+    def __init__(
+        self,
+        blocks: list[np.ndarray],
+        block_cols: list[str],
+        b: np.ndarray | None = None,
+        out_col: str = "scores",
+    ):
+        assert len(blocks) == len(block_cols)
+        mappers = [
+            LinearMapper(Wb, None, c, f"__part_{i}")
+            for i, (Wb, c) in enumerate(zip(blocks, block_cols))
+        ]
+        part_cols = [f"__part_{i}" for i in range(len(blocks))]
+        bias = None if b is None else np.asarray(b, dtype=np.float64)
+
+        def apply(df: DataFrame) -> DataFrame:
+            for m in mappers:
+                df = m(df)
+            acc = F.col(part_cols[0])
+            for c in part_cols[1:]:
+                acc = F.zip_with(acc, F.col(c), lambda x, y: x + y)
+            if bias is not None:
+                acc = F.zip_with(
+                    acc,
+                    F.array(*[F.lit(float(v)) for v in bias]),
+                    lambda x, y: x + y,
+                )
+            return df.withColumn(out_col, acc).drop(*part_cols)
+
+        super().__init__(apply, f"block_linear_mapper({len(blocks)} blocks)")
+
+
+class LeastSquaresEstimator(LabelEstimator):
+    """Optimizable least-squares façade: picks local / normal-equation /
+    l-bfgs from the problem shape (reference:
+    nodes/learning/LeastSquaresEstimator.scala + NodeOptimizationRule).
+
+    Multi-target (one-hot labels) solves each target against the shared
+    features. Returns a LinearMapper so apply-side is solver-agnostic.
+    """
+
+    name = "least_squares"
+
+    def __init__(
+        self,
+        in_col: str = "features",
+        label_col: str = "y",
+        out_col: str = "scores",
+        reg_param: float = 0.0,
+        strategy: str | None = None,  # override; else cost model
+    ):
+        super().__init__(label_col)
+        self.in_col, self.out_col = in_col, out_col
+        self.reg_param = reg_param
+        self.strategy = strategy
+
+    def _fit(self, df: DataFrame) -> LinearMapper:
+        first = df.select(self.in_col, self.label_col).first()
+        d = len(first[0])
+        multi = isinstance(first[1], (list, tuple))
+        k = len(first[1]) if multi else 1
+        n = df.count()
+        choice = self.strategy or choose_solver(n, d, k).strategy
+
+        if choice == "local":
+            pdf = df.select(self.in_col, self.label_col).toPandas()
+            X = np.asarray(list(pdf[self.in_col]), dtype=np.float64)
+            Y = np.asarray(list(pdf[self.label_col]), dtype=np.float64)
+            if Y.ndim == 1:
+                Y = Y[:, None]
+            if self.reg_param > 0:
+                A = X.T @ X + self.reg_param * len(X) * np.eye(d)
+                W = np.linalg.solve(A, X.T @ Y)
+            else:
+                W, *_ = np.linalg.lstsq(X, Y, rcond=None)
+            return LinearMapper(W, None, self.in_col, self.out_col)
+
+        # distributed: MLlib LinearRegression per target column
+        from pyspark.ml.regression import LinearRegression
+
+        solver = "normal" if choice == "normal" else "l-bfgs"
+        vec = df.withColumn("__v", array_to_vector(F.col(self.in_col)))
+        ws = []
+        for j in range(k):
+            yj = (
+                F.col(self.label_col)[j].cast("double")
+                if multi
+                else F.col(self.label_col).cast("double")
+            )
+            lr = LinearRegression(
+                featuresCol="__v",
+                labelCol="__y",
+                regParam=self.reg_param,
+                fitIntercept=False,
+                solver=solver,
+                standardization=False,
+            )
+            model = lr.fit(vec.withColumn("__y", yj))
+            ws.append(model.coefficients.toArray())
+        W = np.stack(ws, axis=1)  # d x k
+        return LinearMapper(W, None, self.in_col, self.out_col)
+
+
+class LogisticRegressionEstimator(LabelEstimator):
+    """Multiclass logistic regression (reference:
+    nodes/learning/LogisticRegressionEstimator.scala wrapping MLlib)."""
+
+    name = "logistic_regression"
+
+    def __init__(
+        self,
+        in_col: str = "features",
+        label_col: str = "label",
+        out_col: str = "pred",
+        max_iter: int = 100,
+        reg_param: float = 0.0,
+    ):
+        super().__init__(label_col)
+        self.in_col, self.out_col = in_col, out_col
+        self.max_iter, self.reg_param = max_iter, reg_param
+
+    def _fit(self, df: DataFrame) -> Transformer:
+        from pyspark.ml.classification import LogisticRegression
+
+        vec = df.withColumn("__v", array_to_vector(F.col(self.in_col)))
+        model = LogisticRegression(
+            featuresCol="__v",
+            labelCol=self.label_col,
+            maxIter=self.max_iter,
+            regParam=self.reg_param,
+        ).fit(vec)
+        out_col, in_col = self.out_col, self.in_col
+
+        def apply(d: DataFrame) -> DataFrame:
+            withv = d.withColumn("__v", array_to_vector(F.col(in_col)))
+            scored = model.transform(withv)
+            return scored.withColumn(out_col, F.col("prediction").cast("long")).drop(
+                "__v", "rawPrediction", "probability", "prediction"
+            )
+
+        t = Transformer(apply, "logistic_regression_model")
+        t.model = model
+        return t
+
+
+class NaiveBayesEstimator(LabelEstimator):
+    """Multinomial naive Bayes (reference:
+    nodes/learning/NaiveBayesEstimator.scala). Features must be >= 0."""
+
+    name = "naive_bayes"
+
+    def __init__(self, in_col: str = "features", label_col: str = "label",
+                 out_col: str = "pred", smoothing: float = 1.0):
+        super().__init__(label_col)
+        self.in_col, self.out_col, self.smoothing = in_col, out_col, smoothing
+
+    def _fit(self, df: DataFrame) -> Transformer:
+        from pyspark.ml.classification import NaiveBayes
+
+        vec = df.withColumn("__v", array_to_vector(F.col(self.in_col)))
+        model = NaiveBayes(
+            featuresCol="__v", labelCol=self.label_col,
+            modelType="multinomial", smoothing=self.smoothing,
+        ).fit(vec)
+        out_col, in_col = self.out_col, self.in_col
+
+        def apply(d: DataFrame) -> DataFrame:
+            withv = d.withColumn("__v", array_to_vector(F.col(in_col)))
+            scored = model.transform(withv)
+            return scored.withColumn(out_col, F.col("prediction").cast("long")).drop(
+                "__v", "rawPrediction", "probability", "prediction"
+            )
+
+        t = Transformer(apply, "naive_bayes_model")
+        t.model = model
+        return t
+
+
+class KMeansEstimator(Estimator):
+    """k-means with k-means|| init; model emits one-hot assignment
+    (reference: nodes/learning/KMeansPlusPlus.scala)."""
+
+    name = "kmeans"
+
+    def __init__(self, k: int, in_col: str = "features", out_col: str = "cluster_onehot",
+                 seed: int = 42, max_iter: int = 20):
+        self.k, self.in_col, self.out_col = k, in_col, out_col
+        self.seed, self.max_iter = seed, max_iter
+
+    def _fit(self, df: DataFrame) -> Transformer:
+        from pyspark.ml.clustering import KMeans
+
+        vec = df.withColumn("__v", array_to_vector(F.col(self.in_col)))
+        model = KMeans(
+            featuresCol="__v", k=self.k, seed=self.seed, maxIter=self.max_iter,
+            initMode="k-means||",
+        ).fit(vec)
+        k, in_col, out_col = self.k, self.in_col, self.out_col
+
+        def apply(d: DataFrame) -> DataFrame:
+            withv = d.withColumn("__v", array_to_vector(F.col(in_col)))
+            assigned = model.transform(withv)
+            onehot = F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda i: F.when(i == F.col("prediction"), 1.0).otherwise(0.0),
+            )
+            return (
+                assigned.withColumn(out_col, onehot)
+                .withColumn("cluster", F.col("prediction").cast("long"))
+                .drop("__v", "prediction")
+            )
+
+        t = Transformer(apply, "kmeans_model")
+        t.model = model
+        t.centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+        return t
+
+
+class GaussianMixtureEstimator(Estimator):
+    """Diagonal-covariance GMM via distributed EM (reference:
+    nodes/learning/GaussianMixtureModel.scala; MLlib EM replaces the
+    driver-local/EncEval paths)."""
+
+    name = "gmm"
+
+    def __init__(self, k: int, in_col: str = "features", seed: int = 42,
+                 out_col: str = "gmm_probs"):
+        self.k, self.in_col, self.out_col, self.seed = k, in_col, out_col, seed
+
+    def _fit(self, df: DataFrame) -> Transformer:
+        from pyspark.ml.clustering import GaussianMixture
+
+        vec = df.withColumn("__v", array_to_vector(F.col(self.in_col)))
+        model = GaussianMixture(
+            featuresCol="__v", k=self.k, seed=self.seed
+        ).fit(vec)
+        in_col, out_col = self.in_col, self.out_col
+
+        def apply(d: DataFrame) -> DataFrame:
+            withv = d.withColumn("__v", array_to_vector(F.col(in_col)))
+            scored = model.transform(withv)
+            return (
+                scored.withColumn(out_col, vector_to_array(F.col("probability")))
+                .drop("__v", "prediction", "probability")
+            )
+
+        t = Transformer(apply, "gmm_model")
+        t.model = model
+        t.weights = np.array(model.weights)
+        return t
+
+
+class PCAEstimator(Estimator):
+    """Top-d principal components (reference: nodes/learning/PCA.scala,
+    DistributedPCA via ml-matrix TSQR — MLlib's PCA covers both regimes)."""
+
+    name = "pca"
+
+    def __init__(self, n_components: int, in_col: str = "features",
+                 out_col: str = "pca", center: bool = True):
+        self.n_components, self.in_col, self.out_col = n_components, in_col, out_col
+        self.center = center
+
+    def _fit(self, df: DataFrame) -> Transformer:
+        from pyspark.ml.feature import PCA as MLPCA
+
+        work = df
+        if self.center:
+            from keystone_spark.operators.stats import StandardScaler, StandardScalerModel
+
+            moments = StandardScaler(self.in_col, "__centered")._fit(df)
+            # center only (keystone PCA does not scale): reuse mean, std=1
+            center_model = StandardScalerModel(
+                self.in_col, "__centered", moments.mean, np.ones_like(moments.std)
+            )
+            work = center_model(df)
+            vec_in = "__centered"
+        else:
+            vec_in = self.in_col
+        vec = work.withColumn("__v", array_to_vector(F.col(vec_in)))
+        model = MLPCA(k=self.n_components, inputCol="__v", outputCol="__p").fit(vec)
+        in_col, out_col = self.in_col, self.out_col
+        components = np.array(model.pc.toArray())  # d x k
+        mean = moments.mean if self.center else None
+
+        def apply(d: DataFrame) -> DataFrame:
+            # apply as a plain gemm so saved params are self-contained
+            X = F.col(in_col)
+            if mean is not None:
+                X = F.zip_with(
+                    X,
+                    F.array(*[F.lit(float(v)) for v in mean]),
+                    lambda x, mu: x.cast("double") - mu,
+                )
+            tmp = d.withColumn("__c", X)
+            return LinearMapper(components, None, "__c", out_col)(tmp).drop("__c")
+
+        t = Transformer(apply, "pca_model")
+        t.components = components
+        return t
+
+
+class ZCAWhitener(Estimator):
+    """ZCA whitening (Sigma + eps I)^(-1/2) from a seeded sample
+    (reference: nodes/learning/ZCAWhitener.scala — local SVD on patches)."""
+
+    name = "zca"
+
+    def __init__(self, in_col: str = "features", out_col: str = "white",
+                 eps: float = 0.1, sample_fraction: float = 1.0, seed: int = 42):
+        self.in_col, self.out_col, self.eps = in_col, out_col, eps
+        self.sample_fraction, self.seed = sample_fraction, seed
+
+    def _fit(self, df: DataFrame) -> Transformer:
+        sample = df.select(self.in_col)
+        if self.sample_fraction < 1.0:
+            sample = sample.sample(self.sample_fraction, seed=self.seed)
+        X = np.asarray([r[0] for r in sample.collect()], dtype=np.float64)
+        mu = X.mean(axis=0)
+        Xc = X - mu
+        cov = Xc.T @ Xc / max(len(X) - 1, 1)
+        vals, vecs = np.linalg.eigh(cov + self.eps * np.eye(cov.shape[0]))
+        Wz = vecs @ np.diag(1.0 / np.sqrt(vals)) @ vecs.T
+        in_col, out_col = self.in_col, self.out_col
+
+        def apply(d: DataFrame) -> DataFrame:
+            centered = F.zip_with(
+                F.col(in_col),
+                F.array(*[F.lit(float(v)) for v in mu]),
+                lambda x, m: x.cast("double") - m,
+            )
+            tmp = d.withColumn("__c", centered)
+            return LinearMapper(Wz, None, "__c", out_col)(tmp).drop("__c")
+
+        t = Transformer(apply, "zca_model")
+        t.whitening_matrix = Wz
+        t.mean = mu
+        return t

@@ -1,0 +1,203 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The reference's image stack (loaders/CifarLoader.scala,
+loaders/ImageNetLoader.scala, utils/Image.scala#ImageMetadata) decodes
+bytes into dense pixel arrays per record. Spark-first: media rows are a
+struct of ``binary`` payload + metadata; decode / resize / frame-sample /
+feature-extract run as Arrow-batched ``mapInPandas`` stages.
+
+The actual codecs (PIL/opencv/ffmpeg) are NOT in this container, so the
+decode kernels are stubbed: ``decode=fake`` produces a deterministic
+pseudo-image derived from xxhash of the payload (schema, batching,
+partitioning and UDF signatures are real and tested); ``decode=real``
+raises NotImplementedError where the codec call belongs.
+
+Scale notes: binary payloads make wide rows — keep media in its own table
+keyed by content hash, read with ``spark.read.format("binaryFile")`` or a
+parquet of (id, bytes, meta), and repartition by size so Arrow batches
+stay under spark.sql.execution.arrow.maxRecordsPerBatch * avg_payload.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+# mirror of Spark's built-in ImageSchema struct, array-typed for Arrow
+IMAGE_STRUCT = StructType(
+    [
+        StructField("height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("data", ArrayType(FloatType())),
+    ]
+)
+
+
+def _fake_decode(payload: bytes, h: int = 8, w: int = 8, c: int = 3) -> np.ndarray:
+    """Deterministic stand-in for a codec: seed a PRNG from the content
+    hash so the 'pixels' are stable across runs/executors."""
+    digest = hashlib.sha256(payload).digest()
+    seed = int.from_bytes(digest[:8], "little")
+    rng = np.random.default_rng(seed)
+    return rng.random(size=(h, w, c), dtype=np.float32)
+
+
+def decode_images(
+    df: DataFrame,
+    payload_col: str = "content",
+    out_col: str = "image",
+    height: int = 8,
+    width: int = 8,
+    channels: int = 3,
+    decode: str = "fake",
+) -> DataFrame:
+    """binary payload -> IMAGE_STRUCT column. decode='real' is the hook
+    where PIL/opencv goes (not available in this container)."""
+    if decode not in ("fake", "real"):
+        raise ValueError("decode must be 'fake' or 'real'")
+
+    fields = [f for f in df.schema.fields]
+    out_schema = StructType(fields + [StructField(out_col, IMAGE_STRUCT)])
+    cols = [f.name for f in fields]
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            imgs = []
+            for payload in pdf[payload_col]:
+                if decode == "real":
+                    raise NotImplementedError(
+                        "real image decode requires PIL/opencv (not in container)"
+                    )
+                arr = _fake_decode(bytes(payload), height, width, channels)
+                imgs.append(
+                    {
+                        "height": height,
+                        "width": width,
+                        "n_channels": channels,
+                        "data": arr.ravel().tolist(),
+                    }
+                )
+            pdf = pdf.copy()
+            pdf[out_col] = imgs
+            yield pdf[cols + [out_col]]
+
+    return df.mapInPandas(part, out_schema)
+
+
+def image_features(
+    df: DataFrame,
+    image_col: str = "image",
+    out_col: str = "img_features",
+) -> DataFrame:
+    """Per-channel mean/std features (the LCSExtractor-style statistic
+    kernel — reference: nodes/images/LCSExtractor.scala), numpy per batch."""
+    fields = [f for f in df.schema.fields]
+    out_schema = StructType(fields + [StructField(out_col, ArrayType(DoubleType()))])
+    cols = [f.name for f in fields]
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feats = []
+            for img in pdf[image_col]:
+                arr = np.asarray(img["data"], dtype=np.float64).reshape(
+                    img["height"], img["width"], img["n_channels"]
+                )
+                feats.append(
+                    np.concatenate([arr.mean(axis=(0, 1)), arr.std(axis=(0, 1))]).tolist()
+                )
+            pdf = pdf.copy()
+            pdf[out_col] = feats
+            yield pdf[cols + [out_col]]
+
+    return df.mapInPandas(part, out_schema)
+
+
+def grayscale(df: DataFrame, image_col: str = "image", out_col: str = "gray") -> DataFrame:
+    """RGB -> luminance (reference: nodes/images/GrayScaler.scala),
+    ITU-R 601 weights, numpy per batch."""
+    fields = [f for f in df.schema.fields]
+    out_schema = StructType(fields + [StructField(out_col, IMAGE_STRUCT)])
+    cols = [f.name for f in fields]
+    wts = np.array([0.299, 0.587, 0.114])
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for img in pdf[image_col]:
+                h, w, c = img["height"], img["width"], img["n_channels"]
+                arr = np.asarray(img["data"], dtype=np.float64).reshape(h, w, c)
+                g = arr @ wts[:c] if c == 3 else arr.mean(axis=2)
+                out.append(
+                    {"height": h, "width": w, "n_channels": 1,
+                     "data": g.astype(np.float32).ravel().tolist()}
+                )
+            pdf = pdf.copy()
+            pdf[out_col] = out
+            yield pdf[cols + [out_col]]
+
+    return df.mapInPandas(part, out_schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    payload_col: str = "content",
+    n_frames: int = 4,
+    out_col: str = "frames",
+    decode: str = "fake",
+) -> DataFrame:
+    """video binary -> n_frames decoded frames (1->N via explode after a
+    batched decode). decode='real' is the ffmpeg hook."""
+    fields = [f for f in df.schema.fields]
+    out_schema = StructType(
+        fields
+        + [
+            StructField("frame_idx", LongType()),
+            StructField(out_col, IMAGE_STRUCT),
+        ]
+    )
+    cols = [f.name for f in fields]
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for _, row in pdf.iterrows():
+                if decode == "real":
+                    raise NotImplementedError("real video decode requires ffmpeg")
+                payload = bytes(row[payload_col])
+                for k in range(n_frames):
+                    arr = _fake_decode(payload + k.to_bytes(4, "little"))
+                    r = {c: row[c] for c in cols}
+                    r["frame_idx"] = k
+                    r[out_col] = {
+                        "height": arr.shape[0],
+                        "width": arr.shape[1],
+                        "n_channels": arr.shape[2],
+                        "data": arr.ravel().tolist(),
+                    }
+                    rows.append(r)
+            yield pd.DataFrame(rows, columns=cols + ["frame_idx", out_col])
+
+    return df.mapInPandas(part, out_schema)

@@ -1,0 +1,206 @@
+"""Similarity search over embedding columns (array<float/double>).
+
+Design for 100 TB:
+- ``cosine_topk``: brute-force exact top-k, but *vectorized and pruned* —
+  probes are collected (they're small by construction: you search for k
+  neighbors of a handful of queries) and shipped to every partition; each
+  Arrow batch computes one BLAS-3 gemm (normalized X @ P.T) and emits only
+  its partition-local top-k per probe, so the shuffle carries
+  O(partitions * probes * k) rows instead of O(N * probes). A final
+  window rank reduces to the global top-k.
+  This is the Spark-idiomatic form of KeystoneML's per-partition
+  row-batching + gemm trick (reference: utils/MatrixUtils.scala#rowsToMatrix,
+  used by nodes/learning/LinearMapper.scala) — Arrow gives us the batching.
+- ``lsh_bucket_topk``: the approximate scale path — random-hyperplane
+  signatures bucket vectors so candidate generation is an equi-join on
+  (band, bucket); exact rerank within candidates. Recall is tunable via
+  (n_bits, n_bands); the join shuffles on bucket keys instead of
+  broadcasting probes, so it also works when the probe set itself is huge.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def _collect_probes(
+    probes: DataFrame, id_col: str, vec_col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    rows = probes.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def cosine_topk(
+    data: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k of ``probes`` against ``data``.
+
+    Returns columns (probe, {id_col}, cos, rk), rk in 1..k, ties broken by
+    id. Cos is computed in float64 (matches a SQL oracle casting to DOUBLE).
+    """
+    probe_id_col = probe_id_col or id_col
+    p_ids, p_mat = _collect_probes(probes, probe_id_col, vec_col)
+    if p_mat.ndim != 2 or len(p_ids) == 0:
+        raise ValueError("probes must be a non-empty DataFrame of vectors")
+    p_norm = _normalize(p_mat)  # small: broadcast via task closure
+    n_probes = len(p_ids)
+    per_part_k = k
+
+    out_schema = StructType(
+        [
+            StructField("probe", LongType()),
+            StructField(id_col, LongType()),
+            StructField("cos", DoubleType()),
+        ]
+    )
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(np.int64)
+            X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            sims = _normalize(X) @ p_norm.T  # (n, n_probes) — one gemm
+            out_p, out_i, out_c = [], [], []
+            for j in range(n_probes):
+                col = sims[:, j]
+                mask = np.ones(len(ids), dtype=bool)
+                if exclude_self:
+                    mask = ids != p_ids[j]
+                idx = np.nonzero(mask)[0]
+                if len(idx) == 0:
+                    continue
+                take = min(per_part_k, len(idx))
+                # partial top-k: argpartition then exact order (cos desc, id)
+                cand = idx[np.argpartition(-col[idx], take - 1)[:take]]
+                order = np.lexsort((ids[cand], -col[cand]))
+                cand = cand[order]
+                out_p.extend([p_ids[j]] * len(cand))
+                out_i.extend(ids[cand].tolist())
+                out_c.extend(col[cand].tolist())
+            yield pd.DataFrame({"probe": out_p, id_col: out_i, "cos": out_c})
+
+    partial = data.select(id_col, vec_col).mapInPandas(part, out_schema)
+    w = Window.partitionBy("probe").orderBy(F.col("cos").desc(), id_col)
+    return (
+        partial.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+    )
+
+
+def lsh_signatures(
+    data: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_bits: int = 64,
+    n_bands: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH: emit (id, band, bucket) rows — one row per
+    band — ready for an equi-join candidate generation. Deterministic given
+    seed. n_bits/n_bands trade recall vs candidate count."""
+    assert n_bits % n_bands == 0, "n_bits must divide into n_bands evenly"
+    bits_per_band = n_bits // n_bands
+
+    first = data.select(vec_col).first()
+    d = dim or len(first[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(d, n_bits))
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("band", LongType()),
+            StructField("bucket", LongType()),
+        ]
+    )
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pows = (1 << np.arange(bits_per_band)).astype(np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(np.int64)
+            X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            bits = (X @ planes) > 0  # (n, n_bits)
+            frames = []
+            for b in range(n_bands):
+                seg = bits[:, b * bits_per_band : (b + 1) * bits_per_band]
+                bucket = seg.astype(np.int64) @ pows
+                frames.append(
+                    pd.DataFrame({id_col: ids, "band": b, "bucket": bucket})
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return data.select(id_col, vec_col).mapInPandas(part, out_schema)
+
+
+def lsh_bucket_topk(
+    data: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 64,
+    n_bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: LSH-bucket candidate join + exact rerank.
+
+    Scale path: both sides shuffle on (band, bucket) — no broadcast of the
+    probe set needed, works probe-set-huge and data-huge. Candidates are
+    deduped before rerank; rerank itself is the same gemm kernel as
+    cosine_topk applied to the (much smaller) candidate set.
+    """
+    sig_d = lsh_signatures(data, id_col, vec_col, n_bits, n_bands, seed=seed)
+    sig_p = (
+        lsh_signatures(probes, id_col, vec_col, n_bits, n_bands, seed=seed)
+        .withColumnRenamed(id_col, "probe")
+    )
+    cand = (
+        sig_d.join(sig_p, ["band", "bucket"])
+        .where(F.col(id_col) != F.col("probe"))
+        .select("probe", id_col)
+        .distinct()
+    )
+    # rerank: join vectors back, exact cosine on candidates only
+    dv = data.select(F.col(id_col), F.col(vec_col).alias("__dv"))
+    pv = probes.select(F.col(id_col).alias("probe"), F.col(vec_col).alias("__pv"))
+    from keystone_spark.functions.vector import cosine_similarity
+
+    scored = (
+        cand.join(dv, id_col)
+        .join(F.broadcast(pv), "probe")
+        .select("probe", id_col, cosine_similarity("__pv", "__dv").alias("cos"))
+    )
+    w = Window.partitionBy("probe").orderBy(F.col("cos").desc(), id_col)
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+    )

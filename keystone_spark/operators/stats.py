@@ -1,0 +1,307 @@
+"""Statistical transforms & feature nodes over array<double> columns.
+
+Each class mirrors a KeystoneML node (reference path in its docstring) but
+is expressed as a ColumnTransformer/Estimator over DataFrames. Elementwise
+math stays in Column expressions (codegen); kernels that are genuinely
+matrix-shaped (FFT, random features) use Arrow-batched pandas UDFs with
+seeded numpy — the vectorized path, never row-at-a-time Python.
+
+Model parameters (means, stds, random matrices) are embedded as literal
+arrays when small (JVM-side arithmetic) or closure-captured numpy arrays
+(auto-broadcast with the task) when matrix-shaped.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+
+from keystone_spark.plans.pipeline import ColumnTransformer, Estimator, Transformer
+
+
+def _lit_array(values) -> Column:
+    return F.array(*[F.lit(float(v)) for v in values])
+
+
+# ---------------------------------------------------------------------------
+# elementwise transforms (reference: nodes/stats/*, nodes/images/*)
+# ---------------------------------------------------------------------------
+
+class LinearRectifier(ColumnTransformer):
+    """x -> max(x - alpha, 0) (reference: nodes/stats/LinearRectifier.scala)."""
+
+    def __init__(self, in_col: str, out_col: str | None = None, alpha: float = 0.0):
+        super().__init__(
+            in_col,
+            out_col or in_col,
+            lambda c: F.transform(c, lambda x: F.greatest(x - alpha, F.lit(0.0))),
+            name=f"linear_rectifier(a={alpha})",
+        )
+
+
+class SymmetricRectifier(ColumnTransformer):
+    """x -> [max(x-a,0) ++ max(-x-a,0)] (reference: nodes/images/SymmetricRectifier.scala)."""
+
+    def __init__(self, in_col: str, out_col: str | None = None, alpha: float = 0.0):
+        super().__init__(
+            in_col,
+            out_col or in_col,
+            lambda c: F.concat(
+                F.transform(c, lambda x: F.greatest(x - alpha, F.lit(0.0))),
+                F.transform(c, lambda x: F.greatest(-x - alpha, F.lit(0.0))),
+            ),
+            name=f"symmetric_rectifier(a={alpha})",
+        )
+
+
+class SignedHellingerMapper(ColumnTransformer):
+    """x -> sign(x)*sqrt(|x|) (reference: nodes/stats/SignedHellingerMapper.scala)."""
+
+    def __init__(self, in_col: str, out_col: str | None = None):
+        super().__init__(
+            in_col,
+            out_col or in_col,
+            lambda c: F.transform(c, lambda x: F.signum(x) * F.sqrt(F.abs(x))),
+            name="signed_hellinger",
+        )
+
+
+class PixelScaler(ColumnTransformer):
+    """byte pixels -> floats in [0,1] (reference: nodes/images/PixelScaler.scala)."""
+
+    def __init__(self, in_col: str, out_col: str | None = None):
+        super().__init__(
+            in_col,
+            out_col or in_col,
+            lambda c: F.transform(c, lambda x: x.cast("double") / F.lit(255.0)),
+            name="pixel_scaler",
+        )
+
+
+class VectorCombiner(Transformer):
+    """Concat several array columns (reference: nodes/util/VectorCombiner.scala)."""
+
+    def __init__(self, in_cols: list[str], out_col: str = "features"):
+        super().__init__(
+            lambda df: df.withColumn(out_col, F.concat(*[F.col(c) for c in in_cols])),
+            f"vector_combiner({','.join(in_cols)})",
+        )
+
+
+class VectorSplitter(Transformer):
+    """Split an array column into fixed-size block columns
+    (reference: nodes/util/VectorSplitter.scala — feeds block solvers)."""
+
+    def __init__(self, in_col: str, block_size: int, dim: int, prefix: str = "block"):
+        self.block_cols = [
+            f"{prefix}_{i}" for i in range((dim + block_size - 1) // block_size)
+        ]
+
+        def apply(df: DataFrame) -> DataFrame:
+            for i, c in enumerate(self.block_cols):
+                df = df.withColumn(
+                    c, F.slice(F.col(in_col), i * block_size + 1, block_size)
+                )
+            return df
+
+        super().__init__(apply, f"vector_splitter({in_col},bs={block_size})")
+
+
+class RandomSignNode(ColumnTransformer):
+    """Elementwise multiply by a seeded ±1 vector
+    (reference: nodes/stats/RandomSignNode.scala)."""
+
+    def __init__(self, in_col: str, dim: int, seed: int = 42, out_col: str | None = None):
+        rng = np.random.default_rng(seed)
+        signs = rng.choice([-1.0, 1.0], size=dim)
+        super().__init__(
+            in_col,
+            out_col or in_col,
+            lambda c: F.zip_with(c, _lit_array(signs), lambda x, s: x * s),
+            name=f"random_sign(seed={seed})",
+        )
+
+
+class MaxClassifier(ColumnTransformer):
+    """argmax over a score array -> class index
+    (reference: nodes/util/MaxClassifier.scala)."""
+
+    def __init__(self, in_col: str = "scores", out_col: str = "pred"):
+        super().__init__(
+            in_col,
+            out_col,
+            lambda c: (F.array_position(c, F.array_max(c)) - 1).cast("long"),
+            name="max_classifier",
+        )
+
+
+class TopKClassifier(ColumnTransformer):
+    """Indices of the k largest scores, descending
+    (reference: nodes/util/TopKClassifier.scala)."""
+
+    def __init__(self, k: int, in_col: str = "scores", out_col: str = "topk"):
+        def expr(c: Column) -> Column:
+            pairs = F.zip_with(
+                c,
+                F.sequence(F.lit(0), F.size(c) - 1),
+                lambda s, i: F.struct(s.alias("s"), i.alias("i")),
+            )
+            return F.slice(
+                F.reverse(F.array_sort(pairs)), 1, k
+            ).cast("array<struct<s:double,i:int>>").getField("i")
+
+        super().__init__(in_col, out_col, expr, name=f"top{k}_classifier")
+
+
+class ClassLabelIndicators(ColumnTransformer):
+    """int label -> ±1 one-hot vector of n classes
+    (reference: nodes/util/ClassLabelIndicators.scala)."""
+
+    def __init__(self, n_classes: int, label_col: str = "label", out_col: str = "y"):
+        super().__init__(
+            label_col,
+            out_col,
+            lambda c: F.transform(
+                F.sequence(F.lit(0), F.lit(n_classes - 1)),
+                lambda i: F.when(i == c.cast("int"), 1.0).otherwise(-1.0),
+            ),
+            name=f"class_indicators(n={n_classes})",
+        )
+
+
+class Sampler(Transformer):
+    """Seeded uniform sample (reference: nodes/stats/Sampler.scala)."""
+
+    def __init__(self, fraction: float, seed: int = 42):
+        super().__init__(lambda df: df.sample(fraction=fraction, seed=seed),
+                         f"sampler({fraction})")
+
+
+# ---------------------------------------------------------------------------
+# StandardScaler (reference: nodes/stats/StandardScaler.scala)
+# ---------------------------------------------------------------------------
+
+class StandardScalerModel(Transformer):
+    def __init__(self, in_col: str, out_col: str, mean: np.ndarray, std: np.ndarray):
+        self.mean, self.std = np.asarray(mean), np.asarray(std)
+        safe_std = np.where(self.std == 0, 1.0, self.std)
+        m, s = _lit_array(self.mean), _lit_array(safe_std)
+
+        def apply(df: DataFrame) -> DataFrame:
+            centered = F.zip_with(F.col(in_col), m, lambda x, mu: x.cast("double") - mu)
+            return df.withColumn(
+                out_col, F.zip_with(centered, s, lambda x, sd: x / sd)
+            )
+
+        super().__init__(apply, "standard_scaler_model")
+
+    def save_params(self, path: str) -> None:
+        import json
+
+        with open(path, "w") as f:
+            json.dump({"mean": self.mean.tolist(), "std": self.std.tolist()}, f)
+
+
+class StandardScaler(Estimator):
+    """Fit per-dimension mean/std with ONE distributed pass.
+
+    The reference computes Welford moments via treeAggregate; the Spark-first
+    equivalent aggregates sum and sum-of-squares as array columns (partial +
+    final automatically), avoiding a posexplode shuffle of n_rows*dim rows.
+    """
+
+    name = "standard_scaler"
+
+    def __init__(self, in_col: str = "features", out_col: str | None = None):
+        self.in_col, self.out_col = in_col, out_col or in_col
+
+    def _fit(self, df: DataFrame) -> StandardScalerModel:
+        in_col = self.in_col
+        schema = "n long, s1 array<double>, s2 array<double>"
+
+        def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # one partial-moment row per Arrow batch: the treeAggregate
+            # partial step, vectorized (numpy column sums).
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.asarray(list(pdf[in_col]), dtype=np.float64)
+                yield pd.DataFrame(
+                    {
+                        "n": [len(X)],
+                        "s1": [X.sum(axis=0).tolist()],
+                        "s2": [(X * X).sum(axis=0).tolist()],
+                    }
+                )
+
+        parts = df.select(in_col).mapInPandas(partial, schema).collect()
+        if not parts:
+            raise ValueError("cannot fit StandardScaler on an empty DataFrame")
+        n = sum(p.n for p in parts)
+        s1 = np.sum([p.s1 for p in parts], axis=0)
+        s2 = np.sum([p.s2 for p in parts], axis=0)
+        mean = s1 / n
+        var = np.maximum((s2 - n * mean**2) / max(n - 1, 1), 0.0)
+        return StandardScalerModel(self.in_col, self.out_col, mean, np.sqrt(var))
+
+
+# ---------------------------------------------------------------------------
+# numpy-kernel nodes (Arrow-batched)
+# ---------------------------------------------------------------------------
+
+class PaddedFFT(Transformer):
+    """Zero-pad to next pow-2 and return real-FFT magnitudes
+    (reference: nodes/stats/PaddedFFT.scala). numpy.fft over Arrow batches."""
+
+    def __init__(self, in_col: str = "features", out_col: str = "fft"):
+        @pandas_udf("array<double>")
+        def fft_udf(s: pd.Series) -> pd.Series:
+            def one(v):
+                x = np.asarray(v, dtype=np.float64)
+                n = 1 << int(np.ceil(np.log2(max(len(x), 1))))
+                return np.abs(np.fft.rfft(x, n=n)).tolist()
+
+            return s.map(one)
+
+        super().__init__(
+            lambda df: df.withColumn(out_col, fft_udf(F.col(in_col))), "padded_fft"
+        )
+
+
+class CosineRandomFeatures(Transformer):
+    """Random Fourier features cos(xW + b), W~N(0, gamma), b~U[0, 2pi],
+    seeded (reference: nodes/stats/CosineRandomFeatures.scala).
+
+    The gemm runs per Arrow batch — rowsToMatrix+BLAS, Spark-first. W/b are
+    closure-captured numpy arrays (broadcast with the task, like keystone
+    broadcasting model params).
+    """
+
+    def __init__(
+        self,
+        in_dim: int,
+        out_dim: int,
+        gamma: float = 1.0,
+        seed: int = 42,
+        in_col: str = "features",
+        out_col: str = "rf",
+    ):
+        rng = np.random.default_rng(seed)
+        W = rng.normal(scale=np.sqrt(gamma), size=(in_dim, out_dim))
+        b = rng.uniform(0, 2 * np.pi, size=out_dim)
+
+        @pandas_udf("array<double>")
+        def rf_udf(s: pd.Series) -> pd.Series:
+            X = np.asarray(list(s), dtype=np.float64)
+            out = np.cos(X @ W + b)
+            return pd.Series(list(out))
+
+        super().__init__(
+            lambda df: df.withColumn(out_col, rf_udf(F.col(in_col))),
+            f"cosine_rf({out_dim},seed={seed})",
+        )

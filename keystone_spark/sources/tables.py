@@ -45,15 +45,27 @@ def _normalize_events(df: DataFrame) -> DataFrame:
     return df
 
 
+# (session id, sf_dir, table) -> DataFrame. Re-reading a parquet dir costs
+# a file listing + footer-schema read (~0.3s locally, worse on object
+# stores); the logical plan is immutable so reuse is free and lets Catalyst
+# share the relation across queries.
+_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Load one fixture table as a DataFrame (lazy scan, no action)."""
     from keystone_spark.session import configure_session
 
+    sf_dir = (sf_dir or DEFAULT_SF_DIR).rstrip("/")
+    key = (id(spark._jsparkSession) if hasattr(spark, "_jsparkSession") else id(spark),
+           sf_dir, name)
+    if key in _CACHE:
+        return _CACHE[key]
     configure_session(spark)  # nanos + UTC confs are required for events
-    sf_dir = sf_dir or DEFAULT_SF_DIR
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = _normalize_events(df)
+    _CACHE[key] = df
     return df
 
 

@@ -1,0 +1,145 @@
+"""Structured Streaming surface (SURVEY.md §2.9/§2.11 — extension surface;
+the reference is batch-only).
+
+Every helper takes EITHER a batch or a streaming DataFrame: the
+transformations are identical (that's the point of Structured Streaming),
+so batch-equivalence tests run the same function both ways and compare
+(test strategy per SURVEY §5: Trigger.AvailableNow on file sources, never
+rate/wall-clock sources).
+
+Scale notes: windowed aggs shuffle on (window, keys); watermarks bound
+state size — always set one on unbounded streams. Session windows use
+Spark's native session_window (state-store backed merge).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    keys: tuple[str, ...] = ("event_type",),
+    watermark: str | None = None,
+    aggs: dict[str, str] | None = None,
+) -> DataFrame:
+    """Fixed windows: groupBy(window(ts, d), keys). Default aggs: count +
+    sum(value). Output window as epoch-second start/end for determinism."""
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    agg_exprs = [F.count("*").alias("c")]
+    for col, fn in (aggs or {"value": "sum"}).items():
+        agg_exprs.append(getattr(F, fn)(col).alias(f"{fn}_{col}"))
+    return (
+        df.groupBy(F.window(ts_col, duration).alias("win"), *keys)
+        .agg(*agg_exprs)
+        .select(
+            F.unix_timestamp("win.start").alias("w_start"),
+            F.unix_timestamp("win.end").alias("w_end"),
+            *keys,
+            "c",
+            *[f"{fn}_{col}" for col, fn in (aggs or {"value": "sum"}).items()],
+        )
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    slide: str = "15 minutes",
+    keys: tuple[str, ...] = ("event_type",),
+    watermark: str | None = None,
+) -> DataFrame:
+    """Overlapping windows: window(ts, duration, slide)."""
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, duration, slide).alias("win"), *keys)
+        .agg(F.count("*").alias("c"), F.sum("value").alias("sum_value"))
+        .select(
+            F.unix_timestamp("win.start").alias("w_start"),
+            F.unix_timestamp("win.end").alias("w_end"),
+            *keys,
+            "c",
+            "sum_value",
+        )
+    )
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    keys: tuple[str, ...] = ("user_id",),
+    watermark: str | None = None,
+) -> DataFrame:
+    """Gap-based sessions via native session_window (state-store merged in
+    streaming; plain agg in batch)."""
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("win"), *keys)
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            *keys,
+            F.unix_timestamp("win.start").alias("s_start"),
+            F.unix_timestamp("win.end").alias("s_end"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(
+    df: DataFrame, keys: list[str], ts_col: str = "ts", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stateful dedup bounded by the watermark (late duplicates beyond the
+    horizon are dropped by the engine, state stays bounded)."""
+    if df.isStreaming:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, schema=None
+) -> DataFrame:
+    """File-source stream over the events fixture layout. Parquet nanos ts
+    arrives as bigint (nanosAsLong conf) and is normalized exactly like the
+    batch loader. ``path`` may be a directory or a single parquet file
+    (file sources require a directory, so a file path becomes
+    dir + pathGlobFilter)."""
+    import os
+
+    from keystone_spark.session import configure_session
+    from keystone_spark.sources.tables import _normalize_events
+
+    configure_session(spark)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    df = reader.parquet(path)
+    return _normalize_events(df)
+
+
+def run_available_now(stream_df: DataFrame, out_table: str) -> None:
+    """Drain a stream deterministically: Trigger.AvailableNow into an
+    in-memory sink named ``out_table``; blocks until done."""
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(out_table)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

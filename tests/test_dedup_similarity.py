@@ -1,0 +1,102 @@
+"""Dedup + similarity operator tests (numpy/behavioral oracles)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from keystone_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_verify,
+    minhash_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    simhash_candidates,
+)
+from keystone_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches from "
+    "the warm windowsill and the birds sing in the garden outside the house"
+)
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                                   # exact dup of 0
+        (2, BASE.replace("lazy", "sleepy")),          # near dup of 0
+        (3, "completely different text about spark dataframes and parquet files"),
+        (4, "another unrelated document mentioning neural networks and tensors"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs_df):
+    out = exact_dedup(docs_df.select("text"))
+    assert out.count() == 4
+
+
+def test_minhash_similar_docs_collide(docs_df):
+    sigs = minhash_signatures(docs_df, n_hashes=64)
+    cand = minhash_lsh_candidates(sigs, n_bands=16, n_hashes=64)
+    pairs = {(r.i, r.j) for r in cand.collect()}
+    assert (0, 1) in pairs          # identical docs always candidates
+    assert (0, 2) in pairs          # near-dup should share a band
+    assert (3, 4) not in pairs      # unrelated docs don't collide
+
+
+def test_jaccard_verify_threshold(docs_df):
+    pairs = docs_df.sparkSession.createDataFrame(
+        [(0, 1), (0, 3)], "i long, j long"
+    )
+    verified = jaccard_verify(pairs, docs_df, threshold=0.8)
+    rows = {(r.i, r.j): r.jac for r in verified.collect()}
+    assert rows[(0, 1)] == 1.0
+    assert (0, 3) not in rows
+
+
+def test_minhash_dedup_keep_first(docs_df):
+    out = minhash_dedup(docs_df, n_hashes=64, n_bands=16, threshold=0.8)
+    kept = sorted(r.doc_id for r in out.collect())
+    assert 0 in kept and 1 not in kept
+    assert 3 in kept and 4 in kept
+
+
+def test_simhash_candidates(docs_df):
+    pairs = {(r.i, r.j): r.hamming for r in
+             simhash_candidates(docs_df, max_hamming=10).collect()}
+    assert pairs.get((0, 1)) == 0
+    assert (0, 2) in pairs
+    assert (3, 4) not in pairs
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(100, 16))
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(100)], "vec_id long, embedding array<double>"
+    )
+    probes = df.where(F.col("vec_id") < 3)
+    out = cosine_topk(df, probes, k=5)
+    got = {(r.probe, r.rk): r.vec_id for r in out.collect()}
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sims = Xn @ Xn[:3].T
+    for p in range(3):
+        order = [i for i in np.argsort(-sims[:, p]) if i != p][:5]
+        for rk, vid in enumerate(order, start=1):
+            assert got[(p, rk)] == vid, (p, rk)
+
+
+def test_lsh_topk_recall(spark):
+    rng = np.random.default_rng(4)
+    X = rng.normal(size=(300, 16))
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(300)], "vec_id long, embedding array<double>"
+    )
+    probes = df.where(F.col("vec_id") < 5)
+    exact = {(r.probe, r.vec_id) for r in cosine_topk(df, probes, k=5).collect()}
+    approx = {(r.probe, r.vec_id)
+              for r in lsh_bucket_topk(df, probes, k=5, n_bits=32, n_bands=16).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall

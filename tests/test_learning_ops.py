@@ -1,0 +1,137 @@
+"""Solver/model tests vs numpy oracles (reference style:
+nodes/learning/LinearMapperSuite.scala — solve tiny systems exactly;
+tolerances 1e-4 for iterative solvers per SURVEY §5)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from keystone_spark.operators.learning import (
+    BlockLinearMapper,
+    KMeansEstimator,
+    LeastSquaresEstimator,
+    LinearMapper,
+    LogisticRegressionEstimator,
+    NaiveBayesEstimator,
+    PCAEstimator,
+    ZCAWhitener,
+)
+
+RNG = np.random.default_rng(13)
+
+
+def _df_from(spark, X, cols="id int, features array<double>"):
+    return spark.createDataFrame([(i, X[i].tolist()) for i in range(len(X))], cols)
+
+
+def test_linear_mapper_gemm(spark):
+    X = RNG.normal(size=(16, 4))
+    W = RNG.normal(size=(4, 3))
+    df = _df_from(spark, X)
+    out = LinearMapper(W)(df).orderBy("id").toPandas()
+    np.testing.assert_allclose(np.array(out["scores"].tolist()), X @ W, rtol=1e-9)
+
+
+def test_block_linear_mapper_equals_full(spark):
+    X = RNG.normal(size=(8, 6))
+    W = RNG.normal(size=(6, 2))
+    df = _df_from(spark, X)
+    from keystone_spark.operators.stats import VectorSplitter
+
+    split = VectorSplitter("features", block_size=3, dim=6)(df)
+    blocks = [W[:3], W[3:]]
+    out = (
+        BlockLinearMapper(blocks, ["block_0", "block_1"])(split)
+        .orderBy("id")
+        .toPandas()
+    )
+    np.testing.assert_allclose(np.array(out["scores"].tolist()), X @ W, rtol=1e-9)
+
+
+def test_least_squares_local_exact(spark):
+    X = RNG.normal(size=(64, 5))
+    W_true = RNG.normal(size=(5, 2))
+    Y = X @ W_true
+    df = spark.createDataFrame(
+        [(i, X[i].tolist(), Y[i].tolist()) for i in range(64)],
+        "id int, features array<double>, y array<double>",
+    )
+    est = LeastSquaresEstimator("features", "y", strategy="local")
+    model = est.fit(df)
+    np.testing.assert_allclose(model.W, W_true, atol=1e-8)
+
+
+def test_least_squares_distributed_close_to_local(spark):
+    X = RNG.normal(size=(128, 4))
+    w_true = RNG.normal(size=4)
+    y = X @ w_true + RNG.normal(scale=0.01, size=128)
+    df = spark.createDataFrame(
+        [(i, X[i].tolist(), float(y[i])) for i in range(128)],
+        "id int, features array<double>, y double",
+    )
+    m_norm = LeastSquaresEstimator("features", "y", strategy="normal").fit(df)
+    exact, *_ = np.linalg.lstsq(X, y, rcond=None)
+    np.testing.assert_allclose(m_norm.W.ravel(), exact, atol=1e-4)
+
+
+def test_logistic_regression_separable(spark):
+    X = np.vstack([RNG.normal(-2, 0.3, size=(30, 2)), RNG.normal(2, 0.3, size=(30, 2))])
+    y = np.array([0] * 30 + [1] * 30)
+    df = spark.createDataFrame(
+        [(i, X[i].tolist(), int(y[i])) for i in range(60)],
+        "id int, features array<double>, label int",
+    )
+    model = LogisticRegressionEstimator().fit(df)
+    out = model(df).orderBy("id").toPandas()
+    assert (out["pred"].to_numpy() == y).mean() >= 0.98
+
+
+def test_naive_bayes_counts(spark):
+    X = np.abs(RNG.normal(size=(40, 3)))
+    X[:20, 0] += 5  # class 0 heavy on dim 0
+    X[20:, 2] += 5
+    y = np.array([0] * 20 + [1] * 20)
+    df = spark.createDataFrame(
+        [(i, X[i].tolist(), int(y[i])) for i in range(40)],
+        "id int, features array<double>, label int",
+    )
+    model = NaiveBayesEstimator().fit(df)
+    out = model(df).orderBy("id").toPandas()
+    assert (out["pred"].to_numpy() == y).mean() >= 0.95
+
+
+def test_kmeans_onehot_separated_clusters(spark):
+    X = np.vstack([RNG.normal(-5, 0.1, size=(20, 2)), RNG.normal(5, 0.1, size=(20, 2))])
+    df = _df_from(spark, X)
+    model = KMeansEstimator(k=2, seed=5).fit(df)
+    out = model(df).toPandas()
+    onehots = np.array(out["cluster_onehot"].tolist())
+    assert onehots.sum(axis=1).max() == 1.0  # valid one-hot
+    assert len(set(out["cluster"])) == 2
+    # points in the same blob share a cluster
+    c = out.sort_values("id")["cluster"].to_numpy()
+    assert len(set(c[:20])) == 1 and len(set(c[20:])) == 1
+
+
+def test_pca_reconstruction(spark):
+    # data on a 2-D subspace of R^4: top-2 PCA captures everything
+    Z = RNG.normal(size=(50, 2))
+    P = RNG.normal(size=(2, 4))
+    X = Z @ P
+    df = _df_from(spark, X)
+    model = PCAEstimator(n_components=2).fit(df)
+    out = np.array(model(df).orderBy("id").toPandas()["pca"].tolist())
+    # projected variance equals total variance (subspace captured)
+    assert out.shape == (50, 2)
+    total_var = X.var(axis=0).sum()
+    proj_var = out.var(axis=0).sum()
+    np.testing.assert_allclose(proj_var, total_var, rtol=1e-6)
+
+
+def test_zca_whitens_covariance(spark):
+    X = RNG.normal(size=(200, 3)) @ np.array([[2.0, 0.5, 0], [0, 1.0, 0.3], [0, 0, 0.5]])
+    df = _df_from(spark, X)
+    model = ZCAWhitener("features", "white", eps=1e-6).fit(df)
+    W = np.array(model(df).orderBy("id").toPandas()["white"].tolist())
+    cov = np.cov(W, rowvar=False)
+    np.testing.assert_allclose(cov, np.eye(3), atol=0.05)

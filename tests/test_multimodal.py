@@ -1,0 +1,58 @@
+"""Multimodal plumbing tests: schema, batching, determinism of the stubbed
+decode path, and that the real-codec hook raises cleanly."""
+
+import numpy as np
+import pytest
+
+from keystone_spark.operators.multimodal import (
+    decode_images,
+    frame_sample,
+    grayscale,
+    image_features,
+)
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [(i, bytes([i]) * 64) for i in range(6)]
+    return spark.createDataFrame(rows, "media_id long, content binary")
+
+
+def test_decode_schema_and_determinism(media_df):
+    out = decode_images(media_df, height=4, width=4, channels=3)
+    rows = {r.media_id: r.image for r in out.collect()}
+    assert rows[0]["height"] == 4 and rows[0]["n_channels"] == 3
+    assert len(rows[0]["data"]) == 4 * 4 * 3
+    # content-hash seeding: same payload -> same pixels, across runs
+    again = {r.media_id: r.image for r in
+             decode_images(media_df, height=4, width=4, channels=3).collect()}
+    assert rows[2]["data"] == again[2]["data"]
+    assert rows[0]["data"] != rows[1]["data"]
+
+
+def test_real_decode_raises(media_df):
+    with pytest.raises(Exception, match="NotImplementedError|PIL|opencv"):
+        decode_images(media_df, decode="real").collect()
+
+
+def test_image_features_shape(media_df):
+    imgs = decode_images(media_df, height=4, width=4, channels=3)
+    feats = image_features(imgs)
+    r = feats.first()
+    assert len(r.img_features) == 6  # mean+std per channel
+    arr = np.asarray(r.image["data"], dtype=np.float64).reshape(4, 4, 3)
+    np.testing.assert_allclose(r.img_features[:3], arr.mean(axis=(0, 1)), rtol=1e-6)
+
+
+def test_grayscale(media_df):
+    imgs = decode_images(media_df, height=4, width=4, channels=3)
+    g = grayscale(imgs).first().gray
+    assert g["n_channels"] == 1
+    assert len(g["data"]) == 16
+
+
+def test_frame_sample_explodes(media_df):
+    frames = frame_sample(media_df, n_frames=3)
+    assert frames.count() == 6 * 3
+    r = frames.where("media_id = 0 AND frame_idx = 1").first()
+    assert r.frames["height"] == 8

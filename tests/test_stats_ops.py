@@ -1,0 +1,108 @@
+"""Numeric-tolerance tests for stats nodes (reference style:
+nodes/stats/StandardScalerSuite.scala etc. with Stats.aboutEq)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from keystone_spark.operators.stats import (
+    ClassLabelIndicators,
+    CosineRandomFeatures,
+    LinearRectifier,
+    MaxClassifier,
+    PaddedFFT,
+    PixelScaler,
+    RandomSignNode,
+    SignedHellingerMapper,
+    StandardScaler,
+    SymmetricRectifier,
+    TopKClassifier,
+    VectorCombiner,
+    VectorSplitter,
+)
+
+RNG = np.random.default_rng(7)
+
+
+@pytest.fixture(scope="module")
+def feat_df(spark):
+    X = RNG.normal(loc=3.0, scale=2.0, size=(64, 6))
+    df = spark.createDataFrame([(i, X[i].tolist()) for i in range(64)],
+                               "id int, features array<double>")
+    return df, X
+
+
+def test_standard_scaler_matches_numpy(feat_df):
+    df, X = feat_df
+    model = StandardScaler("features", "scaled")._fit(df)
+    np.testing.assert_allclose(model.mean, X.mean(axis=0), rtol=1e-9)
+    np.testing.assert_allclose(model.std, X.std(axis=0, ddof=1), rtol=1e-9)
+    out = np.array(model(df).orderBy("id").select("scaled").toPandas()["scaled"].tolist())
+    exp = (X - X.mean(axis=0)) / X.std(axis=0, ddof=1)
+    np.testing.assert_allclose(out, exp, rtol=1e-7, atol=1e-9)
+
+
+def test_rectifiers(spark):
+    df = spark.createDataFrame([([-2.0, 0.5, 3.0],)], "v array<double>")
+    r = LinearRectifier("v", "lr", alpha=0.0)(df).first().lr
+    assert r == [0.0, 0.5, 3.0]
+    sr = SymmetricRectifier("v", "sr", alpha=0.0)(df).first().sr
+    assert sr == [0.0, 0.5, 3.0, 2.0, 0.0, 0.0]
+
+
+def test_signed_hellinger(spark):
+    df = spark.createDataFrame([([-4.0, 9.0],)], "v array<double>")
+    assert SignedHellingerMapper("v", "h")(df).first().h == [-2.0, 3.0]
+
+
+def test_pixel_scaler(spark):
+    df = spark.createDataFrame([([0.0, 255.0, 51.0],)], "v array<double>")
+    assert PixelScaler("v", "p")(df).first().p == [0.0, 1.0, 0.2]
+
+
+def test_random_sign_deterministic(spark):
+    df = spark.createDataFrame([([1.0] * 8,)], "v array<double>")
+    a = RandomSignNode("v", dim=8, seed=1, out_col="s")(df).first().s
+    b = RandomSignNode("v", dim=8, seed=1, out_col="s")(df).first().s
+    assert a == b
+    assert set(a) <= {-1.0, 1.0}
+
+
+def test_combiner_splitter_roundtrip(spark):
+    df = spark.createDataFrame([([1.0, 2.0], [3.0, 4.0])], "a array<double>, b array<double>")
+    combined = VectorCombiner(["a", "b"], "f")(df)
+    assert combined.first().f == [1.0, 2.0, 3.0, 4.0]
+    split = VectorSplitter("f", block_size=2, dim=4)(combined)
+    r = split.first()
+    assert r.block_0 == [1.0, 2.0] and r.block_1 == [3.0, 4.0]
+
+
+def test_max_and_topk_classifier(spark):
+    df = spark.createDataFrame([([0.1, 0.9, 0.5],)], "scores array<double>")
+    assert MaxClassifier()(df).first().pred == 1
+    assert TopKClassifier(2)(df).first().topk == [1, 2]
+
+
+def test_class_label_indicators(spark):
+    df = spark.createDataFrame([(2,)], "label int")
+    assert ClassLabelIndicators(4)(df).first().y == [-1.0, -1.0, 1.0, -1.0]
+
+
+def test_padded_fft_matches_numpy(spark):
+    x = RNG.normal(size=6).tolist()
+    df = spark.createDataFrame([(x,)], "features array<double>")
+    got = np.array(PaddedFFT()(df).first().fft)
+    exp = np.abs(np.fft.rfft(np.array(x), n=8))
+    np.testing.assert_allclose(got, exp, rtol=1e-9)
+
+
+def test_cosine_random_features_matches_numpy(spark):
+    X = RNG.normal(size=(4, 5))
+    df = spark.createDataFrame([(r.tolist(),) for r in X], "features array<double>")
+    node = CosineRandomFeatures(in_dim=5, out_dim=16, gamma=0.5, seed=9)
+    got = np.array(node(df).toPandas()["rf"].tolist())
+    rng = np.random.default_rng(9)
+    W = rng.normal(scale=np.sqrt(0.5), size=(5, 16))
+    b = rng.uniform(0, 2 * np.pi, size=16)
+    # row order of toPandas may differ from X order only if shuffled; it isn't
+    np.testing.assert_allclose(got, np.cos(X @ W + b), rtol=1e-9)
