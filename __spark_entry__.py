@@ -604,6 +604,181 @@ def q_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join with an equi conjunct (user_id) so Catalyst plans a
+    hash join + range post-filter, not a nested loop: events within 5 min
+    after each signup, per signup."""
+    from keystone_spark.operators.relational import range_join
+
+    e = _t(spark, sf_dir, "events")
+    sig = e.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("sig_id"), F.col("user_id").alias("s_user"),
+        F.col("ts").alias("s_ts"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("s_user"))
+        & (F.col("ts") > F.col("s_ts"))
+        & (F.col("ts") <= F.col("s_ts") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    j = range_join(e, sig, cond)
+    return (
+        j.groupBy("sig_id").agg(F.count("*").alias("n")).orderBy("sig_id")
+    )
+
+
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window fns: lag / lead / first_value / ntile per customer."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.lag("o_totalprice").over(w), 6).alias("prev_p"),
+            F.round(F.lead("o_totalprice").over(w), 6).alias("next_p"),
+            F.round(F.first("o_totalprice").over(w), 6).alias("first_p"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+def q_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return (
+        li.where(F.col("l_linenumber") == 1)
+        .select(
+            "l_orderkey",
+            F.floor(q).cast("long").alias("fl"),
+            F.ceil(q).cast("long").alias("ce"),
+            F.round(F.abs(q - 25), 6).alias("ab"),
+            F.round(F.pow(q, 2), 6).alias("p2"),
+            F.round(F.exp(q / 50.0), 6).alias("ex"),
+            F.round(F.log(q + 1.0), 6).alias("ln"),
+            F.round(F.sqrt(q), 6).alias("sq"),
+            F.signum(q - 25).cast("double").alias("sg"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+def q_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface over embeddings: size/slice/sort/reverse-max/avg via
+    higher-order aggregate."""
+    e = _t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return (
+        e.where(F.col("vec_id") < 200)
+        .select(
+            "vec_id",
+            F.size(emb).cast("long").alias("d"),
+            F.round(emb[0].cast("double"), 6).alias("h"),
+            F.round(F.array_max(emb).cast("double"), 6).alias("mx"),
+            F.round(F.element_at(F.array_sort(emb), 1).cast("double"), 6).alias("mn"),
+            F.round(
+                F.aggregate(emb, F.lit(0.0), lambda a, x: a + x.cast("double"))
+                / F.size(emb),
+                6,
+            ).alias("avg"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def q_string_fns2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.lpad("p_brand", 12, "*").alias("lp"),
+            F.levenshtein("p_type", F.lit("STANDARD")).cast("long").alias("lv"),
+            F.reverse(F.col("p_brand")).alias("rv"),
+            F.regexp_extract("p_name", "([a-z]+)", 1).alias("rx"),
+            F.concat_ws("|", "p_brand", "p_type").alias("cw"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def q_date_fns2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return (
+        o.select(
+            "o_orderkey",
+            F.year(d).cast("long").alias("y"),
+            F.month(d).cast("long").alias("m"),
+            F.dayofmonth(d).cast("long").alias("dom"),
+            F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus3m"),
+            F.datediff(d, F.lit("1995-01-01").cast("date")).cast("long").alias("dd"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (SQL-only surface in Spark)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS c,
+               ROUND(SUM(l_quantity), 6) AS sq
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
+
+
+def q_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TermFrequency node (sqrt weighting) exploded to rows (reference:
+    nodes/misc/TermFrequency.scala)."""
+    from keystone_spark.operators.nlp import TermFrequency, Tokenizer
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    toks = Tokenizer("text", "tokens")(d)
+    tf = TermFrequency("tokens", "tf", weight="sqrt")(toks)
+    return (
+        tf.select("doc_id", F.explode("tf").alias("tok", "w"))
+        .select("doc_id", "tok", F.round("w", 6).alias("w"))
+        .orderBy("doc_id", "tok")
+    )
+
+
+def q_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid Backoff LM scores for the 100 most frequent observed bigrams
+    (reference: nodes/nlp/StupidBackoffEstimator.scala). Observed bigrams
+    resolve at the top level: S = c(w1 w2)/c(w1) — SQL-checkable."""
+    from keystone_spark.operators.nlp import StupidBackoffEstimator, Tokenizer
+
+    d = _t(spark, sf_dir, "documents")
+    toks = Tokenizer("text", "tokens")(d)
+    model = StupidBackoffEstimator(n=2, alpha=0.4)._fit(toks)
+    scored = model.score_ngrams(2)
+    return (
+        scored.select("g", "cnt", F.round("score", 6).alias("s"))
+        .orderBy(F.col("cnt").desc(), "g")
+        .limit(100)
+    )
+
+
+def q_mean_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mAP evaluator (reference: evaluation/MeanAveragePrecisionEvaluator
+    .scala): AP per class with deterministic score/relevance derivation."""
+    from keystone_spark.operators.evaluation import mean_average_precision
+
+    e = _t(spark, sf_dir, "embeddings")
+    scored = e.select(
+        F.col("label").alias("cls"),
+        F.col("embedding")[0].cast("double").alias("score"),
+        (F.col("vec_id") % 2).cast("int").alias("relevant"),
+        "vec_id",
+    )
+    out = mean_average_precision(scored, tiebreak_col="vec_id")
+    return out.select(F.col("cls").cast("long").alias("cls"), "ap").orderBy("cls")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -652,6 +827,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "kmeans_clusters": q_kmeans_clusters,
         "multimodal_features": q_multimodal_features,
+        "range_join": q_range_join,
+        "window_analytics": q_window_analytics,
+        "math_fns": q_math_fns,
+        "array_fns": q_array_fns,
+        "string_fns2": q_string_fns2,
+        "date_fns2": q_date_fns2,
+        "grouping_sets": q_grouping_sets,
+        "term_frequency": q_term_frequency,
+        "stupid_backoff": q_stupid_backoff,
+        "mean_avg_precision": q_mean_avg_precision,
     }
 
 
@@ -923,4 +1108,111 @@ def oracle_sql() -> dict[str, str]:
             FROM ex JOIN mo USING (i) ORDER BY ex.vec_id, ex.i
         """,
         "linear_mapper": _lm_oracle_sql(),
+        "range_join": """
+            SELECT s.event_id AS sig_id, COUNT(*) AS n
+            FROM events e
+            JOIN events s
+              ON e.user_id = s.user_id AND s.event_type = 'signup'
+             AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL 5 MINUTE
+            GROUP BY 1 ORDER BY 1
+        """,
+        "window_analytics": """
+            SELECT o_custkey, o_orderkey,
+                   ROUND(LAG(o_totalprice) OVER w, 6) AS prev_p,
+                   ROUND(LEAD(o_totalprice) OVER w, 6) AS next_p,
+                   ROUND(FIRST_VALUE(o_totalprice) OVER w, 6) AS first_p,
+                   CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            ORDER BY o_custkey, o_orderkey
+        """,
+        "math_fns": """
+            SELECT l_orderkey,
+                   CAST(FLOOR(l_quantity) AS BIGINT) AS fl,
+                   CAST(CEIL(l_quantity) AS BIGINT) AS ce,
+                   ROUND(ABS(l_quantity - 25), 6) AS ab,
+                   ROUND(POW(l_quantity, 2), 6) AS p2,
+                   ROUND(EXP(l_quantity / 50.0), 6) AS ex,
+                   ROUND(LN(l_quantity + 1.0), 6) AS ln,
+                   ROUND(SQRT(l_quantity), 6) AS sq,
+                   CAST(SIGN(l_quantity - 25) AS DOUBLE) AS sg
+            FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey
+        """,
+        "array_fns": """
+            SELECT vec_id,
+                   CAST(len(embedding) AS BIGINT) AS d,
+                   ROUND(CAST(embedding[1] AS DOUBLE), 6) AS h,
+                   ROUND(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS mx,
+                   ROUND(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 6) AS mn,
+                   ROUND(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum')
+                         / len(embedding), 6) AS avg
+            FROM embeddings WHERE vec_id < 200 ORDER BY vec_id
+        """,
+        "string_fns2": """
+            SELECT p_partkey,
+                   LPAD(p_brand, 12, '*') AS lp,
+                   CAST(levenshtein(p_type, 'STANDARD') AS BIGINT) AS lv,
+                   REVERSE(p_brand) AS rv,
+                   regexp_extract(p_name, '([a-z]+)', 1) AS rx,
+                   concat_ws('|', p_brand, p_type) AS cw
+            FROM part ORDER BY p_partkey
+        """,
+        "date_fns2": """
+            SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS BIGINT) AS y,
+                   CAST(month(o_orderdate) AS BIGINT) AS m,
+                   CAST(day(o_orderdate) AS BIGINT) AS dom,
+                   strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+                   CAST(date_diff('day', DATE '1995-01-01',
+                                  CAST(o_orderdate AS DATE)) AS BIGINT) AS dd
+            FROM orders ORDER BY o_orderkey
+        """,
+        "grouping_sets": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS c,
+                   ROUND(SUM(l_quantity), 6) AS sq
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """,
+        "term_frequency": """
+            SELECT doc_id, tok, ROUND(SQRT(COUNT(*)), 6) AS w FROM (
+                SELECT doc_id,
+                       UNNEST(list_filter(
+                           string_split_regex(lower(trim(text)), '[^\\p{L}\\p{N}'']+'),
+                           x -> x <> '')) AS tok
+                FROM documents WHERE doc_id < 100) t
+            GROUP BY doc_id, tok ORDER BY doc_id, tok
+        """,
+        "stupid_backoff": """
+            WITH toks AS (
+                SELECT list_filter(
+                    string_split_regex(lower(trim(text)), '[^\\p{L}\\p{N}'']+'),
+                    x -> x <> '') AS t
+                FROM documents),
+            unic AS (
+                SELECT w, COUNT(*) AS c FROM (SELECT UNNEST(t) AS w FROM toks) u
+                GROUP BY w),
+            bi AS (
+                SELECT t[i] || ' ' || t[i + 1] AS g, t[i] AS w1
+                FROM toks CROSS JOIN LATERAL (
+                    SELECT UNNEST(range(1, GREATEST(len(t), 1))) AS i) r),
+            bic AS (SELECT g, w1, COUNT(*) AS cnt FROM bi GROUP BY g, w1)
+            SELECT g, cnt, ROUND(cnt * 1.0 / u.c, 6) AS s
+            FROM bic JOIN unic u ON bic.w1 = u.w
+            ORDER BY cnt DESC, g LIMIT 100
+        """,
+        "mean_avg_precision": """
+            WITH s AS (
+                SELECT label AS cls, CAST(embedding[1] AS DOUBLE) AS score,
+                       vec_id % 2 AS rel, vec_id
+                FROM embeddings),
+            r AS (
+                SELECT cls, rel,
+                       ROW_NUMBER() OVER (PARTITION BY cls ORDER BY score DESC, vec_id) AS rk,
+                       SUM(rel) OVER (PARTITION BY cls ORDER BY score DESC, vec_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM s)
+            SELECT CAST(cls AS BIGINT) AS cls, ROUND(AVG(cum * 1.0 / rk), 6) AS ap
+            FROM r WHERE rel = 1 GROUP BY cls ORDER BY cls
+        """,
     }

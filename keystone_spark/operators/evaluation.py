@@ -97,6 +97,7 @@ def mean_average_precision(
     class_col: str = "cls",
     score_col: str = "score",
     relevant_col: str = "relevant",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Per-class average precision over score-ranked rows, VOC-style
     (reference: evaluation/MeanAveragePrecisionEvaluator.scala).
@@ -104,7 +105,10 @@ def mean_average_precision(
     AP(class) = mean over relevant rows of (running precision at that rank).
     Window rank per class + running conditional count — no collect.
     """
-    w = Window.partitionBy(class_col).orderBy(F.col(score_col).desc())
+    order = [F.col(score_col).desc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(class_col).orderBy(*order)
     ranked = df.withColumn("__rk", F.row_number().over(w)).withColumn(
         "__cum_rel",
         F.sum(F.col(relevant_col).cast("long")).over(

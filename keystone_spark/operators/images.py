@@ -1,0 +1,276 @@
+"""Image featurizers (reference: src/main/scala/nodes/images/).
+
+The reference runs these as Scala loops (or JNI for SIFT/FisherVector)
+over per-record pixel arrays. Spark-first: every kernel is numpy over
+Arrow batches (``mapInPandas``) — stride-tricks im2col + gemm IS the
+reference's Convolver design (im2col + BLAS), minus the hand-rolled
+batching. Images are IMAGE_STRUCT rows (see operators/multimodal.py),
+channel-last (h, w, c) flattened.
+
+SIFT/HOG/DAISY need native codec/feature libs not present in this
+container; ``sift_extract`` raises NotImplementedError at the exact hook
+where OpenCV/skimage would slot in (SURVEY §2.6 marks them optional —
+fixtures don't exercise them).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+from keystone_spark.operators.multimodal import IMAGE_STRUCT
+
+
+def _img_to_np(img) -> np.ndarray:
+    return np.asarray(img["data"], dtype=np.float64).reshape(
+        img["height"], img["width"], img["n_channels"]
+    )
+
+
+def _np_to_img(arr: np.ndarray) -> dict:
+    h, w = arr.shape[:2]
+    c = arr.shape[2] if arr.ndim == 3 else 1
+    return {
+        "height": int(h),
+        "width": int(w),
+        "n_channels": int(c),
+        "data": arr.astype(np.float32).ravel().tolist(),
+    }
+
+
+def _map_images(df: DataFrame, image_col: str, out_col: str, out_field, fn):
+    fields = list(df.schema.fields)
+    out_schema = StructType(fields + [StructField(out_col, out_field)])
+    cols = [f.name for f in fields]
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vals = [fn(_img_to_np(img)) for img in pdf[image_col]]
+            pdf = pdf.copy()
+            pdf[out_col] = vals
+            yield pdf[cols + [out_col]]
+
+    return df.mapInPandas(part, out_schema)
+
+
+def im2col(arr: np.ndarray, fh: int, fw: int, stride: int = 1) -> np.ndarray:
+    """(h, w, c) -> (n_patches, fh*fw*c) via stride tricks (the Windower /
+    FastWindower kernel — reference: nodes/images/Windower.scala)."""
+    windows = np.lib.stride_tricks.sliding_window_view(arr, (fh, fw), axis=(0, 1))
+    windows = windows[::stride, ::stride]  # (oh, ow, c, fh, fw)
+    oh, ow = windows.shape[:2]
+    # reorder to (oh*ow, fh*fw*c) with channel-last patch layout
+    patches = windows.transpose(0, 1, 3, 4, 2).reshape(oh * ow, -1)
+    return patches
+
+
+class Convolver:
+    """2-D valid convolution of a filter bank, im2col + one gemm per image
+    (reference: nodes/images/Convolver.scala)."""
+
+    def __init__(self, filters: np.ndarray, fh: int, fw: int, in_channels: int):
+        # filters: (n_filters, fh*fw*c), patch layout matching im2col
+        self.filters = np.asarray(filters, dtype=np.float64)
+        self.fh, self.fw, self.c = fh, fw, in_channels
+
+    def __call__(self, df: DataFrame, image_col: str = "image",
+                 out_col: str = "conv") -> DataFrame:
+        filt, fh, fw = self.filters, self.fh, self.fw
+
+        def one(arr: np.ndarray) -> dict:
+            patches = im2col(arr, fh, fw)
+            oh, ow = arr.shape[0] - fh + 1, arr.shape[1] - fw + 1
+            out = (patches @ filt.T).reshape(oh, ow, len(filt))
+            return _np_to_img(out)
+
+        return _map_images(df, image_col, out_col, IMAGE_STRUCT, one)
+
+
+class Pooler:
+    """Spatial sum/max pooling over a cell grid with an optional pixel fn
+    (reference: nodes/images/Pooler.scala)."""
+
+    def __init__(self, stride: int, pool: str = "sum", pixel_fn=None):
+        assert pool in ("sum", "max")
+        self.stride, self.pool, self.pixel_fn = stride, pool, pixel_fn
+
+    def __call__(self, df: DataFrame, image_col: str = "image",
+                 out_col: str = "pooled") -> DataFrame:
+        s, pool, pfn = self.stride, self.pool, self.pixel_fn
+
+        def one(arr: np.ndarray) -> dict:
+            if pfn is not None:
+                arr = pfn(arr)
+            h, w, c = arr.shape
+            oh, ow = h // s, w // s
+            view = arr[: oh * s, : ow * s].reshape(oh, s, ow, s, c)
+            out = view.max(axis=(1, 3)) if pool == "max" else view.sum(axis=(1, 3))
+            return _np_to_img(out)
+
+        return _map_images(df, image_col, out_col, IMAGE_STRUCT, one)
+
+
+class Windower:
+    """Dense sliding patches, emitted as an array of flattened patches
+    (reference: nodes/images/Windower.scala; multi-output -> explode
+    downstream, SURVEY §2.10 UDTF pattern)."""
+
+    def __init__(self, patch_size: int, stride: int):
+        self.patch, self.stride = patch_size, stride
+
+    def __call__(self, df: DataFrame, image_col: str = "image",
+                 out_col: str = "patches") -> DataFrame:
+        p, s = self.patch, self.stride
+
+        def one(arr: np.ndarray) -> list:
+            return [row.tolist() for row in im2col(arr, p, p, s)]
+
+        return _map_images(
+            df, image_col, out_col, ArrayType(ArrayType(DoubleType())), one
+        )
+
+
+class CenterCornerPatcher:
+    """Deterministic center + 4 corner crops (reference:
+    nodes/images/CenterCornerPatcher.scala)."""
+
+    def __init__(self, patch_size: int):
+        self.p = patch_size
+
+    def __call__(self, df: DataFrame, image_col: str = "image",
+                 out_col: str = "patch") -> DataFrame:
+        p = self.p
+
+        def one(arr: np.ndarray) -> list:
+            h, w, _ = arr.shape
+            ys = [0, 0, h - p, h - p, (h - p) // 2]
+            xs = [0, w - p, 0, w - p, (w - p) // 2]
+            return [
+                _np_to_img(arr[y : y + p, x : x + p]) for y, x in zip(ys, xs)
+            ]
+
+        return _map_images(df, image_col, out_col, ArrayType(IMAGE_STRUCT), one)
+
+
+class RandomPatcher:
+    """Seeded random crops, n per image (reference:
+    nodes/images/RandomPatcher.scala). Seed mixes a per-image key so the
+    augmentation is deterministic per record, not per partition."""
+
+    def __init__(self, patch_size: int, n_patches: int, seed: int = 42,
+                 key_col: str | None = None):
+        self.p, self.n, self.seed, self.key_col = patch_size, n_patches, seed, key_col
+
+    def __call__(self, df: DataFrame, image_col: str = "image",
+                 out_col: str = "patch") -> DataFrame:
+        p, n, seed, key_col = self.p, self.n, self.seed, self.key_col
+        fields = list(df.schema.fields)
+        out_schema = StructType(fields + [StructField(out_col, ArrayType(IMAGE_STRUCT))])
+        cols = [f.name for f in fields]
+
+        def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                out = []
+                for _, row in pdf.iterrows():
+                    arr = _img_to_np(row[image_col])
+                    key = int(row[key_col]) if key_col else 0
+                    rng = np.random.default_rng((seed, key))
+                    h, w, _ = arr.shape
+                    patches = []
+                    for _i in range(n):
+                        y = int(rng.integers(0, h - p + 1))
+                        x = int(rng.integers(0, w - p + 1))
+                        patches.append(_np_to_img(arr[y : y + p, x : x + p]))
+                    out.append(patches)
+                pdf = pdf.copy()
+                pdf[out_col] = out
+                yield pdf[cols + [out_col]]
+
+        return df.mapInPandas(part, out_schema)
+
+
+def lcs_features(df: DataFrame, image_col: str = "image",
+                 out_col: str = "lcs", grid: int = 2) -> DataFrame:
+    """Local Color Statistics: per grid-cell, per-channel mean+std
+    (reference: nodes/images/LCSExtractor.scala)."""
+
+    def one(arr: np.ndarray) -> list:
+        h, w, c = arr.shape
+        gh, gw = h // grid, w // grid
+        feats = []
+        for gy in range(grid):
+            for gx in range(grid):
+                cell = arr[gy * gh : (gy + 1) * gh, gx * gw : (gx + 1) * gw]
+                feats.extend(cell.mean(axis=(0, 1)).tolist())
+                feats.extend(cell.std(axis=(0, 1)).tolist())
+        return feats
+
+    return _map_images(df, image_col, out_col, ArrayType(DoubleType()), one)
+
+
+def sift_extract(df: DataFrame, image_col: str = "image") -> DataFrame:
+    """Dense SIFT hook (reference: nodes/images/SIFTExtractor.scala via
+    JNI->VLFeat). Requires OpenCV/skimage — not in this container."""
+    raise NotImplementedError(
+        "SIFT requires a native feature library (OpenCV/skimage); "
+        "the reference used VLFeat via JNI (utils/external/VLFeat.scala)"
+    )
+
+
+def fisher_vector(descriptor_col_df: DataFrame, gmm_weights, gmm_means, gmm_covs,
+                  desc_col: str = "descriptors", out_col: str = "fv") -> DataFrame:
+    """Closed-form Fisher Vector encoding given diagonal-GMM params
+    (reference: nodes/images/FisherVector.scala via EncEval; the closed
+    form is deterministic numpy — no native lib needed).
+
+    descriptors: array<array<double>> (n_desc x d) per row.
+    Output: 2*K*d improved-FV (power + L2 normalized).
+    """
+    w = np.asarray(gmm_weights, dtype=np.float64)          # K
+    mu = np.asarray(gmm_means, dtype=np.float64)           # K x d
+    sg = np.asarray(gmm_covs, dtype=np.float64)            # K x d (diagonal)
+
+    def one_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            fvs = []
+            for descs in pdf[desc_col]:
+                X = np.asarray(list(descs), dtype=np.float64)  # n x d
+                n = len(X)
+                # posteriors
+                diff = X[:, None, :] - mu[None, :, :]          # n x K x d
+                logp = (
+                    -0.5 * (diff**2 / sg[None]).sum(-1)
+                    - 0.5 * np.log(2 * np.pi * sg).sum(-1)[None]
+                    + np.log(w)[None]
+                )
+                logp -= logp.max(axis=1, keepdims=True)
+                q = np.exp(logp)
+                q /= q.sum(axis=1, keepdims=True)              # n x K
+                s = np.sqrt(sg)
+                gm = (q[:, :, None] * (diff / s[None])).sum(0) / (n * np.sqrt(w)[:, None])
+                gv = (q[:, :, None] * ((diff / s[None]) ** 2 - 1)).sum(0) / (
+                    n * np.sqrt(2 * w)[:, None]
+                )
+                fv = np.concatenate([gm.ravel(), gv.ravel()])
+                fv = np.sign(fv) * np.sqrt(np.abs(fv))         # power norm
+                nrm = np.linalg.norm(fv)
+                fvs.append((fv / nrm if nrm > 0 else fv).tolist())
+            pdf = pdf.copy()
+            pdf[out_col] = fvs
+            yield pdf
+
+    schema = StructType(
+        list(descriptor_col_df.schema.fields)
+        + [StructField(out_col, ArrayType(DoubleType()))]
+    )
+    return descriptor_col_df.mapInPandas(one_batch, schema)

@@ -1,0 +1,261 @@
+"""NLP nodes (reference: src/main/scala/nodes/nlp/, nodes/misc/).
+
+Corpus-level estimators (vocab builders, n-gram LMs) are hash aggregations
+producing small model tables that broadcast-join back onto documents at
+apply time — the keystone "fit = distributed agg, apply = map" shape on
+DataFrames. Everything stays JVM-side: explode + groupBy + window for
+fits, broadcast joins or literal maps for applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from keystone_spark.functions.text import tokens, word_ngrams
+from keystone_spark.plans.pipeline import ColumnTransformer, Estimator, Transformer
+
+
+class Tokenizer(ColumnTransformer):
+    """Trim + LowerCase + regex-split (reference: nodes/nlp/Tokenizer.scala,
+    Trim.scala, LowerCase.scala fused — they always chain)."""
+
+    def __init__(self, in_col: str = "text", out_col: str = "tokens",
+                 lowercase: bool = True):
+        super().__init__(in_col, out_col, lambda c: tokens(c, lowercase), "tokenizer")
+
+
+class NGramsFeaturizer(ColumnTransformer):
+    """tokens -> all n-grams for n in [min_n, max_n]
+    (reference: nodes/nlp/NGramsFeaturizer.scala)."""
+
+    def __init__(self, min_n: int, max_n: int, in_col: str = "tokens",
+                 out_col: str = "ngrams"):
+        def expr(c):
+            parts = [word_ngrams(c, n) for n in range(min_n, max_n + 1)]
+            out = parts[0]
+            for p in parts[1:]:
+                out = F.concat(out, p)
+            return out
+
+        super().__init__(in_col, out_col, expr, f"ngrams({min_n}..{max_n})")
+
+
+class TermFrequency(Transformer):
+    """doc tokens -> (token, weighted count) map per doc
+    (reference: nodes/misc/TermFrequency.scala; weight fn e.g. sqrt).
+
+    Output column is map<token, double> — the sparse-features shape."""
+
+    def __init__(self, in_col: str = "tokens", out_col: str = "tf",
+                 weight: str = "identity"):
+        wfn = {
+            "identity": lambda c: c.cast("double"),
+            "sqrt": lambda c: F.sqrt(c.cast("double")),
+            "log1p": lambda c: F.log1p(c.cast("double")),
+        }[weight]
+
+        def apply(df: DataFrame) -> DataFrame:
+            counted = F.aggregate(
+                F.col(in_col),
+                F.create_map().cast("map<string,double>"),
+                lambda acc, t: F.map_concat(
+                    F.map_filter(acc, lambda k, v: k != t),
+                    F.create_map(t, F.coalesce(F.element_at(acc, t), F.lit(0.0)) + 1.0),
+                ),
+            )
+            weighted = F.map_filter(
+                F.transform_values(counted, lambda k, v: wfn(v)), lambda k, v: v > 0
+            )
+            return df.withColumn(out_col, weighted)
+
+        super().__init__(apply, f"term_frequency({weight})")
+
+
+class CommonSparseFeatures(Estimator):
+    """Keep the corpus-wide top-k features; model maps each doc's tokens to
+    (index, value) pairs over that vocab (reference:
+    nodes/misc/CommonSparseFeatures.scala). Fit = count + ORDER BY LIMIT k;
+    apply = broadcast join on token."""
+
+    name = "common_sparse_features"
+
+    def __init__(self, k: int, in_col: str = "tokens", out_col: str = "sparse"):
+        self.k, self.in_col, self.out_col = k, in_col, out_col
+
+    def _fit(self, df: DataFrame) -> Transformer:
+        counts = (
+            df.select(F.explode(self.in_col).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count("*").alias("cnt"))
+        )
+        w = Window.orderBy(F.col("cnt").desc(), "tok")
+        vocab = (
+            counts.withColumn("idx", F.row_number().over(w) - 1)
+            .where(F.col("idx") < self.k)
+            .select("tok", "idx")
+        )
+        vocab_rows = vocab.collect()  # k rows, tiny — becomes a literal map
+        mapping = F.create_map(
+            *[x for r in vocab_rows for x in (F.lit(r.tok), F.lit(r.idx))]
+        )
+        in_col, out_col = self.in_col, self.out_col
+
+        def apply(d: DataFrame) -> DataFrame:
+            idxs = F.filter(
+                F.transform(F.col(in_col), lambda t: F.element_at(mapping, t)),
+                lambda i: i.isNotNull(),
+            )
+            return d.withColumn(out_col, F.array_sort(idxs))
+
+        t = Transformer(apply, f"common_sparse_features(k={self.k})")
+        t.vocab = {r.tok: r.idx for r in vocab_rows}
+        return t
+
+
+class WordFrequencyEncoder(Estimator):
+    """Vocab ranked by corpus frequency; word -> int id, OOV -> -1
+    (reference: nodes/nlp/WordFrequencyEncoder.scala)."""
+
+    name = "word_frequency_encoder"
+
+    def __init__(self, max_vocab: int | None = None, in_col: str = "tokens",
+                 out_col: str = "token_ids"):
+        self.max_vocab, self.in_col, self.out_col = max_vocab, in_col, out_col
+
+    def _fit(self, df: DataFrame) -> Transformer:
+        counts = (
+            df.select(F.explode(self.in_col).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count("*").alias("cnt"))
+        )
+        w = Window.orderBy(F.col("cnt").desc(), "tok")
+        vocab = counts.withColumn("idx", F.row_number().over(w) - 1)
+        if self.max_vocab:
+            vocab = vocab.where(F.col("idx") < self.max_vocab)
+        rows = vocab.select("tok", "idx").collect()
+        mapping = F.create_map(*[x for r in rows for x in (F.lit(r.tok), F.lit(r.idx))])
+        in_col, out_col = self.in_col, self.out_col
+
+        def apply(d: DataFrame) -> DataFrame:
+            return d.withColumn(
+                out_col,
+                F.transform(
+                    F.col(in_col),
+                    lambda t: F.coalesce(F.element_at(mapping, t), F.lit(-1)),
+                ),
+            )
+
+        t = Transformer(apply, "word_frequency_encoder")
+        t.vocab = {r.tok: r.idx for r in rows}
+        return t
+
+
+class NGramsCounts(Estimator):
+    """Corpus n-gram counts (reference: nodes/nlp/NGramsCounts.scala) —
+    fit returns a Transformer carrying the count table (a DataFrame),
+    since the 'model' here IS the aggregate."""
+
+    name = "ngrams_counts"
+
+    def __init__(self, n: int, in_col: str = "tokens"):
+        self.n, self.in_col = n, in_col
+
+    def _fit(self, df: DataFrame) -> Transformer:
+        counts = (
+            df.select(F.explode(word_ngrams(F.col(self.in_col), self.n)).alias("ngram"))
+            .groupBy("ngram")
+            .agg(F.count("*").alias("cnt"))
+        )
+        t = Transformer(lambda d: d, f"ngram_counts(n={self.n})")
+        t.counts = counts
+        return t
+
+
+class StupidBackoffEstimator(Estimator):
+    """Stupid Backoff n-gram LM (reference:
+    nodes/nlp/StupidBackoffEstimator.scala; Brants et al. 2007).
+
+    S(w | ctx) = count(ctx w)/count(ctx) if count(ctx w) > 0
+               else alpha * S(w | shorter ctx), down to unigram MLE.
+
+    Fit builds count tables for orders 1..n (hash aggs). ``score_ngrams``
+    returns S for every observed n-gram via LEFT JOINs of order-k against
+    order-(k-1) tables and a COALESCE chain — pure SQL, no iteration.
+    """
+
+    name = "stupid_backoff"
+
+    def __init__(self, n: int = 3, alpha: float = 0.4, in_col: str = "tokens"):
+        self.n, self.alpha, self.in_col = n, alpha, in_col
+
+    def _fit(self, df: DataFrame) -> "StupidBackoffModel":
+        toks = F.col(self.in_col)
+        counts: dict[int, DataFrame] = {}
+        for k in range(1, self.n + 1):
+            counts[k] = (
+                df.select(F.explode(word_ngrams(toks, k)).alias("g"))
+                .groupBy("g")
+                .agg(F.count("*").alias("cnt"))
+            )
+        total_unigrams = df.select(
+            F.sum(F.size(toks)).alias("t")
+        ).first().t
+        return StupidBackoffModel(self.n, self.alpha, counts, total_unigrams)
+
+
+class StupidBackoffModel(Transformer):
+    def __init__(self, n: int, alpha: float, counts: dict[int, DataFrame],
+                 total_unigrams: int):
+        self.n, self.alpha = n, alpha
+        self.counts, self.total = counts, total_unigrams
+        super().__init__(lambda df: df, "stupid_backoff_model")
+
+    def score_grams(self, grams: DataFrame, gram_col: str = "g") -> DataFrame:
+        """S(w|ctx) for arbitrary space-joined grams (seen or unseen).
+
+        Backoff expansion: an order-k gram "a b c" has context "a b",
+        backoff gram "b c", backoff context "b". Level ``l`` contributes
+        alpha^(k-l) * cnt(gram_l)/cnt(ctx_l); the LEFT JOINs yield NULL
+        where a level's gram is unseen, and COALESCE picks the highest
+        level present — the stupid-backoff recursion flattened into one
+        join chain (no iteration, count tables broadcast when small).
+        """
+        out = grams.withColumn("__toks", F.split(F.col(gram_col), " "))
+        k = self.n
+        score = None
+        alpha_pow = 1.0
+        for level in range(k, 0, -1):
+            # level-l subgram = LAST l tokens (negative-start slice), so
+            # grams of any order <= n score correctly.
+            sub = F.concat_ws(" ", F.slice("__toks", -level, level))
+            ctx = F.concat_ws(" ", F.slice("__toks", -level, level - 1))
+            cnt_sub = self.counts[level].select(
+                F.col("g").alias(f"__g{level}"), F.col("cnt").alias(f"__c{level}")
+            )
+            cond = (sub == F.col(f"__g{level}")) & (F.size("__toks") >= level)
+            out = out.join(F.broadcast(cnt_sub), cond, "left")
+            if level > 1:
+                cnt_ctx = self.counts[level - 1].select(
+                    F.col("g").alias(f"__x{level}"), F.col("cnt").alias(f"__d{level}")
+                )
+                out = out.join(
+                    F.broadcast(cnt_ctx), ctx == F.col(f"__x{level}"), "left"
+                )
+                ratio = F.col(f"__c{level}") / F.col(f"__d{level}")
+            else:
+                ratio = F.col(f"__c{level}") / F.lit(float(self.total))
+            term = F.lit(alpha_pow) * ratio
+            score = term if score is None else F.coalesce(score, term)
+            alpha_pow *= self.alpha
+        keep = [c for c in grams.columns]
+        return out.select(*keep, score.alias("score"))
+
+    def score_ngrams(self, order: int | None = None) -> DataFrame:
+        """Convenience: S for every observed n-gram of ``order`` (default
+        max). Observed grams resolve at the top level by construction."""
+        k = order or self.n
+        assert 1 <= k <= self.n
+        return self.score_grams(
+            self.counts[k].select("g", "cnt"), gram_col="g"
+        )

@@ -1,0 +1,125 @@
+"""Dataset loaders beyond the parquet fixtures (reference:
+src/main/scala/loaders/).
+
+Each reference loader becomes a declarative ``spark.read`` + normalization,
+so format decoding stays in the JVM data source (with pushdown) and only
+the domain mapping is ours.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def csv_vectors(
+    spark: SparkSession,
+    path: str,
+    delimiter: str = ",",
+    header: bool = False,
+) -> DataFrame:
+    """CSV of numbers -> (row_id, features array<double>)
+    (reference: loaders/CsvDataLoader.scala: split + toDouble per line).
+
+    Reads every column as double via schema inference, then packs into one
+    array column; monotonically_increasing_id gives a stable per-row id
+    (unique, not dense — dense ids at 100 TB would force a global sort).
+    """
+    df = (
+        spark.read.option("delimiter", delimiter)
+        .option("header", str(header).lower())
+        .option("inferSchema", "true")
+        .csv(path)
+    )
+    arr = F.array(*[F.col(c).cast("double") for c in df.columns])
+    return df.select(
+        F.monotonically_increasing_id().alias("row_id"), arr.alias("features")
+    )
+
+
+def json_reviews(
+    spark: SparkSession,
+    path: str,
+    text_field: str = "reviewText",
+    rating_field: str = "overall",
+    threshold: float = 3.5,
+) -> DataFrame:
+    """JSON reviews -> (text, label) with binary label from the star rating
+    (reference: loaders/AmazonReviewsDataLoader.scala — keystone's one real
+    SQL touchpoint)."""
+    df = spark.read.json(path)
+    return df.select(
+        F.col(text_field).alias("text"),
+        F.when(F.col(rating_field) >= threshold, 1).otherwise(0).alias("label"),
+    )
+
+
+def labeled_text_dirs(spark: SparkSession, root_glob: str) -> DataFrame:
+    """Directory-per-class text corpus -> (text, class_name, label_idx)
+    (reference: loaders/NewsgroupsDataLoader.scala — class = dir name).
+
+    Label comes from input_file_name(), so adding classes is just adding
+    directories; the id mapping is frequency-ranked for stability.
+    """
+    df = spark.read.text(root_glob).select(
+        F.col("value").alias("text"),
+        F.regexp_extract(F.input_file_name(), r".*/([^/]+)/[^/]+$", 1).alias(
+            "class_name"
+        ),
+    )
+    classes = (
+        df.groupBy("class_name").count().orderBy(F.col("count").desc(), "class_name")
+    )
+    from pyspark.sql import Window
+
+    idx = classes.select(
+        "class_name",
+        (F.row_number().over(Window.orderBy(F.col("count").desc(), "class_name")) - 1
+         ).alias("label_idx"),
+    )
+    return df.join(F.broadcast(idx), "class_name").select(
+        "text", "class_name", "label_idx"
+    )
+
+
+def binary_records(
+    spark: SparkSession, path: str, record_bytes: int
+) -> DataFrame:
+    """Fixed-width binary record files -> (file, record_idx, record bytes)
+    (reference: loaders/CifarLoader.scala — 1B label + 3072B pixels records).
+
+    Spark's binaryFile source reads whole files; records are split in an
+    Arrow pass. For CIFAR-shaped data, follow with a decode that slices
+    label/pixels from each record.
+    """
+    import pandas as pd
+    from typing import Iterator
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("record_idx", LongType()),
+            StructField("record", BinaryType()),
+        ]
+    )
+
+    def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                blob = bytes(r["content"])
+                for i in range(len(blob) // record_bytes):
+                    rows.append(
+                        (r["path"], i, blob[i * record_bytes : (i + 1) * record_bytes])
+                    )
+            yield pd.DataFrame(rows, columns=["path", "record_idx", "record"])
+
+    return files.mapInPandas(split, schema)

@@ -1,0 +1,88 @@
+"""NLP node tests with exact/hand-computed oracles (reference style:
+nodes/nlp/NGramsFeaturizerSuite.scala — exact sequence equality)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from keystone_spark.operators.nlp import (
+    CommonSparseFeatures,
+    NGramsCounts,
+    NGramsFeaturizer,
+    StupidBackoffEstimator,
+    TermFrequency,
+    Tokenizer,
+    WordFrequencyEncoder,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "a b c a b"),
+        (1, "a b d"),
+        (2, "c c a"),
+    ]
+    return Tokenizer("text", "tokens")(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+
+
+def test_tokenizer(spark):
+    df = spark.createDataFrame([("  Hello, World!  ",)], "text string")
+    assert Tokenizer()(df).first().tokens == ["hello", "world"]
+
+
+def test_ngrams_featurizer(corpus):
+    r = NGramsFeaturizer(1, 2)(corpus).where("doc_id = 1").first()
+    assert r.ngrams == ["a", "b", "d", "a b", "b d"]
+
+
+def test_term_frequency(corpus):
+    tf = {k: v for k, v in TermFrequency()(corpus).where("doc_id = 0").first().tf.items()}
+    assert tf == {"a": 2.0, "b": 2.0, "c": 1.0}
+    tfs = TermFrequency(weight="sqrt")(corpus).where("doc_id = 0").first().tf
+    assert abs(tfs["a"] - math.sqrt(2)) < 1e-9
+
+
+def test_common_sparse_features(corpus):
+    # corpus counts: a=4, b=3, c=3, d=1 -> top2 vocab {a:0, b:1}
+    model = CommonSparseFeatures(k=2)._fit(corpus)
+    assert model.vocab == {"a": 0, "b": 1}
+    out = {r.doc_id: r.sparse for r in model(corpus).collect()}
+    assert out[0] == [0, 0, 1, 1]   # sorted indices incl. repeats
+    assert out[2] == [0]
+
+
+def test_word_frequency_encoder_oov(corpus, spark):
+    model = WordFrequencyEncoder()._fit(corpus)
+    assert model.vocab["a"] == 0    # most frequent
+    new = Tokenizer("text", "tokens")(
+        spark.createDataFrame([("a z",)], "text string")
+    )
+    assert model(new).first().token_ids == [0, -1]
+
+
+def test_ngrams_counts(corpus):
+    model = NGramsCounts(2)._fit(corpus)
+    counts = {r.ngram: r.cnt for r in model.counts.collect()}
+    assert counts["a b"] == 3
+    assert counts["c a"] == 2  # doc0 "...c a b" + doc2 "c c a"
+
+
+def test_stupid_backoff_observed_and_backoff(corpus, spark):
+    model = StupidBackoffEstimator(n=2, alpha=0.4)._fit(corpus)
+    # totals: 11 unigram tokens; counts: a=4, b=3, c=3, d=1; "a b"=3
+    scores = {
+        r.g: r.score
+        for r in model.score_grams(
+            spark.createDataFrame([("a b",), ("b a",), ("q a",)], "g string")
+        ).collect()
+    }
+    assert abs(scores["a b"] - 3 / 4) < 1e-9           # seen bigram: c(ab)/c(a)
+    assert abs(scores["b a"] - 0.4 * 4 / 11) < 1e-9    # unseen bigram -> alpha * P(a)
+    assert abs(scores["q a"] - 0.4 * 4 / 11) < 1e-9    # unseen context -> backoff
+    # observed-gram convenience path
+    obs = {r.g: r.score for r in model.score_ngrams(2).collect()}
+    assert abs(obs["a b"] - 3 / 4) < 1e-9
