@@ -92,6 +92,43 @@ def binary_metrics(
     )
 
 
+def augmented_examples_eval(
+    df: DataFrame,
+    source_id_col: str = "img_id",
+    scores_col: str = "scores",
+    label_col: str = "label",
+) -> DataFrame:
+    """Aggregate per-augmented-copy score vectors by source id (elementwise
+    mean), then argmax -> prediction per source (reference:
+    evaluation/AugmentedExamplesEvaluator.scala).
+
+    posexplode + groupBy(id, dim) + avg + collect back = pure SQL; the
+    array rebuild sorts by dim so the argmax is deterministic.
+    """
+    per_dim = (
+        df.select(source_id_col, label_col, F.posexplode(scores_col).alias("i", "s"))
+        .groupBy(source_id_col, label_col, "i")
+        .agg(F.avg("s").alias("avg_s"))
+    )
+    rebuilt = (
+        per_dim.groupBy(source_id_col, label_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("i"), F.col("avg_s")))
+            ).alias("pairs")
+        )
+        .withColumn("avg_scores", F.transform("pairs", lambda p: p.getField("avg_s")))
+    )
+    pred = (
+        F.array_position(
+            F.col("avg_scores"), F.array_max(F.col("avg_scores"))
+        ) - 1
+    ).cast("long")
+    return rebuilt.select(
+        source_id_col, label_col, "avg_scores", pred.alias("pred")
+    )
+
+
 def mean_average_precision(
     df: DataFrame,
     class_col: str = "cls",

@@ -362,6 +362,109 @@ class PCAEstimator(Estimator):
         return t
 
 
+class LinearDiscriminantAnalysis(LabelEstimator):
+    """LDA projection from class scatter matrices (reference:
+    nodes/learning/LinearDiscriminantAnalysis.scala; no MLlib equivalent).
+
+    Scatter matrices are distributed aggregations: per-class mean via
+    groupBy, within-class outer-product sums via one mapInPandas partial
+    pass (numpy gemms), combined on the driver; the d x d eigenproblem is
+    driver-local (d is feature dim, small by construction).
+    """
+
+    name = "lda"
+
+    def __init__(self, n_components: int, in_col: str = "features",
+                 label_col: str = "label", out_col: str = "lda"):
+        super().__init__(label_col)
+        self.n_components, self.in_col, self.out_col = n_components, in_col, out_col
+
+    def _fit(self, df: DataFrame) -> Transformer:
+        in_col, label_col = self.in_col, self.label_col
+        from typing import Iterator
+
+        import pandas as pdm
+
+        first = df.select(in_col).first()
+        d = len(first[0])
+        schema = f"label long, n long, s1 array<double>, outer array<double>"
+
+        def partial(batches: Iterator[pdm.DataFrame]) -> Iterator[pdm.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                out = []
+                for lbl, grp in pdf.groupby(label_col):
+                    X = np.asarray(list(grp[in_col]), dtype=np.float64)
+                    out.append(
+                        (int(lbl), len(X), X.sum(axis=0).tolist(),
+                         (X.T @ X).ravel().tolist())
+                    )
+                yield pdm.DataFrame(out, columns=["label", "n", "s1", "outer"])
+
+        parts = df.select(label_col, in_col).mapInPandas(partial, schema).collect()
+        stats: dict[int, list] = {}
+        for p in parts:
+            s = stats.setdefault(p.label, [0, np.zeros(d), np.zeros((d, d))])
+            s[0] += p.n
+            s[1] += np.array(p.s1)
+            s[2] += np.array(p.outer).reshape(d, d)
+        n_tot = sum(s[0] for s in stats.values())
+        mu_tot = sum(s[1] for s in stats.values()) / n_tot
+        Sw = np.zeros((d, d))
+        Sb = np.zeros((d, d))
+        for _lbl, (n, s1, xx) in stats.items():
+            mu_c = s1 / n
+            Sw += xx - n * np.outer(mu_c, mu_c)
+            diff = mu_c - mu_tot
+            Sb += n * np.outer(diff, diff)
+        vals, vecs = np.linalg.eig(np.linalg.pinv(Sw) @ Sb)
+        order = np.argsort(-vals.real)[: self.n_components]
+        W = vecs[:, order].real  # d x k
+        t = LinearMapper(W, None, self.in_col, self.out_col)
+        t.components = W
+        return t
+
+
+class ApproxKernelRidge(LabelEstimator):
+    """Kernel ridge regression via random Fourier features + linear solve
+    (reference: nodes/learning/KernelRidgeRegression.scala +
+    GaussianKernel.scala — the exact block-kernel solve is replaced by the
+    random-feature approximation, the engine's scalable stand-in per
+    SURVEY §2.5; exact KRR only makes sense at driver scale)."""
+
+    name = "approx_kernel_ridge"
+
+    def __init__(self, n_features: int = 256, gamma: float = 1.0,
+                 reg_param: float = 1e-3, seed: int = 42,
+                 in_col: str = "features", label_col: str = "y",
+                 out_col: str = "scores"):
+        super().__init__(label_col)
+        self.n_features, self.gamma, self.reg_param = n_features, gamma, reg_param
+        self.seed, self.in_col, self.out_col = seed, in_col, out_col
+
+    def _fit(self, df: DataFrame) -> Transformer:
+        from keystone_spark.operators.stats import CosineRandomFeatures
+
+        d = len(df.select(self.in_col).first()[0])
+        rf = CosineRandomFeatures(
+            d, self.n_features, self.gamma, self.seed, self.in_col, "__rf"
+        )
+        lifted = rf(df)
+        solver = LeastSquaresEstimator(
+            "__rf", self.label_col, self.out_col, reg_param=self.reg_param
+        )
+        inner = solver.fit(lifted)
+        out_col = self.out_col
+
+        def apply(dd: DataFrame) -> DataFrame:
+            return inner(rf(dd)).drop("__rf")
+
+        t = Transformer(apply, "approx_kernel_ridge_model")
+        t.inner = inner
+        return t
+
+
 class ZCAWhitener(Estimator):
     """ZCA whitening (Sigma + eps I)^(-1/2) from a seeded sample
     (reference: nodes/learning/ZCAWhitener.scala — local SVD on patches)."""

@@ -182,6 +182,75 @@ class Sampler(Transformer):
                          f"sampler({fraction})")
 
 
+class Shuffler(Transformer):
+    """Seeded random row shuffle (reference: nodes/util/Shuffler.scala —
+    augmentation mixing). orderBy(rand(seed)) = one deterministic sort."""
+
+    def __init__(self, seed: int = 42):
+        super().__init__(lambda df: df.orderBy(F.rand(seed)), f"shuffler({seed})")
+
+
+class FloatToDouble(ColumnTransformer):
+    """array<float> -> array<double> (reference: nodes/util/FloatToDouble.scala)."""
+
+    def __init__(self, in_col: str, out_col: str | None = None):
+        super().__init__(
+            in_col, out_col or in_col, lambda c: c.cast("array<double>"),
+            name="float_to_double",
+        )
+
+
+class Densify(ColumnTransformer):
+    """sparse map<int,double> -> dense array of length ``dim``
+    (reference: nodes/util/Densify.scala)."""
+
+    def __init__(self, dim: int, in_col: str = "sparse", out_col: str = "features"):
+        super().__init__(
+            in_col,
+            out_col,
+            lambda c: F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(F.element_at(c, i.cast("int")), F.lit(0.0)),
+            ),
+            name=f"densify({dim})",
+        )
+
+
+class Sparsify(ColumnTransformer):
+    """dense array -> map<int,double> of non-zero entries
+    (reference: nodes/util/Sparsify.scala)."""
+
+    def __init__(self, in_col: str = "features", out_col: str = "sparse"):
+        def expr(c: Column) -> Column:
+            pairs = F.filter(
+                F.zip_with(
+                    F.sequence(F.lit(0), F.size(c) - 1),
+                    c,
+                    lambda i, x: F.struct(i.alias("i"), x.cast("double").alias("x")),
+                ),
+                lambda p: p.getField("x") != 0.0,
+            )
+            return F.map_from_arrays(
+                F.transform(pairs, lambda p: p.getField("i")),
+                F.transform(pairs, lambda p: p.getField("x")),
+            )
+
+        super().__init__(in_col, out_col, expr, name="sparsify")
+
+
+class ImageVectorizer(ColumnTransformer):
+    """Image struct -> flat double vector (reference:
+    nodes/images/ImageVectorizer.scala — images are already stored flat,
+    this is a struct-field projection + cast)."""
+
+    def __init__(self, in_col: str = "image", out_col: str = "features"):
+        super().__init__(
+            in_col, out_col,
+            lambda c: c.getField("data").cast("array<double>"),
+            name="image_vectorizer",
+        )
+
+
 # ---------------------------------------------------------------------------
 # StandardScaler (reference: nodes/stats/StandardScaler.scala)
 # ---------------------------------------------------------------------------

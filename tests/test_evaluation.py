@@ -1,6 +1,7 @@
 """Evaluator tests vs sklearn-style closed forms computed by hand."""
 
 import numpy as np
+import pytest
 
 from keystone_spark.operators.evaluation import (
     accuracy,
@@ -53,3 +54,19 @@ def test_mean_average_precision(spark):
     df = spark.createDataFrame(rows, "cls string, score double, relevant int")
     ap = mean_average_precision(df).first().ap
     assert abs(ap - (1.0 + 2 / 3) / 2) < 1e-6
+
+
+def test_augmented_examples_eval(spark):
+    # two augmented copies per source: mean of score vectors then argmax
+    from keystone_spark.operators.evaluation import augmented_examples_eval
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, [0.9, 0.1]), ("a", 1, [0.1, 0.9]),   # mean [.5,.5] -> argmax 0
+            ("b", 1, [0.2, 0.8]), ("b", 1, [0.0, 1.0]),   # mean [.1,.9] -> argmax 1
+        ],
+        "img_id string, label int, scores array<double>",
+    )
+    out = {r.img_id: r for r in augmented_examples_eval(df).collect()}
+    assert out["a"].pred == 0 and out["b"].pred == 1
+    assert out["b"].avg_scores == [pytest.approx(0.1), pytest.approx(0.9)]

@@ -135,3 +135,46 @@ def test_zca_whitens_covariance(spark):
     W = np.array(model(df).orderBy("id").toPandas()["white"].tolist())
     cov = np.cov(W, rowvar=False)
     np.testing.assert_allclose(cov, np.eye(3), atol=0.05)
+
+
+def test_lda_separates_classes(spark):
+    # two classes separated along dim 0 only; LDA's top direction must be
+    # (close to) e0, and projections must separate the classes
+    from keystone_spark.operators.learning import LinearDiscriminantAnalysis
+
+    X = RNG.normal(size=(80, 4)) * 0.2
+    y = np.array([0] * 40 + [1] * 40)
+    X[y == 1, 0] += 4.0
+    df = spark.createDataFrame(
+        [(i, X[i].tolist(), int(y[i])) for i in range(80)],
+        "id int, features array<double>, label int",
+    )
+    model = LinearDiscriminantAnalysis(n_components=1).fit(df)
+    w = model.components[:, 0]
+    w = w / np.linalg.norm(w)
+    assert abs(w[0]) > 0.95  # dominant direction is dim 0
+    proj = np.array(model(df).orderBy("id").toPandas()["lda"].tolist()).ravel()
+    m0, m1 = proj[y == 0].mean(), proj[y == 1].mean()
+    s = proj.std()
+    assert abs(m0 - m1) > 3 * s * 0.5  # classes clearly separated
+
+
+def test_approx_kernel_ridge_fits_nonlinear(spark):
+    # y = sin(x0) is not linear in x; random Fourier features + ridge must
+    # beat plain linear least squares on train MSE
+    from keystone_spark.operators.learning import ApproxKernelRidge
+
+    X = RNG.uniform(-3, 3, size=(200, 1))
+    y = np.sin(X[:, 0])
+    df = spark.createDataFrame(
+        [(i, X[i].tolist(), [float(y[i])]) for i in range(200)],
+        "id int, features array<double>, y array<double>",
+    )
+    model = ApproxKernelRidge(n_features=128, gamma=1.0, reg_param=1e-4,
+                              label_col="y").fit(df)
+    out = model(df).orderBy("id").toPandas()
+    pred = np.array(out["scores"].tolist()).ravel()
+    mse = float(np.mean((pred - y) ** 2))
+    lin = np.linalg.lstsq(np.c_[X, np.ones(len(X))], y, rcond=None)[0]
+    lin_mse = float(np.mean((np.c_[X, np.ones(len(X))] @ lin - y) ** 2))
+    assert mse < lin_mse * 0.2 and mse < 0.05

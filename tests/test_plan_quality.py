@@ -1,0 +1,97 @@
+"""Physical-plan audits: the 100 TB design assertions.
+
+These tests pin the *plan shape*, not results: filters and column pruning
+must reach the parquet scan, small dims must broadcast, aggregations must
+be partial+final, top-k windows must use WindowGroupLimit (map-side k
+pruning), and hot expressions must stay in WholeStageCodegen. A plan
+regression here is a scale bug even when results stay correct.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+
+
+def plan_of(df) -> str:
+    # same JVM helper DataFrame.explain() uses, but returning the string
+    return df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return entry_mod.queries()
+
+
+def test_filter_and_column_pushdown(spark, sf_dir, qs):
+    plan = plan_of(qs["filter_project"](spark, sf_dir))
+    assert "PushedFilters:" in plan
+    assert "GreaterThan(l_quantity,25.0)" in plan
+    # column pruning: only the referenced columns in ReadSchema, not all 16
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_comment" not in read_schema
+    assert read_schema.count(",") <= 6  # <=7 columns read of lineitem's 16
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir, qs):
+    plan = plan_of(qs["multi_join"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "SortMergeJoin" not in plan or plan.count("BroadcastHashJoin") >= 2
+
+
+def test_group_agg_is_partial_final(spark, sf_dir, qs):
+    plan = plan_of(qs["group_agg"](spark, sf_dir))
+    assert "partial_" in plan  # map-side combine before the shuffle
+    assert "HashAggregate" in plan
+
+
+def test_topk_uses_window_group_limit(spark, sf_dir, qs):
+    plan = plan_of(qs["topk_per_group"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan  # map-side top-k pruning, Spark 3.5+
+
+
+def test_semi_join_stays_semi(spark, sf_dir, qs):
+    plan = plan_of(qs["semi_join"](spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_scan_filter_codegen(spark, sf_dir, qs):
+    # AQE defers codegen planning until execution; disable it so the
+    # static plan exposes the WholeStageCodegen spans we want to pin.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = qs["filter_project"](spark, sf_dir)
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "codegen"
+        )
+        n = int(plan.split("Found ")[1].split(" WholeStageCodegen")[0])
+        assert n >= 1, plan[:500]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_range_join_is_hash_not_nested_loop(spark, sf_dir, qs):
+    """The equi-conjunct on user_id must make this a hash/SMJ join with a
+    range post-filter — BroadcastNestedLoopJoin here would be O(n^2)."""
+    plan = plan_of(qs["range_join"](spark, sf_dir))
+    assert "NestedLoop" not in plan, plan[:1500]
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_cosine_topk_prunes_before_shuffle(spark, sf_dir, qs):
+    """The gemm stage emits only partition-local top-k: the exchange input
+    must be the mapInPandas output, not a full cross product."""
+    plan = plan_of(qs["cosine_topk"](spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_loader_applies_events_normalization(spark, sf_dir):
+    from keystone_spark.sources import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    assert dict(ev.dtypes)["ts"] == "timestamp"

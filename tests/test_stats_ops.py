@@ -106,3 +106,41 @@ def test_cosine_random_features_matches_numpy(spark):
     b = rng.uniform(0, 2 * np.pi, size=16)
     # row order of toPandas may differ from X order only if shuffled; it isn't
     np.testing.assert_allclose(got, np.cos(X @ W + b), rtol=1e-9)
+
+
+def test_shuffler_is_seeded_permutation(spark):
+    from keystone_spark.operators.stats import Shuffler
+
+    df = spark.range(50).withColumnRenamed("id", "x")
+    a = [r.x for r in Shuffler(seed=7)(df).collect()]
+    b = [r.x for r in Shuffler(seed=7)(df).collect()]
+    assert a == b and sorted(a) == list(range(50)) and a != list(range(50))
+
+
+def test_densify_sparsify_roundtrip(spark):
+    from keystone_spark.operators.stats import Densify, Sparsify
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 1.5, 0.0, -2.0]), (1, [0.0, 0.0, 0.0, 0.0])],
+        "id int, features array<double>",
+    )
+    sp = Sparsify("features", "sparse")(df)
+    rows = {r.id: r.sparse for r in sp.collect()}
+    assert rows[0] == {1: 1.5, 3: -2.0} and rows[1] == {}
+    back = Densify(4, "sparse", "dense")(sp)
+    out = {r.id: r.dense for r in back.collect()}
+    assert out[0] == [0.0, 1.5, 0.0, -2.0] and out[1] == [0.0] * 4
+
+
+def test_float_to_double_and_image_vectorizer(spark):
+    from keystone_spark.operators.stats import FloatToDouble, ImageVectorizer
+
+    df = spark.createDataFrame(
+        [(0, ([1.0, 2.0], 1, 2, 1))],
+        "id int, image struct<data: array<float>, height: int, width: int, nChannels: int>",
+    )
+    vec = ImageVectorizer("image", "features")(df)
+    assert vec.schema["features"].dataType.simpleString() == "array<double>"
+    assert vec.first().features == [1.0, 2.0]
+    f = spark.createDataFrame([(0, [1.5, 2.5])], "id int, v array<float>")
+    assert FloatToDouble("v")(f).schema["v"].dataType.simpleString() == "array<double>"
