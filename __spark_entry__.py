@@ -779,6 +779,130 @@ def q_mean_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("cls").cast("long").alias("cls"), "ap").orderBy("cls")
 
 
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (LLM-pipeline): per-language stopword-hit
+    fractions + CJK char ratio, argmax label (functions/text.language_scores
+    — all codegen expressions, no UDF)."""
+    from keystone_spark.functions.text import language_scores
+
+    d = _t(spark, sf_dir, "documents")
+    s = language_scores("text")
+    en, es, cjk = s.getField("en"), s.getField("es"), s.getField("cjk")
+    pred = (
+        F.when((en >= es) & (en >= cjk), "en")
+        .when(es >= cjk, "es")
+        .otherwise("cjk")
+    )
+    return d.select(
+        "doc_id",
+        F.round(en, 6).alias("en"),
+        F.round(es, 6).alias("es"),
+        F.round(cjk, 6).alias("cjk"),
+        pred.alias("lang_pred"),
+    ).orderBy("doc_id")
+
+
+def q_binary_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BinaryClassifierEvaluator (reference: evaluation/
+    BinaryClassifierEvaluator.scala) scoring the English-detector from
+    q_lang_id against the documents.lang labels — one conditional-count
+    aggregation pass."""
+    from keystone_spark.functions.text import language_scores
+    from keystone_spark.operators.evaluation import binary_metrics
+
+    d = _t(spark, sf_dir, "documents")
+    en = language_scores("text").getField("en")
+    scored = d.select(
+        (F.col("lang") == "en").cast("int").alias("label"),
+        (en > 0.15).cast("int").alias("pred"),
+    )
+    return binary_metrics(scored)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos >= 0.3) over a bounded id range.
+    Exact pairwise on the subset is the oracle-checkable form; the scale
+    path for unbounded inputs is lsh_bucket_topk / ivf_topk (approximate
+    candidate pruning, same rerank kernel)."""
+    from keystone_spark.functions.vector import cosine_similarity
+
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    a = e.select(F.col("vec_id").alias("i"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("j"), F.col("embedding").alias("vb"))
+    cos = cosine_similarity(
+        F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("i") < F.col("j"))
+        .select("i", "j", F.round(cos, 6).alias("cos"))
+        .where(F.col("cos") >= 0.3)
+        .orderBy("i", "j")
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint: min hash over every 8-token
+    shingle (shift-invariant content fingerprint; functions/text
+    .rolling_fingerprint is the xxhash64 production form — md5 here so the
+    DuckDB oracle can reproduce the exact values). Dedup view: each doc
+    mapped to its fingerprint-group representative."""
+    from keystone_spark.functions.text import tokens, word_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    grams = word_ngrams(toks, 8)
+    fp = F.when(
+        F.size(grams) > 0,
+        F.array_min(F.transform(grams, lambda g: F.md5(F.encode(g, "UTF-8")))),
+    ).otherwise(F.md5(F.encode(F.concat_ws(" ", toks), "UTF-8")))
+    with_fp = d.select("doc_id", fp.alias("fp"))
+    rep = F.min("doc_id").over(Window.partitionBy("fp"))
+    return (
+        with_fp.select(
+            "doc_id", "fp", rep.alias("rep"),
+            (F.col("doc_id") != rep).cast("int").alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_augmented_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AugmentedExamplesEvaluator (reference: evaluation/
+    AugmentedExamplesEvaluator.scala): average score vectors over augmented
+    copies of a source, then argmax — sources synthesized as vec_id % 100,
+    scores as the first 4 embedding dims."""
+    from keystone_spark.operators.evaluation import augmented_examples_eval
+
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    df = e.select(
+        (F.col("vec_id") % 100).alias("sid"),
+        F.col("label").cast("long").alias("label"),
+        F.slice(F.col("embedding").cast("array<double>"), 1, 4).alias("scores"),
+    )
+    out = augmented_examples_eval(df, "sid", "scores", "label")
+    m = F.col("avg_scores")
+    return out.select(
+        "sid", "label", "pred",
+        *[F.round(F.element_at(m, i + 1), 6).alias(f"m{i}") for i in range(4)],
+    ).orderBy("sid", "label")
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors: k-means cell pruning + exact
+    rerank within probed cells (operators/similarity.ivf_topk). Approximate
+    by construction — rows-only driver check; recall vs the exact kernel is
+    pinned in tests/test_dedup_similarity.py."""
+    from keystone_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") < 10)
+    out = ivf_topk(e, probes, k=10, n_cells=16, n_probe_cells=4)
+    return (
+        out.select("probe", "vec_id", F.round("cos", 6).alias("cos"), "rk")
+        .orderBy("probe", "rk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -837,6 +961,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_frequency": q_term_frequency,
         "stupid_backoff": q_stupid_backoff,
         "mean_avg_precision": q_mean_avg_precision,
+        "lang_id": q_lang_id,
+        "binary_metrics": q_binary_metrics,
+        "embedding_neardup": q_embedding_neardup,
+        "doc_fingerprint": q_doc_fingerprint,
+        "augmented_eval": q_augmented_eval,
+        "ivf_topk": q_ivf_topk,
     }
 
 
@@ -1214,5 +1344,107 @@ def oracle_sql() -> dict[str, str]:
                 FROM s)
             SELECT CAST(cls AS BIGINT) AS cls, ROUND(AVG(cum * 1.0 / rk), 6) AS ap
             FROM r WHERE rel = 1 GROUP BY cls ORDER BY cls
+        """,
+        "lang_id": """
+            WITH toks AS (
+                SELECT doc_id, list_filter(
+                    string_split_regex(lower(trim(text)), '[^\\p{L}\\p{N}'']+'),
+                    x -> x <> '') AS t, text
+                FROM documents),
+            sc AS (
+                SELECT doc_id,
+                    len(list_filter(t, x -> list_contains(
+                        ['the','of','and','a','to','in','is','you','that','it',
+                         'he','was','for','on','are','as','with','his','they','i'], x)))
+                        * 1.0 / GREATEST(len(t), 1) AS en,
+                    len(list_filter(t, x -> list_contains(
+                        ['de','la','que','el','en','y','a','los','del','se',
+                         'las','por','un','para','con','no','una','su'], x)))
+                        * 1.0 / GREATEST(len(t), 1) AS es,
+                    LENGTH(regexp_replace(text,
+                        '[^\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}]',
+                        '', 'g')) * 1.0 / GREATEST(LENGTH(text), 1) AS cjk
+                FROM toks)
+            SELECT doc_id, ROUND(en, 6) AS en, ROUND(es, 6) AS es,
+                   ROUND(cjk, 6) AS cjk,
+                   CASE WHEN en >= es AND en >= cjk THEN 'en'
+                        WHEN es >= cjk THEN 'es' ELSE 'cjk' END AS lang_pred
+            FROM sc ORDER BY doc_id
+        """,
+        "binary_metrics": """
+            WITH toks AS (
+                SELECT lang, list_filter(
+                    string_split_regex(lower(trim(text)), '[^\\p{L}\\p{N}'']+'),
+                    x -> x <> '') AS t
+                FROM documents),
+            p AS (
+                SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+                       CASE WHEN len(list_filter(t, x -> list_contains(
+                            ['the','of','and','a','to','in','is','you','that','it',
+                             'he','was','for','on','are','as','with','his','they','i'], x)))
+                            * 1.0 / GREATEST(len(t), 1) > 0.15
+                            THEN 1 ELSE 0 END AS pred
+                FROM toks),
+            agg AS (
+                SELECT CAST(SUM(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                       CAST(SUM(CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                       CAST(SUM(CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+                       CAST(SUM(CASE WHEN label = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+                FROM p)
+            SELECT tp, fp, tn, fn,
+                   ROUND((tp + tn) * 1.0 / (tp + fp + tn + fn), 6) AS accuracy,
+                   ROUND(CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp) ELSE 0.0 END, 6) AS precision,
+                   ROUND(CASE WHEN tp + fn > 0 THEN tp * 1.0 / (tp + fn) ELSE 0.0 END, 6) AS recall,
+                   ROUND(CASE WHEN tp * 1.0 / GREATEST(tp + fp, 1)
+                                 + tp * 1.0 / GREATEST(tp + fn, 1) > 0
+                         THEN 2.0 * (tp * 1.0 / (tp + fp)) * (tp * 1.0 / (tp + fn))
+                              / (tp * 1.0 / (tp + fp) + tp * 1.0 / (tp + fn))
+                         ELSE 0.0 END, 6) AS f1
+            FROM agg
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS i, b.vec_id AS j,
+                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 200 AND b.vec_id < 200
+              AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+            ORDER BY i, j
+        """,
+        "doc_fingerprint": """
+            WITH toks AS (
+                SELECT doc_id, list_filter(
+                    string_split_regex(lower(trim(text)), '[^\\p{L}\\p{N}'']+'),
+                    x -> x <> '') AS t
+                FROM documents),
+            fps AS (
+                SELECT doc_id,
+                    CASE WHEN len(t) >= 8 THEN
+                        list_min([md5(array_to_string(t[i:i+7], ' '))
+                                  for i in range(1, len(t) - 6)])
+                    ELSE md5(array_to_string(t, ' ')) END AS fp
+                FROM toks)
+            SELECT doc_id, fp, MIN(doc_id) OVER (PARTITION BY fp) AS rep,
+                   CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY fp) AS INT) AS is_dup
+            FROM fps ORDER BY doc_id
+        """,
+        "augmented_eval": """
+            WITH src AS (
+                SELECT vec_id % 100 AS sid, CAST(label AS BIGINT) AS label,
+                       CAST(embedding[1:4] AS DOUBLE[]) AS scores
+                FROM embeddings WHERE vec_id < 200),
+            per_dim AS (
+                SELECT sid, label, i, AVG(scores[i + 1]) AS a
+                FROM src CROSS JOIN range(0, 4) r(i)
+                GROUP BY sid, label, i),
+            m AS (
+                SELECT sid, label, list(a ORDER BY i) AS avg_scores
+                FROM per_dim GROUP BY sid, label)
+            SELECT sid, label,
+                   CAST(list_position(avg_scores, list_max(avg_scores)) - 1 AS BIGINT) AS pred,
+                   ROUND(avg_scores[1], 6) AS m0, ROUND(avg_scores[2], 6) AS m1,
+                   ROUND(avg_scores[3], 6) AS m2, ROUND(avg_scores[4], 6) AS m3
+            FROM m ORDER BY sid, label
         """,
     }

@@ -204,3 +204,104 @@ def lsh_bucket_topk(
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= k)
     )
+
+
+def _kmeans_centroids(
+    X: np.ndarray, n_cells: int, seed: int, iters: int = 10
+) -> np.ndarray:
+    """Driver-local Lloyd iterations on a sample (classic IVF training)."""
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                C[c] = X[m].mean(axis=0)
+    return C
+
+
+def ivf_topk(
+    data: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe_cells: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF approximate cosine top-k: k-means cells prune the search space.
+
+    Train: centroids from a seeded driver-local sample (IVF's standard
+    recipe — the coarse quantizer is tiny). Search: every Arrow batch
+    assigns its rows to cells with one small gemm, then scores each probe
+    only against rows falling in that probe's ``n_probe_cells`` nearest
+    cells — ~n_probe_cells/n_cells of the brute-force work. Emits
+    partition-local top-k per probe; a final window rank reduces globally,
+    so the shuffle stays O(partitions * probes * k).
+
+    At 100 TB you would persist the cell assignment and bucket the table
+    by cell so each query touches only its cells' files; the kernel here
+    computes assignments on the fly, which keeps the operator a pure
+    function of its inputs (same plan shape, no index-build step).
+    """
+    p_ids, p_mat = _collect_probes(probes, id_col, vec_col)
+    p_norm = _normalize(p_mat)
+
+    samp = np.array(
+        [
+            r[0]
+            for r in data.select(vec_col)
+            .sample(False, 1.0, seed=seed)
+            .limit(sample_size)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    C = _normalize(_kmeans_centroids(_normalize(samp), n_cells, seed))
+    # each probe's n_probe_cells nearest cells (cosine == dot on normalized)
+    probe_cells = np.argsort(-(p_norm @ C.T), axis=1)[:, :n_probe_cells]
+
+    out_schema = StructType(
+        [
+            StructField("probe", LongType()),
+            StructField(id_col, LongType()),
+            StructField("cos", DoubleType()),
+        ]
+    )
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(np.int64)
+            X = _normalize(np.asarray(list(pdf[vec_col]), dtype=np.float64))
+            cells = (X @ C.T).argmax(axis=1)
+            out_p, out_i, out_c = [], [], []
+            for j in range(len(p_ids)):
+                mask = np.isin(cells, probe_cells[j])
+                if exclude_self:
+                    mask &= ids != p_ids[j]
+                idx = np.nonzero(mask)[0]
+                if len(idx) == 0:
+                    continue
+                col = X[idx] @ p_norm[j]
+                take = min(k, len(idx))
+                cand = idx[np.argpartition(-col, take - 1)[:take]]
+                order = np.lexsort((ids[cand], -(X[cand] @ p_norm[j])))
+                cand = cand[order]
+                out_p.extend([p_ids[j]] * len(cand))
+                out_i.extend(ids[cand].tolist())
+                out_c.extend((X[cand] @ p_norm[j]).tolist())
+            yield pd.DataFrame({"probe": out_p, id_col: out_i, "cos": out_c})
+
+    partial = data.select(id_col, vec_col).mapInPandas(part, out_schema)
+    w = Window.partitionBy("probe").orderBy(F.col("cos").desc(), id_col)
+    return (
+        partial.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+    )

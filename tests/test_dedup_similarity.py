@@ -100,3 +100,39 @@ def test_lsh_topk_recall(spark):
               for r in lsh_bucket_topk(df, probes, k=5, n_bits=32, n_bands=16).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_ivf_topk_recall(spark):
+    from keystone_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(5)
+    # clustered data so IVF cells are meaningful (uniform noise would make
+    # every cell equally likely and recall a coin flip)
+    centers = rng.normal(size=(8, 16)) * 3
+    X = np.vstack([c + rng.normal(size=(50, 16)) * 0.5 for c in centers])
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    probes = df.where(F.col("vec_id") < 5)
+    exact = {(r.probe, r.vec_id) for r in cosine_topk(df, probes, k=5).collect()}
+    approx = {
+        (r.probe, r.vec_id)
+        for r in ivf_topk(df, probes, k=5, n_cells=8, n_probe_cells=3,
+                          seed=7).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, recall
+
+
+def test_rolling_fingerprint_shift_invariant(spark):
+    # the winnowing fingerprint survives a prefix insertion when the
+    # minimal shingle is untouched (content-defined, not offset-defined)
+    from keystone_spark.functions.text import rolling_fingerprint, tokens
+
+    base = " ".join(f"w{i}" for i in range(40))
+    shifted = "prefix " + base
+    df = spark.createDataFrame([(0, base), (1, shifted)], "id int, text string")
+    out = df.select("id", rolling_fingerprint(tokens("text"), 8).alias("fp"))
+    fps = {r.id: r.fp for r in out.collect()}
+    assert fps[0] == fps[1]
