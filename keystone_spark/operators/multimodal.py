@@ -201,3 +201,88 @@ def frame_sample(
             yield pd.DataFrame(rows, columns=cols + ["frame_idx", out_col])
 
     return df.mapInPandas(part, out_schema)
+
+
+AUDIO_STRUCT = StructType(
+    [
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("pcm", ArrayType(FloatType())),
+    ]
+)
+
+
+def decode_audio(
+    df: DataFrame,
+    payload_col: str = "content",
+    out_col: str = "audio",
+    sample_rate: int = 16000,
+    n_samples: int = 1024,
+    decode: str = "fake",
+) -> DataFrame:
+    """binary payload -> AUDIO_STRUCT (sample_rate, n_samples, float PCM).
+    decode='real' is the soundfile/ffmpeg hook (not in this container);
+    'fake' derives deterministic PCM from the content hash so plumbing,
+    schema and batch shape are testable."""
+    if decode not in ("fake", "real"):
+        raise ValueError("decode must be 'fake' or 'real'")
+
+    fields = [f for f in df.schema.fields]
+    out_schema = StructType(fields + [StructField(out_col, AUDIO_STRUCT)])
+    cols = [f.name for f in fields]
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for payload in pdf[payload_col]:
+                if decode == "real":
+                    raise NotImplementedError(
+                        "real audio decode requires soundfile/ffmpeg (not in container)"
+                    )
+                digest = hashlib.sha256(bytes(payload)).digest()
+                rng = np.random.default_rng(int.from_bytes(digest[:8], "little"))
+                pcm = (rng.random(n_samples, dtype=np.float32) * 2 - 1)
+                out.append(
+                    {"sample_rate": sample_rate, "n_samples": n_samples,
+                     "pcm": pcm.tolist()}
+                )
+            pdf = pdf.copy()
+            pdf[out_col] = out
+            yield pdf[cols + [out_col]]
+
+    return df.mapInPandas(part, out_schema)
+
+
+def audio_features(
+    df: DataFrame,
+    audio_col: str = "audio",
+    out_col: str = "audio_features",
+) -> DataFrame:
+    """[rms, zero_crossing_rate, spectral_centroid_hz] per clip — the
+    PaddedFFT-style numeric kernel (reference: nodes/stats/PaddedFFT.scala)
+    applied to audio frames, numpy FFT per Arrow batch."""
+    fields = [f for f in df.schema.fields]
+    out_schema = StructType(fields + [StructField(out_col, ArrayType(DoubleType()))])
+    cols = [f.name for f in fields]
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feats = []
+            for a in pdf[audio_col]:
+                x = np.asarray(a["pcm"], dtype=np.float64)
+                sr = a["sample_rate"]
+                rms = float(np.sqrt(np.mean(x**2)))
+                zcr = float(np.mean(np.signbit(x[:-1]) != np.signbit(x[1:])))
+                spec = np.abs(np.fft.rfft(x))
+                freqs = np.fft.rfftfreq(len(x), d=1.0 / sr)
+                centroid = float((freqs * spec).sum() / max(spec.sum(), 1e-12))
+                feats.append([rms, zcr, centroid])
+            pdf = pdf.copy()
+            pdf[out_col] = feats
+            yield pdf[cols + [out_col]]
+
+    return df.mapInPandas(part, out_schema)

@@ -64,6 +64,20 @@ class Cacher(Transformer):
         super().__init__(lambda df: df.persist(level), "cacher")
 
 
+class Checkpointer(Transformer):
+    """Materialize to stable storage and cut lineage (reference:
+    workflow/Checkpointer.scala): write parquet, read it back. Unlike
+    ``df.checkpoint()`` the artifact survives the session and downstream
+    stages get fresh scan statistics (and pruning) over it."""
+
+    def __init__(self, path: str):
+        def ck(df: DataFrame) -> DataFrame:
+            df.write.mode("overwrite").parquet(path)
+            return df.sparkSession.read.parquet(path)
+
+        super().__init__(ck, f"checkpointer({path})")
+
+
 class ColumnTransformer(Transformer):
     """Transformer that rewrites one column into another via a Column expr —
     the dominant keystone node shape (per-element map), kept declarative so

@@ -143,3 +143,56 @@ def run_available_now(stream_df: DataFrame, out_table: str) -> None:
             .start()
         )
         q.awaitTermination()
+
+
+def stateful_running_agg(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful operator: per-key running (count, sum, max_ts) kept in
+    the state store across micro-batches via ``applyInPandasWithState`` —
+    the engine's arbitrary-stateful-processing surface (SURVEY §2.10 UDAF
+    row: Estimator.fit = arbitrary aggregation; here the streaming form).
+
+    Batch input gets the equivalent one-shot groupBy so batch-equivalence
+    tests can compare the final streaming state against the batch answer.
+
+    Scale: state is one tiny tuple per key, partitioned by groupBy(key) —
+    the state store shards with the shuffle; the watermark bounds replay.
+    """
+    if not df.isStreaming:
+        return df.groupBy(key_col).agg(
+            F.count("*").alias("n"),
+            F.sum(value_col).alias("sum_value"),
+            F.unix_timestamp(F.max(ts_col)).alias("last_ts"),
+        )
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} long, n long, sum_value double, last_ts long"
+    state_schema = "n long, sum_value double, last_ts long"
+
+    def update(key, pdfs, state: GroupState):
+        n, s, last = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf[value_col].sum())
+            ts_max = int(pdf[ts_col].astype("int64").max() // 1_000_000_000)
+            last = max(last, ts_max)
+        state.update((n, s, last))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n": [n], "sum_value": [s], "last_ts": [last]}
+        )
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

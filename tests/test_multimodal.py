@@ -56,3 +56,29 @@ def test_frame_sample_explodes(media_df):
     assert frames.count() == 6 * 3
     r = frames.where("media_id = 0 AND frame_idx = 1").first()
     assert r.frames["height"] == 8
+
+
+def test_audio_decode_and_features(spark):
+    from keystone_spark.operators.multimodal import audio_features, decode_audio
+
+    df = spark.createDataFrame(
+        [(0, bytearray(b"clip-a")), (1, bytearray(b"clip-b"))],
+        "media_id int, content binary",
+    )
+    dec = decode_audio(df, n_samples=256)
+    row = dec.orderBy("media_id").first()
+    assert row.audio.sample_rate == 16000 and len(row.audio.pcm) == 256
+    # deterministic: same payload -> same pcm
+    again = decode_audio(df, n_samples=256).orderBy("media_id").first()
+    assert row.audio.pcm == again.audio.pcm
+
+    feats = audio_features(dec).orderBy("media_id").collect()
+    for r in feats:
+        rms, zcr, centroid = r.audio_features
+        assert 0.4 < rms < 0.7          # uniform[-1,1] has rms ~0.577
+        assert 0.2 < zcr < 0.8
+        assert 0 < centroid < 8000      # below nyquist
+
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="NotImplementedError|real audio"):
+        decode_audio(df, decode="real").collect()

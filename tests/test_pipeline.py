@@ -98,3 +98,13 @@ def test_auto_cache_plan_budget():
     assert decisions["d"] is False
     assert decisions["a"] is True and decisions["b"] is True
     assert decisions["c"] is False  # reuse == 1 never cached
+
+
+def test_checkpointer_cuts_lineage(spark, tmp_path):
+    from keystone_spark.plans.pipeline import Checkpointer
+
+    df = spark.range(100).withColumnRenamed("id", "x")
+    out = Checkpointer(str(tmp_path / "ck"))(df)
+    assert out.count() == 100
+    # lineage is cut: the plan is a fresh parquet scan, not the range
+    assert "Range" not in out._jdf.queryExecution().toString()

@@ -53,3 +53,42 @@ def test_session_window_batch_vs_stream(spark, sf_dir, events):
 def test_dedup_within_watermark_batch_path(events):
     d = dedup_within_watermark(events, ["user_id", "event_type"])
     assert d.count() == events.select("user_id", "event_type").distinct().count()
+
+
+def test_stateful_running_agg_batch_vs_stream(spark, sf_dir, events):
+    """applyInPandasWithState: the final streaming state per key must equal
+    the one-shot batch aggregation (update-mode sink keeps every revision;
+    the running count is monotone, so max-n row per key is the final one)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from keystone_spark.streaming.windows import stateful_running_agg
+
+    batch = stateful_running_agg(events)
+    stream_in = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    streamed = stateful_running_agg(stream_in)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            streamed.writeStream.format("memory")
+            .queryName("stateful_out")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc())
+    final = (
+        spark.sql("SELECT * FROM stateful_out")
+        .withColumn("rk", F.row_number().over(w))
+        .where("rk = 1")
+        .drop("rk")
+    )
+
+    def rounded(df):
+        return _rows(df.withColumn("sum_value", F.round("sum_value", 6)))
+
+    assert rounded(final) == rounded(batch)
