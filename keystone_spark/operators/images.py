@@ -274,3 +274,42 @@ def fisher_vector(descriptor_col_df: DataFrame, gmm_weights, gmm_means, gmm_covs
         + [StructField(out_col, ArrayType(DoubleType()))]
     )
     return descriptor_col_df.mapInPandas(one_batch, schema)
+
+
+class RandomImageTransformer:
+    """Seeded random flip/brightness-perturb augmentation (reference:
+    nodes/images/RandomImageTransformer.scala). Seed mixes a per-image key
+    so the augmentation is deterministic per record across retries and
+    executor placement — a hard requirement for reproducible pipelines."""
+
+    def __init__(self, flip_prob: float = 0.5, noise_scale: float = 0.0,
+                 seed: int = 42, key_col: str | None = None):
+        self.flip_prob, self.noise_scale = flip_prob, noise_scale
+        self.seed, self.key_col = seed, key_col
+
+    def __call__(self, df: DataFrame, image_col: str = "image",
+                 out_col: str = "aug") -> DataFrame:
+        fp, ns, seed, key_col = self.flip_prob, self.noise_scale, self.seed, self.key_col
+        fields = list(df.schema.fields)
+        out_schema = StructType(fields + [StructField(out_col, IMAGE_STRUCT)])
+        cols = [f.name for f in fields]
+
+        def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                out = []
+                for _, row in pdf.iterrows():
+                    arr = _img_to_np(row[image_col])
+                    key = int(row[key_col]) if key_col else 0
+                    rng = np.random.default_rng((seed, key))
+                    if rng.random() < fp:
+                        arr = arr[:, ::-1, :]
+                    if ns > 0:
+                        arr = arr + rng.normal(scale=ns, size=arr.shape)
+                    out.append(_np_to_img(np.ascontiguousarray(arr)))
+                pdf = pdf.copy()
+                pdf[out_col] = out
+                yield pdf[cols + [out_col]]
+
+        return df.mapInPandas(part, out_schema)

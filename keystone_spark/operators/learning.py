@@ -501,3 +501,67 @@ class ZCAWhitener(Estimator):
         t.whitening_matrix = Wz
         t.mean = mu
         return t
+
+
+class WeightedLeastSquaresEstimator(LabelEstimator):
+    """Per-example-weighted L2 least squares (reference:
+    nodes/learning/BlockWeightedLeastSquares.scala — class-imbalance
+    weighting for multilabel VOC/ImageNet solves).
+
+    One distributed pass accumulates the weighted Gram matrix X'WX and
+    moment X'WY per partition (numpy gemms over Arrow batches — the
+    rowsToMatrix/BLAS-3 pattern), the driver solves the d x d system:
+    partial+final aggregation, no iteration, shuffle carries only
+    O(partitions * d^2) floats. Valid while d fits on the driver (~10k);
+    beyond that the reference's block-coordinate scheme applies per
+    feature block via VectorSplitter columns.
+    """
+
+    name = "weighted_least_squares"
+
+    def __init__(self, in_col: str = "features", label_col: str = "y",
+                 weight_col: str = "w", out_col: str = "scores",
+                 reg_param: float = 0.0):
+        super().__init__(label_col)
+        self.in_col, self.weight_col, self.out_col = in_col, weight_col, out_col
+        self.reg_param = reg_param
+
+    def _fit(self, df: DataFrame) -> "LinearMapper":
+        from typing import Iterator
+
+        import pandas as pdm
+
+        in_col, y_col, w_col = self.in_col, self.label_col, self.weight_col
+        first = df.select(in_col, y_col).first()
+        d = len(first[0])
+        multi = isinstance(first[1], (list, tuple))
+        k = len(first[1]) if multi else 1
+        schema = "xtx array<double>, xty array<double>, wsum double"
+
+        def partial(batches: Iterator[pdm.DataFrame]) -> Iterator[pdm.DataFrame]:
+            xtx = np.zeros((d, d))
+            xty = np.zeros((d, k))
+            wsum = 0.0
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.asarray(list(pdf[in_col]), dtype=np.float64)
+                Y = np.asarray(list(pdf[y_col]), dtype=np.float64).reshape(len(X), k)
+                w = pdf[w_col].to_numpy(np.float64)
+                Xw = X * w[:, None]
+                xtx += Xw.T @ X
+                xty += Xw.T @ Y
+                wsum += float(w.sum())
+            yield pdm.DataFrame(
+                {"xtx": [xtx.ravel().tolist()], "xty": [xty.ravel().tolist()],
+                 "wsum": [wsum]}
+            )
+
+        parts = df.select(in_col, y_col, w_col).mapInPandas(partial, schema).collect()
+        XtX = sum(np.array(p.xtx).reshape(d, d) for p in parts)
+        XtY = sum(np.array(p.xty).reshape(d, k) for p in parts)
+        wsum = sum(p.wsum for p in parts)
+        if self.reg_param > 0:
+            XtX = XtX + self.reg_param * wsum * np.eye(d)
+        W = np.linalg.solve(XtX, XtY)
+        return LinearMapper(W, None, self.in_col, self.out_col)

@@ -374,3 +374,23 @@ class CosineRandomFeatures(Transformer):
             lambda df: df.withColumn(out_col, rf_udf(F.col(in_col))),
             f"cosine_rf({out_dim},seed={seed})",
         )
+
+
+class MultiLabelIndicators(ColumnTransformer):
+    """array<int> labels -> ±1 multi-hot vector of n classes (reference:
+    nodes/util/ClassLabelIndicators.scala
+    #ClassLabelIndicatorsFromIntArrayLabels — the VOC multilabel variant)."""
+
+    def __init__(self, n_classes: int, labels_col: str = "labels",
+                 out_col: str = "y"):
+        super().__init__(
+            labels_col,
+            out_col,
+            lambda c: F.transform(
+                F.sequence(F.lit(0), F.lit(n_classes - 1)),
+                lambda i: F.when(
+                    F.array_contains(c.cast("array<int>"), i.cast("int")), 1.0
+                ).otherwise(-1.0),
+            ),
+            name=f"multilabel_indicators(n={n_classes})",
+        )

@@ -178,3 +178,45 @@ def test_approx_kernel_ridge_fits_nonlinear(spark):
     lin = np.linalg.lstsq(np.c_[X, np.ones(len(X))], y, rcond=None)[0]
     lin_mse = float(np.mean((np.c_[X, np.ones(len(X))] @ lin - y) ** 2))
     assert mse < lin_mse * 0.2 and mse < 0.05
+
+
+def test_weighted_least_squares_matches_numpy(spark):
+    from keystone_spark.operators.learning import WeightedLeastSquaresEstimator
+
+    X = RNG.normal(size=(100, 4))
+    W_true = RNG.normal(size=(4, 2))
+    Y = X @ W_true + RNG.normal(scale=0.05, size=(100, 2))
+    w = RNG.uniform(0.1, 3.0, size=100)
+    df = spark.createDataFrame(
+        [(i, X[i].tolist(), Y[i].tolist(), float(w[i])) for i in range(100)],
+        "id int, features array<double>, y array<double>, w double",
+    )
+    model = WeightedLeastSquaresEstimator(reg_param=0.0).fit(df)
+    Xw = X * w[:, None]
+    expected = np.linalg.solve(Xw.T @ X, Xw.T @ Y)
+    np.testing.assert_allclose(model.W, expected, atol=1e-8)
+
+
+def test_multilabel_indicators(spark):
+    from keystone_spark.operators.stats import MultiLabelIndicators
+
+    df = spark.createDataFrame([(0, [0, 2]), (1, [])], "id int, labels array<int>")
+    out = {r.id: r.y for r in MultiLabelIndicators(4)(df).collect()}
+    assert out[0] == [1.0, -1.0, 1.0, -1.0]
+    assert out[1] == [-1.0] * 4
+
+
+def test_random_image_transformer_deterministic(spark):
+    from keystone_spark.operators.images import RandomImageTransformer
+
+    img = {"height": 2, "width": 3, "n_channels": 1,
+           "data": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]}
+    df = spark.createDataFrame(
+        [(7, img)],
+        "id int, image struct<height:int,width:int,n_channels:int,data:array<float>>",
+    )
+    t = RandomImageTransformer(flip_prob=1.0, seed=3, key_col="id")
+    a = t(df).first().aug.data
+    b = t(df).first().aug.data
+    assert a == b
+    assert a == [3.0, 2.0, 1.0, 6.0, 5.0, 4.0]  # horizontal flip
