@@ -779,6 +779,40 @@ def q_mean_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("cls").cast("long").alias("cls"), "ap").orderBy("cls")
 
 
+def q_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map/JSON surface: from_json -> map<string,string>, map_keys /
+    element access — events.props JSON column."""
+    e = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return (
+        e.select(
+            "event_id",
+            F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys"),
+            F.size(m).cast("long").alias("n_keys"),
+            F.element_at(m, "k").cast("bigint").alias("k_val"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) vs exact: emits the exact count and a
+    within-2% flag, so the oracle pins both correctness of the exact path
+    and the approx sketch's error bound (the sketch itself is
+    engine-specific, so its raw value can't hash-match across engines)."""
+    l = _t(spark, sf_dir, "lineitem")
+    agg = l.agg(
+        F.countDistinct("l_partkey").alias("exact"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx"),
+    )
+    return agg.select(
+        F.col("exact").cast("long").alias("exact"),
+        (
+            F.abs(F.col("approx") - F.col("exact")) / F.col("exact") <= 0.02
+        ).cast("int").alias("within_2pct"),
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID (LLM-pipeline): per-language stopword-hit
     fractions + CJK char ratio, argmax label (functions/text.language_scores
@@ -961,6 +995,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_frequency": q_term_frequency,
         "stupid_backoff": q_stupid_backoff,
         "mean_avg_precision": q_mean_avg_precision,
+        "map_fns": q_map_fns,
+        "approx_distinct": q_approx_distinct,
         "lang_id": q_lang_id,
         "binary_metrics": q_binary_metrics,
         "embedding_neardup": q_embedding_neardup,
@@ -1344,6 +1380,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM s)
             SELECT CAST(cls AS BIGINT) AS cls, ROUND(AVG(cum * 1.0 / rk), 6) AS ap
             FROM r WHERE rel = 1 GROUP BY cls ORDER BY cls
+        """,
+        "map_fns": """
+            SELECT event_id,
+                   array_to_string(list_sort(json_keys(props)), ',') AS keys,
+                   CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+            FROM events ORDER BY event_id
+        """,
+        "approx_distinct": """
+            SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact,
+                   1 AS within_2pct
+            FROM lineitem
         """,
         "lang_id": """
             WITH toks AS (
