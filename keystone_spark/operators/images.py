@@ -313,3 +313,52 @@ class RandomImageTransformer:
                 yield pdf[cols + [out_col]]
 
         return df.mapInPandas(part, out_schema)
+
+
+def hog_features(
+    df: DataFrame,
+    image_col: str = "image",
+    out_col: str = "hog",
+    cell: int = 4,
+    bins: int = 9,
+) -> DataFrame:
+    """HOG descriptors in pure numpy (reference: nodes/images/
+    HogExtractor.scala — upstream wraps a native implementation; the
+    algorithm itself is public: central-difference gradients, unsigned
+    orientation histogram per cell weighted by magnitude, L2-normalized).
+
+    Deterministic simplifications vs skimage: nearest-bin assignment (no
+    linear bin interpolation) and per-cell L2 norm (no block overlap) —
+    pinned by the naive-loop oracle in tests. Grayscale input expected;
+    multi-channel images use the first channel.
+    """
+    fields = list(df.schema.fields)
+    out_schema = StructType(fields + [StructField(out_col, ArrayType(DoubleType()))])
+    cols = [f.name for f in fields]
+
+    def hog_one(arr: np.ndarray) -> list[float]:
+        g = arr[:, :, 0]
+        gy, gx = np.gradient(g)
+        mag = np.hypot(gx, gy)
+        ori = np.mod(np.degrees(np.arctan2(gy, gx)), 180.0)
+        b = np.minimum((ori / (180.0 / bins)).astype(np.int64), bins - 1)
+        h, w = g.shape
+        ch, cw = h // cell, w // cell
+        out = np.zeros((ch, cw, bins))
+        for cy in range(ch):
+            for cx in range(cw):
+                sl = (slice(cy * cell, (cy + 1) * cell), slice(cx * cell, (cx + 1) * cell))
+                np.add.at(out[cy, cx], b[sl].ravel(), mag[sl].ravel())
+        norms = np.linalg.norm(out, axis=2, keepdims=True)
+        out = out / np.maximum(norms, 1e-12)
+        return out.ravel().tolist()
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf = pdf.copy()
+            pdf[out_col] = [hog_one(_img_to_np(img)) for img in pdf[image_col]]
+            yield pdf[cols + [out_col]]
+
+    return df.mapInPandas(part, out_schema)

@@ -128,3 +128,52 @@ def test_fisher_vector_shapes_and_norm(spark):
     ).first().fv
     assert len(out) == 2 * K * d
     assert abs(np.linalg.norm(out) - 1.0) < 1e-9  # improved-FV L2 normalized
+
+
+def test_hog_features_vs_naive(spark):
+    from keystone_spark.operators.images import hog_features
+
+    rng = np.random.default_rng(11)
+    h = w = 8
+    g = rng.random((h, w))
+    img = {"height": h, "width": w, "n_channels": 1,
+           "data": g.astype(np.float32).ravel().tolist()}
+    df = spark.createDataFrame(
+        [(0, img)],
+        "id int, image struct<height:int,width:int,n_channels:int,data:array<float>>",
+    )
+    got = np.array(hog_features(df, cell=4, bins=9).first().hog)
+
+    # naive oracle: same definition, double loops
+    gf = np.asarray(img["data"], dtype=np.float64).reshape(h, w)
+    gy, gx = np.gradient(gf)
+    mag = np.hypot(gx, gy)
+    ori = np.mod(np.degrees(np.arctan2(gy, gx)), 180.0)
+    expected = []
+    for cy in range(2):
+        for cx in range(2):
+            hist = np.zeros(9)
+            for y in range(cy * 4, cy * 4 + 4):
+                for x in range(cx * 4, cx * 4 + 4):
+                    b = min(int(ori[y, x] / 20.0), 8)
+                    hist[b] += mag[y, x]
+            hist = hist / max(np.linalg.norm(hist), 1e-12)
+            expected.extend(hist)
+    np.testing.assert_allclose(got, np.array(expected), atol=1e-10)
+
+
+def test_gmm_recovers_separated_blobs(spark):
+    from keystone_spark.operators.learning import GaussianMixtureEstimator
+
+    rng = np.random.default_rng(2)
+    X = np.vstack([rng.normal(-4, 0.3, size=(40, 2)), rng.normal(4, 0.3, size=(40, 2))])
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(80)], "id int, features array<double>"
+    )
+    model = GaussianMixtureEstimator(k=2, seed=9).fit(df)
+    out = model(df).orderBy("id").toPandas()
+    probs = np.array(out["gmm_probs"].tolist())
+    c = probs.argmax(axis=1)
+    assert len(set(c[:40])) == 1 and len(set(c[40:])) == 1 and c[0] != c[79]
+    # well-separated blobs: responsibilities are near-certain
+    assert probs.max(axis=1).min() > 0.99
