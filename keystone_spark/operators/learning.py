@@ -37,6 +37,7 @@ class LinearMapper(Transformer):
         in_col: str = "features",
         out_col: str = "scores",
     ):
+        self.in_col, self.out_col = in_col, out_col
         self.W = np.asarray(W, dtype=np.float64)
         self.b = None if b is None else np.asarray(b, dtype=np.float64)
         W_, b_ = self.W, self.b
@@ -52,6 +53,26 @@ class LinearMapper(Transformer):
         super().__init__(
             lambda df: df.withColumn(out_col, gemm(F.col(in_col))), "linear_mapper"
         )
+
+    def save_params(self, path: str) -> None:
+        import json
+
+        with open(path, "w") as f:
+            json.dump(
+                {"in_col": self.in_col, "out_col": self.out_col,
+                 "W": self.W.tolist(),
+                 "b": None if self.b is None else self.b.tolist()},
+                f,
+            )
+
+    @classmethod
+    def load_params(cls, path: str) -> "LinearMapper":
+        import json
+
+        with open(path) as f:
+            p = json.load(f)
+        b = None if p["b"] is None else np.array(p["b"])
+        return cls(np.array(p["W"]), b, p["in_col"], p["out_col"])
 
 
 class BlockLinearMapper(Transformer):

@@ -257,6 +257,7 @@ class ImageVectorizer(ColumnTransformer):
 
 class StandardScalerModel(Transformer):
     def __init__(self, in_col: str, out_col: str, mean: np.ndarray, std: np.ndarray):
+        self.in_col, self.out_col = in_col, out_col
         self.mean, self.std = np.asarray(mean), np.asarray(std)
         safe_std = np.where(self.std == 0, 1.0, self.std)
         m, s = _lit_array(self.mean), _lit_array(safe_std)
@@ -273,7 +274,19 @@ class StandardScalerModel(Transformer):
         import json
 
         with open(path, "w") as f:
-            json.dump({"mean": self.mean.tolist(), "std": self.std.tolist()}, f)
+            json.dump(
+                {"in_col": self.in_col, "out_col": self.out_col,
+                 "mean": self.mean.tolist(), "std": self.std.tolist()},
+                f,
+            )
+
+    @classmethod
+    def load_params(cls, path: str) -> "StandardScalerModel":
+        import json
+
+        with open(path) as f:
+            p = json.load(f)
+        return cls(p["in_col"], p["out_col"], np.array(p["mean"]), np.array(p["std"]))
 
 
 class StandardScaler(Estimator):

@@ -208,6 +208,38 @@ class FittedPipeline(Transformer):
         with open(os.path.join(path, "manifest.json"), "w") as f:
             json.dump(manifest, f, indent=2)
 
+    @classmethod
+    def load(cls, path: str) -> "FittedPipeline":
+        """Reload without refitting (reference: FittedPipeline save/load,
+        SavedStateLoadRule R5). Every stage must have saved params — a
+        pipeline with closure-only transformers isn't reloadable and
+        should be rebuilt in code instead."""
+        with open(os.path.join(path, "manifest.json")) as f:
+            manifest = json.load(f)
+        registry = _loadable_registry()
+        stages: list[Transformer] = []
+        for entry in manifest:
+            if "params" not in entry:
+                raise ValueError(
+                    f"stage {entry['name']} ({entry['cls']}) saved no params; "
+                    "not reloadable"
+                )
+            loader = registry.get(entry["cls"])
+            if loader is None:
+                raise ValueError(f"no loader registered for {entry['cls']}")
+            stages.append(loader(os.path.join(path, entry["params"])))
+        return cls(stages)
+
+
+def _loadable_registry() -> dict[str, Callable[[str], Transformer]]:
+    from keystone_spark.operators.learning import LinearMapper
+    from keystone_spark.operators.stats import StandardScalerModel
+
+    return {
+        "LinearMapper": LinearMapper.load_params,
+        "StandardScalerModel": StandardScalerModel.load_params,
+    }
+
 
 def gather(branches: Sequence[Transformer], out_col: str = "features",
            in_cols: Sequence[str] | None = None) -> Transformer:

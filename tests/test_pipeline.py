@@ -108,3 +108,26 @@ def test_checkpointer_cuts_lineage(spark, tmp_path):
     assert out.count() == 100
     # lineage is cut: the plan is a fresh parquet scan, not the range
     assert "Range" not in out._jdf.queryExecution().toString()
+
+
+def test_fitted_pipeline_save_load_roundtrip(spark, tmp_path):
+    import numpy as np
+
+    from keystone_spark.operators.learning import LinearMapper
+    from keystone_spark.operators.stats import StandardScaler
+    from keystone_spark.plans.pipeline import FittedPipeline, Pipeline
+
+    rng = np.random.default_rng(21)
+    X = rng.normal(2.0, 3.0, size=(50, 3))
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(50)], "id int, features array<double>"
+    )
+    W = rng.normal(size=(3, 2))
+    pipe = Pipeline([StandardScaler("features", "z"), LinearMapper(W, None, "z", "scores")])
+    fitted = pipe.fit(df)
+    expected = fitted(df).orderBy("id").toPandas()["scores"].tolist()
+
+    fitted.save(str(tmp_path / "model"))
+    reloaded = FittedPipeline.load(str(tmp_path / "model"))
+    got = reloaded(df).orderBy("id").toPandas()["scores"].tolist()
+    np.testing.assert_allclose(np.array(got), np.array(expected), rtol=1e-12)
