@@ -89,12 +89,13 @@ class CommonSparseFeatures(Estimator):
             .groupBy("tok")
             .agg(F.count("*").alias("cnt"))
         )
+        # orderBy+limit -> TakeOrderedAndProject: every partition keeps only
+        # its local top-k, so no global sort materializes (the unpartitioned
+        # row_number window would funnel ALL distinct tokens through one
+        # reducer — a scale bug). The window then ranks just k rows.
+        topk = counts.orderBy(F.col("cnt").desc(), "tok").limit(self.k)
         w = Window.orderBy(F.col("cnt").desc(), "tok")
-        vocab = (
-            counts.withColumn("idx", F.row_number().over(w) - 1)
-            .where(F.col("idx") < self.k)
-            .select("tok", "idx")
-        )
+        vocab = topk.withColumn("idx", F.row_number().over(w) - 1).select("tok", "idx")
         vocab_rows = vocab.collect()  # k rows, tiny — becomes a literal map
         mapping = F.create_map(
             *[x for r in vocab_rows for x in (F.lit(r.tok), F.lit(r.idx))]
@@ -129,10 +130,14 @@ class WordFrequencyEncoder(Estimator):
             .groupBy("tok")
             .agg(F.count("*").alias("cnt"))
         )
+        # cap first via TakeOrderedAndProject (map-side top-k), then rank the
+        # capped set — same single-reducer-sort avoidance as
+        # CommonSparseFeatures; an uncapped vocab is collected anyway, so
+        # ranking it driver-side would also be fine.
+        if self.max_vocab:
+            counts = counts.orderBy(F.col("cnt").desc(), "tok").limit(self.max_vocab)
         w = Window.orderBy(F.col("cnt").desc(), "tok")
         vocab = counts.withColumn("idx", F.row_number().over(w) - 1)
-        if self.max_vocab:
-            vocab = vocab.where(F.col("idx") < self.max_vocab)
         rows = vocab.select("tok", "idx").collect()
         mapping = F.create_map(*[x for r in rows for x in (F.lit(r.tok), F.lit(r.idx))])
         in_col, out_col = self.in_col, self.out_col
@@ -259,3 +264,38 @@ class StupidBackoffModel(Transformer):
         return self.score_grams(
             self.counts[k].select("g", "cnt"), gram_col="g"
         )
+
+
+class AllSparseFeatures(Estimator):
+    """Index map over ALL observed features (reference:
+    nodes/misc/AllSparseFeatures.scala): distinct + rank. The full vocab is
+    collected into a literal map for the apply side, so this is for
+    bounded vocabularies; unbounded corpora should use CommonSparseFeatures
+    (top-k) or feature hashing instead."""
+
+    name = "all_sparse_features"
+
+    def __init__(self, in_col: str = "tokens", out_col: str = "sparse"):
+        self.in_col, self.out_col = in_col, out_col
+
+    def _fit(self, df: DataFrame) -> Transformer:
+        distinct = df.select(F.explode(self.in_col).alias("tok")).distinct()
+        w = Window.orderBy("tok")
+        vocab_rows = (
+            distinct.withColumn("idx", F.row_number().over(w) - 1).collect()
+        )
+        mapping = F.create_map(
+            *[x for r in vocab_rows for x in (F.lit(r.tok), F.lit(r.idx))]
+        )
+        in_col, out_col = self.in_col, self.out_col
+
+        def apply(d: DataFrame) -> DataFrame:
+            idxs = F.filter(
+                F.transform(F.col(in_col), lambda t: F.element_at(mapping, t)),
+                lambda i: i.isNotNull(),
+            )
+            return d.withColumn(out_col, F.array_sort(idxs))
+
+        t = Transformer(apply, "all_sparse_features")
+        t.vocab = {r.tok: r.idx for r in vocab_rows}
+        return t

@@ -86,3 +86,15 @@ def test_stupid_backoff_observed_and_backoff(corpus, spark):
     # observed-gram convenience path
     obs = {r.g: r.score for r in model.score_ngrams(2).collect()}
     assert abs(obs["a b"] - 3 / 4) < 1e-9
+
+
+def test_all_sparse_features_indexes_every_token(spark):
+    from keystone_spark.operators.nlp import AllSparseFeatures
+
+    df = spark.createDataFrame(
+        [(0, ["b", "a"]), (1, ["c", "a", "zz"])], "id int, tokens array<string>"
+    )
+    model = AllSparseFeatures().fit(df)
+    assert model.vocab == {"a": 0, "b": 1, "c": 2, "zz": 3}
+    out = {r.id: r.sparse for r in model(df).collect()}
+    assert out[0] == [0, 1] and out[1] == [0, 2, 3]
