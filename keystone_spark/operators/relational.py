@@ -102,6 +102,61 @@ def _key_cols(df: DataFrame) -> list[str]:
     return df.columns
 
 
+def asof_join_merge(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """Merge-based as-of join — the 100 TB formulation.
+
+    Union both sides tagged, sort within each key partition by timestamp,
+    and carry the latest right-side values forward with
+    ``last(..., ignorenulls)`` over a running frame: ONE shuffle on the
+    equi-keys, zero join fan-out, no nested-loop fallback — unlike the
+    range-join form, cost is O(n log n) per key regardless of how many
+    right rows precede each left row.
+
+    Right rows order before left rows at equal timestamps, so the match is
+    at-or-before (backward) / at-or-after (forward, implemented by negating
+    the sort). Returns the left rows plus ``value_cols`` from the matched
+    right row (null when no match).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+
+    lcols = left.columns
+    l2 = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"__v_{v}")
+          for v in value_cols],
+    )
+    r2 = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          if c not in on else F.col(c) for c in lcols],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.col(v).alias(f"__v_{v}") for v in value_cols],
+    )
+    u = l2.unionByName(r2)
+    sort_ts = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(sort_ts, "__is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        *lcols, "__is_left",
+        *[F.last(f"__v_{v}", ignorenulls=True).over(w).alias(v) for v in value_cols],
+    )
+    return carried.where(F.col("__is_left") == 1).drop("__is_left")
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -61,3 +61,51 @@ def test_range_join(spark):
     out = range_join(a, b, (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi")),
                      broadcast_right=True)
     assert [r.id for r in out.collect()] == [1]
+
+
+def test_asof_join_merge_matches_range_form(spark, sf_dir):
+    """The merge formulation must agree with the range-join+max reduction
+    on the events fixture (most recent signup at-or-before each error)."""
+    from pyspark.sql import functions as F
+
+    from keystone_spark.operators.relational import asof_join_merge
+    from keystone_spark.sources import load_table
+
+    e = load_table(spark, "events", sf_dir)
+    err = e.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    sig = e.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("s_ts"), F.col("ts").alias("sig_ts")
+    )
+    merged = asof_join_merge(
+        err, sig, on=["user_id"], left_ts="ts", right_ts="s_ts",
+        value_cols=["sig_ts"],
+    ).select("event_id", F.unix_timestamp("sig_ts").alias("signup_ts"))
+
+    j = err.join(
+        sig.withColumnRenamed("user_id", "s_user"),
+        (F.col("user_id") == F.col("s_user")) & (F.col("s_ts") <= F.col("ts")),
+        "left",
+    ).groupBy("event_id").agg(F.unix_timestamp(F.max("s_ts")).alias("signup_ts"))
+
+    a = sorted(tuple(r) for r in merged.collect())
+    b = sorted(tuple(r) for r in j.collect())
+    assert a == b
+
+
+def test_asof_join_merge_single_shuffle(spark, sf_dir):
+    """Plan audit: exactly one exchange (the window's key partition), no
+    join operator at all."""
+    from pyspark.sql import functions as F
+
+    from keystone_spark.operators.relational import asof_join_merge
+    from keystone_spark.sources import load_table
+
+    e = load_table(spark, "events", sf_dir)
+    err = e.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    sig = e.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("s_ts"), F.col("value").alias("v")
+    )
+    out = asof_join_merge(err, sig, ["user_id"], "ts", "s_ts", ["v"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
