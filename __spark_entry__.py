@@ -248,18 +248,20 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of: for each 'error' event, the most recent 'signup' of the same
-    user at-or-before it (range join + max, the scalable reduction form)."""
+    user at-or-before it — merge formulation (union + running last over the
+    user partition): one shuffle, no join fan-out
+    (operators/relational.asof_join_merge)."""
+    from keystone_spark.operators.relational import asof_join_merge
+
     e = _t(spark, sf_dir, "events")
     err = e.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
     sig = e.where(F.col("event_type") == "signup").select(
-        F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts")
-    )
-    j = err.join(
-        sig, (err.user_id == sig.s_user) & (sig.s_ts <= err.ts), "left"
+        "user_id", F.col("ts").alias("s_ts"), F.col("ts").alias("sig_ts")
     )
     return (
-        j.groupBy("event_id")
-        .agg(F.unix_timestamp(F.max("s_ts")).alias("signup_ts"))
+        asof_join_merge(err, sig, on=["user_id"], left_ts="ts",
+                        right_ts="s_ts", value_cols=["sig_ts"])
+        .select("event_id", F.unix_timestamp("sig_ts").alias("signup_ts"))
         .orderBy("event_id")
     )
 
