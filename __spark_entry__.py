@@ -781,6 +781,21 @@ def q_mean_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("cls").cast("long").alias("cls"), "ap").orderBy("cls")
 
 
+def q_event_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h window, 1h slide) over events — each event lands
+    in exactly 2 windows; F.window handles the assignment natively."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("c"), F.round(F.sum("value"), 6).alias("v"))
+        .select(
+            F.unix_timestamp("win.start").alias("w"),
+            "event_type", "c", "v",
+        )
+        .orderBy("w", "event_type")
+    )
+
+
 def q_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map/JSON surface: from_json -> map<string,string>, map_keys /
     element access — events.props JSON column."""
@@ -997,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_frequency": q_term_frequency,
         "stupid_backoff": q_stupid_backoff,
         "mean_avg_precision": q_mean_avg_precision,
+        "event_sliding_window": q_event_sliding_window,
         "map_fns": q_map_fns,
         "approx_distinct": q_approx_distinct,
         "lang_id": q_lang_id,
@@ -1382,6 +1398,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM s)
             SELECT CAST(cls AS BIGINT) AS cls, ROUND(AVG(cum * 1.0 / rk), 6) AS ap
             FROM r WHERE rel = 1 GROUP BY cls ORDER BY cls
+        """,
+        "event_sliding_window": """
+            WITH w AS (
+                SELECT CAST(extract(epoch FROM DATE_TRUNC('hour', ts)) AS BIGINT)
+                           - 3600 * off AS w,
+                       event_type, value
+                FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS off) o)
+            SELECT w, event_type, COUNT(*) AS c, ROUND(SUM(value), 6) AS v
+            FROM w GROUP BY w, event_type ORDER BY w, event_type
         """,
         "map_fns": """
             SELECT event_id,
