@@ -196,3 +196,32 @@ def stateful_running_agg(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "r_ts",
+    lower: str = "0 seconds",
+    upper: str = "5 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream (or batch) inner join: same key, right event within
+    (left_ts - lower handled by caller orientation; here right in
+    [left_ts - upper, left_ts]). In streaming both sides carry watermarks
+    and the time-range condition bounds join state retention — without it
+    Spark would buffer both streams forever.
+    """
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, watermark)
+    right = right.withColumnRenamed(on, "__rk")
+    cond = (
+        (left[on] == right["__rk"])
+        & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {upper}"))
+        & (F.col(right_ts) <= F.col(left_ts) - F.expr(f"INTERVAL {lower}"))
+    )
+    return left.join(right, cond, "inner").drop("__rk")

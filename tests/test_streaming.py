@@ -92,3 +92,46 @@ def test_stateful_running_agg_batch_vs_stream(spark, sf_dir, events):
         return _rows(df.withColumn("sum_value", F.round("sum_value", 6)))
 
     assert rounded(final) == rounded(batch)
+
+
+def test_stream_stream_interval_join_vs_batch(spark, sf_dir, events):
+    """Stream-stream join with watermarks + time-range state bound: every
+    error joined to same-user signups in the preceding 5 minutes, appended
+    via AvailableNow, must equal the batch join."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from keystone_spark.streaming.windows import interval_join
+
+    def split(df):
+        err = df.where(F.col("event_type") == "error").select(
+            "event_id", "user_id", "ts"
+        )
+        sig = df.where(F.col("event_type") == "signup").select(
+            F.col("event_id").alias("sig_id"), "user_id", F.col("ts").alias("r_ts")
+        )
+        return err, sig
+
+    b_err, b_sig = split(events)
+    batch = interval_join(
+        b_err, b_sig, "user_id", upper="6 hours", watermark="12 hours"
+    ).select("event_id", "sig_id")
+
+    s_err, s_sig = split(read_events_stream(spark, f"{sf_dir}/events.parquet"))
+    streamed = interval_join(
+        s_err, s_sig, "user_id", upper="6 hours", watermark="12 hours"
+    ).select("event_id", "sig_id")
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            streamed.writeStream.format("memory")
+            .queryName("ssj_out")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    got = spark.sql("SELECT * FROM ssj_out")
+    assert _rows(got) == _rows(batch)
+    assert len(_rows(batch)) > 0
