@@ -81,3 +81,27 @@ def register_views(
     """Register every fixture table as a temp view for spark.sql use."""
     for n, df in load_tables(spark, sf_dir, names).items():
         df.createOrReplaceTempView(n)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    n_buckets: int = 32,
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` bucketed (and sorted) by ``keys`` — the co-located
+    join layout: two tables bucketed the same way join with ZERO exchange
+    (each task reads matching bucket files from both sides), which at
+    100 TB removes the dominant shuffle of repeated large-to-large joins.
+    Bucket metadata lives in the session catalog (saveAsTable), files at
+    ``path`` when given."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *keys).sortBy(*keys)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table back (bucket layout comes from the catalog)."""
+    return spark.table(table)

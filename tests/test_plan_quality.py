@@ -95,3 +95,29 @@ def test_loader_applies_events_normalization(spark, sf_dir):
 
     ev = load_table(spark, "events", sf_dir)
     assert dict(ev.dtypes)["ts"] == "timestamp"
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Co-located join: orders and customer bucketed on the join key must
+    sort-merge-join with zero Exchange in the final plan."""
+    from keystone_spark.sources import load_table
+    from keystone_spark.sources.tables import read_bucketed, write_bucketed
+
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_acctbal")
+    write_bucketed(orders, "orders_b", ["o_custkey"], 8, str(tmp_path / "ob"))
+    write_bucketed(cust, "cust_b", ["c_custkey"], 8, str(tmp_path / "cb"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = read_bucketed(spark, "orders_b").join(
+            read_bucketed(spark, "cust_b"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        assert j.count() > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan[:1500]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS cust_b")
