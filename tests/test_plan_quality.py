@@ -60,6 +60,11 @@ def test_semi_join_stays_semi(spark, sf_dir, qs):
 def test_scan_filter_codegen(spark, sf_dir, qs):
     # AQE defers codegen planning until execution; disable it so the
     # static plan exposes the WholeStageCodegen spans we want to pin.
+    # Pre-warm the table cache first: a load_table cache miss re-applies
+    # RUNTIME_CONFS, which would silently switch AQE back on.
+    from keystone_spark.sources import load_table
+
+    load_table(spark, "lineitem", sf_dir)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         df = qs["filter_project"](spark, sf_dir)
