@@ -252,11 +252,15 @@ def ivf_topk(
     p_ids, p_mat = _collect_probes(probes, id_col, vec_col)
     p_norm = _normalize(p_mat)
 
+    # deterministic training sample: first sample_size rows by id
+    # (TakeOrderedAndProject — partition-local top-k, no full sort; a bare
+    # limit() would pick partition-order-dependent rows and make the
+    # centroids, and thus the whole result, nondeterministic)
     samp = np.array(
         [
-            r[0]
-            for r in data.select(vec_col)
-            .sample(False, 1.0, seed=seed)
+            r[1]
+            for r in data.select(id_col, vec_col)
+            .orderBy(id_col)
             .limit(sample_size)
             .collect()
         ],
