@@ -1,0 +1,128 @@
+"""End-to-end pipeline tests mirroring the reference's three flagship
+workloads (SURVEY §3 E3 / BASELINE Part A): an image featurization +
+solve chain (RandomPatchCifar shape), a text n-gram classification chain
+(AmazonReviewsPipeline shape), and a random-feature + least-squares chain
+(TimitPipeline shape). Each asserts an accuracy floor on synthetic,
+seeded data — the reference's smoke-test pattern (SURVEY §5.4)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+RNG = np.random.default_rng(31)
+
+
+def _accuracy(df, label="label", pred="pred") -> float:
+    from keystone_spark.operators.evaluation import accuracy
+
+    return accuracy(df, label, pred)
+
+
+def test_image_pipeline_conv_pool_solve(spark):
+    """Images whose class is encoded in which half is brighter: random-filter
+    convolution -> symmetric rectify -> sum-pool -> vectorize -> least
+    squares one-hot solve -> argmax. The ConvNet-without-learning recipe."""
+    from keystone_spark.operators.images import Convolver, Pooler
+    from keystone_spark.operators.learning import LeastSquaresEstimator
+    from keystone_spark.operators.stats import (
+        ClassLabelIndicators,
+        ImageVectorizer,
+        MaxClassifier,
+        SymmetricRectifier,
+    )
+
+    n, h, w = 80, 8, 8
+    labels = RNG.integers(0, 2, size=n)
+    rows = []
+    for i in range(n):
+        img = RNG.random((h, w, 1)) * 0.2
+        if labels[i] == 1:
+            img[:, : w // 2] += 1.0  # left half bright
+        else:
+            img[:, w // 2 :] += 1.0
+        rows.append(
+            (i, int(labels[i]),
+             {"height": h, "width": w, "n_channels": 1,
+              "data": img.astype(np.float32).ravel().tolist()})
+        )
+    df = spark.createDataFrame(
+        rows,
+        "id int, label int, image struct<height:int,width:int,n_channels:int,data:array<float>>",
+    )
+
+    filters = RNG.normal(size=(4, 3 * 3 * 1))  # 4 random 3x3 filters
+    feats = (
+        Pooler(stride=3, pool="sum")(
+            Convolver(filters, 3, 3, 1)(df, "image", "conv"), "conv", "pooled"
+        )
+    )
+    feats = ImageVectorizer("pooled", "features")(feats)
+    feats = SymmetricRectifier("features")(feats)
+    feats = ClassLabelIndicators(2)(feats)
+    model = LeastSquaresEstimator("features", "y", reg_param=1e-6).fit(feats)
+    scored = MaxClassifier("scores", "pred")(model(feats))
+    assert _accuracy(scored) >= 0.95
+
+
+def test_text_pipeline_ngrams_to_classifier(spark):
+    """Two synthetic 'languages' with disjoint vocabularies: tokenize ->
+    1..2-grams -> top-k sparse features -> densify -> logistic regression."""
+    from keystone_spark.operators.learning import LogisticRegressionEstimator
+    from keystone_spark.operators.nlp import (
+        CommonSparseFeatures,
+        NGramsFeaturizer,
+        Tokenizer,
+    )
+    
+
+    vocab_a = [f"alpha{i}" for i in range(20)]
+    vocab_b = [f"beta{i}" for i in range(20)]
+    rows = []
+    for i in range(100):
+        lbl = i % 2
+        words = RNG.choice(vocab_a if lbl == 0 else vocab_b, size=12)
+        rows.append((i, int(lbl), " ".join(words)))
+    df = spark.createDataFrame(rows, "id int, label int, text string")
+
+    chain = Tokenizer("text") | NGramsFeaturizer(1, 2)
+    toks = chain(df)
+    k = 64
+    sparse_model = CommonSparseFeatures(k, in_col="ngrams").fit(toks)
+    # presence multi-hot over the learned vocab indices
+    feats = sparse_model(toks).withColumn(
+        "features",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: F.when(F.array_contains("sparse", i), 1.0).otherwise(0.0),
+        ),
+    )
+    model = LogisticRegressionEstimator().fit(feats)
+    assert _accuracy(model(feats)) >= 0.98
+
+
+def test_speech_shape_pipeline_random_features_solve(spark):
+    """TIMIT shape: dense frames -> cosine random features -> one-hot least
+    squares -> argmax. Classes are Gaussian blobs, so random Fourier
+    features + a linear solve must separate them."""
+    from keystone_spark.operators.learning import LeastSquaresEstimator
+    from keystone_spark.operators.stats import (
+        ClassLabelIndicators,
+        CosineRandomFeatures,
+        MaxClassifier,
+        StandardScaler,
+    )
+
+    d, classes, per = 8, 3, 40
+    centers = RNG.normal(size=(classes, d)) * 3
+    X = np.vstack([c + RNG.normal(size=(per, d)) * 0.4 for c in centers])
+    y = np.repeat(np.arange(classes), per)
+    df = spark.createDataFrame(
+        [(i, int(y[i]), X[i].tolist()) for i in range(len(X))],
+        "id int, label int, features array<double>",
+    )
+    pipe_in = StandardScaler("features", "z").fit(df)(df)
+    rf = CosineRandomFeatures(d, 256, gamma=0.5, seed=11, in_col="z")(pipe_in)
+    rf = ClassLabelIndicators(classes)(rf)
+    model = LeastSquaresEstimator("rf", "y", reg_param=1e-4).fit(rf)
+    scored = MaxClassifier("scores", "pred")(model(rf))
+    assert _accuracy(scored) >= 0.95
