@@ -362,3 +362,80 @@ def hog_features(
             yield pdf[cols + [out_col]]
 
     return df.mapInPandas(part, out_schema)
+
+
+def _gauss_smooth(img: np.ndarray, sigma: float) -> np.ndarray:
+    """Separable Gaussian blur, numpy-only (reflect padding)."""
+    r = max(1, int(3 * sigma))
+    x = np.arange(-r, r + 1)
+    k = np.exp(-(x**2) / (2 * sigma**2))
+    k /= k.sum()
+    pad = np.pad(img, ((r, r), (0, 0)), mode="reflect")
+    img = np.apply_along_axis(lambda c: np.convolve(c, k, "valid"), 0, pad)
+    pad = np.pad(img, ((0, 0), (r, r)), mode="reflect")
+    return np.apply_along_axis(lambda c: np.convolve(c, k, "valid"), 1, pad)
+
+
+def daisy_features(
+    df: DataFrame,
+    image_col: str = "image",
+    out_col: str = "daisy",
+    bins: int = 4,
+    rings: int = 2,
+    ring_points: int = 6,
+    radius_step: int = 2,
+) -> DataFrame:
+    """DAISY descriptor at the image center, numpy-only (reference:
+    nodes/images/DaisyExtractor.scala; algorithm from Tola et al. 2010:
+    rectified orientation maps, Gaussian-smoothed at increasing scales,
+    histograms sampled at ring points).
+
+    Simplification vs upstream: one descriptor per image (center anchor)
+    instead of dense per-pixel extraction — dense extraction is the same
+    kernel over a grid of anchors (explode, as RandomPatcher does).
+    Each histogram is L2-normalized. Output length:
+    bins * (1 + rings * ring_points).
+    """
+    fields = list(df.schema.fields)
+    out_schema = StructType(fields + [StructField(out_col, ArrayType(DoubleType()))])
+    cols = [f.name for f in fields]
+
+    def one(arr: np.ndarray) -> list[float]:
+        g = arr[:, :, 0]
+        gy, gx = np.gradient(g)
+        thetas = np.arange(bins) * (2 * np.pi / bins)
+        omaps = [np.maximum(0.0, np.cos(t) * gx + np.sin(t) * gy) for t in thetas]
+        # one smoothed stack per ring scale (sigma grows outward)
+        stacks = [
+            np.stack([_gauss_smooth(m, 0.8 * (q + 1)) for m in omaps], axis=-1)
+            for q in range(rings + 1)
+        ]
+        h, w = g.shape
+        cy, cx = h // 2, w // 2
+
+        def hist_at(stack: np.ndarray, y: int, x: int) -> np.ndarray:
+            y = int(np.clip(y, 0, h - 1))
+            x = int(np.clip(x, 0, w - 1))
+            v = stack[y, x].astype(np.float64)
+            n = np.linalg.norm(v)
+            return v / n if n > 0 else v
+
+        out = [hist_at(stacks[0], cy, cx)]
+        for q in range(1, rings + 1):
+            r = q * radius_step
+            for p in range(ring_points):
+                a = 2 * np.pi * p / ring_points
+                out.append(
+                    hist_at(stacks[q], round(cy + r * np.sin(a)), round(cx + r * np.cos(a)))
+                )
+        return np.concatenate(out).tolist()
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf = pdf.copy()
+            pdf[out_col] = [one(_img_to_np(img)) for img in pdf[image_col]]
+            yield pdf[cols + [out_col]]
+
+    return df.mapInPandas(part, out_schema)

@@ -177,3 +177,26 @@ def test_gmm_recovers_separated_blobs(spark):
     assert len(set(c[:40])) == 1 and len(set(c[40:])) == 1 and c[0] != c[79]
     # well-separated blobs: responsibilities are near-certain
     assert probs.max(axis=1).min() > 0.99
+
+
+def test_daisy_features_shape_and_orientation(spark):
+    from keystone_spark.operators.images import daisy_features
+
+    h = w = 16
+    # vertical edge: gradient points in +x, so the theta=0 bin dominates
+    g = np.zeros((h, w), dtype=np.float32)
+    g[:, w // 2 :] = 1.0
+    img = {"height": h, "width": w, "n_channels": 1, "data": g.ravel().tolist()}
+    df = spark.createDataFrame(
+        [(0, img)],
+        "id int, image struct<height:int,width:int,n_channels:int,data:array<float>>",
+    )
+    out = np.array(daisy_features(df, bins=4, rings=2, ring_points=6).first().daisy)
+    assert out.shape == (4 * (1 + 2 * 6),)
+    center = out[:4]
+    assert center[0] > 0.9          # +x orientation dominates
+    assert center[2] < 1e-9          # -x rectified away
+    # histograms are L2-normalized (or empty)
+    for i in range(0, len(out), 4):
+        n = np.linalg.norm(out[i : i + 4])
+        assert n < 1.0 + 1e-9
