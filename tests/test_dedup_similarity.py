@@ -136,3 +136,21 @@ def test_rolling_fingerprint_shift_invariant(spark):
     out = df.select("id", rolling_fingerprint(tokens("text"), 8).alias("fp"))
     fps = {r.id: r.fp for r in out.collect()}
     assert fps[0] == fps[1]
+
+
+def test_simhash_arrow_matches_codegen(spark, sf_dir):
+    """The Arrow-vectorized simhash must be bit-for-bit identical to the
+    pure-codegen column expression."""
+    from pyspark.sql import functions as F
+
+    from keystone_spark.functions.text import simhash64, tokens
+    from keystone_spark.operators.dedup import simhash_signatures_arrow
+    from keystone_spark.sources import load_table
+
+    d = load_table(spark, "documents", sf_dir).limit(100)
+    codegen = {
+        r.doc_id: r.sh
+        for r in d.select("doc_id", simhash64(tokens(F.col("text"))).alias("sh")).collect()
+    }
+    arrow = {r.doc_id: r["__sh"] for r in simhash_signatures_arrow(d).collect()}
+    assert arrow == codegen
