@@ -781,6 +781,22 @@ def q_mean_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("cls").cast("long").alias("cls"), "ap").orderBy("cls")
 
 
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (linear interpolation — matches
+    quantile_cont); the approximate scale path is percentile_approx
+    (t-digest sketch), same call shape."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("q25"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q_event_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (2h window, 1h slide) over events — each event lands
     in exactly 2 windows; F.window handles the assignment natively."""
@@ -1012,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_frequency": q_term_frequency,
         "stupid_backoff": q_stupid_backoff,
         "mean_avg_precision": q_mean_avg_precision,
+        "percentiles": q_percentiles,
         "event_sliding_window": q_event_sliding_window,
         "map_fns": q_map_fns,
         "approx_distinct": q_approx_distinct,
@@ -1398,6 +1415,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM s)
             SELECT CAST(cls AS BIGINT) AS cls, ROUND(AVG(cum * 1.0 / rk), 6) AS ap
             FROM r WHERE rel = 1 GROUP BY cls ORDER BY cls
+        """,
+        "percentiles": """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+                   ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+                   ROUND(quantile_cont(l_quantity, 0.25), 6) AS q25
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "event_sliding_window": """
             WITH w AS (
