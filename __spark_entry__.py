@@ -781,6 +781,26 @@ def q_mean_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("cls").cast("long").alias("cls"), "ap").orderBy("cls")
 
 
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window: per customer, orders (count + revenue) in the
+    30 days ending at each order — value-based frame, not row-based."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.count("*").over(w).alias("n_30d"),
+            F.round(F.sum("o_totalprice").over(w), 6).alias("rev_30d"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per group (linear interpolation — matches
     quantile_cont); the approximate scale path is percentile_approx
@@ -1028,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_frequency": q_term_frequency,
         "stupid_backoff": q_stupid_backoff,
         "mean_avg_precision": q_mean_avg_precision,
+        "window_range_frame": q_window_range_frame,
         "percentiles": q_percentiles,
         "event_sliding_window": q_event_sliding_window,
         "map_fns": q_map_fns,
@@ -1415,6 +1436,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM s)
             SELECT CAST(cls AS BIGINT) AS cls, ROUND(AVG(cum * 1.0 / rk), 6) AS ap
             FROM r WHERE rel = 1 GROUP BY cls ORDER BY cls
+        """,
+        "window_range_frame": """
+            SELECT o_custkey, o_orderkey,
+                   COUNT(*) OVER w AS n_30d,
+                   ROUND(SUM(o_totalprice) OVER w, 6) AS rev_30d
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY CAST(extract(epoch FROM o_orderdate) AS BIGINT)
+                         RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+            ORDER BY o_custkey, o_orderkey
         """,
         "percentiles": """
             SELECT l_returnflag,

@@ -225,3 +225,23 @@ def interval_join(
         & (F.col(right_ts) <= F.col(left_ts) - F.expr(f"INTERVAL {lower}"))
     )
     return left.join(right, cond, "inner").drop("__rk")
+
+
+def run_foreach_batch(
+    stream_df: DataFrame,
+    batch_fn,
+    output_mode: str = "update",
+) -> None:
+    """Drain a stream through a foreachBatch sink (AvailableNow): the
+    custom-sink surface — batch_fn(df, epoch_id) gets each micro-batch as
+    a plain DataFrame, so any batch writer (upsert, multi-table fan-out,
+    external systems) becomes a streaming sink. Blocks until drained."""
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream_df.writeStream.foreachBatch(batch_fn)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

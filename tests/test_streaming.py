@@ -135,3 +135,51 @@ def test_stream_stream_interval_join_vs_batch(spark, sf_dir, events):
     got = spark.sql("SELECT * FROM ssj_out")
     assert _rows(got) == _rows(batch)
     assert len(_rows(batch)) > 0
+
+
+def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
+    """foreachBatch as a custom sink: tumbling counts appended to parquet
+    per micro-batch; the union of batches must cover every event once."""
+    from keystone_spark.streaming.windows import run_foreach_batch
+
+    out_dir = str(tmp_path / "agg_out")
+    stream_in = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    streamed = tumbling_window_agg(stream_in, duration="1 hour", watermark="2 hours")
+
+    def write_batch(df, epoch_id):
+        df.write.mode("append").parquet(out_dir)
+
+    run_foreach_batch(streamed, write_batch, output_mode="complete")
+    got = spark.read.parquet(out_dir)
+    # complete mode + AvailableNow: final batch holds the full answer;
+    # dedupe on keys keeping max count covers earlier partial batches
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    w = W.partitionBy("w_start", "event_type").orderBy(F.col("c").desc())
+    final = (
+        got.withColumn("rk", F.row_number().over(w)).where("rk = 1").drop("rk")
+    )
+    total = final.agg(F.sum("c")).first()[0]
+    assert total == load_table(spark, "events", sf_dir).count()
+
+
+def test_streaming_dedup_drops_planted_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark on a real stream: plant exact dup
+    rows, stream the file, assert one survivor per key."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "dups")
+    base = spark.range(50).select(
+        F.col("id").alias("k"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    base.unionAll(base).write.parquet(src)  # every key twice
+
+    stream = spark.readStream.schema("k long, ts timestamp").parquet(src)
+    deduped = dedup_within_watermark(stream, ["k"], "ts", "1 hour")
+    run_available_now(
+        deduped.groupBy().count().withColumnRenamed("count", "n"), "dedup_out"
+    )
+    n = spark.sql("SELECT n FROM dedup_out").first().n
+    assert n == 50
