@@ -126,3 +126,14 @@ def test_speech_shape_pipeline_random_features_solve(spark):
     model = LeastSquaresEstimator("rf", "y", reg_param=1e-4).fit(rf)
     scored = MaxClassifier("scores", "pred")(model(rf))
     assert _accuracy(scored) >= 0.95
+
+
+def test_text_classify_app_runs_above_chance(spark, sf_dir):
+    """E3 entry-point shape: the example app must run end-to-end and beat
+    the 5-class chance floor on the (weakly separable) synthetic fixture."""
+    from keystone_spark.apps.text_classify import build_and_eval
+
+    out = build_and_eval(spark, sf_dir, k=128)
+    assert out["n_docs"] == 500
+    assert len(out["classes"]) == 5
+    assert out["accuracy"] > 0.25
