@@ -137,3 +137,16 @@ def test_text_classify_app_runs_above_chance(spark, sf_dir):
     assert out["n_docs"] == 500
     assert len(out["classes"]) == 5
     assert out["accuracy"] > 0.25
+
+
+def test_curate_corpus_app_monotone_stages(spark, sf_dir):
+    """North-star LLM curation pipeline: stage counts must be monotonically
+    non-increasing and near-dedup must actually drop the fixture's planted
+    near-duplicates."""
+    from keystone_spark.apps.curate_corpus import curate
+
+    out = curate(spark, sf_dir)
+    assert out["docs_in"] >= out["after_exact_dedup"] >= out["after_near_dedup"]
+    assert out["after_near_dedup"] >= out["after_quality_filter"]
+    assert out["after_near_dedup"] < out["docs_in"]  # near-dups exist
+    assert out["ws_tokens"] > 0 and out["bpe_tokens"] > 0
