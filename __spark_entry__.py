@@ -990,6 +990,119 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS subquery (TPC-H Q4 shape): orders in 1996-H1 with at least one
+    heavy lineitem, counted by priority — decorrelated to a left-semi join
+    (the plan Catalyst produces for EXISTS; no per-row subquery execution)."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("c"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape): revenue of below-20%%-of-
+    average-quantity lineitems for one brand. Decorrelated: per-part avg as a
+    separate agg, joined back (one shuffle; the per-part agg output is tiny
+    so AQE broadcasts it at runtime)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    thresh = li.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("thresh")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(thresh, "l_partkey")
+        .where(F.col("l_quantity") < F.col("thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
+    )
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 undelivered orders by revenue for one segment.
+    Filters push to all three scans; customer dim broadcasts."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1996-06-01").cast("date")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1996-06-01").cast("date")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (confusion matrix in wide form): label rows x pred columns.
+    Explicit pivot values avoid the extra distinct-collect job at scale."""
+    e = _t(spark, sf_dir, "embeddings")
+    piv = (
+        e.select("label", (F.col("vec_id") % 10).alias("pred"))
+        .groupBy("label")
+        .pivot("pred", list(range(10)))
+        .count()
+        .na.fill(0)
+    )
+    return piv.select(
+        "label", *[F.col(str(i)).cast("long").alias(f"p{i}") for i in range(10)]
+    ).orderBy("label")
+
+
+def q_covar_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates: sample covariance / correlation / variance
+    per group (one pass, partial+final co-moment merge)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("r"),
+            F.round(F.var_samp("l_quantity"), 6).alias("vq"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_window_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function window surface: percent_rank / cume_dist / rank /
+    dense_rank per customer ordered by order value."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1059,6 +1172,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "augmented_eval": q_augmented_eval,
         "ivf_topk": q_ivf_topk,
+        "exists_subquery": q_exists_subquery,
+        "scalar_subquery": q_scalar_subquery,
+        "shipping_priority": q_shipping_priority,
+        "pivot_counts": q_pivot,
+        "covar_corr": q_covar_corr,
+        "window_pct": q_window_pct,
     }
 
 
@@ -1576,5 +1695,66 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(avg_scores[1], 6) AS m0, ROUND(avg_scores[2], 6) AS m1,
                    ROUND(avg_scores[3], 6) AS m2, ROUND(avg_scores[4], 6) AS m3
             FROM m ORDER BY sid, label
+        """,
+        "exists_subquery": """
+            SELECT o_orderpriority, COUNT(*) AS c FROM orders o
+            WHERE o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1996-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_quantity > 45)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "scalar_subquery": """
+            SELECT ROUND(SUM(l_extendedprice) / 7.0, 6) AS avg_yearly
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_brand = 'Brand#23'
+              AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                                  FROM lineitem l2
+                                  WHERE l2.l_partkey = l.l_partkey)
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < DATE '1996-06-01'
+              AND l_shipdate > DATE '1996-06-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "pivot_counts": """
+            SELECT label,
+                   COUNT(*) FILTER (WHERE pred = 0) AS p0,
+                   COUNT(*) FILTER (WHERE pred = 1) AS p1,
+                   COUNT(*) FILTER (WHERE pred = 2) AS p2,
+                   COUNT(*) FILTER (WHERE pred = 3) AS p3,
+                   COUNT(*) FILTER (WHERE pred = 4) AS p4,
+                   COUNT(*) FILTER (WHERE pred = 5) AS p5,
+                   COUNT(*) FILTER (WHERE pred = 6) AS p6,
+                   COUNT(*) FILTER (WHERE pred = 7) AS p7,
+                   COUNT(*) FILTER (WHERE pred = 8) AS p8,
+                   COUNT(*) FILTER (WHERE pred = 9) AS p9
+            FROM (SELECT label, vec_id % 10 AS pred FROM embeddings) t
+            GROUP BY label ORDER BY label
+        """,
+        "covar_corr": """
+            SELECT l_returnflag,
+                   ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS cov,
+                   ROUND(CORR(l_quantity, l_extendedprice), 6) AS r,
+                   ROUND(VAR_SAMP(l_quantity), 6) AS vq
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "window_pct": """
+            SELECT o_custkey, o_orderkey,
+                   ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+                   ROUND(CUME_DIST() OVER w, 6) AS cd,
+                   RANK() OVER w AS rnk,
+                   DENSE_RANK() OVER w AS drnk
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice)
+            ORDER BY o_custkey, o_orderkey
         """,
     }
