@@ -39,6 +39,18 @@ def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     return df.dropDuplicates(cols) if cols else df.dropDuplicates()
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread a narrow input (e.g. one small parquet file) across the
+    cluster before a CPU-heavy Arrow kernel. The shuffle moves only the raw
+    rows (cheap); without it, a single-file scan pins the whole signature
+    computation to one Python worker. No-op when the input already has
+    enough partitions (the 100 TB case)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingle_hashes(text_col, k: int = 5):
     """Distinct k-char shingles -> array<long> xxhash64 values, JVM-side."""
     return F.transform(char_shingles(text_col, k), lambda s: F.xxhash64(s))
@@ -61,7 +73,7 @@ def minhash_signatures(
     A = rng.integers(1, _MERSENNE, size=n_hashes, dtype=np.int64)
     B = rng.integers(0, _MERSENNE, size=n_hashes, dtype=np.int64)
 
-    hashed = df.select(
+    hashed = _ensure_parallelism(df).select(
         F.col(id_col).alias("__id"), shingle_hashes(F.col(text_col), shingle_k).alias("__h")
     )
     out_schema = StructType(
@@ -162,9 +174,11 @@ def jaccard_verify(
         .unionByName(pairs.select(F.col("j").alias(id_col)))
         .distinct()
     )
+    # persisted: consumed by both the i-side and j-side joins below —
+    # without it the semi-join + shingling runs twice.
     sh = df.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col), char_shingles(F.col(text_col), shingle_k).alias("__sh")
-    )
+    ).persist()
     out = (
         pairs.join(sh.select(F.col(id_col).alias("i"), F.col("__sh").alias("__si")), "i")
         .join(sh.select(F.col(id_col).alias("j"), F.col("__sh").alias("__sj")), "j")
@@ -180,6 +194,37 @@ def jaccard_verify(
     return out
 
 
+def minhash_estimate_filter(
+    pairs: DataFrame,
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 128,
+    threshold: float = 0.8,
+    margin: float = 0.15,
+) -> DataFrame:
+    """Prune candidate pairs by the MinHash Jaccard ESTIMATE (fraction of
+    agreeing signature components — one zip_with per pair, no text access)
+    before the exact-shingle verify. Banding with few rows per band admits
+    many moderate-similarity pairs; the estimate has std ~ sqrt(J(1-J)/n)
+    (~0.05 at J=0.8, n=64), so `threshold - margin` at margin=3sigma keeps
+    recall ~99.9% while cutting the expensive verify join by orders of
+    magnitude. At 100 TB this is the difference between verifying ~0.1% of
+    candidates and re-shingling a large slice of the corpus."""
+    si = sigs.select(F.col(id_col).alias("i"), F.col("sig").alias("__sa"))
+    sj = sigs.select(F.col(id_col).alias("j"), F.col("sig").alias("__sb"))
+    agree = F.aggregate(
+        F.zip_with("__sa", "__sb", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.join(si, "i")
+        .join(sj, "j")
+        .where(agree >= float(max(threshold - margin, 0.0)) * n_hashes)
+        .select("i", "j")
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -191,15 +236,19 @@ def minhash_dedup(
     seed: int = 42,
 ) -> DataFrame:
     """End-to-end near-dedup: keep rows with no verified near-duplicate of
-    lower id ("keep first"). Returns the deduplicated DataFrame."""
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k, seed)
+    lower id ("keep first"). Returns the deduplicated DataFrame.
+
+    Pipeline: signatures -> banded LSH candidates -> signature-estimate
+    prune -> exact-Jaccard verify on survivors -> anti-join."""
+    # signatures are consumed twice (band join + estimate filter);
+    # persist + materialize so the Arrow stage runs exactly once
+    # (AutoCacheRule R2: reuse count >= 2 -> cache)
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k, seed).persist()
     cand = minhash_lsh_candidates(sigs, id_col, n_bands, n_hashes)
-    # candidates are consumed twice inside jaccard_verify (pair join + the
-    # semi-join id filter); persist + materialize so the signature stage
-    # runs exactly once (AutoCacheRule R2: reuse count >= 2 -> cache)
-    cand = cand.persist()
-    cand.count()
-    dups = jaccard_verify(cand, df, id_col, text_col, shingle_k, threshold)
+    likely = minhash_estimate_filter(cand, sigs, id_col, n_hashes, threshold)
+    likely = likely.persist()
+    likely.count()
+    dups = jaccard_verify(likely, df, id_col, text_col, shingle_k, threshold)
     drop = dups.select(F.col("j").alias(id_col)).distinct()
     return df.join(drop, id_col, "left_anti")
 
@@ -211,7 +260,7 @@ def simhash_signatures_arrow(
     (xxhash64 in codegen), the 64-way bit voting runs as one numpy pass per
     batch. Bit-for-bit identical to functions/text.simhash64 (tested), ~10x
     faster per doc; the all-codegen form remains for zero-Python paths."""
-    hashed = df.select(
+    hashed = _ensure_parallelism(df).select(
         F.col(id_col).alias("__id"),
         F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("__h"),
     )

@@ -16,9 +16,24 @@ from keystone_spark.functions.text import tokens, word_ngrams
 from keystone_spark.plans.pipeline import ColumnTransformer, Estimator, Transformer
 
 
+class Trim(ColumnTransformer):
+    """Whitespace trim (reference: nodes/nlp/Trim.scala)."""
+
+    def __init__(self, in_col: str = "text", out_col: str | None = None):
+        super().__init__(in_col, out_col or in_col, F.trim, "trim")
+
+
+class LowerCase(ColumnTransformer):
+    """Lowercase (reference: nodes/nlp/LowerCase.scala)."""
+
+    def __init__(self, in_col: str = "text", out_col: str | None = None):
+        super().__init__(in_col, out_col or in_col, F.lower, "lower_case")
+
+
 class Tokenizer(ColumnTransformer):
-    """Trim + LowerCase + regex-split (reference: nodes/nlp/Tokenizer.scala,
-    Trim.scala, LowerCase.scala fused — they always chain)."""
+    """Trim + LowerCase + regex-split (reference: nodes/nlp/Tokenizer.scala;
+    standalone Trim/LowerCase nodes above compose the same way the reference
+    chains them)."""
 
     def __init__(self, in_col: str = "text", out_col: str = "tokens",
                  lowercase: bool = True):

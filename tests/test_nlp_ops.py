@@ -34,6 +34,16 @@ def test_tokenizer(spark):
     assert Tokenizer()(df).first().tokens == ["hello", "world"]
 
 
+def test_trim_lowercase(spark):
+    from keystone_spark.operators.nlp import LowerCase, Trim
+
+    df = spark.createDataFrame([("  MiXeD Case  ",)], "text string")
+    assert Trim()(df).first().text == "MiXeD Case"
+    assert LowerCase()(df).first().text == "  mixed case  "
+    chained = LowerCase()(Trim()(df))
+    assert chained.first().text == "mixed case"
+
+
 def test_ngrams_featurizer(corpus):
     r = NGramsFeaturizer(1, 2)(corpus).where("doc_id = 1").first()
     assert r.ngrams == ["a", "b", "d", "a b", "b d"]
