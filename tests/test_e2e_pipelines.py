@@ -139,6 +139,17 @@ def test_text_classify_app_runs_above_chance(spark, sf_dir):
     assert out["accuracy"] > 0.25
 
 
+def test_image_classify_app_whitened_patch_filters(spark):
+    """RandomPatchCifar shape as an app: patch sampling -> ZCA -> conv with
+    whitened-patch filters -> pool -> solve must separate the synthetic
+    two-class images."""
+    from keystone_spark.apps.image_classify import build_and_eval
+
+    out = build_and_eval(spark, n=120, n_filters=4)
+    assert out["filter_bank"] == [4, 9]
+    assert out["accuracy"] >= 0.95
+
+
 def test_curate_corpus_app_monotone_stages(spark, sf_dir):
     """North-star LLM curation pipeline: stage counts must be monotonically
     non-increasing and near-dedup must actually drop the fixture's planted
