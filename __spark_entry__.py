@@ -1103,6 +1103,67 @@ def q_window_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (TPC-H Q8 market-share shape): one nation's
+    share of total order value per year — sum(CASE WHEN ...) / sum(...)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    is_target = F.when(F.col("n_name") == "BRAZIL", F.col("o_totalprice")).otherwise(0.0)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("y"))
+        .agg(
+            F.round(F.sum(is_target) / F.sum("o_totalprice"), 6).alias("share"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("y")
+    )
+
+
+def q_revenue_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure predicate + single-row agg; every filter pushes
+    to the parquet scan (no shuffle before the partial agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 6).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def q_array_fns2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array surface #2: zip_with product against the reversed
+    vector folded with aggregate, plus argmax position."""
+    e = _t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    rdot = F.aggregate(
+        F.zip_with(emb, F.reverse(emb), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        e.where(F.col("vec_id") < 100)
+        .select(
+            "vec_id",
+            F.round(rdot, 6).alias("rdot"),
+            F.array_position(F.col("embedding"), F.array_max(F.col("embedding")))
+            .cast("long")
+            .alias("argmax1"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1178,6 +1239,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_counts": q_pivot,
         "covar_corr": q_covar_corr,
         "window_pct": q_window_pct,
+        "conditional_agg": q_conditional_agg,
+        "revenue_predicate": q_revenue_predicate,
+        "array_fns2": q_array_fns2,
     }
 
 
@@ -1756,5 +1820,37 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice)
             ORDER BY o_custkey, o_orderkey
+        """,
+        "conditional_agg": """
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+                   ROUND(SUM(CASE WHEN n_name = 'BRAZIL'
+                                  THEN o_totalprice ELSE 0.0 END)
+                         / SUM(o_totalprice), 6) AS share,
+                   COUNT(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY y ORDER BY y
+        """,
+        "revenue_predicate": """
+            SELECT ROUND(SUM(l_extendedprice * l_discount), 6) AS revenue,
+                   COUNT(*) AS n
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "array_fns2": """
+            WITH ex AS (
+                SELECT vec_id,
+                       CAST(list_extract(embedding, i + 1) AS DOUBLE) AS x,
+                       CAST(list_extract(embedding, 64 - i) AS DOUBLE) AS y
+                FROM embeddings CROSS JOIN range(0, 64) r(i)
+                WHERE vec_id < 100)
+            SELECT e.vec_id,
+                   ROUND((SELECT SUM(x * y) FROM ex WHERE ex.vec_id = e.vec_id), 6) AS rdot,
+                   CAST(list_position(e.embedding, list_max(e.embedding)) AS BIGINT) AS argmax1
+            FROM embeddings e WHERE e.vec_id < 100 ORDER BY e.vec_id
         """,
     }
