@@ -1164,6 +1164,40 @@ def q_array_fns2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_regr_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple linear regression as SQL aggregates (regr_slope /
+    regr_intercept / regr_r2) — the closed-form twin of
+    operators/learning.grouped_least_squares (applyInPandas multi-feature
+    path, tested vs numpy)."""
+    li = _t(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope(y, x), 6).alias("slope"),
+            F.round(F.regr_intercept(y, x), 6).alias("icept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (LLM shard prep): greedy in-order fill
+    per language as one window cumsum (operators/curation.pack_sequences)."""
+    from keystone_spark.functions.text import token_count
+    from keystone_spark.operators.curation import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count("text").cast("long").alias("toks")
+    )
+    out = pack_sequences(
+        d, "toks", budget=2048, partition_cols=["lang"], order_cols=["doc_id"]
+    )
+    return out.select("doc_id", "lang", "toks", "pack_id").orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1242,6 +1276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditional_agg": q_conditional_agg,
         "revenue_predicate": q_revenue_predicate,
         "array_fns2": q_array_fns2,
+        "regr_fns": q_regr_fns,
+        "token_packing": q_token_packing,
     }
 
 
@@ -1852,5 +1888,29 @@ def oracle_sql() -> dict[str, str]:
                    ROUND((SELECT SUM(x * y) FROM ex WHERE ex.vec_id = e.vec_id), 6) AS rdot,
                    CAST(list_position(e.embedding, list_max(e.embedding)) AS BIGINT) AS argmax1
             FROM embeddings e WHERE e.vec_id < 100 ORDER BY e.vec_id
+        """,
+        "regr_fns": """
+            SELECT l_returnflag,
+                   ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+                   ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS icept,
+                   ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "token_packing": """
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(TRIM(text), '\s+'))
+                       END AS toks
+                FROM documents),
+            runs AS (
+                SELECT doc_id, lang, toks,
+                       SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+                FROM toks)
+            SELECT doc_id, lang, CAST(toks AS BIGINT) AS toks,
+                   CAST(FLOOR((run - toks) / 2048.0) AS BIGINT) AS pack_id
+            FROM runs ORDER BY doc_id
         """,
     }

@@ -586,3 +586,41 @@ class WeightedLeastSquaresEstimator(LabelEstimator):
             XtX = XtX + self.reg_param * wsum * np.eye(d)
         W = np.linalg.solve(XtX, XtY)
         return LinearMapper(W, None, self.in_col, self.out_col)
+
+
+def grouped_least_squares(
+    df: DataFrame,
+    group_cols: list[str],
+    feature_cols: list[str],
+    label_col: str,
+) -> DataFrame:
+    """Per-group OLS via applyInPandas (grouped-map Arrow UDF): one local
+    numpy lstsq per group — the engine's grouped-model pattern and the
+    §2.10 UDAF extension surface (reference: workflow/Estimator.scala — fit
+    as arbitrary aggregation; here keyed, so thousands of independent
+    models fit in one shuffle).
+
+    Returns (group_cols..., coef array<double>, intercept double, n long).
+    Scale: each GROUP is local to one task (pandas), groups themselves are
+    distributed — right for many small/medium groups. A single giant group
+    should use LeastSquaresEstimator (distributed normal equations)
+    instead.
+    """
+    out_fields = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in group_cols
+    )
+    schema = f"{out_fields}, coef array<double>, intercept double, n bigint"
+    feats, label = list(feature_cols), label_col
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = pdf[feats].to_numpy(dtype=np.float64)
+        y = pdf[label].to_numpy(dtype=np.float64)
+        X1 = np.hstack([X, np.ones((len(X), 1))])
+        beta, *_ = np.linalg.lstsq(X1, y, rcond=None)
+        row = [pdf.iloc[0][c] for c in group_cols]
+        return pd.DataFrame(
+            [row + [beta[:-1].tolist(), float(beta[-1]), len(pdf)]],
+            columns=group_cols + ["coef", "intercept", "n"],
+        )
+
+    return df.groupBy(*group_cols).applyInPandas(fit, schema)

@@ -1,0 +1,57 @@
+"""Curation operators: token-budget packing, stratified sampling, mixture."""
+
+import pyspark.sql.functions as F
+
+
+def test_pack_sequences_respects_budget(spark):
+    from keystone_spark.operators.curation import pack_sequences
+
+    rows = [("a", i, t) for i, t in enumerate([40, 40, 40, 90, 10, 200, 5])]
+    df = spark.createDataFrame(rows, "src string, doc_id long, toks long")
+    out = pack_sequences(
+        df, "toks", budget=100, partition_cols=["src"], order_cols=["doc_id"]
+    )
+    got = {r.doc_id: r.pack_id for r in out.collect()}
+    # running starts: 0,40,80,120,210,220,420 -> floor(/100): 0,0,0,1,2,2,4
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 2, 5: 2, 6: 4}
+
+
+def test_pack_sequences_partitions_independent(spark):
+    from keystone_spark.operators.curation import pack_sequences
+
+    rows = [("a", 0, 60), ("a", 1, 60), ("b", 0, 60), ("b", 1, 60)]
+    df = spark.createDataFrame(rows, "src string, doc_id long, toks long")
+    out = pack_sequences(
+        df, "toks", budget=100, partition_cols=["src"], order_cols=["doc_id"]
+    )
+    got = {(r.src, r.doc_id): r.pack_id for r in out.collect()}
+    assert got[("a", 0)] == 0 and got[("b", 0)] == 0
+    assert got[("a", 1)] == got[("b", 1)] == 0  # starts at 60 < 100
+
+
+def test_stratified_sample_deterministic(spark, sf_dir):
+    from keystone_spark.operators.curation import stratified_sample
+    from keystone_spark.sources import load_table
+
+    d = load_table(spark, "documents", sf_dir)
+    s1 = stratified_sample(d, "lang", {"en": 0.5, "es": 0.1}, seed=7)
+    s2 = stratified_sample(d, "lang", {"en": 0.5, "es": 0.1}, seed=7)
+    ids1 = sorted(r.doc_id for r in s1.select("doc_id").collect())
+    assert ids1 == sorted(r.doc_id for r in s2.select("doc_id").collect())
+    langs = {r.lang for r in s1.select("lang").distinct().collect()}
+    assert langs <= {"en", "es"}
+
+
+def test_sample_mixture_tags_and_upsamples(spark, sf_dir):
+    from keystone_spark.operators.curation import sample_mixture
+    from keystone_spark.sources import load_table
+
+    d = load_table(spark, "documents", sf_dir)
+    en = d.where(F.col("lang") == "en")
+    es = d.where(F.col("lang") == "es")
+    mix = sample_mixture({"en": en, "es": es}, {"en": 0.2, "es": 2.0}, seed=3)
+    counts = {r.mix_source: r.c for r in
+              mix.groupBy("mix_source").agg(F.count("*").alias("c")).collect()}
+    n_es = es.count()
+    assert counts["es"] > n_es  # oversampled with replacement
+    assert 0 < counts["en"] < en.count()

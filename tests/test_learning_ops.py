@@ -220,3 +220,46 @@ def test_random_image_transformer_deterministic(spark):
     b = t(df).first().aug.data
     assert a == b
     assert a == [3.0, 2.0, 1.0, 6.0, 5.0, 4.0]  # horizontal flip
+
+
+def test_grouped_least_squares_matches_numpy(spark):
+    """Per-group OLS (applyInPandas grouped-map) vs per-group numpy lstsq."""
+    import numpy as np
+    from keystone_spark.operators.learning import grouped_least_squares
+
+    rng = np.random.default_rng(11)
+    rows = []
+    truth = {"a": ([2.0, -1.0], 0.5), "b": ([-3.0, 0.25], 4.0)}
+    for g, (coef, icept) in truth.items():
+        X = rng.normal(size=(60, 2))
+        y = X @ np.array(coef) + icept + rng.normal(scale=1e-9, size=60)
+        rows += [(g, float(x1), float(x2), float(yy)) for (x1, x2), yy in zip(X, y)]
+    df = spark.createDataFrame(rows, "g string, x1 double, x2 double, y double")
+
+    out = {r.g: r for r in grouped_least_squares(df, ["g"], ["x1", "x2"], "y").collect()}
+    for g, (coef, icept) in truth.items():
+        assert np.allclose(out[g].coef, coef, atol=1e-6)
+        assert abs(out[g].intercept - icept) < 1e-6
+        assert out[g].n == 60
+
+
+def test_grouped_least_squares_matches_regr_slope(spark):
+    """Single-feature grouped OLS must equal SQL regr_slope/regr_intercept."""
+    import pyspark.sql.functions as F
+    from keystone_spark.operators.learning import grouped_least_squares
+
+    df = spark.range(200).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") * 2.0 + (F.col("id") % 7)).alias("y"),
+    )
+    ols = {r.g: r for r in grouped_least_squares(df, ["g"], ["x"], "y").collect()}
+    sql = {
+        r.g: r
+        for r in df.groupBy("g")
+        .agg(F.regr_slope("y", "x").alias("s"), F.regr_intercept("y", "x").alias("i"))
+        .collect()
+    }
+    for g in sql:
+        assert abs(ols[g].coef[0] - sql[g].s) < 1e-8
+        assert abs(ols[g].intercept - sql[g].i) < 1e-8
