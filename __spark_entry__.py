@@ -1198,6 +1198,31 @@ def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "toks", "pack_id").orderBy("doc_id")
 
 
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (t-digest-style sketch, mergeable across
+    partitions) pinned against the exact percentile with a 1%%-relative
+    flag — same contract shape as approx_distinct: the oracle hashes the
+    exact value plus the bound check, since sketch internals are
+    engine-specific."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.expr("percentile_approx(l_extendedprice, 0.5, 1000)").alias("approx_p50"),
+    )
+    return (
+        agg.select(
+            "l_returnflag",
+            F.round("exact_p50", 6).alias("exact_p50"),
+            (
+                F.abs(F.col("approx_p50") - F.col("exact_p50"))
+                / F.col("exact_p50")
+                <= 0.01
+            ).cast("int").alias("within_1pct"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1278,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_fns2": q_array_fns2,
         "regr_fns": q_regr_fns,
         "token_packing": q_token_packing,
+        "approx_percentile": q_approx_percentile,
     }
 
 
@@ -1912,5 +1938,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, CAST(toks AS BIGINT) AS toks,
                    CAST(FLOOR((run - toks) / 2048.0) AS BIGINT) AS pack_id
             FROM runs ORDER BY doc_id
+        """,
+        "approx_percentile": """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+                   1 AS within_1pct
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
     }

@@ -52,3 +52,22 @@ def test_binary_records(spark, tmp_path):
     recs = {r.record_idx: bytes(r.record) for r in df.collect()}
     assert len(recs) == 3
     assert recs[1] == bytes([4, 5, 6, 7])
+
+
+def test_sink_roundtrip_parquet_csv_json(spark, tmp_path):
+    """§2.11 sinks: parquet/csv/json write -> read round-trip."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(10).select("id", (F.col("id") * 2).alias("v"))
+    expect = [(i, 2 * i) for i in range(10)]
+    for fmt in ("parquet", "csv", "json"):
+        path = str(tmp_path / fmt)
+        w = df.write.mode("overwrite")
+        if fmt == "csv":
+            w = w.option("header", True)
+        getattr(w, fmt)(path)
+        r = spark.read
+        if fmt == "csv":
+            r = r.option("header", True).option("inferSchema", True)
+        back = getattr(r, fmt)(path)
+        assert sorted((x.id, x.v) for x in back.collect()) == expect
