@@ -183,3 +183,28 @@ def test_streaming_dedup_drops_planted_duplicates(spark, tmp_path):
     )
     n = spark.sql("SELECT n FROM dedup_out").first().n
     assert n == 50
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Restart semantics: a file-source stream with a checkpoint processes
+    each input file exactly once across separate runs — the property that
+    makes AvailableNow incremental jobs safe to re-run on a cluster."""
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    spark.range(0, 50).write.mode("append").parquet(src)
+
+    def run_once():
+        q = (
+            spark.readStream.schema("id long").parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    spark.range(50, 80).write.mode("append").parquet(src)  # late-arriving files
+    run_once()  # restart from checkpoint: only the new files process
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == list(range(80))
