@@ -1223,6 +1223,23 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_null_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling scalar surface: nullif / coalesce / greatest / least /
+    CASE bucketing."""
+    c = _t(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return (
+        c.select(
+            "c_custkey",
+            F.round(F.coalesce(F.nullif(bal, F.lit(0.0)), F.lit(-1.0)), 6).alias("bal"),
+            F.round(F.greatest(bal, F.lit(100.0)), 6).alias("g"),
+            F.round(F.least(bal, F.lit(100.0)), 6).alias("l"),
+            F.when(bal < 0, "neg").when(bal < 1000, "low").otherwise("high").alias("bucket"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1304,6 +1321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regr_fns": q_regr_fns,
         "token_packing": q_token_packing,
         "approx_percentile": q_approx_percentile,
+        "null_fns": q_null_fns,
     }
 
 
@@ -1944,5 +1962,15 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
                    1 AS within_1pct
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "null_fns": """
+            SELECT c_custkey,
+                   ROUND(COALESCE(NULLIF(c_acctbal, 0.0), -1.0), 6) AS bal,
+                   ROUND(GREATEST(c_acctbal, 100.0), 6) AS g,
+                   ROUND(LEAST(c_acctbal, 100.0), 6) AS l,
+                   CASE WHEN c_acctbal < 0 THEN 'neg'
+                        WHEN c_acctbal < 1000 THEN 'low'
+                        ELSE 'high' END AS bucket
+            FROM customer ORDER BY c_custkey
         """,
     }
