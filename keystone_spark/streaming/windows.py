@@ -130,14 +130,17 @@ def read_events_stream(
     return _normalize_events(df)
 
 
-def run_available_now(stream_df: DataFrame, out_table: str) -> None:
+def run_available_now(
+    stream_df: DataFrame, out_table: str, output_mode: str = "complete"
+) -> None:
     """Drain a stream deterministically: Trigger.AvailableNow into an
-    in-memory sink named ``out_table``; blocks until done."""
+    in-memory sink named ``out_table``; blocks until done. Use
+    output_mode="append" for non-aggregating streams (dedup, maps)."""
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
             stream_df.writeStream.format("memory")
             .queryName(out_table)
-            .outputMode("complete")
+            .outputMode(output_mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -245,3 +248,27 @@ def run_foreach_batch(
             .start()
         )
         q.awaitTermination()
+
+
+def streaming_fingerprint_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming content dedup: winnowing fingerprint (min xxhash64 over
+    8-token shingles — shift-invariant, robust to trailing-edit near-dups)
+    as the dedup key, dropped within the watermark horizon. State per key
+    is one long, and the watermark bounds the state store — the streaming
+    twin of the batch `doc_fingerprint` dedup view (__spark_entry__).
+    Batch DataFrames take the stateless dropDuplicates path."""
+    from keystone_spark.functions.text import rolling_fingerprint, tokens
+
+    from pyspark.sql import functions as F
+
+    out = df.withColumn("__fp", rolling_fingerprint(tokens(F.col(text_col))))
+    if out.isStreaming:
+        out = out.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["__fp"])
+    else:
+        out = out.dropDuplicates(["__fp"])
+    return out.drop("__fp")

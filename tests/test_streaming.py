@@ -208,3 +208,28 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     run_once()  # restart from checkpoint: only the new files process
     got = sorted(r.id for r in spark.read.parquet(out).collect())
     assert got == list(range(80))
+
+
+def test_streaming_fingerprint_neardup(spark, tmp_path):
+    """Fingerprint dedup on a stream drops trailing-edit near-duplicates
+    (same token stream after normalization), keeps distinct docs."""
+    import pyspark.sql.functions as F
+
+    from keystone_spark.streaming.windows import streaming_fingerprint_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, base),
+        (1, base + "!!!"),          # trailing punctuation -> same tokens
+        (2, "an entirely different document about spark physical plans ok"),
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "ts", F.lit("2024-01-01 00:00:00").cast("timestamp")
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string, ts timestamp").parquet(src)
+    deduped = streaming_fingerprint_dedup(stream)
+    run_available_now(deduped.select("doc_id"), "fp_dedup_out", output_mode="append")
+    ids = sorted(r.doc_id for r in spark.sql("SELECT doc_id FROM fp_dedup_out").collect())
+    assert len(ids) == 2 and 2 in ids  # one of {0,1} survives, 2 survives
