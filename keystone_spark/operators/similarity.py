@@ -309,3 +309,141 @@ def ivf_topk(
         partial.withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= k)
     )
+
+
+class IvfIndex:
+    """Fit-once IVF index: trained centroids + a cell-assigned corpus.
+
+    ``ivf_topk`` recomputes cell assignments per query (pure function —
+    good for one-shot jobs); this class is the production shape for
+    repeated search at scale: assignments are computed ONCE and the
+    corpus persisted partitioned by cell, so every later search prunes to
+    its probed cells' files at the scan (Spark partition pruning — at
+    100 TB a search touches n_probe_cells/n_cells of the data and reads
+    nothing else). The centroid table is tiny and rides along as JSON.
+    """
+
+    def __init__(self, centroids: np.ndarray, indexed: DataFrame,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        self.C = np.asarray(centroids, dtype=np.float64)
+        self.indexed = indexed
+        self.id_col, self.vec_col = id_col, vec_col
+
+    @classmethod
+    def build(
+        cls,
+        data: DataFrame,
+        n_cells: int = 16,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        sample_size: int = 4096,
+        seed: int = 42,
+    ) -> "IvfIndex":
+        samp = np.array(
+            [
+                r[1]
+                for r in data.select(id_col, vec_col)
+                .orderBy(id_col)
+                .limit(sample_size)
+                .collect()
+            ],
+            dtype=np.float64,
+        )
+        C = _normalize(_kmeans_centroids(_normalize(samp), n_cells, seed))
+        from pyspark.sql.types import IntegerType
+        schema = data.select(id_col, vec_col).schema.add("cell", IntegerType())
+
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = _normalize(np.asarray(list(pdf[vec_col]), dtype=np.float64))
+                pdf = pdf.copy()
+                pdf["cell"] = (X @ C.T).argmax(axis=1).astype(np.int32)
+                yield pdf
+
+        indexed = data.select(id_col, vec_col).mapInPandas(assign, schema)
+        return cls(C, indexed, id_col, vec_col)
+
+    def search(
+        self,
+        probes: DataFrame,
+        k: int = 10,
+        n_probe_cells: int = 4,
+        exclude_self: bool = True,
+    ) -> DataFrame:
+        id_col, vec_col = self.id_col, self.vec_col
+        p_ids, p_mat = _collect_probes(probes, id_col, vec_col)
+        p_norm = _normalize(p_mat)
+        probe_cells = np.argsort(-(p_norm @ self.C.T), axis=1)[:, :n_probe_cells]
+        wanted = sorted({int(c) for row in probe_cells for c in row})
+        # cell filter prunes at the scan (partition pruning on a saved index)
+        subset = self.indexed.where(F.col("cell").isin(wanted))
+
+        out_schema = StructType(
+            [
+                StructField("probe", LongType()),
+                StructField(id_col, LongType()),
+                StructField("cos", DoubleType()),
+            ]
+        )
+
+        def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                ids = pdf[id_col].to_numpy(np.int64)
+                cells = pdf["cell"].to_numpy(np.int64)
+                X = _normalize(np.asarray(list(pdf[vec_col]), dtype=np.float64))
+                out_p, out_i, out_c = [], [], []
+                for j in range(len(p_ids)):
+                    mask = np.isin(cells, probe_cells[j])
+                    if exclude_self:
+                        mask &= ids != p_ids[j]
+                    idx = np.nonzero(mask)[0]
+                    if len(idx) == 0:
+                        continue
+                    col = X[idx] @ p_norm[j]
+                    take = min(k, len(idx))
+                    cand = idx[np.argpartition(-col, take - 1)[:take]]
+                    order = np.lexsort((ids[cand], -(X[cand] @ p_norm[j])))
+                    cand = cand[order]
+                    out_p.extend([p_ids[j]] * len(cand))
+                    out_i.extend(ids[cand].tolist())
+                    out_c.extend((X[cand] @ p_norm[j]).tolist())
+                yield pd.DataFrame({"probe": out_p, id_col: out_i, "cos": out_c})
+
+        partial = subset.mapInPandas(part, out_schema)
+        w = Window.partitionBy("probe").orderBy(F.col("cos").desc(), id_col)
+        return (
+            partial.withColumn("rk", F.row_number().over(w).cast("long"))
+            .where(F.col("rk") <= k)
+        )
+
+    def save(self, path: str) -> None:
+        """Corpus partitioned by cell (-> partition pruning on load+search),
+        centroids as JSON."""
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        self.indexed.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(path, "corpus")
+        )
+        with open(os.path.join(path, "centroids.json"), "w") as f:
+            json.dump(
+                {"centroids": self.C.tolist(), "id_col": self.id_col,
+                 "vec_col": self.vec_col},
+                f,
+            )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, "centroids.json")) as f:
+            meta = json.load(f)
+        indexed = spark.read.parquet(os.path.join(path, "corpus"))
+        return cls(np.asarray(meta["centroids"]), indexed,
+                   meta["id_col"], meta["vec_col"])

@@ -154,3 +154,31 @@ def test_simhash_arrow_matches_codegen(spark, sf_dir):
     }
     arrow = {r.doc_id: r["__sh"] for r in simhash_signatures_arrow(d).collect()}
     assert arrow == codegen
+
+
+def test_ivf_index_matches_ivf_topk_and_roundtrips(spark, sf_dir, tmp_path):
+    """IvfIndex (fit-once, cell-partitioned) must return exactly what the
+    pure-function ivf_topk returns for the same seed/params, survive a
+    save/load round-trip, and prune the scan to probed cells."""
+    import pyspark.sql.functions as F
+
+    from keystone_spark.operators.similarity import IvfIndex, ivf_topk
+    from keystone_spark.sources import load_table
+
+    e = load_table(spark, "embeddings", sf_dir)
+    probes = e.where(F.col("vec_id") < 5)
+
+    def key(df):
+        return sorted((r.probe, r.rk, r.vec_id) for r in df.collect())
+
+    expect = key(ivf_topk(e, probes, k=5, n_cells=8, n_probe_cells=3))
+    idx = IvfIndex.build(e, n_cells=8)
+    assert key(idx.search(probes, k=5, n_probe_cells=3)) == expect
+
+    path = str(tmp_path / "ivf")
+    idx.save(path)
+    loaded = IvfIndex.load(spark, path)
+    assert key(loaded.search(probes, k=5, n_probe_cells=3)) == expect
+    # partition pruning: the search plan's scan carries a cell filter
+    plan = loaded.indexed.where(F.col("cell").isin([0, 1]))._jdf.queryExecution().executedPlan().toString()
+    assert "cell" in plan
