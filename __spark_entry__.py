@@ -1240,6 +1240,30 @@ def q_null_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS fit via applyInPandas (grouped-map Arrow kernel,
+    operators/learning.grouped_least_squares) — single-feature case, so the
+    DuckDB oracle is the closed-form regr_slope/regr_intercept: an exact
+    SQL cross-check of the Python kernel."""
+    from keystone_spark.operators.learning import grouped_least_squares
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    out = grouped_least_squares(li, ["l_returnflag"], ["x"], "y")
+    return (
+        out.select(
+            "l_returnflag",
+            F.round(F.element_at("coef", 1), 6).alias("slope"),
+            F.round("intercept", 6).alias("icept"),
+            F.col("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1322,6 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_packing": q_token_packing,
         "approx_percentile": q_approx_percentile,
         "null_fns": q_null_fns,
+        "grouped_ols": q_grouped_ols,
     }
 
 
@@ -1972,5 +1997,12 @@ def oracle_sql() -> dict[str, str]:
                         WHEN c_acctbal < 1000 THEN 'low'
                         ELSE 'high' END AS bucket
             FROM customer ORDER BY c_custkey
+        """,
+        "grouped_ols": """
+            SELECT l_returnflag,
+                   ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+                   ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS icept,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
     }
