@@ -89,7 +89,10 @@ def minhash_signatures(
             # doc's shingle hashes, compute (a*h+b) mod M for all hashes x
             # all n_hashes at once, then segmented-min back to per-doc
             # signatures with minimum.reduceat — ~10x over a per-doc loop.
-            lens = pdf["__h"].map(len).to_numpy()
+            # NULL text -> null shingle array: treat as empty (sentinel
+            # signature; such docs never match anything in near-dedup —
+            # exact dedup is the right tool for empty/null content).
+            lens = pdf["__h"].map(lambda h: 0 if h is None else len(h)).to_numpy()
             keep = lens > 0
             flat = np.concatenate([np.asarray(h, dtype=np.uint64)
                                    for h in pdf["__h"][keep]]) if keep.any() else np.empty(0, np.uint64)
@@ -273,7 +276,7 @@ def simhash_signatures_arrow(
         for pdf in batches:
             if pdf.empty:
                 continue
-            lens = pdf["__h"].map(len).to_numpy()
+            lens = pdf["__h"].map(lambda h: 0 if h is None else len(h)).to_numpy()
             keep = lens > 0
             out = np.zeros(len(pdf), dtype=np.uint64)
             if keep.any():

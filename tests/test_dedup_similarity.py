@@ -182,3 +182,24 @@ def test_ivf_index_matches_ivf_topk_and_roundtrips(spark, sf_dir, tmp_path):
     # partition pruning: the search plan's scan carries a cell filter
     plan = loaded.indexed.where(F.col("cell").isin([0, 1]))._jdf.queryExecution().executedPlan().toString()
     assert "cell" in plan
+
+
+def test_near_dedup_survives_null_and_empty_text(spark):
+    """Null/empty/short documents must pass through near-dedup unharmed
+    (no shingles -> sentinel signature -> never a candidate); exact dedup
+    is the operator for empty-content duplicates."""
+    from keystone_spark.operators.dedup import minhash_dedup, simhash_candidates
+
+    df = spark.createDataFrame(
+        [(0, "normal document text here with enough tokens to shingle fine"),
+         (1, None), (2, ""), (3, "   "), (4, "short")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in minhash_dedup(df, n_hashes=16, n_bands=4).collect())
+    # "" and "   " normalize to identical content -> 3 dedups against 2
+    # (keep-first); null and "short" are unique and survive.
+    assert kept == [0, 1, 2, 4]
+    # simhash of token-less docs is 0 -> the null/empty trio pairs with
+    # itself (identical empty content), never with real documents.
+    pairs = {(r.i, r.j) for r in simhash_candidates(df).collect()}
+    assert pairs == {(1, 2), (1, 3), (2, 3)}
