@@ -37,7 +37,7 @@ from pyspark.sql.types import (
 def _collect_probes(
     probes: DataFrame, id_col: str, vec_col: str
 ) -> tuple[np.ndarray, np.ndarray]:
-    rows = probes.select(id_col, vec_col).collect()
+    rows = probes.select(id_col, vec_col).where(F.col(vec_col).isNotNull()).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     return ids, mat
@@ -64,6 +64,7 @@ def cosine_topk(
     id. Cos is computed in float64 (matches a SQL oracle casting to DOUBLE).
     """
     probe_id_col = probe_id_col or id_col
+    data = data.where(F.col(vec_col).isNotNull())  # null vec: no neighbors
     p_ids, p_mat = _collect_probes(probes, probe_id_col, vec_col)
     if p_mat.ndim != 2 or len(p_ids) == 0:
         raise ValueError("probes must be a non-empty DataFrame of vectors")
@@ -128,6 +129,7 @@ def lsh_signatures(
     assert n_bits % n_bands == 0, "n_bits must divide into n_bands evenly"
     bits_per_band = n_bits // n_bands
 
+    data = data.where(F.col(vec_col).isNotNull())  # null vec: no buckets
     first = data.select(vec_col).first()
     d = dim or len(first[0])
     rng = np.random.default_rng(seed)
@@ -249,6 +251,7 @@ def ivf_topk(
     computes assignments on the fly, which keeps the operator a pure
     function of its inputs (same plan shape, no index-build step).
     """
+    data = data.where(F.col(vec_col).isNotNull())  # null vec: not indexable
     p_ids, p_mat = _collect_probes(probes, id_col, vec_col)
     p_norm = _normalize(p_mat)
 
@@ -339,6 +342,7 @@ class IvfIndex:
         sample_size: int = 4096,
         seed: int = 42,
     ) -> "IvfIndex":
+        data = data.where(F.col(vec_col).isNotNull())  # null vec: not indexable
         samp = np.array(
             [
                 r[1]

@@ -203,3 +203,32 @@ def test_near_dedup_survives_null_and_empty_text(spark):
     # itself (identical empty content), never with real documents.
     pairs = {(r.i, r.j) for r in simhash_candidates(df).collect()}
     assert pairs == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_similarity_ops_skip_null_vectors(spark):
+    """Null embeddings are filtered at operator entry: they can't be
+    neighbors, buckets, or index cells — and must never crash a kernel."""
+    import pyspark.sql.functions as F
+
+    from keystone_spark.operators.similarity import (
+        IvfIndex,
+        cosine_topk,
+        ivf_topk,
+        lsh_bucket_topk,
+    )
+
+    rows = [(i, [float(i + 1)] * 8) for i in range(20)] + [(20, None), (21, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = df.where("vec_id < 2")
+
+    out = cosine_topk(df, probes, k=3)
+    assert out.where(F.col("vec_id") >= 20).count() == 0
+    assert out.count() == 6
+    assert lsh_bucket_topk(df, probes, k=3, n_bits=16, n_bands=4).where(
+        F.col("vec_id") >= 20
+    ).count() == 0
+    assert ivf_topk(df, probes, k=3, n_cells=4, n_probe_cells=2).where(
+        F.col("vec_id") >= 20
+    ).count() == 0
+    idx = IvfIndex.build(df, n_cells=4)
+    assert idx.search(probes, k=3).where(F.col("vec_id") >= 20).count() == 0
