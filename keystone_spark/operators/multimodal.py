@@ -85,6 +85,9 @@ def decode_images(
                     raise NotImplementedError(
                         "real image decode requires PIL/opencv (not in container)"
                     )
+                if payload is None:  # null media column -> null image
+                    imgs.append(None)
+                    continue
                 arr = _fake_decode(bytes(payload), height, width, channels)
                 imgs.append(
                     {
@@ -118,6 +121,9 @@ def image_features(
                 continue
             feats = []
             for img in pdf[image_col]:
+                if img is None:
+                    feats.append(None)
+                    continue
                 arr = np.asarray(img["data"], dtype=np.float64).reshape(
                     img["height"], img["width"], img["n_channels"]
                 )
@@ -145,6 +151,9 @@ def grayscale(df: DataFrame, image_col: str = "image", out_col: str = "gray") ->
                 continue
             out = []
             for img in pdf[image_col]:
+                if img is None:
+                    out.append(None)
+                    continue
                 h, w, c = img["height"], img["width"], img["n_channels"]
                 arr = np.asarray(img["data"], dtype=np.float64).reshape(h, w, c)
                 g = arr @ wts[:c] if c == 3 else arr.mean(axis=2)

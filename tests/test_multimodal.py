@@ -82,3 +82,22 @@ def test_audio_decode_and_features(spark):
     import pytest as _pytest
     with _pytest.raises(Exception, match="NotImplementedError|real audio"):
         decode_audio(df, decode="real").collect()
+
+
+def test_null_payload_propagates_as_null(spark):
+    """A null media payload yields null image/features, never a crash —
+    real 100 TB corpora have missing blobs."""
+    from keystone_spark.operators.multimodal import (
+        decode_images,
+        grayscale,
+        image_features,
+    )
+
+    df = spark.createDataFrame([(0, b"abc"), (1, None)], "doc_id long, content binary")
+    imgs = decode_images(df, height=4, width=4, channels=3)
+    rows = {r.doc_id: r.image for r in imgs.collect()}
+    assert rows[0] is not None and rows[1] is None
+    feats = {r.doc_id: r.img_features for r in image_features(imgs).collect()}
+    assert feats[1] is None and len(feats[0]) == 6
+    gray = {r.doc_id: r.gray for r in grayscale(imgs).collect()}
+    assert gray[1] is None and gray[0].n_channels == 1
