@@ -44,11 +44,17 @@ class LinearMapper(Transformer):
 
         @pandas_udf("array<double>")
         def gemm(s: pd.Series) -> pd.Series:
-            X = np.asarray(list(s), dtype=np.float64)
-            out = X @ W_
-            if b_ is not None:
-                out = out + b_
-            return pd.Series(list(out))
+            # null feature vectors map to null scores (not a kernel crash)
+            mask = s.notna().to_numpy()
+            out = np.full(len(s), None, dtype=object)
+            if mask.any():
+                X = np.asarray(list(s[mask]), dtype=np.float64)
+                Y = X @ W_
+                if b_ is not None:
+                    Y = Y + b_
+                for i, row in zip(np.nonzero(mask)[0], Y):
+                    out[i] = row.tolist()
+            return pd.Series(out)
 
         super().__init__(
             lambda df: df.withColumn(out_col, gemm(F.col(in_col))), "linear_mapper"

@@ -263,3 +263,16 @@ def test_grouped_least_squares_matches_regr_slope(spark):
     for g in sql:
         assert abs(ols[g].coef[0] - sql[g].s) < 1e-8
         assert abs(ols[g].intercept - sql[g].i) < 1e-8
+
+
+def test_linear_mapper_null_vector_gives_null_scores(spark):
+    import numpy as np
+    from keystone_spark.operators.learning import LinearMapper
+
+    df = spark.createDataFrame(
+        [(0, [1.0] * 4), (1, None)], "id long, embedding array<double>"
+    )
+    out = {r.id: r.s for r in
+           LinearMapper(np.ones((4, 2)), in_col="embedding", out_col="s")(df).collect()}
+    assert out[0] == [4.0, 4.0]
+    assert out[1] is None
