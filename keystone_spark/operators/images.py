@@ -51,7 +51,9 @@ def _map_images(df: DataFrame, image_col: str, out_col: str, out_field, fn):
         for pdf in batches:
             if pdf.empty:
                 continue
-            vals = [fn(_img_to_np(img)) for img in pdf[image_col]]
+            # null images (missing/undecodable media) propagate as null
+            vals = [None if img is None else fn(_img_to_np(img))
+                    for img in pdf[image_col]]
             pdf = pdf.copy()
             pdf[out_col] = vals
             yield pdf[cols + [out_col]]

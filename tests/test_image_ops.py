@@ -200,3 +200,21 @@ def test_daisy_features_shape_and_orientation(spark):
     for i in range(0, len(out), 4):
         n = np.linalg.norm(out[i : i + 4])
         assert n < 1.0 + 1e-9
+
+
+def test_image_ops_null_safe(spark):
+    """Convolver/Pooler propagate null images (missing media) as nulls."""
+    import numpy as np
+
+    from keystone_spark.operators.images import Convolver, Pooler
+
+    img = {"height": 4, "width": 4, "n_channels": 1, "data": [1.0] * 16}
+    df = spark.createDataFrame(
+        [(0, img), (1, None)],
+        "id int, image struct<height:int,width:int,n_channels:int,data:array<float>>",
+    )
+    conv = Convolver(np.ones((1, 4)), 2, 2, 1)(df, "image", "conv")
+    pooled = Pooler(stride=3, pool="sum")(conv.where("conv is not null"), "conv", "p")
+    rows = {r.id: r.conv for r in conv.collect()}
+    assert rows[1] is None and rows[0] is not None
+    assert pooled.count() == 1
