@@ -182,6 +182,9 @@ class RandomPatcher:
                     continue
                 out = []
                 for _, row in pdf.iterrows():
+                    if row[image_col] is None:
+                        out.append(None)
+                        continue
                     arr = _img_to_np(row[image_col])
                     key = int(row[key_col]) if key_col else 0
                     rng = np.random.default_rng((seed, key))
@@ -302,6 +305,9 @@ class RandomImageTransformer:
                     continue
                 out = []
                 for _, row in pdf.iterrows():
+                    if row[image_col] is None:
+                        out.append(None)
+                        continue
                     arr = _img_to_np(row[image_col])
                     key = int(row[key_col]) if key_col else 0
                     rng = np.random.default_rng((seed, key))

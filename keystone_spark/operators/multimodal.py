@@ -250,6 +250,9 @@ def decode_audio(
                     raise NotImplementedError(
                         "real audio decode requires soundfile/ffmpeg (not in container)"
                     )
+                if payload is None:
+                    out.append(None)
+                    continue
                 digest = hashlib.sha256(bytes(payload)).digest()
                 rng = np.random.default_rng(int.from_bytes(digest[:8], "little"))
                 pcm = (rng.random(n_samples, dtype=np.float32) * 2 - 1)
