@@ -1970,7 +1970,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
                 SELECT doc_id, lang,
                        CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-                            ELSE len(regexp_split_to_array(TRIM(text), '\s+'))
+                            ELSE len(regexp_split_to_array(TRIM(text), '\\s+'))
                        END AS toks
                 FROM documents),
             runs AS (

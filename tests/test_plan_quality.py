@@ -126,3 +126,38 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS cust_b")
+
+
+def test_q6_pushes_every_predicate(spark, sf_dir, qs):
+    """revenue_predicate (Q6 shape): all four filters reach the scan, no
+    shuffle before the partial agg."""
+    plan = plan_of(qs["revenue_predicate"](spark, sf_dir))
+    assert "PushedFilters:" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    assert "HashAggregate" in plan
+
+
+def test_shipping_priority_broadcasts_customer(spark, sf_dir, qs):
+    plan = plan_of(qs["shipping_priority"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # limit 10 never does a full sort
+
+
+def test_exists_subquery_is_semi_join(spark, sf_dir, qs):
+    plan = plan_of(qs["exists_subquery"](spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_token_packing_single_window_exchange(spark, sf_dir, qs):
+    """Sequence packing is one window over one shuffle — the whole packing
+    decision costs a single exchange on the partition key."""
+    import re
+
+    plan = plan_of(qs["token_packing"](spark, sf_dir))
+    assert plan.count("Window") >= 1
+    # unique plan-node ids: one exchange for the window partition plus the
+    # final orderBy's (formatted explain prints each node twice)
+    n_ex = len(set(re.findall(r"\((\d+)\) Exchange", plan)))
+    assert n_ex <= 2, plan[:1200]
