@@ -161,3 +161,15 @@ def test_token_packing_single_window_exchange(spark, sf_dir, qs):
     # final orderBy's (formatted explain prints each node twice)
     n_ex = len(set(re.findall(r"\((\d+)\) Exchange", plan)))
     assert n_ex <= 2, plan[:1200]
+
+
+def test_word_freq_encoder_limits_before_rank(spark, sf_dir, qs):
+    """Top-100 vocab selection must be TakeOrderedAndProject (partition-local
+    top-k + tiny merge); the rank window may only ever see those 100 rows.
+    The unpartitioned-window-over-full-vocab shape is a driver-killer at
+    100 TB vocabularies (VERDICT r1 #2)."""
+    plan = plan_of(qs["word_freq_encoder"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    # the Window node must sit ABOVE the global limit, i.e. the plan orders
+    # scan -> agg -> TakeOrdered -> window, never window over the raw agg
+    assert plan.index("TakeOrderedAndProject") > plan.index("Window"), plan[:1500]
