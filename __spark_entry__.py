@@ -1297,6 +1297,24 @@ def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "toks", "pack_id").orderBy("doc_id")
 
 
+def q_token_packing_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE budget-respecting sequence packing (ADVICE r1): greedy in-order
+    fill that closes a pack when the next doc would overflow — no pack
+    exceeds the budget except single oversized docs. Sequential per group
+    -> applyInPandas per language; the DuckDB oracle replays the same
+    recurrence as a recursive CTE."""
+    from keystone_spark.functions.text import token_count
+    from keystone_spark.operators.curation import pack_sequences_greedy
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count("text").cast("long").alias("toks")
+    )
+    out = pack_sequences_greedy(
+        d, "toks", budget=2048, partition_cols=["lang"], order_cols=["doc_id"]
+    )
+    return out.select("doc_id", "lang", "toks", "pack_id").orderBy("doc_id")
+
+
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx (t-digest-style sketch, mergeable across
     partitions) pinned against the exact percentile with a 1%%-relative
@@ -1443,6 +1461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_fns2": q_array_fns2,
         "regr_fns": q_regr_fns,
         "token_packing": q_token_packing,
+        "token_packing_greedy": q_token_packing_greedy,
         "approx_percentile": q_approx_percentile,
         "null_fns": q_null_fns,
         "grouped_ols": q_grouped_ols,
@@ -2182,6 +2201,32 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS ranks_ok,
                    TRUE AS recall_ok
             FROM embeddings WHERE vec_id < 10 ORDER BY probe
+        """,
+        # greedy packing replayed exactly: the per-group sequential
+        # recurrence (close pack on overflow) as a recursive CTE — one
+        # working row per language per iteration.
+        "token_packing_greedy": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, lang,
+                       CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(TRIM(text), '\\s+'))
+                       END AS toks,
+                       ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+                FROM documents),
+            rec AS (
+                SELECT doc_id, lang, toks, rn, CAST(0 AS BIGINT) AS pack_id,
+                       toks AS acc
+                FROM toks WHERE rn = 1
+                UNION ALL
+                SELECT t.doc_id, t.lang, t.toks, t.rn,
+                       CASE WHEN r.acc > 0 AND r.acc + t.toks > 2048
+                            THEN r.pack_id + 1 ELSE r.pack_id END,
+                       CASE WHEN r.acc > 0 AND r.acc + t.toks > 2048
+                            THEN t.toks ELSE r.acc + t.toks END
+                FROM rec r JOIN toks t ON t.lang = r.lang AND t.rn = r.rn + 1)
+            SELECT doc_id, lang, CAST(toks AS BIGINT) AS toks,
+                   CAST(pack_id AS BIGINT) AS pack_id
+            FROM rec ORDER BY doc_id
         """,
         # binary-payload path checked hash-exactly (octet_length + sha256 of
         # the UTF-8 payload); decoded-feature path by invariants.

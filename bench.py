@@ -3,10 +3,13 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is materialized via a count-style action (``_run``) so the full
-plan executes without driver-side row transfer. A warmup pass primes the
-JVM/codegen caches; reported value is the best of 2 timed iterations
-(steady-state, matches how a long-running cluster behaves).
+Each query is materialized with the ``noop`` sink (ADVICE r1: ``count()``
+lets Catalyst prune output-only projections — e.g. a final ``round()``
+above an aggregate — so it under-measures; the noop write forces every
+output column through the full plan with no driver-side row transfer). A
+warmup pass primes the JVM/codegen caches; reported value is the best of 2
+timed iterations (steady-state, matches how a long-running cluster
+behaves).
 """
 
 from __future__ import annotations
@@ -43,14 +46,18 @@ def main() -> None:
     spark = get_session("keystone_spark_bench")
     qs = entry_mod.queries()
 
+    def run(df) -> None:
+        # noop datasource: full plan incl. every output column, zero sink IO
+        df.write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name, key in BENCH_QUERIES:
         fn = qs[key]
-        fn(spark, sf_dir).count()  # warmup (plan + codegen + file listing)
+        run(fn(spark, sf_dir))  # warmup (plan + codegen + file listing)
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
+            run(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 

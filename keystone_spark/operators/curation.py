@@ -21,15 +21,18 @@ def pack_sequences(
     order_cols: list[str] | None = None,
     out_col: str = "pack_id",
 ) -> DataFrame:
-    """Assign documents to fixed token-budget packs (greedy in-order fill):
-    pack_id = floor((running_sum(tokens) - tokens) / budget) within each
-    partition. Documents longer than the budget get a pack of their own
-    (they start at a fresh boundary for every doc that follows).
+    """Assign documents to OFFSET-SHARDED packs: pack_id =
+    floor((running_sum(tokens) - tokens) / budget) within each partition —
+    i.e. a doc belongs to the shard its *start offset* falls in, as if the
+    token stream were concatenated and cut every ``budget`` tokens. A pack
+    may therefore OVERFLOW the budget by up to max_doc_len - 1 tokens (the
+    doc straddling a cut stays in the earlier pack); use
+    ``pack_sequences_greedy`` when packs must never exceed the budget
+    (ADVICE r1 clarified this contract).
 
-    This is sequence packing for LLM pretraining shards done as ONE window
-    cumsum — no driver loop, no UDF; partition_cols (e.g. source/lang)
-    bound window state so each group packs independently and in parallel.
-    The greedy-in-order policy is deterministic given order_cols.
+    Done as ONE window cumsum — no driver loop, no UDF; partition_cols
+    (e.g. source/lang) bound window state so each group packs
+    independently and in parallel. Deterministic given order_cols.
     """
     parts = partition_cols or []
     order = order_cols or []
@@ -41,6 +44,55 @@ def pack_sequences(
         out_col,
         F.floor((run - F.col(token_col)) / F.lit(budget)).cast("long"),
     )
+
+
+def pack_sequences_greedy(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    partition_cols: list[str] | None = None,
+    order_cols: list[str] | None = None,
+    out_col: str = "pack_id",
+) -> DataFrame:
+    """TRUE greedy in-order fill: close the current pack as soon as adding
+    the next document would exceed ``budget``, so every pack's total stays
+    <= budget — except a single oversized document, which gets a pack of
+    its own. This is the contract LLM-pretraining shard packing needs
+    (an over-budget shard silently truncates training sequences).
+
+    The decision is inherently sequential (pack boundaries depend on every
+    earlier doc), so it cannot be one window expression; it runs as one
+    Arrow-batched pass per group (``applyInPandas``) with partition_cols
+    bounding the sequential state — groups pack in parallel, rows within a
+    group stream through a tight loop. With no partition_cols the whole
+    input is a single group: fine for bounded inputs, pass partition_cols
+    at scale (a shard family per source/lang is also what you want
+    operationally)."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    parts = partition_cols or []
+    order = order_cols or []
+    # fresh StructType: StructType.add mutates in place and would poison
+    # the input DataFrame's cached schema
+    schema = StructType(list(df.schema.fields) + [StructField(out_col, LongType())])
+    sort_cols = order + [c for c in df.columns if c not in order]
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        ids = []
+        pid, acc = 0, 0
+        for tok in pdf[token_col].astype("int64"):
+            if acc > 0 and acc + tok > budget:
+                pid += 1
+                acc = 0
+            ids.append(pid)
+            acc += tok
+        pdf[out_col] = pd.Series(ids, dtype="int64")
+        return pdf
+
+    grouped = df.groupBy(*parts) if parts else df.groupBy(F.lit(1).alias("__g"))
+    return grouped.applyInPandas(pack, schema)
 
 
 def stratified_sample(

@@ -29,9 +29,68 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
+DEFAULT_BUCKET_CAP = 2000
+
+
+def _drop_oversized_buckets(
+    banded: DataFrame, keys: list[str], bucket_cap: int | None
+) -> DataFrame:
+    """Skew guard for LSH band joins (VERDICT r1 #3): a bucket of n docs
+    yields n^2/2 candidate pairs in ONE join task; 100 TB corpora put 1e4+
+    boilerplate docs (license headers, templates) in a bucket -> 1e8+ pairs.
+    Buckets over ``bucket_cap`` are dropped wholesale via a
+    map-side-combinable count + broadcast anti-join (no sort, no one-task
+    window over the giant bucket, so the guard itself cannot skew).
+    Exact-dedup-first (see ``minhash_dedup``) absorbs the identical-doc
+    case before banding; what a dropped oversized bucket loses is only
+    near-dup detection *among* >cap boilerplate variants."""
+    if bucket_cap is None:
+        return banded
+    big = (
+        banded.groupBy(*keys)
+        .agg(F.count("*").alias("__n"))
+        .where(F.col("__n") > bucket_cap)
+        .select(*keys)
+    )
+    return banded.join(F.broadcast(big), keys, "left_anti")
+
 from keystone_spark.functions.text import char_shingles, simhash64, tokens
 
 _MERSENNE = (1 << 61) - 1
+_M61 = np.uint64(_MERSENNE)
+_MASK32 = np.uint64(0xFFFFFFFF)
+
+
+def _fold61(x: np.ndarray) -> np.ndarray:
+    """One folding step of x mod (2^61 - 1): since 2^61 === 1 (mod p),
+    x = hi*2^61 + lo === hi + lo. Input < 2^64, output < 2^62."""
+    return (x >> np.uint64(61)) + (x & _M61)
+
+
+def _mulmod61(a: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Exact (a * h) mod (2^61 - 1), vectorized in uint64 with no 128-bit
+    type: 32x32 partial products + 2^61===1 folding (ADVICE r1 — the naive
+    uint64 product wraps mod 2^64 first, which breaks the universal-family
+    uniformity the MinHash unbiased-estimate margin relies on).
+
+    a must be < 2^61; h is reduced here. Broadcasting-friendly
+    (a: (1, n_hashes), h: (n, 1) -> (n, n_hashes))."""
+    h = _fold61(h)  # < 2^62; one more fold keeps it < 2^61 + eps
+    h = (h >> np.uint64(61)) + (h & _M61)
+    a1, a0 = a >> np.uint64(32), a & _MASK32
+    h1, h0 = h >> np.uint64(32), h & _MASK32
+    # prod = a1h1*2^64 + (a1h0 + a0h1)*2^32 + a0h0, each partial fits uint64
+    t2 = a1 * h1  # < 2^58
+    t1 = a1 * h0 + a0 * h1  # < 2^62
+    t0 = a0 * h0  # < 2^64
+    # reduce each term mod p: 2^64 === 2^3; t1*2^32 = u*2^61 + v*2^32 === u + v*2^32
+    r2 = t2 << np.uint64(3)  # t2 < 2^58 so t2*2^3 < 2^61, no overflow
+    u, v = t1 >> np.uint64(29), t1 & np.uint64((1 << 29) - 1)
+    r1 = _fold61(u + (v << np.uint64(32)))  # < 2^62
+    r0 = _fold61(t0)
+    s = _fold61(r2 + r1 + r0)  # sum < 2^64 -> < 2^62
+    s = _fold61(s)
+    return np.where(s >= _M61, s - _M61, s)
 
 
 def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
@@ -81,14 +140,15 @@ def minhash_signatures(
     )
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        Au, Bu, Mu = A.astype(np.uint64), B.astype(np.uint64), np.uint64(_MERSENNE)
+        Au, Bu = A.astype(np.uint64), B.astype(np.uint64)
         for pdf in batches:
             if pdf.empty:
                 continue
             # ONE vectorized pass over the whole Arrow batch: flatten every
             # doc's shingle hashes, compute (a*h+b) mod M for all hashes x
-            # all n_hashes at once, then segmented-min back to per-doc
-            # signatures with minimum.reduceat — ~10x over a per-doc loop.
+            # all n_hashes at once (exact Mersenne mulmod — see _mulmod61),
+            # then segmented-min back to per-doc signatures with
+            # minimum.reduceat — ~10x over a per-doc loop.
             # NULL text -> null shingle array: treat as empty (sentinel
             # signature; such docs never match anything in near-dedup —
             # exact dedup is the right tool for empty/null content).
@@ -98,7 +158,8 @@ def minhash_signatures(
                                    for h in pdf["__h"][keep]]) if keep.any() else np.empty(0, np.uint64)
             sigs = np.full((len(pdf), n_hashes), _MERSENNE, dtype=np.int64)
             if len(flat):
-                prods = (Au[None, :] * flat[:, None] + Bu[None, :]) % Mu
+                prods = _fold61(_mulmod61(Au[None, :], flat[:, None]) + Bu[None, :])
+                prods = np.where(prods >= _M61, prods - _M61, prods)
                 offsets = np.concatenate([[0], np.cumsum(lens[keep])[:-1]])
                 mins = np.minimum.reduceat(prods, offsets, axis=0)
                 sigs[keep] = mins.astype(np.int64)
@@ -115,11 +176,14 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     n_bands: int = 16,
     n_hashes: int = 128,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Banded LSH: split each signature into n_bands rows keyed by
     (band, xxhash64(band slice)); docs sharing any band bucket are
     candidate pairs (i < j). Equi-join on the bucket key — shuffle, not
-    broadcast, so it scales with corpus size."""
+    broadcast, so it scales with corpus size. Buckets larger than
+    ``bucket_cap`` are excluded before the self-join (see
+    ``_drop_oversized_buckets``); pass None to disable."""
     assert n_hashes % n_bands == 0
     rpb = n_hashes // n_bands
     banded = sigs.select(
@@ -144,6 +208,7 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    banded = _drop_oversized_buckets(banded, ["band", "bucket"], bucket_cap)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -165,13 +230,18 @@ def jaccard_verify(
     text_col: str = "text",
     shingle_k: int = 5,
     threshold: float = 0.8,
+    caches: list | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard on candidate pairs only; keeps pairs with
     jac >= threshold. Join-back of shingle arrays + JVM set ops.
 
     Shingles are recomputed only for docs that appear in a candidate pair
     (semi-join first): candidates are a tiny fraction of the corpus, so
-    this avoids re-shingling 100 TB to verify a few thousand pairs."""
+    this avoids re-shingling 100 TB to verify a few thousand pairs.
+
+    The shingle table is persisted (consumed by both the i- and j-side
+    joins); pass ``caches`` to receive the persisted DataFrame so you can
+    unpersist after materializing the output (``minhash_dedup`` does)."""
     cand_ids = (
         pairs.select(F.col("i").alias(id_col))
         .unionByName(pairs.select(F.col("j").alias(id_col)))
@@ -182,6 +252,8 @@ def jaccard_verify(
     sh = df.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col), char_shingles(F.col(text_col), shingle_k).alias("__sh")
     ).persist()
+    if caches is not None:
+        caches.append(sh)
     out = (
         pairs.join(sh.select(F.col(id_col).alias("i"), F.col("__sh").alias("__si")), "i")
         .join(sh.select(F.col(id_col).alias("j"), F.col("__sh").alias("__sj")), "j")
@@ -237,23 +309,67 @@ def minhash_dedup(
     shingle_k: int = 5,
     threshold: float = 0.8,
     seed: int = 42,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """End-to-end near-dedup: keep rows with no verified near-duplicate of
     lower id ("keep first"). Returns the deduplicated DataFrame.
 
-    Pipeline: signatures -> banded LSH candidates -> signature-estimate
-    prune -> exact-Jaccard verify on survivors -> anti-join."""
+    Pipeline: exact-dedup first (identical payloads are the pathological
+    LSH-skew case — every copy shares every band bucket; one
+    map-side-combinable min-agg resolves them) -> signatures -> banded LSH
+    candidates with ``bucket_cap`` skew guard -> signature-estimate prune
+    -> exact-Jaccard verify on survivors -> anti-join. Semantics are
+    unchanged by the exact-first phase: an exact duplicate's keeper has the
+    same text, so any near-dup caught via the duplicate is caught via its
+    keeper.
+
+    Cache hygiene (VERDICT r1 #6): signatures / candidate / shingle caches
+    are unpersisted before returning; only the (small) drop-id set stays
+    persisted because the lazily-returned DataFrame still references it —
+    call ``release(result)`` when done with the result in a long-lived
+    session."""
+    # null text never dedups (matches SQL NULL semantics and the oracle:
+    # no shingles -> no pairs), so nulls bypass the exact phase untouched
+    nn = df.where(F.col(text_col).isNotNull())
+    keepers = (
+        nn.select(F.col(id_col), F.xxhash64(text_col).alias("__ck"))
+        .groupBy("__ck")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    survivors = nn.join(keepers, id_col, "left_semi").unionByName(
+        df.where(F.col(text_col).isNull())
+    )
     # signatures are consumed twice (band join + estimate filter);
     # persist + materialize so the Arrow stage runs exactly once
     # (AutoCacheRule R2: reuse count >= 2 -> cache)
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k, seed).persist()
-    cand = minhash_lsh_candidates(sigs, id_col, n_bands, n_hashes)
+    sigs = minhash_signatures(
+        survivors, id_col, text_col, n_hashes, shingle_k, seed
+    ).persist()
+    cand = minhash_lsh_candidates(sigs, id_col, n_bands, n_hashes, bucket_cap)
     likely = minhash_estimate_filter(cand, sigs, id_col, n_hashes, threshold)
     likely = likely.persist()
     likely.count()
-    dups = jaccard_verify(likely, df, id_col, text_col, shingle_k, threshold)
-    drop = dups.select(F.col("j").alias(id_col)).distinct()
-    return df.join(drop, id_col, "left_anti")
+    sigs.unpersist()
+    caches: list = []
+    dups = jaccard_verify(
+        likely, survivors, id_col, text_col, shingle_k, threshold, caches=caches
+    )
+    drop = dups.select(F.col("j").alias(id_col)).distinct().persist()
+    drop.count()
+    likely.unpersist()
+    for c in caches:
+        c.unpersist()
+    out = survivors.join(drop, id_col, "left_anti")
+    out._keystone_caches = [drop]  # released via release(out)
+    return out
+
+
+def release(df: DataFrame) -> None:
+    """Unpersist the caches a dedup operator attached to its result (call
+    after the result has been materialized/written)."""
+    for c in getattr(df, "_keystone_caches", []):
+        c.unpersist()
 
 
 def simhash_signatures_arrow(
@@ -303,12 +419,15 @@ def simhash_candidates(
     n_bands: int = 4,
     max_hamming: int = 3,
     impl: str = "arrow",
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """SimHash near-dup candidates: 64-bit signature banded into
     n_bands segments (a pair within Hamming distance n_bands-1 shares at
     least one exact band by pigeonhole); verify with bit_count.
     impl='arrow' (default) vectorizes signature computation per batch;
-    impl='codegen' keeps everything JVM-side."""
+    impl='codegen' keeps everything JVM-side. Buckets larger than
+    ``bucket_cap`` are excluded before the self-join (skew guard — see
+    ``_drop_oversized_buckets``); pass None to disable."""
     assert 64 % n_bands == 0
     seg = 64 // n_bands
     if impl == "arrow":
@@ -336,6 +455,7 @@ def simhash_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "__sh", "bb.band", "bb.bucket")
+    banded = _drop_oversized_buckets(banded, ["band", "bucket"], bucket_cap)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(

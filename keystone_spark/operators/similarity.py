@@ -130,8 +130,7 @@ def lsh_signatures(
     bits_per_band = n_bits // n_bands
 
     data = data.where(F.col(vec_col).isNotNull())  # null vec: no buckets
-    first = data.select(vec_col).first()
-    d = dim or len(first[0])
+    d = dim or len(data.select(vec_col).first()[0])  # no job when dim given
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(d, n_bits))
 
@@ -172,17 +171,25 @@ def lsh_bucket_topk(
     n_bits: int = 64,
     n_bands: int = 8,
     seed: int = 42,
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """Approximate cosine top-k: LSH-bucket candidate join + exact rerank.
 
-    Scale path: both sides shuffle on (band, bucket) — no broadcast of the
-    probe set needed, works probe-set-huge and data-huge. Candidates are
-    deduped before rerank; rerank itself is the same gemm kernel as
-    cosine_topk applied to the (much smaller) candidate set.
-    """
-    sig_d = lsh_signatures(data, id_col, vec_col, n_bits, n_bands, seed=seed)
+    Scale path: the CANDIDATE join shuffles both sides on (band, bucket) —
+    no broadcast needed there, works probe-set-huge and data-huge.
+    Candidates are deduped before rerank; rerank is the same gemm kernel as
+    cosine_topk applied to the (much smaller) candidate set. The rerank's
+    probe-VECTOR join broadcasts by default — right for the common
+    few-probes case; pass ``broadcast_probes=False`` for a huge probe set
+    so that join shuffles too (ADVICE r1: an unconditional broadcast would
+    OOM exactly the case this operator exists for)."""
+    first = probes.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+    if first is None:
+        raise ValueError("probes must contain at least one non-null vector")
+    dim = len(first[0])  # one dim-inference job, shared by both sides
+    sig_d = lsh_signatures(data, id_col, vec_col, n_bits, n_bands, dim=dim, seed=seed)
     sig_p = (
-        lsh_signatures(probes, id_col, vec_col, n_bits, n_bands, seed=seed)
+        lsh_signatures(probes, id_col, vec_col, n_bits, n_bands, dim=dim, seed=seed)
         .withColumnRenamed(id_col, "probe")
     )
     cand = (
@@ -198,7 +205,7 @@ def lsh_bucket_topk(
 
     scored = (
         cand.join(dv, id_col)
-        .join(F.broadcast(pv), "probe")
+        .join(F.broadcast(pv) if broadcast_probes else pv, "probe")
         .select("probe", id_col, cosine_similarity("__pv", "__dv").alias("cos"))
     )
     w = Window.partitionBy("probe").orderBy(F.col("cos").desc(), id_col)

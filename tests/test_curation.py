@@ -3,7 +3,11 @@
 import pyspark.sql.functions as F
 
 
-def test_pack_sequences_respects_budget(spark):
+def test_pack_sequences_offset_sharding(spark):
+    """pack_sequences is offset sharding: a doc joins the shard its start
+    offset falls in, so a shard can overflow by up to max_doc_len-1 (here
+    pack 0 holds 40+40+40=120 > 100). The budget-respecting operator is
+    pack_sequences_greedy (tested below)."""
     from keystone_spark.operators.curation import pack_sequences
 
     rows = [("a", i, t) for i, t in enumerate([40, 40, 40, 90, 10, 200, 5])]
@@ -14,6 +18,40 @@ def test_pack_sequences_respects_budget(spark):
     got = {r.doc_id: r.pack_id for r in out.collect()}
     # running starts: 0,40,80,120,210,220,420 -> floor(/100): 0,0,0,1,2,2,4
     assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 2, 5: 2, 6: 4}
+
+
+def test_pack_sequences_greedy_never_exceeds_budget(spark):
+    from keystone_spark.operators.curation import pack_sequences_greedy
+
+    rows = [("a", i, t) for i, t in enumerate([40, 40, 40, 90, 10, 200, 5])]
+    df = spark.createDataFrame(rows, "src string, doc_id long, toks long")
+    out = pack_sequences_greedy(
+        df, "toks", budget=100, partition_cols=["src"], order_cols=["doc_id"]
+    )
+    got = {r.doc_id: r.pack_id for r in out.collect()}
+    # greedy fill: [40,40]=80 | [40,90->no... 40 alone? no: 40+40=80, +40>100
+    # -> pack1: [40,90->130>100 -> pack1=[40], pack2=[90,10]=100, pack3=[200]
+    # oversized alone, pack4=[5]
+    assert got == {0: 0, 1: 0, 2: 1, 3: 2, 4: 2, 5: 3, 6: 4}
+    # invariant: no pack total exceeds budget unless it is a single doc
+    totals = {}
+    counts = {}
+    for r in out.collect():
+        totals[r.pack_id] = totals.get(r.pack_id, 0) + r.toks
+        counts[r.pack_id] = counts.get(r.pack_id, 0) + 1
+    for pid, tot in totals.items():
+        assert tot <= 100 or counts[pid] == 1
+
+
+def test_pack_sequences_greedy_no_partition_cols(spark):
+    from keystone_spark.operators.curation import pack_sequences_greedy
+
+    df = spark.createDataFrame(
+        [(0, 60), (1, 60), (2, 60)], "doc_id long, toks long"
+    )
+    out = pack_sequences_greedy(df, "toks", budget=100, order_cols=["doc_id"])
+    got = {r.doc_id: r.pack_id for r in out.collect()}
+    assert got == {0: 0, 1: 1, 2: 2}
 
 
 def test_pack_sequences_partitions_independent(spark):

@@ -232,3 +232,72 @@ def test_similarity_ops_skip_null_vectors(spark):
     ).count() == 0
     idx = IvfIndex.build(df, n_cells=4)
     assert idx.search(probes, k=3).where(F.col("vec_id") >= 20).count() == 0
+
+
+def test_mulmod61_exact_vs_bigint():
+    """The vectorized Mersenne mulmod must equal exact big-int arithmetic
+    (ADVICE r1: the previous form wrapped mod 2^64 before the mod-p)."""
+    import numpy as np
+
+    from keystone_spark.operators.dedup import _MERSENNE, _mulmod61
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(1, _MERSENNE, size=64, dtype=np.int64).astype(np.uint64)
+    h = rng.integers(0, np.iinfo(np.int64).max, size=257, dtype=np.int64).astype(
+        np.uint64
+    )
+    h[0] = 0
+    h[1] = np.uint64(_MERSENNE)          # h === 0 (mod p)
+    h[2] = np.uint64(2**64 - 1)          # max uint64
+    got = _mulmod61(a[None, :], h[:, None])
+    want = np.array(
+        [[(int(ai) * int(hi)) % _MERSENNE for ai in a] for hi in h], dtype=np.uint64
+    )
+    assert (got == want).all()
+
+
+def test_lsh_bucket_cap_bounds_candidates(spark):
+    """10k boilerplate copies in one bucket must not produce an O(n^2)
+    candidate join (VERDICT r1 #3): oversized buckets are dropped, and
+    exact-dedup-first keeps the end-to-end dedup answer unchanged."""
+    import pyspark.sql.functions as F
+
+    from keystone_spark.operators.dedup import (
+        minhash_dedup,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    boiler = "license header boilerplate text repeated verbatim in every file"
+    rows = [(i, boiler) for i in range(200)]
+    rows += [(1000, "a genuinely unique document about spark physical plans"),
+             (1001, "a genuinely unique document about spark physical plan")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = minhash_signatures(df, n_hashes=16)
+    uncapped = minhash_lsh_candidates(sigs, n_bands=4, n_hashes=16, bucket_cap=None)
+    capped = minhash_lsh_candidates(sigs, n_bands=4, n_hashes=16, bucket_cap=50)
+    assert uncapped.count() >= 200 * 199 // 2  # the quadratic blowup
+    assert capped.count() <= 1  # only the unique near-pair can remain
+
+    kept = sorted(r.doc_id for r in minhash_dedup(df, n_hashes=16, n_bands=4,
+                                                  bucket_cap=50).collect())
+    assert kept == [0, 1000]  # boilerplate -> keep-first; near-pair -> keep 1000
+
+
+def test_minhash_dedup_cache_hygiene(spark):
+    """After minhash_dedup returns, only the small drop-id set may remain
+    persisted; release() clears that too (VERDICT r1 #6)."""
+    from keystone_spark.operators.dedup import minhash_dedup, release
+
+    base = spark._jsc.getPersistentRDDs().size()
+    df = spark.createDataFrame(
+        [(i, f"document number {i} with some distinct words {i * 17}")
+         for i in range(30)] + [(100, "document number 7 with some distinct words 119")],
+        "doc_id long, text string",
+    )
+    out = minhash_dedup(df, n_hashes=16, n_bands=4)
+    assert spark._jsc.getPersistentRDDs().size() <= base + 1
+    out.count()
+    release(out)
+    assert spark._jsc.getPersistentRDDs().size() <= base
