@@ -6,11 +6,15 @@ bytes into dense pixel arrays per record. Spark-first: media rows are a
 struct of ``binary`` payload + metadata; decode / resize / frame-sample /
 feature-extract run as Arrow-batched ``mapInPandas`` stages.
 
-The actual codecs (PIL/opencv/ffmpeg) are NOT in this container, so the
-decode kernels are stubbed: ``decode=fake`` produces a deterministic
-pseudo-image derived from xxhash of the payload (schema, batching,
-partitioning and UDF signatures are real and tested); ``decode=real``
-raises NotImplementedError where the codec call belongs.
+Decode modes: ``decode=fake`` produces a deterministic pseudo-image
+derived from the payload's content hash (schema, batching, partitioning
+and UDF signatures exercised without any codec); ``decode=real`` runs
+the pure-stdlib codecs in functions/codecs.py — PNG (zlib + numpy
+unfiltering) and WAV (stdlib wave). Formats needing a native library
+that is not in this container (JPEG Huffman+DCT, mp3/ogg/flac) raise
+NotImplementedError at the exact hook where the codec belongs; corrupt
+or unrecognized payloads decode to NULL so one bad record cannot fail a
+100 TB job (on_error='raise' flips that for debugging).
 
 Scale notes: binary payloads make wide rows — keep media in its own table
 keyed by content hash, read with ``spark.read.format("binaryFile")`` or a
@@ -65,30 +69,60 @@ def decode_images(
     width: int = 8,
     channels: int = 3,
     decode: str = "fake",
+    on_error: str = "null",
 ) -> DataFrame:
-    """binary payload -> IMAGE_STRUCT column. decode='real' is the hook
-    where PIL/opencv goes (not available in this container)."""
+    """binary payload -> IMAGE_STRUCT column.
+
+    decode='real' decodes PNG via functions/codecs.py (output keeps the
+    image's NATIVE dims — height/width/channels params apply to the fake
+    path only; chain ``resize_images`` to normalize); JPEG raises
+    NotImplementedError (needs a Huffman+DCT codec this container lacks
+    — reference: loaders/ImageNetLoaderUtils.scala decodes JPEG via
+    javax.imageio); corrupt/unknown payloads yield NULL images
+    (on_error='raise' to surface the ValueError instead)."""
     if decode not in ("fake", "real"):
         raise ValueError("decode must be 'fake' or 'real'")
+    if on_error not in ("null", "raise"):
+        raise ValueError("on_error must be 'null' or 'raise'")
 
     fields = [f for f in df.schema.fields]
     out_schema = StructType(fields + [StructField(out_col, IMAGE_STRUCT)])
     cols = [f.name for f in fields]
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from keystone_spark.functions.codecs import decode_png, sniff_media
+
         for pdf in batches:
             if pdf.empty:
                 continue
             imgs = []
             for payload in pdf[payload_col]:
-                if decode == "real":
-                    raise NotImplementedError(
-                        "real image decode requires PIL/opencv (not in container)"
-                    )
                 if payload is None:  # null media column -> null image
                     imgs.append(None)
                     continue
-                arr = _fake_decode(bytes(payload), height, width, channels)
+                raw = bytes(payload)
+                if decode == "real":
+                    kind = sniff_media(raw)
+                    if kind == "jpeg":
+                        raise NotImplementedError(
+                            "JPEG decode requires a Huffman+DCT codec "
+                            "(PIL/opencv, not in container); transcode to "
+                            "PNG upstream or install a codec wheel"
+                        )
+                    try:
+                        arr = decode_png(raw)
+                    except ValueError:
+                        if on_error == "raise":
+                            raise
+                        imgs.append(None)  # corrupt/unknown -> null image
+                        continue
+                    h, w, c = arr.shape
+                    imgs.append(
+                        {"height": int(h), "width": int(w), "n_channels": int(c),
+                         "data": arr.ravel().tolist()}
+                    )
+                    continue
+                arr = _fake_decode(raw, height, width, channels)
                 imgs.append(
                     {
                         "height": height,
@@ -99,6 +133,62 @@ def decode_images(
                 )
             pdf = pdf.copy()
             pdf[out_col] = imgs
+            yield pdf[cols + [out_col]]
+
+    return df.mapInPandas(part, out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    height: int,
+    width: int,
+    image_col: str = "image",
+    out_col: str = "resized",
+) -> DataFrame:
+    """Bilinear resize to (height, width) — normalizes natively-sized
+    decoded images to the fixed shape downstream featurizers expect
+    (reference: the ImageNet pipeline's resize step in
+    pipelines/images/imagenet/ImageNetSiftLcsFV.scala preprocessing).
+    Pure-numpy gather (two axis-aligned lerps), Arrow-batched."""
+    fields = [f for f in df.schema.fields]
+    out_schema = StructType(fields + [StructField(out_col, IMAGE_STRUCT)])
+    cols = [f.name for f in fields]
+
+    def one(arr: np.ndarray) -> np.ndarray:
+        h, w = arr.shape[:2]
+        # align-corners=False sampling (pixel centers), edge-clamped
+        ys = (np.arange(height) + 0.5) * h / height - 0.5
+        xs = (np.arange(width) + 0.5) * w / width - 0.5
+        y0 = np.clip(np.floor(ys).astype(np.intp), 0, h - 1)
+        x0 = np.clip(np.floor(xs).astype(np.intp), 0, w - 1)
+        y1 = np.minimum(y0 + 1, h - 1)
+        x1 = np.minimum(x0 + 1, w - 1)
+        wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+        wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+        top = arr[y0][:, x0] * (1 - wx) + arr[y0][:, x1] * wx
+        bot = arr[y1][:, x0] * (1 - wx) + arr[y1][:, x1] * wx
+        return top * (1 - wy) + bot * wy
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for img in pdf[image_col]:
+                if img is None:
+                    out.append(None)
+                    continue
+                arr = np.asarray(img["data"], dtype=np.float64).reshape(
+                    img["height"], img["width"], img["n_channels"]
+                )
+                r = one(arr)
+                out.append(
+                    {"height": height, "width": width,
+                     "n_channels": int(arr.shape[2]),
+                     "data": r.astype(np.float32).ravel().tolist()}
+                )
+            pdf = pdf.copy()
+            pdf[out_col] = out
             yield pdf[cols + [out_col]]
 
     return df.mapInPandas(part, out_schema)
@@ -228,32 +318,59 @@ def decode_audio(
     sample_rate: int = 16000,
     n_samples: int = 1024,
     decode: str = "fake",
+    on_error: str = "null",
 ) -> DataFrame:
     """binary payload -> AUDIO_STRUCT (sample_rate, n_samples, float PCM).
-    decode='real' is the soundfile/ffmpeg hook (not in this container);
-    'fake' derives deterministic PCM from the content hash so plumbing,
-    schema and batch shape are testable."""
+
+    decode='real' decodes PCM WAV via stdlib ``wave`` (multi-channel
+    averaged to mono, native sample rate/length kept — sample_rate /
+    n_samples params apply to the fake path only); mp3/ogg/flac raise
+    NotImplementedError (no codec in container); corrupt/unknown payloads
+    yield NULL (on_error='raise' to surface the error). 'fake' derives
+    deterministic PCM from the content hash so plumbing, schema and batch
+    shape are testable without any codec."""
     if decode not in ("fake", "real"):
         raise ValueError("decode must be 'fake' or 'real'")
+    if on_error not in ("null", "raise"):
+        raise ValueError("on_error must be 'null' or 'raise'")
 
     fields = [f for f in df.schema.fields]
     out_schema = StructType(fields + [StructField(out_col, AUDIO_STRUCT)])
     cols = [f.name for f in fields]
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from keystone_spark.functions.codecs import decode_wav, sniff_media
+
         for pdf in batches:
             if pdf.empty:
                 continue
             out = []
             for payload in pdf[payload_col]:
-                if decode == "real":
-                    raise NotImplementedError(
-                        "real audio decode requires soundfile/ffmpeg (not in container)"
-                    )
                 if payload is None:
                     out.append(None)
                     continue
-                digest = hashlib.sha256(bytes(payload)).digest()
+                raw = bytes(payload)
+                if decode == "real":
+                    kind = sniff_media(raw)
+                    if kind in ("mp3", "ogg", "flac"):
+                        raise NotImplementedError(
+                            f"{kind} decode requires a native codec "
+                            "(soundfile/ffmpeg, not in container); "
+                            "transcode to PCM WAV upstream"
+                        )
+                    try:
+                        sr, pcm = decode_wav(raw)
+                    except Exception:
+                        if on_error == "raise":
+                            raise
+                        out.append(None)  # corrupt/unknown -> null audio
+                        continue
+                    out.append(
+                        {"sample_rate": int(sr), "n_samples": int(len(pcm)),
+                         "pcm": pcm.tolist()}
+                    )
+                    continue
+                digest = hashlib.sha256(raw).digest()
                 rng = np.random.default_rng(int.from_bytes(digest[:8], "little"))
                 pcm = (rng.random(n_samples, dtype=np.float32) * 2 - 1)
                 out.append(
@@ -285,6 +402,9 @@ def audio_features(
                 continue
             feats = []
             for a in pdf[audio_col]:
+                if a is None:  # undecodable/null audio -> null features
+                    feats.append(None)
+                    continue
                 x = np.asarray(a["pcm"], dtype=np.float64)
                 sr = a["sample_rate"]
                 rms = float(np.sqrt(np.mean(x**2)))

@@ -1,0 +1,261 @@
+"""PNG/WAV codec correctness + real-decode Spark kernels (multimodal)."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from keystone_spark.functions.codecs import (
+    PNG_SIG,
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_wav,
+    sniff_media,
+)
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+    return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+
+def _png_from_rows(rows: list[bytes], w: int, h: int, bit_depth: int,
+                   color_type: int, plte: bytes | None = None) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
+    out = PNG_SIG + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _chunk(b"PLTE", plte)
+    return out + _chunk(b"IDAT", zlib.compress(b"".join(rows))) + _chunk(b"IEND", b"")
+
+
+def _spec_filter(raw: np.ndarray, ftype: int, bpp: int) -> list[bytes]:
+    """Reference-spec scanline filtering (RFC 2083 §6), the inverse of the
+    decoder under test — written independently, straight from the spec."""
+    h, stride = raw.shape
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    rows = []
+    prior = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        line = raw[y].astype(np.int64)
+        f = bytearray([ftype])
+        for i in range(stride):
+            a = int(line[i - bpp]) if i >= bpp else 0
+            b = int(prior[i])
+            c = int(prior[i - bpp]) if i >= bpp else 0
+            if ftype == 0:
+                v = line[i]
+            elif ftype == 1:
+                v = line[i] - a
+            elif ftype == 2:
+                v = line[i] - b
+            elif ftype == 3:
+                v = line[i] - (a + b) // 2
+            else:
+                v = line[i] - paeth(a, b, c)
+            f.append(int(v) & 0xFF)
+        rows.append(bytes(f))
+        prior = line
+    return rows
+
+
+@pytest.mark.parametrize("channels", [1, 3, 4])
+def test_png_roundtrip(channels):
+    rng = np.random.default_rng(channels)
+    img = rng.integers(0, 256, size=(11, 7, channels), dtype=np.uint8)
+    arr = decode_png(encode_png(img))
+    assert arr.shape == (11, 7, channels)
+    assert np.array_equal((arr * 255).round().astype(np.uint8), img)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_all_filter_types(ftype):
+    """Decoder must invert every scanline filter, checked against an
+    independent spec-side filter implementation."""
+    rng = np.random.default_rng(ftype)
+    img = rng.integers(0, 256, size=(9, 5, 3), dtype=np.uint8)
+    rows = _spec_filter(img.reshape(9, 15), ftype, bpp=3)
+    arr = decode_png(_png_from_rows(rows, 5, 9, 8, 2))
+    assert np.array_equal((arr * 255).round().astype(np.uint8), img)
+
+
+def test_png_16bit_gray():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 65536, size=(4, 6), dtype=np.uint16)
+    rows = [b"\x00" + img[y].astype(">u2").tobytes() for y in range(4)]
+    arr = decode_png(_png_from_rows(rows, 6, 4, 16, 0))
+    assert arr.shape == (4, 6, 1)
+    assert np.allclose(arr[:, :, 0], img / 65535.0, atol=1e-7)
+
+
+def test_png_palette():
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+    rows = [b"\x00" + idx[y].tobytes() for y in range(2)]
+    arr = decode_png(_png_from_rows(rows, 3, 2, 8, 3, plte=plte))
+    assert arr.shape == (2, 3, 3)
+    assert np.array_equal(arr[0, 0], [1.0, 0.0, 0.0])
+    assert np.array_equal(arr[0, 2], [0.0, 0.0, 1.0])
+    assert np.array_equal(arr[1, 0], [0.0, 0.0, 1.0])
+
+
+def test_png_malformed_raises():
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+    good = encode_png(np.zeros((4, 4), dtype=np.uint8))
+    with pytest.raises((ValueError, zlib.error)):
+        decode_png(good[:-20])  # truncated IDAT/IEND
+
+
+def test_sniff_media():
+    assert sniff_media(encode_png(np.zeros((2, 2), np.uint8))) == "png"
+    assert sniff_media(encode_wav(np.zeros(8), 16000)) == "wav"
+    assert sniff_media(b"\xff\xd8\xff\xe0rest") == "jpeg"
+    assert sniff_media(b"ID3\x04tag") == "mp3"
+    assert sniff_media(b"garbage") == "unknown"
+
+
+def test_wav_roundtrip_mono():
+    t = np.arange(800) / 8000.0
+    pcm = 0.5 * np.sin(2 * np.pi * 440 * t)
+    sr, got = decode_wav(encode_wav(pcm, 8000))
+    assert sr == 8000 and len(got) == 800
+    assert np.allclose(got, pcm, atol=1.0 / 32767)
+
+
+def test_wav_stereo_averages_to_mono():
+    pcm = np.linspace(-0.9, 0.9, 100)
+    sr, got = decode_wav(encode_wav(pcm, 44100, n_channels=2))
+    assert sr == 44100 and len(got) == 100  # duplicated channels -> same mono
+    # encode quantizes at 1/32767, decode normalizes by 1/32768: 2 ulp slack
+    assert np.allclose(got, pcm, atol=2.0 / 32767)
+
+
+def test_wav_8bit():
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(1)
+        f.setframerate(16000)
+        f.writeframes(bytes([0, 128, 255]))
+    sr, got = decode_wav(buf.getvalue())
+    assert sr == 16000
+    assert np.allclose(got, [-1.0, 0.0, 127 / 128], atol=1e-6)
+
+
+def test_decode_images_real_png_null_and_garbage(spark):
+    from keystone_spark.operators.multimodal import decode_images
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    rows = [(1, bytearray(encode_png(img))), (2, None), (3, bytearray(b"garbage"))]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    got = {r.id: r.image for r in decode_images(df, decode="real").collect()}
+    assert got[2] is None and got[3] is None
+    assert (got[1].height, got[1].width, got[1].n_channels) == (6, 5, 3)
+    back = (np.array(got[1].data).reshape(6, 5, 3) * 255).round().astype(np.uint8)
+    assert np.array_equal(back, img)
+
+
+def test_decode_images_real_jpeg_raises(spark):
+    from keystone_spark.operators.multimodal import decode_images
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xd8\xff\xe0fakejpeg"))], "id long, content binary"
+    )
+    with pytest.raises(Exception, match="JPEG"):
+        decode_images(df, decode="real").collect()
+
+
+def test_real_decode_resize_gray_features_pipeline(spark):
+    """PNG bytes -> decode(real) -> resize -> grayscale -> features,
+    end-to-end through the Arrow kernels."""
+    import pyspark.sql.functions as F
+
+    from keystone_spark.operators.multimodal import (
+        decode_images,
+        grayscale,
+        image_features,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(9)
+    rows = [
+        (i, bytearray(encode_png(rng.integers(0, 256, size=(10 + i, 8, 3),
+                                              dtype=np.uint8))))
+        for i in range(3)
+    ] + [(99, None)]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    out = decode_images(df, decode="real")
+    out = resize_images(out, 6, 6, image_col="image", out_col="image6")
+    out = grayscale(out, image_col="image6", out_col="gray")
+    out = image_features(out, image_col="gray", out_col="feats")
+    got = {r.id: r for r in out.collect()}
+    for i in range(3):
+        assert (got[i].image6.height, got[i].image6.width) == (6, 6)
+        assert got[i].gray.n_channels == 1
+        assert len(got[i].feats) == 2  # mean + std of the single channel
+        assert 0.0 <= got[i].feats[0] <= 1.0
+    assert got[99].image6 is None and got[99].gray is None and got[99].feats is None
+
+
+def test_resize_identity_and_upscale(spark):
+    from keystone_spark.operators.multimodal import decode_images, resize_images
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    img[:, :, 0] = np.arange(16).reshape(4, 4) * 16
+    df = spark.createDataFrame([(1, bytearray(encode_png(img)))],
+                               "id long, content binary")
+    dec = decode_images(df, decode="real")
+    same = resize_images(dec, 4, 4).collect()[0].resized
+    orig = dec.collect()[0].image
+    assert np.allclose(same.data, orig.data, atol=1e-6)  # identity resize
+    up = resize_images(dec, 8, 8).collect()[0].resized
+    a = np.array(up.data).reshape(8, 8, 3)
+    assert a.shape == (8, 8, 3)
+    # bilinear keeps values within the source range and preserves mean-ish
+    assert a.min() >= 0.0 and a.max() <= 1.0
+    assert abs(a[:, :, 0].mean() - img[:, :, 0].mean() / 255.0) < 0.02
+
+
+def test_decode_audio_real_wav(spark):
+    from keystone_spark.operators.multimodal import audio_features, decode_audio
+
+    t = np.arange(1600) / 16000.0
+    pcm = 0.4 * np.sin(2 * np.pi * 220 * t)
+    rows = [
+        (1, bytearray(encode_wav(pcm, 16000))),
+        (2, bytearray(encode_wav(pcm, 8000, n_channels=2))),
+        (3, None),
+        (4, bytearray(b"definitely not audio")),
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    out = audio_features(decode_audio(df, decode="real"))
+    got = {r.id: r for r in out.collect()}
+    assert got[1].audio.sample_rate == 16000 and got[1].audio.n_samples == 1600
+    assert got[2].audio.sample_rate == 8000
+    assert got[3].audio is None and got[4].audio is None
+    assert got[3].audio_features is None and got[4].audio_features is None
+    rms, zcr, centroid = got[1].audio_features
+    assert abs(rms - 0.4 / np.sqrt(2)) < 1e-3
+    assert abs(centroid - 220.0) < 25.0  # spectral centroid near the tone
+
+
+def test_decode_audio_real_mp3_raises(spark):
+    from keystone_spark.operators.multimodal import decode_audio
+
+    df = spark.createDataFrame([(1, bytearray(b"ID3\x04\x00tag"))],
+                               "id long, content binary")
+    with pytest.raises(Exception, match="mp3"):
+        decode_audio(df, decode="real").collect()

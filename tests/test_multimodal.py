@@ -30,9 +30,14 @@ def test_decode_schema_and_determinism(media_df):
     assert rows[0]["data"] != rows[1]["data"]
 
 
-def test_real_decode_raises(media_df):
-    with pytest.raises(Exception, match="NotImplementedError|PIL|opencv"):
-        decode_images(media_df, decode="real").collect()
+def test_real_decode_unknown_payloads(media_df):
+    # synthetic payloads are not PNG: null by default, ValueError surfaced
+    # with on_error='raise' (real-PNG coverage in tests/test_codecs.py)
+    assert all(
+        r.image is None for r in decode_images(media_df, decode="real").collect()
+    )
+    with pytest.raises(Exception, match="ValueError|not a PNG"):
+        decode_images(media_df, decode="real", on_error="raise").collect()
 
 
 def test_image_features_shape(media_df):
@@ -79,9 +84,15 @@ def test_audio_decode_and_features(spark):
         assert 0.2 < zcr < 0.8
         assert 0 < centroid < 8000      # below nyquist
 
+    # real decode: these payloads aren't WAV -> null by default,
+    # ValueError surfaced with on_error='raise' (full WAV coverage in
+    # tests/test_codecs.py)
+    assert all(
+        r.audio is None for r in decode_audio(df, decode="real").collect()
+    )
     import pytest as _pytest
-    with _pytest.raises(Exception, match="NotImplementedError|real audio"):
-        decode_audio(df, decode="real").collect()
+    with _pytest.raises(Exception, match="Error|not.*audio|unknown"):
+        decode_audio(df, decode="real", on_error="raise").collect()
 
 
 def test_null_payload_propagates_as_null(spark):
