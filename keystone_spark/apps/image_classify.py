@@ -73,7 +73,34 @@ def learn_filter_bank(
     return np.asarray([r[0] for r in white], dtype=np.float64)
 
 
-def build_and_eval(spark: SparkSession, n: int = 200, n_filters: int = 6) -> dict:
+def sift_fv_features(
+    spark: SparkSession, df: DataFrame, k: int = 2, n_angles: int = 4
+) -> DataFrame:
+    """SIFT -> GMM -> FisherVector featurization (the ImageNetSiftLcsFV
+    shape — reference: pipelines/images/imagenet/ImageNetSiftLcsFV.scala):
+    dense-SIFT descriptors per image, a diagonal GMM fit on the pooled
+    descriptors, then the improved-FV encoding as features."""
+    from keystone_spark.operators.images import fisher_vector, sift_extract
+    from keystone_spark.operators.learning import GaussianMixtureEstimator
+
+    # small synth images: tight bins so the 4x4 descriptor grid fits
+    sifted = sift_extract(df, "image", "sift", step=4, bin_size=2,
+                          n_angles=n_angles)
+    flat = sifted.select(F.explode("sift").alias("desc"))
+    gmm = GaussianMixtureEstimator(k, in_col="desc", seed=_SEED)._fit(flat)
+    gs = gmm.model.gaussiansDF.collect()
+    means = np.array([r.mean.toArray() for r in gs])
+    covs = np.maximum(np.array([np.diag(r.cov.toArray().reshape(len(r.mean), -1))
+                                for r in gs]), 1e-4)
+    fv = fisher_vector(sifted, gmm.weights, means, covs,
+                       desc_col="sift", out_col="features")
+    return fv
+
+
+def build_and_eval(
+    spark: SparkSession, n: int = 200, n_filters: int = 6,
+    featurizer: str = "patches",
+) -> dict:
     from keystone_spark.operators.evaluation import accuracy
     from keystone_spark.operators.images import Convolver, Pooler
     from keystone_spark.operators.learning import LeastSquaresEstimator
@@ -85,18 +112,22 @@ def build_and_eval(spark: SparkSession, n: int = 200, n_filters: int = 6) -> dic
     )
 
     df = synth_images(spark, n)
-    p = 3
-    filters = learn_filter_bank(df, p, n_filters)
-
-    feats = Convolver(filters, p, p, 1)(df, "image", "conv")
-    feats = Pooler(stride=5, pool="sum")(feats, "conv", "pooled")
-    feats = ImageVectorizer("pooled", "features")(feats)
-    feats = SymmetricRectifier("features")(feats)
+    if featurizer == "sift":
+        feats = sift_fv_features(spark, df)
+        filters = np.zeros((0, 0))
+    else:
+        p = 3
+        filters = learn_filter_bank(df, p, n_filters)
+        feats = Convolver(filters, p, p, 1)(df, "image", "conv")
+        feats = Pooler(stride=5, pool="sum")(feats, "conv", "pooled")
+        feats = ImageVectorizer("pooled", "features")(feats)
+        feats = SymmetricRectifier("features")(feats)
     feats = ClassLabelIndicators(2)(feats)
     model = LeastSquaresEstimator("features", "y", reg_param=1e-6).fit(feats)
     scored = MaxClassifier("scores", "pred")(model(feats))
     return {
         "n_images": n,
+        "featurizer": featurizer,
         "filter_bank": list(np.shape(filters)),
         "accuracy": round(accuracy(scored), 4),
     }
@@ -106,12 +137,15 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=200)
     ap.add_argument("--filters", type=int, default=6)
+    ap.add_argument("--featurizer", choices=["patches", "sift"],
+                    default="patches")
     args = ap.parse_args()
 
     from keystone_spark import get_session
 
     spark = get_session("image_classify")
-    print(json.dumps(build_and_eval(spark, args.n, args.filters)))
+    print(json.dumps(build_and_eval(spark, args.n, args.filters,
+                                    featurizer=args.featurizer)))
 
 
 if __name__ == "__main__":

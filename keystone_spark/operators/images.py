@@ -7,10 +7,11 @@ reference's Convolver design (im2col + BLAS), minus the hand-rolled
 batching. Images are IMAGE_STRUCT rows (see operators/multimodal.py),
 channel-last (h, w, c) flattened.
 
-SIFT/HOG/DAISY need native codec/feature libs not present in this
-container; ``sift_extract`` raises NotImplementedError at the exact hook
-where OpenCV/skimage would slot in (SURVEY §2.6 marks them optional —
-fixtures don't exercise them).
+The reference's SIFT came from VLFeat over JNI; here ``dense_sift`` is a
+pure-numpy reimplementation of the published dense-SIFT construction
+(orientation-histogram bins, triangular spatial weighting, clip-0.2
+renormalization) so the SIFT -> FisherVector path runs without any
+native library.
 """
 
 from __future__ import annotations
@@ -221,12 +222,94 @@ def lcs_features(df: DataFrame, image_col: str = "image",
     return _map_images(df, image_col, out_col, ArrayType(DoubleType()), one)
 
 
-def sift_extract(df: DataFrame, image_col: str = "image") -> DataFrame:
-    """Dense SIFT hook (reference: nodes/images/SIFTExtractor.scala via
-    JNI->VLFeat). Requires OpenCV/skimage — not in this container."""
-    raise NotImplementedError(
-        "SIFT requires a native feature library (OpenCV/skimage); "
-        "the reference used VLFeat via JNI (utils/external/VLFeat.scala)"
+def _conv1d_same(a: np.ndarray, kern: np.ndarray, axis: int) -> np.ndarray:
+    """'same' 1-D correlation along ``axis`` with zero padding (kern odd)."""
+    r = len(kern) // 2
+    pad = [(0, 0)] * a.ndim
+    pad[axis] = (r, r)
+    win = np.lib.stride_tricks.sliding_window_view(np.pad(a, pad), len(kern), axis=axis)
+    return win @ kern
+
+
+def dense_sift(
+    arr: np.ndarray, step: int = 2, bin_size: int = 4, n_angles: int = 8
+) -> tuple[np.ndarray, np.ndarray]:
+    """Dense SIFT descriptors for one image, pure numpy (reference:
+    nodes/images/SIFTExtractor.scala, which called VLFeat's dsift via JNI
+    — utils/external/VLFeat.scala; this is the same histogram-of-gradients
+    construction, reimplemented from the published algorithm).
+
+    Per keypoint on a dense (step x step) grid: 4x4 spatial bins of
+    ``bin_size`` px x ``n_angles`` orientation bins = 128-dim (defaults).
+    Gradient magnitude soft-assigns linearly into the two nearest
+    orientation bins; spatial weighting is the standard triangular kernel
+    (half-width bin_size), applied as a separable convolution so ALL
+    keypoints share one pass over the image. L2-normalize, clip at 0.2,
+    renormalize (Lowe's illumination robustness).
+
+    Returns (coords (n, 2) [y, x], descriptors (n, 16 * n_angles)).
+    """
+    if arr.ndim == 3:
+        arr = arr[:, :, 0] if arr.shape[2] == 1 else arr.mean(axis=2)
+    h, w = arr.shape
+    d = 16 * n_angles
+    margin = int(np.ceil(1.5 * bin_size))
+    ys = np.arange(margin, h - margin, step)
+    xs = np.arange(margin, w - margin, step)
+    if len(ys) == 0 or len(xs) == 0:
+        return np.zeros((0, 2), dtype=np.int64), np.zeros((0, d))
+
+    gy, gx = np.gradient(arr)
+    mag = np.hypot(gx, gy)
+    ori = np.arctan2(gy, gx) % (2 * np.pi)
+    q = ori * n_angles / (2 * np.pi)
+    i0 = np.floor(q).astype(np.intp) % n_angles
+    f = q - np.floor(q)
+    maps = np.zeros((n_angles, h, w))
+    for k in range(n_angles):
+        maps[k] = mag * ((1 - f) * (i0 == k) + f * ((i0 + 1) % n_angles == k))
+    kern = 1.0 - np.abs(np.arange(-(bin_size - 1), bin_size)) / bin_size
+    maps = _conv1d_same(_conv1d_same(maps, kern, axis=1), kern, axis=2)
+
+    # bin centers at keypoint + (b - 1.5) * bin_size, b in 0..3
+    offs = (np.arange(4) - 1.5) * bin_size
+    by = np.rint(ys[:, None] + offs[None, :]).astype(np.intp)
+    bx = np.rint(xs[:, None] + offs[None, :]).astype(np.intp)
+    ny, nx = len(ys), len(xs)
+    desc = np.empty((ny, nx, 4, 4, n_angles))
+    for a in range(4):
+        for b in range(4):
+            sub = maps[:, by[:, a][:, None], bx[:, b][None, :]]  # (K, ny, nx)
+            desc[:, :, a, b, :] = sub.transpose(1, 2, 0)
+    desc = desc.reshape(ny * nx, d)
+
+    nrm = np.maximum(np.linalg.norm(desc, axis=1, keepdims=True), 1e-12)
+    desc = np.minimum(desc / nrm, 0.2)
+    nrm = np.maximum(np.linalg.norm(desc, axis=1, keepdims=True), 1e-12)
+    desc = desc / nrm
+    coords = np.stack(np.meshgrid(ys, xs, indexing="ij"), axis=-1).reshape(-1, 2)
+    return coords, desc
+
+
+def sift_extract(
+    df: DataFrame,
+    image_col: str = "image",
+    out_col: str = "sift",
+    step: int = 2,
+    bin_size: int = 4,
+    n_angles: int = 8,
+) -> DataFrame:
+    """Dense SIFT per image -> array of 128-dim descriptors (see
+    ``dense_sift``), Arrow-batched; feeds ``fisher_vector`` exactly like
+    the reference's SIFT -> FV pipeline
+    (pipelines/images/imagenet/ImageNetSiftLcsFV.scala)."""
+
+    def one(arr: np.ndarray) -> list:
+        _, desc = dense_sift(arr, step, bin_size, n_angles)
+        return [row.tolist() for row in desc]
+
+    return _map_images(
+        df, image_col, out_col, ArrayType(ArrayType(DoubleType())), one
     )
 
 

@@ -150,6 +150,16 @@ def test_image_classify_app_whitened_patch_filters(spark):
     assert out["accuracy"] >= 0.95
 
 
+def test_image_classify_app_sift_fisher_vector(spark):
+    """ImageNetSiftLcsFV shape as an app: dense SIFT -> GMM -> FisherVector
+    -> solve must separate the synthetic two-class images."""
+    from keystone_spark.apps.image_classify import build_and_eval
+
+    out = build_and_eval(spark, n=120, featurizer="sift")
+    assert out["featurizer"] == "sift"
+    assert out["accuracy"] >= 0.95
+
+
 def test_curate_corpus_app_monotone_stages(spark, sf_dir):
     """North-star LLM curation pipeline: stage counts must be monotonically
     non-increasing and near-dedup must actually drop the fixture's planted

@@ -218,3 +218,76 @@ def test_image_ops_null_safe(spark):
     rows = {r.id: r.conv for r in conv.collect()}
     assert rows[1] is None and rows[0] is not None
     assert pooled.count() == 1
+
+
+def test_dense_sift_shapes_and_invariances():
+    """128-dim descriptors, unit norm, brightness/contrast invariance, and
+    the rot90 orientation roll (90 deg = n_angles/4 bins)."""
+    from keystone_spark.operators.images import dense_sift
+
+    rng = np.random.default_rng(0)
+    img = rng.random((19, 19))
+    coords, d = dense_sift(img)
+    # 19x19, margin ceil(1.5*4)=6, step 2 -> ys=xs=[6,8,10,12] -> 16 kps
+    assert coords.shape == (16, 2) and d.shape == (16, 128)
+    assert (d >= 0).all()
+    nrm = np.linalg.norm(d, axis=1)
+    assert np.allclose(nrm, 1.0, atol=1e-9)
+
+    _, d_bright = dense_sift(img + 0.3)   # gradients unchanged
+    assert np.allclose(d, d_bright)
+    _, d_contrast = dense_sift(img * 2.0)  # normalization cancels gain
+    assert np.allclose(d, d_contrast)
+
+    _, d_rot = dense_sift(np.rot90(img).copy())
+    h0 = d.reshape(-1, 16, 8).sum(axis=(0, 1))
+    hr = d_rot.reshape(-1, 16, 8).sum(axis=(0, 1))
+    assert np.allclose(hr, np.roll(h0, -2), rtol=1e-9)
+
+
+def test_dense_sift_edge_orientation():
+    """A vertical step edge concentrates gradient energy in the horizontal-
+    gradient orientation bins (0 / pi); a horizontal edge shifts it by 2."""
+    from keystone_spark.operators.images import dense_sift
+
+    v = np.zeros((19, 19))
+    v[:, 10:] = 1.0
+    h = v.T.copy()
+    _, dv = dense_sift(v)
+    _, dh = dense_sift(h)
+    hv = dv.reshape(-1, 16, 8).sum(axis=(0, 1))
+    hh = dh.reshape(-1, 16, 8).sum(axis=(0, 1))
+    assert {int(np.argmax(hv)) % 4, int(np.argmax(hh)) % 4} == {0, 2}
+
+
+def test_sift_extract_spark_and_fisher_vector(spark):
+    """sift_extract over image structs -> fisher_vector, the reference's
+    ImageNetSiftLcsFV featurization path, end to end."""
+    from keystone_spark.operators.images import fisher_vector, sift_extract
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(3):
+        a = rng.random((19, 19, 1)).astype(np.float32)
+        rows.append((i, {"height": 19, "width": 19, "n_channels": 1,
+                         "data": a.ravel().tolist()}))
+    rows.append((9, None))
+    df = spark.createDataFrame(
+        rows,
+        "id int, image struct<height:int,width:int,n_channels:int,data:array<float>>",
+    )
+    out = sift_extract(df)
+    got = {r.id: r.sift for r in out.collect()}
+    assert got[9] is None
+    assert len(got[0]) == 16 and len(got[0][0]) == 128
+
+    K, dim = 2, 128
+    fv = fisher_vector(
+        out.where("sift is not null"),
+        gmm_weights=np.full(K, 0.5),
+        gmm_means=rng.random((K, dim)),
+        gmm_covs=np.full((K, dim), 0.5),
+        desc_col="sift",
+    )
+    r = fv.first()
+    assert len(r.fv) == 2 * K * dim
