@@ -73,13 +73,13 @@ def decode_images(
 ) -> DataFrame:
     """binary payload -> IMAGE_STRUCT column.
 
-    decode='real' decodes PNG via functions/codecs.py (output keeps the
-    image's NATIVE dims — height/width/channels params apply to the fake
-    path only; chain ``resize_images`` to normalize); JPEG raises
-    NotImplementedError (needs a Huffman+DCT codec this container lacks
-    — reference: loaders/ImageNetLoaderUtils.scala decodes JPEG via
-    javax.imageio); corrupt/unknown payloads yield NULL images
-    (on_error='raise' to surface the ValueError instead)."""
+    decode='real' decodes PNG and baseline JPEG via functions/codecs.py
+    (output keeps the image's NATIVE dims — height/width/channels params
+    apply to the fake path only; chain ``resize_images`` to normalize);
+    progressive JPEG raises NotImplementedError (reference parity:
+    loaders/ImageNetLoaderUtils.scala decodes JPEG via javax.imageio);
+    corrupt/unknown payloads yield NULL images (on_error='raise' to
+    surface the ValueError instead)."""
     if decode not in ("fake", "real"):
         raise ValueError("decode must be 'fake' or 'real'")
     if on_error not in ("null", "raise"):
@@ -90,7 +90,11 @@ def decode_images(
     cols = [f.name for f in fields]
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from keystone_spark.functions.codecs import decode_png, sniff_media
+        from keystone_spark.functions.codecs import (
+            decode_jpeg,
+            decode_png,
+            sniff_media,
+        )
 
         for pdf in batches:
             if pdf.empty:
@@ -102,15 +106,9 @@ def decode_images(
                     continue
                 raw = bytes(payload)
                 if decode == "real":
-                    kind = sniff_media(raw)
-                    if kind == "jpeg":
-                        raise NotImplementedError(
-                            "JPEG decode requires a Huffman+DCT codec "
-                            "(PIL/opencv, not in container); transcode to "
-                            "PNG upstream or install a codec wheel"
-                        )
+                    codec = decode_jpeg if sniff_media(raw) == "jpeg" else decode_png
                     try:
-                        arr = decode_png(raw)
+                        arr = codec(raw)
                     except ValueError:
                         if on_error == "raise":
                             raise

@@ -168,14 +168,101 @@ def test_decode_images_real_png_null_and_garbage(spark):
     assert np.array_equal(back, img)
 
 
-def test_decode_images_real_jpeg_raises(spark):
+def _psnr(a, b) -> float:
+    mse = np.mean((np.asarray(a, np.float64) - np.asarray(b, np.float64)) ** 2)
+    return 10 * np.log10(1.0 / max(mse, 1e-12))
+
+
+@pytest.mark.parametrize("subsample", ["444", "420"])
+def test_jpeg_roundtrip_smooth(subsample):
+    from keystone_spark.functions.codecs import decode_jpeg, encode_jpeg
+
+    y, x = np.mgrid[0:24, 0:32]
+    img = np.stack([x / 31.0, y / 23.0, (x + y) / 54.0], axis=2)
+    dec = decode_jpeg(encode_jpeg(img, quality=95, subsample=subsample))
+    assert dec.shape == (24, 32, 3)
+    assert _psnr(img, dec) > (50 if subsample == "444" else 35)
+
+
+def test_jpeg_roundtrip_gray_and_odd_dims():
+    from keystone_spark.functions.codecs import decode_jpeg, encode_jpeg
+
+    y, x = np.mgrid[0:13, 0:11]
+    g = (np.sin(x / 3.0) + np.cos(y / 4.0) + 2) / 4
+    dec = decode_jpeg(encode_jpeg(g, quality=90))
+    assert dec.shape == (13, 11, 1)
+    assert _psnr(g[:, :, None], dec) > 45
+
+
+def test_jpeg_420_matches_ideal_chroma_decimation():
+    """The decoded 4:2:0 image must match the mathematically-ideal
+    RGB->YCbCr -> 2x2 box-down -> nearest-up -> RGB reconstruction; this
+    isolates codec error from inherent subsampling loss."""
+    from keystone_spark.functions.codecs import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(1)
+    img = rng.random((13, 19, 3))
+    dec = decode_jpeg(encode_jpeg(img, quality=95, subsample="420"))
+
+    a = np.clip(np.round(img * 255), 0, 255)
+    r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+    yy = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+
+    def ds_us(p):
+        py, px = -(-p.shape[0] // 2) * 2, -(-p.shape[1] // 2) * 2
+        q = np.pad(p, ((0, py - p.shape[0]), (0, px - p.shape[1])), mode="edge")
+        d = q.reshape(py // 2, 2, px // 2, 2).mean(axis=(1, 3))
+        u = np.repeat(np.repeat(d, 2, axis=0), 2, axis=1)
+        return u[: p.shape[0], : p.shape[1]]
+
+    cb2, cr2 = ds_us(cb) - 128, ds_us(cr) - 128
+    ideal = np.clip(
+        np.stack([yy + 1.402 * cr2, yy - 0.344136 * cb2 - 0.714136 * cr2,
+                  yy + 1.772 * cb2], axis=2), 0, 255
+    ) / 255.0
+    assert _psnr(ideal, dec) > 40
+
+
+def test_jpeg_flat_color_channels():
+    """Flat-color reconstruction pins the YCbCr matrix + level shift (a
+    channel swap or sign error would be way off)."""
+    from keystone_spark.functions.codecs import decode_jpeg, encode_jpeg
+
+    flat = np.zeros((8, 8, 3))
+    flat[:, :, 0], flat[:, :, 1], flat[:, :, 2] = 0.8, 0.3, 0.1
+    dec = decode_jpeg(encode_jpeg(flat, quality=95))
+    assert np.allclose(dec.mean(axis=(0, 1)), [0.8, 0.3, 0.1], atol=0.02)
+
+
+def test_jpeg_malformed_raises():
+    from keystone_spark.functions.codecs import decode_jpeg
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xe0garbage-after-soi")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+
+
+def test_decode_images_real_jpeg(spark):
+    """Real JPEG payloads decode in the Spark kernel; malformed JPEG
+    yields null (on_error default)."""
+    from keystone_spark.functions.codecs import encode_jpeg
     from keystone_spark.operators.multimodal import decode_images
 
-    df = spark.createDataFrame(
-        [(1, bytearray(b"\xff\xd8\xff\xe0fakejpeg"))], "id long, content binary"
-    )
-    with pytest.raises(Exception, match="JPEG"):
-        decode_images(df, decode="real").collect()
+    y, x = np.mgrid[0:16, 0:16]
+    img = np.stack([x / 15.0, y / 15.0, 0.5 * np.ones((16, 16))], axis=2)
+    rows = [
+        (1, bytearray(encode_jpeg(img, quality=95))),
+        (2, bytearray(b"\xff\xd8\xff\xe0fakejpeg")),
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    got = {r.id: r.image for r in decode_images(df, decode="real").collect()}
+    assert got[2] is None
+    assert (got[1].height, got[1].width, got[1].n_channels) == (16, 16, 3)
+    back = np.array(got[1].data).reshape(16, 16, 3)
+    assert _psnr(img, back) > 40
 
 
 def test_real_decode_resize_gray_features_pipeline(spark):
