@@ -173,3 +173,33 @@ def test_word_freq_encoder_limits_before_rank(spark, sf_dir, qs):
     # the Window node must sit ABOVE the global limit, i.e. the plan orders
     # scan -> agg -> TakeOrdered -> window, never window over the raw agg
     assert plan.index("TakeOrderedAndProject") > plan.index("Window"), plan[:1500]
+
+
+def test_disjunctive_pred_stays_hash_join(spark, sf_dir, qs):
+    """TPC-H Q19's OR-of-clauses must remain an equi hash join on partkey
+    with the disjunction as a filter — a BNLJ/cartesian here is the
+    classic planner failure and a 100 TB disaster."""
+    plan = plan_of(qs["disjunctive_pred"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_returned_items_pushdown_and_broadcast(spark, sf_dir, qs):
+    """Q10 shape: returnflag + date predicates reach the scans; nation
+    broadcasts; no sort-merge join needed at dim sizes."""
+    plan = plan_of(qs["returned_items"](spark, sf_dir))
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert any("o_orderdate" in l for l in plan.splitlines()
+               if "PushedFilters" in l)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-20 never global-sorts
+
+
+def test_large_orders_partial_agg(spark, sf_dir, qs):
+    """Q18 shape: the HAVING aggregation must be partial+final (map-side
+    combine before the shuffle on l_orderkey)."""
+    plan = plan_of(qs["large_orders"](spark, sf_dir))
+    assert "partial_sum" in plan.lower() or "HashAggregate" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "CartesianProduct" not in plan
