@@ -123,3 +123,70 @@ def binary_records(
             yield pd.DataFrame(rows, columns=["path", "record_idx", "record"])
 
     return files.mapInPandas(split, schema)
+
+
+def load_media_dir(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Whole-file media ingestion via Spark's binaryFile source
+    (reference: loaders/ImageNetLoader.scala reads image archives; here
+    each file is one row of (path, modificationTime, length, content)).
+    Chain with ``operators.multimodal.decode_images`` /``decode_audio``
+    (decode='real') for codec decoding.
+
+    Scale notes: binaryFile parallelizes across files (one file is never
+    split), applies ``pathGlobFilter`` at listing time, and prunes the
+    ``content`` column when only metadata is selected — so counting or
+    size-histogramming a 100 TB media lake never reads payload bytes.
+    """
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)
+
+
+_SINK_FORMATS = ("parquet", "orc", "csv", "json")
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **options,
+) -> None:
+    """Generic columnar/text sink: parquet | orc | csv | json, optional
+    hive-style ``partition_by`` layout (directory-level partition pruning
+    on read-back — the 100 TB table layout primitive). CSV writes a
+    header so round-trips keep column names."""
+    if fmt not in _SINK_FORMATS:
+        raise ValueError(f"fmt must be one of {_SINK_FORMATS}")
+    w = df.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        w = w.option("header", True)
+    for k, v in options.items():
+        w = w.option(k, v)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def read_table_any(
+    spark: SparkSession, path: str, fmt: str = "parquet", schema=None, **options
+) -> DataFrame:
+    """Read back any ``write_table`` output. For CSV pass ``schema`` (or
+    rely on the header + inferSchema for ad-hoc use — avoid inference on
+    large data: it costs an extra full scan)."""
+    if fmt not in _SINK_FORMATS:
+        raise ValueError(f"fmt must be one of {_SINK_FORMATS}")
+    r = spark.read.format(fmt)
+    if fmt == "csv":
+        r = r.option("header", True)
+        if schema is None:
+            r = r.option("inferSchema", True)
+    if schema is not None:
+        r = r.schema(schema)
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load(path)

@@ -71,3 +71,58 @@ def test_sink_roundtrip_parquet_csv_json(spark, tmp_path):
             r = r.option("header", True).option("inferSchema", True)
         back = getattr(r, fmt)(path)
         assert sorted((x.id, x.v) for x in back.collect()) == expect
+
+
+def test_write_read_roundtrip_all_formats(spark, sf_dir, tmp_path):
+    """parquet/orc/csv/json sink -> scan round trip preserves values;
+    partition_by produces a prunable directory layout."""
+    import pyspark.sql.functions as F
+
+    from keystone_spark.sources.loaders import read_table_any, write_table
+    from keystone_spark.sources.tables import load_table
+
+    src = (
+        load_table(spark, "nation", sf_dir)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    )
+    want = [tuple(r) for r in src.collect()]
+    for fmt in ("parquet", "orc", "csv", "json"):
+        p = str(tmp_path / fmt)
+        write_table(src, p, fmt=fmt)
+        back = read_table_any(spark, p, fmt=fmt, schema=src.schema)
+        got = sorted(tuple(r) for r in back.collect())
+        assert got == sorted(want), fmt
+
+    # hive partitioning: reading one partition directory prunes the rest
+    p = str(tmp_path / "part_layout")
+    write_table(src, p, fmt="parquet", partition_by=["n_regionkey"])
+    one = spark.read.parquet(p).where(F.col("n_regionkey") == 0)
+    import os
+
+    assert any(d.startswith("n_regionkey=") for d in os.listdir(p))
+    assert one.count() == sum(1 for r in want if r[2] == 0)
+
+
+def test_load_media_dir_decode_pipeline(spark, tmp_path):
+    """binaryFile media lake -> decode_images(real) -> features: the
+    ImageNet-loader shape on a directory of PNG files."""
+    import numpy as np
+
+    from keystone_spark.functions.codecs import encode_png
+    from keystone_spark.operators.multimodal import decode_images, image_features
+    from keystone_spark.sources.loaders import load_media_dir
+
+    rng = np.random.default_rng(11)
+    for i in range(4):
+        img = rng.integers(0, 256, size=(6, 6, 3), dtype=np.uint8)
+        (tmp_path / f"img_{i}.png").write_bytes(encode_png(img))
+    (tmp_path / "notes.txt").write_text("not an image")
+
+    media = load_media_dir(spark, str(tmp_path), glob="*.png")
+    assert media.count() == 4  # glob filters the txt at listing time
+    out = image_features(decode_images(media, decode="real"))
+    rows = out.select("path", "img_features").collect()
+    assert len(rows) == 4
+    assert all(r.img_features is not None and len(r.img_features) == 6
+               for r in rows)
