@@ -76,3 +76,65 @@ def test_rectifier_is_nonnegative_and_identity_on_positive(spark, xs):
     out = LinearRectifier("features", "r", alpha=0.0)(df).first().r
     assert all(v >= 0 for v in out)
     assert out == [max(x, 0.0) for x in xs]
+
+
+# --- codec round-trip properties (pure numpy, no Spark session) ---
+
+_img_shapes = st.tuples(
+    st.integers(1, 24), st.integers(1, 24), st.sampled_from([1, 3, 4])
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(shape=_img_shapes, seed=st.integers(0, 2**31 - 1))
+def test_png_roundtrip_property(shape, seed):
+    """Any uint8 image round-trips PNG bit-exactly (lossless codec)."""
+    from keystone_spark.functions.codecs import decode_png, encode_png
+
+    h, w, c = shape
+    img = np.random.default_rng(seed).integers(0, 256, size=(h, w, c),
+                                               dtype=np.uint8)
+    back = decode_png(encode_png(img))
+    assert back.shape == (h, w, c)
+    assert np.array_equal((back * 255).round().astype(np.uint8), img)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n=st.integers(1, 2000),
+    sr=st.sampled_from([8000, 16000, 44100]),
+    ch=st.sampled_from([1, 2]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(n, sr, ch, seed):
+    """Any PCM clip round-trips WAV within 16-bit quantization."""
+    from keystone_spark.functions.codecs import decode_wav, encode_wav
+
+    pcm = np.random.default_rng(seed).uniform(-1, 1, size=n)
+    sr2, back = decode_wav(encode_wav(pcm, sr, n_channels=ch))
+    assert sr2 == sr and len(back) == n
+    assert np.allclose(back, pcm, atol=2.0 / 32767)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    shape=st.tuples(st.integers(1, 20), st.integers(1, 20)),
+    c=st.sampled_from([1, 3]),
+    sub=st.sampled_from(["444", "420"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_roundtrip_property(shape, c, sub, seed):
+    """Any image survives JPEG at q=95 with bounded loss: shape and range
+    preserved, PSNR above a floor even for pure noise (the worst case)."""
+    from keystone_spark.functions.codecs import decode_jpeg, encode_jpeg
+
+    if c == 1 and sub == "420":
+        sub = "444"  # grayscale has no chroma to subsample
+    h, w = shape
+    img = np.random.default_rng(seed).random((h, w, c))
+    back = decode_jpeg(encode_jpeg(img, quality=95, subsample=sub))
+    assert back.shape == (h, w, c if c == 3 else 1)
+    assert back.min() >= 0.0 and back.max() <= 1.0
+    if sub == "444":
+        mse = np.mean((back[:, :, : img.shape[2]] - img) ** 2)
+        assert 10 * np.log10(1.0 / max(mse, 1e-12)) > 30
