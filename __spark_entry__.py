@@ -1576,6 +1576,56 @@ def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window navigation with IGNORE NULLS: running first/last/nth
+    non-null and previous non-null per user — the gap-filling /
+    last-observation-carried-forward primitives (one shuffle + one sort,
+    all four expressions share the same Window)."""
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    sp = e.withColumn("v", F.when(F.col("value") > 34.0, F.col("value")))
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        sp.select(
+            "event_id",
+            F.round(F.first("v", ignorenulls=True).over(wf), 6).alias("first_v"),
+            F.round(F.last("v", ignorenulls=True).over(wf), 6).alias("last_v"),
+            F.round(F.nth_value("v", 2, ignoreNulls=True).over(wf), 6).alias(
+                "second_v"
+            ),
+            F.round(
+                F.expr(
+                    "lag(v) IGNORE NULLS OVER "
+                    "(PARTITION BY user_id ORDER BY ts, event_id)"
+                ),
+                6,
+            ).alias("prev_v"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted collect aggregation: per returnflag, the distinct
+    linestatus values as one canonical comma-joined string (collect_set
+    is unordered by contract — array_sort makes it deterministic and
+    hash-comparable against DuckDB's ORDER BY'd string_agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_set("l_linestatus"))
+            ).alias("statuses"),
+            F.count("*").alias("c"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1668,6 +1718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_pred": q_disjunctive_pred,
         "argmin_part": q_argmin_part,
         "idle_customers": q_idle_customers,
+        "window_nav": q_window_nav,
+        "collect_agg": q_collect_agg,
     }
 
 
@@ -2533,5 +2585,28 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderdate >= DATE '1999-01-01')
             GROUP BY c_nationkey ORDER BY c_nationkey
+        """,
+        "window_nav": """
+            WITH sp AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN value > 34.0 THEN value END AS v
+                FROM events)
+            SELECT event_id,
+                   ROUND(first_value(v IGNORE NULLS) OVER wf, 6) AS first_v,
+                   ROUND(last_value(v IGNORE NULLS) OVER wf, 6) AS last_v,
+                   ROUND(nth_value(v, 2 IGNORE NULLS) OVER wf, 6) AS second_v,
+                   ROUND(lag(v IGNORE NULLS) OVER wo, 6) AS prev_v
+            FROM sp
+            WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wo AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY event_id
+        """,
+        "collect_agg": """
+            SELECT l_returnflag,
+                   string_agg(DISTINCT l_linestatus, ','
+                              ORDER BY l_linestatus) AS statuses,
+                   COUNT(*) AS c
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
     }
