@@ -171,3 +171,30 @@ def test_curate_corpus_app_monotone_stages(spark, sf_dir):
     assert out["after_near_dedup"] >= out["after_quality_filter"]
     assert out["after_near_dedup"] < out["docs_in"]  # near-dups exist
     assert out["ws_tokens"] > 0 and out["bpe_tokens"] > 0
+    # packing: no multi-doc pack may exceed the budget
+    assert out["n_packs"] > 0
+    assert out["over_budget_packs"] == 0
+
+
+def test_curate_corpus_app_writes_shards(spark, sf_dir, tmp_path):
+    """--out writes the packed corpus partitioned by predicted language;
+    reading one language back prunes the rest and budgets hold."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from keystone_spark.apps.curate_corpus import curate
+
+    out_dir = str(tmp_path / "shards")
+    out = curate(spark, sf_dir, pack_budget=512, out_dir=out_dir)
+    assert out["shards_written"]
+    parts = [d for d in os.listdir(out_dir) if d.startswith("lang_pred=")]
+    assert len(parts) == out["langs_seen"]
+    back = spark.read.parquet(out_dir)
+    assert back.count() == out["after_quality_filter"]
+    tot = (
+        back.groupBy("lang_pred", "pack_id")
+        .agg(F.sum("ws_toks").alias("t"), F.count("*").alias("n"))
+        .where((F.col("t") > 512) & (F.col("n") > 1))
+    )
+    assert tot.count() == 0
