@@ -365,6 +365,70 @@ def minhash_dedup(
     return out
 
 
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 128,
+    n_bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    seed: int = 42,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: (doc_id, cluster_id) for every doc that has
+    at least one duplicate, cluster_id = min doc_id in the connected
+    component of the jaccard >= threshold graph. This is the step real
+    corpus curation needs beyond keep-first pair dropping — transitive
+    closure, so {A~B, B~C} lands A,B,C in ONE cluster even when A~C is
+    below threshold.
+
+    Edge construction mirrors ``minhash_dedup``'s scale design: exact
+    duplicates collapse first (one map-side-combinable agg; their keeper
+    carries an explicit keeper->copy edge so copies stay in the component),
+    then LSH bands + signature-estimate prune + exact-Jaccard verify
+    produce near edges among keepers only. A copy's near-dups route
+    through its keeper (identical text => identical jaccard), so
+    components match the full all-pairs graph. Components resolve via
+    large-star/small-star (operators/graph.py)."""
+    from keystone_spark.operators.graph import connected_components
+
+    nn = df.where(F.col(text_col).isNotNull())
+    ck = nn.select(F.col(id_col), F.xxhash64(text_col).alias("__ck"))
+    keep = ck.groupBy("__ck").agg(F.min(id_col).alias("__k"))
+    with_keeper = ck.join(keep, "__ck")
+    exact_edges = (
+        with_keeper.where(F.col(id_col) != F.col("__k"))
+        .select(F.col("__k").alias("i"), F.col(id_col).alias("j"))
+    )
+    survivors = nn.join(
+        with_keeper.where(F.col(id_col) == F.col("__k")).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    sigs = minhash_signatures(
+        survivors, id_col, text_col, n_hashes, shingle_k, seed
+    ).persist()
+    cand = minhash_lsh_candidates(sigs, id_col, n_bands, n_hashes, bucket_cap)
+    likely = minhash_estimate_filter(
+        cand, sigs, id_col, n_hashes, threshold
+    ).persist()
+    likely.count()
+    sigs.unpersist()
+    caches: list = []
+    near = jaccard_verify(
+        likely, survivors, id_col, text_col, shingle_k, threshold, caches=caches
+    ).select("i", "j")
+    edges = exact_edges.unionByName(near)
+    labels = connected_components(
+        edges, "i", "j", node_col=id_col, comp_col="cluster_id"
+    )
+    likely.unpersist()
+    for c in caches:
+        c.unpersist()
+    return labels
+
+
 def release(df: DataFrame) -> None:
     """Unpersist the caches a dedup operator attached to its result (call
     after the result has been materialized/written)."""
