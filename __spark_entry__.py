@@ -1744,46 +1744,49 @@ def q_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (adapted to shipdate lateness): suppliers whose
-    line was the ONLY late line of a multi-supplier finalized order —
-    an exists (semi join) and a not-exists (anti join) against the same
-    lineitem table with inequality side-conditions, then count per
-    supplier, top 20."""
+    line was the ONLY late line of a multi-supplier finalized order.
+
+    The literal SQL is an EXISTS + NOT-EXISTS pair of lineitem self-joins
+    (three scans, three orderkey shuffles; the oracle keeps that form).
+    Spark-first rewrite: ONE pass — pre-aggregate per (order, supplier),
+    then a window over the order partition counts suppliers and
+    late-suppliers, and the filter `late > 0 AND n_supp > 1 AND
+    n_late_supp = 1` selects the waiting supplier's late-line count.
+    Two shuffles total (orderkey, then supplier), lineitem scanned once."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     s = _t(spark, sf_dir, "supplier")
-    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        "l_orderkey",
-        "l_suppkey",
-        (
-            F.col("l_shipdate").cast("date")
-            > F.date_add(F.col("o_orderdate").cast("date"), 100)
-        ).alias("late"),
-    )
-    l1 = lo.where(F.col("late")).select("l_orderkey", "l_suppkey")
-    l2 = lo.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
-    )
-    l3 = lo.where(F.col("late")).select(
-        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
-    )
-    waiting = (
-        l1.join(
-            l2,
-            (F.col("l_orderkey") == F.col("o2"))
-            & (F.col("l_suppkey") != F.col("s2")),
-            "left_semi",
+    per_supp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_shipdate").cast("date")
+                    > F.date_add(F.col("o_orderdate").cast("date"), 100)
+                ).cast("long")
+            ).alias("n_late")
         )
-        .join(
-            l3,
-            (F.col("l_orderkey") == F.col("o3"))
-            & (F.col("l_suppkey") != F.col("s3")),
-            "left_anti",
+    )
+    w = Window.partitionBy("l_orderkey")
+    waiting = (
+        per_supp.select(
+            "l_orderkey",
+            "l_suppkey",
+            "n_late",
+            F.count("*").over(w).alias("n_supp"),
+            F.sum((F.col("n_late") > 0).cast("long")).over(w).alias("n_late_supp"),
+        )
+        .where(
+            (F.col("n_late") > 0)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
         )
     )
     return (
         waiting.join(s, waiting.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("n_late").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
