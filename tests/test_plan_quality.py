@@ -203,3 +203,31 @@ def test_large_orders_partial_agg(spark, sf_dir, qs):
     assert "partial_sum" in plan.lower() or "HashAggregate" in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
     assert "CartesianProduct" not in plan
+
+
+def test_local_supplier_volume_broadcasts_and_pushes(spark, sf_dir, qs):
+    """Q5 shape: the date range reaches the orders scan; nation and region
+    broadcast; no cartesian from the two-column supplier join condition."""
+    plan = plan_of(qs["local_supplier_volume"](spark, sf_dir))
+    assert any("o_orderdate" in l for l in plan.splitlines()
+               if "PushedFilters" in l)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_waiting_suppliers_single_lineitem_scan(spark, sf_dir, qs):
+    """Q21 shape, window rewrite: lineitem must be scanned ONCE (the
+    EXISTS/NOT-EXISTS translation scans it three times) and no
+    nested-loop join may appear for the inequality side-conditions."""
+    plan = plan_of(qs["waiting_suppliers"](spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_order_distribution_preserves_outer_join(spark, sf_dir, qs):
+    """Q13 shape: the priority predicate must stay on the join's right
+    side (LeftOuter survives); both aggregations partial+final."""
+    plan = plan_of(qs["order_distribution"](spark, sf_dir))
+    assert "LeftOuter" in plan
+    assert plan.count("HashAggregate") >= 4  # two aggs x partial+final
