@@ -1842,6 +1842,60 @@ def q_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long reshaping via the native UNPIVOT operator (Expand
+    node: each input row fans out JVM-side, no shuffle at all until the
+    final sort) over part's numeric attributes."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size"),
+            F.col("p_retailprice").cast("double").alias("retailprice"),
+        )
+        .unpivot("p_partkey", ["size", "retailprice"], "attr", "val")
+        .where(F.col("p_partkey") < 200)
+        .orderBy("p_partkey", "attr")
+    )
+
+
+def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (SURVEY §2.10 extension surface: table-valued function
+    lifted into SQL) splitting documents into numbered sentences via
+    LATERAL join.
+
+    The UDTF is the EXTENSION demo — row-at-a-time Python, the slow path
+    by design; the same semantics compile to codegen as
+    posexplode(split(...)), which is what a hot path should use (and what
+    the DuckDB oracle mirrors). Input is predicate-bounded, and the split
+    logic lives in the UDTF class, exercising registration + lateral
+    correlation end-to-end."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="pos int, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, raw in enumerate(text.split(".")):
+                s = raw.strip()
+                if s:
+                    yield i, s
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    d = _t(spark, sf_dir, "documents")
+    d.where(F.col("doc_id") < 40).select("doc_id", "text").createOrReplaceTempView(
+        "__udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT doc_id, s.pos, s.sentence
+        FROM __udtf_docs, LATERAL split_sentences(text) AS s
+        ORDER BY doc_id, s.pos
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1936,6 +1990,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "argmin_part": q_argmin_part,
         "idle_customers": q_idle_customers,
         "local_supplier_volume": q_local_supplier_volume,
+        "unpivot_long": q_unpivot,
+        "udtf_sentences": q_udtf_sentences,
         "nation_trade": q_nation_trade,
         "nation_profit": q_nation_profit,
         "late_shipments": q_late_shipments,
@@ -2744,6 +2800,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(6 AS BIGINT) AS feat_len,
                    TRUE AS bounds_ok
             FROM documents WHERE doc_id < 50 ORDER BY doc_id
+        """,
+        "unpivot_long": """
+            SELECT p_partkey, attr, val FROM (
+                SELECT p_partkey, 'size' AS attr,
+                       CAST(p_size AS DOUBLE) AS val FROM part
+                UNION ALL
+                SELECT p_partkey, 'retailprice' AS attr,
+                       CAST(p_retailprice AS DOUBLE) AS val FROM part)
+            WHERE p_partkey < 200
+            ORDER BY p_partkey, attr
+        """,
+        "udtf_sentences": """
+            WITH d AS (
+                SELECT doc_id, string_split(text, '.') AS parts
+                FROM documents WHERE doc_id < 40),
+            e AS (
+                SELECT doc_id,
+                       UNNEST(range(1, len(parts) + 1)) AS i,
+                       parts
+                FROM d)
+            SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+                   trim(parts[CAST(i AS INT)]) AS sentence
+            FROM e
+            WHERE trim(parts[CAST(i AS INT)]) <> ''
+            ORDER BY doc_id, pos
         """,
         "local_supplier_volume": """
             SELECT n_name,
