@@ -1896,6 +1896,72 @@ def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-range histogram via width_bucket — the one-shuffle binned
+    aggregation pattern (bucket expression is codegen; counts combine
+    map-side)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.width_bucket(F.col("o_totalprice"), F.lit(0.0), F.lit(600000.0), F.lit(12))
+            .cast("long")
+            .alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 6).alias("total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: per-user hourly grid (sequence + explode —
+    rows fan out JVM-side, no driver loop) left-joined with observed
+    hourly means, then last-observation-carried-forward via
+    last(IGNORE NULLS) over an unbounded-preceding frame. State per task
+    is one running value per user partition — the 100 TB-safe
+    formulation of resampling."""
+    e = _t(spark, sf_dir, "events").where(
+        (F.col("ts") >= F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp"))
+        & (F.col("user_id") < 10)
+    )
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    grid = (
+        e.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                    F.lit("2024-01-01 23:00:00").cast("timestamp"),
+                    F.expr("interval 1 hour"),
+                )
+            ).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.unix_timestamp("h").alias("h"),
+            F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        )
+        .orderBy("user_id", "h")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1991,6 +2057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idle_customers": q_idle_customers,
         "local_supplier_volume": q_local_supplier_volume,
         "unpivot_long": q_unpivot,
+        "histogram_bins": q_histogram_bins,
+        "gap_fill": q_gap_fill,
         "udtf_sentences": q_udtf_sentences,
         "nation_trade": q_nation_trade,
         "nation_profit": q_nation_profit,
@@ -2800,6 +2868,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(6 AS BIGINT) AS feat_len,
                    TRUE AS bounds_ok
             FROM documents WHERE doc_id < 50 ORDER BY doc_id
+        """,
+        "histogram_bins": """
+            SELECT bucket, COUNT(*) AS n, ROUND(SUM(o_totalprice), 6) AS total
+            FROM (
+                SELECT LEAST(GREATEST(
+                           CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) + 1,
+                           0), 13) AS bucket,
+                       o_totalprice
+                FROM orders)
+            GROUP BY bucket ORDER BY bucket
+        """,
+        "gap_fill": """
+            WITH ev AS (
+                SELECT user_id, ts, value FROM events
+                WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+                  AND ts < TIMESTAMP '2024-01-02 00:00:00'
+                  AND user_id < 10),
+            hourly AS (
+                SELECT user_id, date_trunc('hour', ts) AS h,
+                       ROUND(AVG(value), 6) AS v
+                FROM ev GROUP BY 1, 2),
+            grid AS (
+                SELECT user_id,
+                       UNNEST(generate_series(
+                           TIMESTAMP '2024-01-01 00:00:00',
+                           TIMESTAMP '2024-01-01 23:00:00',
+                           INTERVAL 1 HOUR)) AS h
+                FROM (SELECT DISTINCT user_id FROM ev))
+            SELECT g.user_id, CAST(epoch(g.h) AS BIGINT) AS h,
+                   LAST_VALUE(hr.v IGNORE NULLS) OVER (
+                       PARTITION BY g.user_id ORDER BY g.h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS v_filled
+            FROM grid g
+            LEFT JOIN hourly hr ON g.user_id = hr.user_id AND g.h = hr.h
+            ORDER BY g.user_id, h
         """,
         "unpivot_long": """
             SELECT p_partkey, attr, val FROM (
