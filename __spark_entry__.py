@@ -1962,6 +1962,67 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series OHLC rollup per user-hour via min_by/max_by ordered on
+    (ts, event_id) — open/close resolve in the SAME single hash
+    aggregation as high/low (no window pass, one shuffle; the classic
+    financial-bar query)."""
+    e = _t(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id")
+    return (
+        e.groupBy(
+            "user_id", F.date_trunc("hour", F.col("ts")).alias("hh")
+        )
+        .agg(
+            F.round(F.min_by("value", key), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", key), 6).alias("close"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp("hh").alias("h"),
+            "open", "high", "low", "close", "n",
+        )
+        .orderBy("user_id", "h")
+    )
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (view -> click -> purchase): each stage is
+    the per-user earliest qualifying event STRICTLY AFTER the prior
+    stage's time. Three shuffles on user_id, each stage a
+    filter+join+min-agg — joins stay equi on user_id (no inequality-join
+    blowup; the time condition is a post-join filter on tiny per-user
+    rows)."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase")))
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2058,6 +2119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": q_local_supplier_volume,
         "unpivot_long": q_unpivot,
         "histogram_bins": q_histogram_bins,
+        "ohlc_rollup": q_ohlc_rollup,
+        "funnel": q_funnel,
         "gap_fill": q_gap_fill,
         "udtf_sentences": q_udtf_sentences,
         "nation_trade": q_nation_trade,
@@ -2868,6 +2931,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(6 AS BIGINT) AS feat_len,
                    TRUE AS bounds_ok
             FROM documents WHERE doc_id < 50 ORDER BY doc_id
+        """,
+        "ohlc_rollup": """
+            WITH x AS (
+                SELECT user_id, date_trunc('hour', ts) AS hh, value,
+                       FIRST_VALUE(value) OVER (
+                           PARTITION BY user_id, date_trunc('hour', ts)
+                           ORDER BY ts, event_id) AS o,
+                       FIRST_VALUE(value) OVER (
+                           PARTITION BY user_id, date_trunc('hour', ts)
+                           ORDER BY ts DESC, event_id DESC) AS c
+                FROM events)
+            SELECT user_id, CAST(epoch(hh) AS BIGINT) AS h,
+                   ROUND(MIN(o), 6) AS open,
+                   ROUND(MAX(value), 6) AS high,
+                   ROUND(MIN(value), 6) AS low,
+                   ROUND(MIN(c), 6) AS close,
+                   COUNT(*) AS n
+            FROM x GROUP BY user_id, hh ORDER BY user_id, h
+        """,
+        "funnel": """
+            WITH v AS (
+                SELECT user_id, MIN(ts) AS vt FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+            c AS (
+                SELECT e.user_id, MIN(e.ts) AS ct FROM events e
+                JOIN v ON e.user_id = v.user_id
+                WHERE e.event_type = 'click' AND e.ts > v.vt
+                GROUP BY e.user_id),
+            p AS (
+                SELECT e.user_id, MIN(e.ts) AS pt FROM events e
+                JOIN c ON e.user_id = c.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > c.ct
+                GROUP BY e.user_id)
+            SELECT (SELECT COUNT(*) FROM v) AS n_view,
+                   (SELECT COUNT(*) FROM c) AS n_click,
+                   (SELECT COUNT(*) FROM p) AS n_purchase
         """,
         "histogram_bins": """
             SELECT bucket, COUNT(*) AS n, ROUND(SUM(o_totalprice), 6) AS total
