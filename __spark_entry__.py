@@ -2023,6 +2023,26 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters over the token stream (mergeable-sketch
+    aggregation, operators/sketches.py): map-side partial sketches +
+    bounded candidate sets, depth-2 treeReduce merge, point-query the
+    merged sketch — raw keys never shuffle. At this width/vocab the CMS
+    estimate is collision-free, so the result hash-matches the exact
+    top-20 SQL oracle; the eps*N overestimate bound under adversarial
+    width is pinned in tests/test_sketches.py."""
+    from keystone_spark.operators.sketches import count_min_topk
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    top = count_min_topk(toks, "tok", k=20)
+    return spark.createDataFrame(
+        [(t, int(c)) for t, c in top], "tok string, est long"
+    ).orderBy(F.col("est").desc(), "tok")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2120,6 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_long": q_unpivot,
         "histogram_bins": q_histogram_bins,
         "ohlc_rollup": q_ohlc_rollup,
+        "heavy_hitters": q_heavy_hitters,
         "funnel": q_funnel,
         "gap_fill": q_gap_fill,
         "udtf_sentences": q_udtf_sentences,
@@ -2931,6 +2952,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(6 AS BIGINT) AS feat_len,
                    TRUE AS bounds_ok
             FROM documents WHERE doc_id < 50 ORDER BY doc_id
+        """,
+        "heavy_hitters": """
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS est FROM (
+                SELECT UNNEST(string_split_regex(lower(text), '\\s+')) AS tok
+                FROM documents)
+            WHERE tok <> ''
+            GROUP BY tok ORDER BY est DESC, tok LIMIT 20
         """,
         "ohlc_rollup": """
             WITH x AS (

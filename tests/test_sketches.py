@@ -1,0 +1,62 @@
+"""Count-Min heavy hitters: exactness at ample width, the one-sided
+overestimate guarantee under adversarial (tiny) width, and merge
+correctness across partitions."""
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from keystone_spark.operators.sketches import count_min_topk
+
+
+@pytest.fixture(scope="module")
+def words_df(spark):
+    # zipf-ish corpus with a known exact answer, spread over partitions
+    words = []
+    for i, (w, n) in enumerate(
+        [("alpha", 400), ("beta", 300), ("gamma", 200), ("delta", 100),
+         ("eps", 50), ("zeta", 25), ("eta", 12), ("theta", 6)]
+    ):
+        words += [w] * n
+    extra = [f"rare_{i}" for i in range(200)]
+    df = spark.createDataFrame(
+        [(w,) for w in words + extra], "w string"
+    ).repartition(8)
+    return df
+
+
+def test_topk_exact_at_ample_width(words_df):
+    got = count_min_topk(words_df, "w", k=5)
+    assert got == [
+        ("alpha", 400), ("beta", 300), ("gamma", 200), ("delta", 100),
+        ("eps", 50),
+    ]
+
+
+def test_overestimate_only_at_tiny_width(words_df):
+    """CMS never undercounts: with width 8 collisions are guaranteed, but
+    every estimate must still be >= the true count, and the top hitter
+    must survive (its estimate dominates)."""
+    truth = Counter(
+        r["w"] for r in words_df.collect()
+    )
+    got = dict(count_min_topk(words_df, "w", k=50, width=8))
+    for key, est in got.items():
+        assert est >= truth[key], (key, est, truth[key])
+    assert max(got, key=lambda k: (got[k], k == "alpha")) == "alpha"
+
+
+def test_merge_matches_single_partition(words_df):
+    """Sketch merge is exact: 8-partition treeReduce result equals the
+    1-partition result (same width/depth/seedless hashing)."""
+    many = count_min_topk(words_df, "w", k=8)
+    one = count_min_topk(words_df.coalesce(1), "w", k=8)
+    assert many == one
+
+
+def test_nulls_ignored(spark):
+    df = spark.createDataFrame(
+        [("x",), (None,), ("x",), (None,), ("y",)], "w string"
+    )
+    assert count_min_topk(df, "w", k=2) == [("x", 2), ("y", 1)]
