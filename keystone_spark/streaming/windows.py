@@ -272,3 +272,71 @@ def streaming_fingerprint_dedup(
     else:
         out = out.dropDuplicates(["__fp"])
     return out.drop("__fp")
+
+
+def streaming_space_saving(
+    df: DataFrame,
+    key_col: str = "event_type",
+    capacity: int = 64,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Bounded-state streaming heavy hitters: a Misra-Gries summary per
+    hash bucket kept in the state store via ``applyInPandasWithState`` —
+    the streaming twin of the batch Count-Min top-k
+    (operators/sketches.py).
+
+    State per bucket is AT MOST ``capacity`` (key, count) pairs no matter
+    how many distinct keys the stream carries — the property that makes
+    streaming frequent-items viable at 100 TB/day: state size is
+    O(buckets * capacity), not O(cardinality). The Misra-Gries trim
+    (subtract the (capacity+1)-th largest count, drop non-positive)
+    preserves the one-sided guarantee est <= true <= est + N_bucket /
+    (capacity + 1); bucketing by hash shards both the shuffle and the
+    summaries.
+
+    Batch DataFrames get the exact groupBy twin, so equivalence tests can
+    compare streaming output (capacity >= per-bucket cardinality => no
+    trim => exact) against the batch answer.
+    """
+    if not df.isStreaming:
+        return (
+            df.groupBy(F.col(key_col).cast("string").alias("key"))
+            .agg(F.count("*").alias("est"))
+        )
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keyed = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets)).alias(
+            "bucket"
+        ),
+    )
+    out_schema = "bucket long, key string, est long"
+    state_schema = "keys array<string>, counts array<long>"
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            ks, cs = state.get
+            summary = dict(zip(ks, (int(c) for c in cs)))
+        else:
+            summary = {}
+        for pdf in pdfs:
+            for k_, n in pdf["key"].value_counts().items():
+                summary[k_] = summary.get(k_, 0) + int(n)
+        if len(summary) > capacity:
+            d = sorted(summary.values(), reverse=True)[capacity]
+            summary = {k_: c - d for k_, c in summary.items() if c > d}
+        state.update((list(summary.keys()), [int(c) for c in summary.values()]))
+        yield pd.DataFrame(
+            {
+                "bucket": pd.Series([key[0]] * len(summary), dtype="int64"),
+                "key": pd.Series(list(summary.keys()), dtype="object"),
+                "est": pd.Series(list(summary.values()), dtype="int64"),
+            }
+        )
+
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

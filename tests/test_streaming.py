@@ -233,3 +233,66 @@ def test_streaming_fingerprint_neardup(spark, tmp_path):
     run_available_now(deduped.select("doc_id"), "fp_dedup_out", output_mode="append")
     ids = sorted(r.doc_id for r in spark.sql("SELECT doc_id FROM fp_dedup_out").collect())
     assert len(ids) == 2 and 2 in ids  # one of {0,1} survives, 2 survives
+
+
+def test_space_saving_stream_exact_when_capacity_ample(spark, sf_dir, events):
+    """Misra-Gries streaming heavy hitters: with capacity >= per-bucket
+    cardinality no trim ever fires, so the final streaming summaries must
+    equal the exact batch counts; est is monotone per key, so the max-est
+    revision in the update-mode sink is the final one."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from keystone_spark.streaming.windows import streaming_space_saving
+
+    batch = streaming_space_saving(events, capacity=64)
+    stream_in = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    streamed = streaming_space_saving(stream_in, capacity=64, n_buckets=4)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            streamed.writeStream.format("memory")
+            .queryName("ss_out")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    final = (
+        spark.sql("SELECT key, MAX(est) AS est FROM ss_out GROUP BY key")
+    )
+    assert _rows(final) == _rows(batch)
+
+
+def test_space_saving_trim_bounds(spark, sf_dir, events):
+    """With a tiny capacity the trim fires; every retained estimate must
+    undercount (never overcount) and the state stays bounded."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from keystone_spark.streaming.windows import streaming_space_saving
+
+    truth = {
+        r["key"]: r["est"]
+        for r in streaming_space_saving(events, capacity=64).collect()
+    }
+    stream_in = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    streamed = streaming_space_saving(stream_in, capacity=2, n_buckets=1)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            streamed.writeStream.format("memory")
+            .queryName("ss_trim_out")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    last_batch = spark.sql(
+        "SELECT key, est FROM ss_trim_out"
+    ).groupBy("key").agg(F.min("est").alias("min_est"))
+    rows = last_batch.collect()
+    for r in rows:
+        assert r["min_est"] <= truth[r["key"]], (r, truth)
