@@ -2025,6 +2025,18 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 fuzzy join over customer names via the FastSS
+    deletion-neighborhood band join (operators/dedup.edit_distance_pairs)
+    — candidates only from shared deletion variants (complete for
+    dist<=1), exact levenshtein verify. The DuckDB oracle brute-forces
+    all pairs on the same bounded subset."""
+    from keystone_spark.operators.dedup import edit_distance_pairs
+
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 400)
+    return edit_distance_pairs(c, "c_custkey", "c_name").orderBy("i", "j")
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min heavy hitters over the token stream (mergeable-sketch
     aggregation, operators/sketches.py): map-side partial sketches +
@@ -2143,6 +2155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_bins": q_histogram_bins,
         "ohlc_rollup": q_ohlc_rollup,
         "heavy_hitters": q_heavy_hitters,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "funnel": q_funnel,
         "gap_fill": q_gap_fill,
         "udtf_sentences": q_udtf_sentences,
@@ -2954,6 +2967,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(6 AS BIGINT) AS feat_len,
                    TRUE AS bounds_ok
             FROM documents WHERE doc_id < 50 ORDER BY doc_id
+        """,
+        "fuzzy_name_pairs": """
+            SELECT a.c_custkey AS i, b.c_custkey AS j,
+                   CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+            FROM customer a
+            JOIN customer b ON a.c_custkey < b.c_custkey
+            WHERE a.c_custkey < 400 AND b.c_custkey < 400
+              AND levenshtein(a.c_name, b.c_name) <= 1
+            ORDER BY i, j
         """,
         "heavy_hitters": """
             SELECT tok, CAST(COUNT(*) AS BIGINT) AS est FROM (

@@ -429,6 +429,60 @@ def dedup_clusters(
     return labels
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """All pairs within edit distance <= 1, via the FastSS
+    deletion-neighborhood join — the string-similarity member of the
+    dedup family (typo-level entity matching).
+
+    Candidate generation: each string emits itself plus every
+    single-character deletion (JVM-side transform over a sequence — no
+    Python); two strings within edit distance 1 ALWAYS share a variant
+    (substitution: delete the differing position from both; indel: the
+    deletion IS the shorter string), so banding is complete, never
+    all-pairs. The same ``bucket_cap`` skew guard as the LSH joins bounds
+    pathological shared variants. Exact ``levenshtein`` verifies
+    candidates only. Returns (i, j, dist) with i < j."""
+    s = F.col(text_col)
+    variants = F.array_union(
+        F.array(s),
+        F.transform(
+            F.sequence(F.lit(1), F.length(s)),
+            lambda i: F.concat(
+                F.substr(s, F.lit(1), i - F.lit(1)),
+                F.substr(s, i + F.lit(1), F.length(s)),
+            ),
+        ),
+    )
+    v = df.select(
+        F.col(id_col), F.col(text_col), F.explode(variants).alias("__v")
+    )
+    v = _drop_oversized_buckets(v, ["__v"], bucket_cap)
+    a = v.select(
+        F.col("__v"), F.col(id_col).alias("i"), F.col(text_col).alias("__sa")
+    )
+    b = v.select(
+        F.col("__v"), F.col(id_col).alias("j"), F.col(text_col).alias("__sb")
+    )
+    cand = (
+        a.join(b, "__v")
+        .where(F.col("i") < F.col("j"))
+        .select("i", "j", "__sa", "__sb")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein("__sa", "__sb").cast("long")
+        )
+        .where(F.col("dist") <= 1)
+        .select("i", "j", "dist")
+    )
+
+
 def release(df: DataFrame) -> None:
     """Unpersist the caches a dedup operator attached to its result (call
     after the result has been materialized/written)."""

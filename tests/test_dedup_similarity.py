@@ -301,3 +301,45 @@ def test_minhash_dedup_cache_hygiene(spark):
     out.count()
     release(out)
     assert spark._jsc.getPersistentRDDs().size() <= base
+
+
+def test_edit_distance_pairs_complete_vs_bruteforce(spark):
+    """FastSS deletion-neighborhood banding must recover EXACTLY the
+    brute-force edit-distance<=1 pairs, including insert/delete pairs of
+    different lengths and exact duplicates (dist 0)."""
+    from keystone_spark.operators.dedup import edit_distance_pairs
+
+    names = [
+        "spark", "spork", "spark",      # substitution + exact dup
+        "spar", "sparks",               # deletion / insertion
+        "flink", "blink", "clink",      # substitution chain
+        "x", "", "y",                   # tiny strings, empty
+        "totally-different",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(names)], "doc_id long, text string"
+    )
+    got = {
+        (r["i"], r["j"], r["dist"])
+        for r in edit_distance_pairs(df, "doc_id", "text").collect()
+    }
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (i, j, lev(names[i], names[j]))
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+        if lev(names[i], names[j]) <= 1
+    }
+    assert got == want
