@@ -190,3 +190,27 @@ def read_table_any(
     for k, v in options.items():
         r = r.option(k, v)
     return r.load(path)
+
+
+def write_timeseries(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    date_col: str = "event_date",
+) -> None:
+    """Hypertable layout for time-series tables: hive-partition by event
+    DATE, and within each day range-partition + sort by (key, ts).
+
+    Two-level pruning on read-back — date predicates prune whole
+    directories before any IO; key/ts predicates prune parquet row groups
+    via min/max statistics, which the sort makes tight (each row group
+    covers a narrow key range instead of a random shuffle of keys). Per-key
+    scans are sequential within a file. This is the layout that keeps a
+    100 TB events table queryable: a one-day, one-user query touches one
+    directory and a handful of row groups."""
+    d = df.withColumn(date_col, F.to_date(F.col(ts_col)))
+    d = d.repartitionByRange(date_col, key_col).sortWithinPartitions(
+        date_col, key_col, ts_col
+    )
+    write_table(d, path, partition_by=[date_col])

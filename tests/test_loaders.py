@@ -126,3 +126,42 @@ def test_load_media_dir_decode_pipeline(spark, tmp_path):
     assert len(rows) == 4
     assert all(r.img_features is not None and len(r.img_features) == 6
                for r in rows)
+
+
+def test_timeseries_layout_prunes_and_sorts(spark, sf_dir, tmp_path):
+    """write_timeseries: a date filter must read ONLY that day's
+    directory (partition pruning), and rows inside each file must be
+    sorted by (user_id, ts) so row-group min/max stats are tight."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from keystone_spark.sources import load_table
+    from keystone_spark.sources.loaders import write_timeseries
+
+    events = load_table(spark, "events", sf_dir)
+    out = str(tmp_path / "ts_table")
+    write_timeseries(events, out)
+
+    day = (
+        events.select(F.to_date("ts").alias("d")).groupBy("d").count()
+        .orderBy(F.col("count").desc()).first()["d"]
+    )
+    back = spark.read.parquet(out).where(F.col("event_date") == F.lit(day))
+    # runtime file set (input_file_name reflects the PRUNED scan;
+    # DataFrame.inputFiles() does not apply filters)
+    files = {
+        r["f"]
+        for r in back.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert files, "day partition exists"
+    assert all(f"event_date={day}" in f for f in files), files
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    want = events.where(F.to_date("ts") == F.lit(day)).count()
+    assert back.count() == want
+
+    t = pq.read_table(next(iter(files)).replace("file:", ""))
+    pdf = t.to_pandas()[["user_id", "ts"]]
+    assert list(pdf.itertuples(index=False)) == sorted(
+        pdf.itertuples(index=False), key=lambda r: (r.user_id, r.ts)
+    )
