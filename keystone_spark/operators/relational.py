@@ -76,7 +76,11 @@ def asof_join(
     else:
         raise ValueError(f"direction must be backward|forward, got {direction}")
 
-    l = left.alias("l")
+    # Row identity for the rank-1 window: a synthetic monotonic id, NOT the
+    # left columns — partitioning by value-identity would collapse duplicate
+    # left rows into one output row (silent row loss). The id is assigned
+    # before the join, map-side, with no shuffle.
+    l = left.withColumn("__asof_lid", F.monotonically_increasing_id()).alias("l")
     r = right.alias("r")
     full_cond = cond[0]
     for c in cond[1:]:
@@ -88,18 +92,12 @@ def asof_join(
         F.col(f"r.{c}").alias(c + suffix if c in left.columns else c)
         for c in right.columns
     ]
-    w = Window.partitionBy(*[F.col(f"l.{c}") for c in _key_cols(left)]).orderBy(*order)
+    w = Window.partitionBy(F.col("l.__asof_lid")).orderBy(*order)
     return (
         joined.withColumn("__asof_rn", F.row_number().over(w))
         .where(F.col("__asof_rn") == 1)
         .select(*left_cols, *right_cols)
     )
-
-
-def _key_cols(df: DataFrame) -> list[str]:
-    # as-of rank partitions by the full left row identity; callers with a
-    # unique id should pre-select it — we use all left columns as identity.
-    return df.columns
 
 
 def asof_join_merge(

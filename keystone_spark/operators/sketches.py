@@ -46,14 +46,27 @@ def _hash_rows(keys: np.ndarray, depth: int, width: int) -> np.ndarray:
 
 
 def _key_hash(s: pd.Series) -> np.ndarray:
-    # stable 64-bit FNV-1a over utf-8 bytes, vectorized per batch
-    out = np.empty(len(s), dtype=np.uint64)
+    """Stable 64-bit FNV-1a over utf-8 bytes, vectorized as a padded byte
+    matrix: one whole-array xor-mul per byte POSITION (max key length
+    iterations), not a Python loop per key x byte — on a high-cardinality
+    string column the per-batch distinct set is exactly where the time
+    goes, so the arithmetic must stay in numpy."""
+    n = len(s)
+    out = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    if n == 0:
+        return out
+    enc = [str(v).encode("utf-8") for v in s]
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=n)
+    max_len = int(lens.max())
+    if max_len == 0:
+        return out
+    mat = np.zeros((n, max_len), dtype=np.uint64)
+    for i, b in enumerate(enc):  # memcpy fill only; no arithmetic here
+        mat[i, : lens[i]] = np.frombuffer(b, dtype=np.uint8)
+    prime = np.uint64(0x100000001B3)
     with np.errstate(over="ignore"):  # uint64 wrap is the hash semantics
-        for i, v in enumerate(s):
-            h = np.uint64(0xCBF29CE484222325)
-            for b in str(v).encode("utf-8"):
-                h = (h ^ np.uint64(b)) * np.uint64(0x100000001B3)
-            out[i] = h
+        for j in range(max_len):
+            out = np.where(lens > j, (out ^ mat[:, j]) * prime, out)
     return out
 
 
@@ -108,9 +121,26 @@ def count_min_topk(
             set(r["cands"]),
         )
     )
-    sketch, cands = rdd.treeReduce(
-        lambda a, b: (a[0] + b[0], a[1] | b[1]), depth=2
-    )
+
+    def _merge(a, b):
+        # Candidate union is CAPPED at every merge: rank the union by the
+        # merged partial sketch's point estimate and keep the top cpp.
+        # Without the cap the root of the tree sees up to
+        # cpp * n_partitions candidates — unbounded at 100 TB partition
+        # counts. CMS estimates only grow under further merging, so a key
+        # in the true global top-k is (with the sketch's 1-delta
+        # probability) also in the top-cpp of every partial that saw it.
+        sk = a[0] + b[0]
+        cands = a[1] | b[1]
+        if len(cands) > cpp:
+            cl = sorted(cands)
+            idx = _hash_rows(_key_hash(pd.Series(cl)), depth, width)
+            est = np.min(np.stack([sk[d][idx[d]] for d in range(depth)]), axis=0)
+            keep = np.argsort(-est, kind="stable")[:cpp]
+            cands = {cl[i] for i in keep}
+        return sk, cands
+
+    sketch, cands = rdd.treeReduce(_merge, depth=2)
     cand_list = sorted(cands)
     keys = _key_hash(pd.Series(cand_list))
     idx = _hash_rows(keys, depth, width)

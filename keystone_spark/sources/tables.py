@@ -37,11 +37,20 @@ TABLES = (
 
 
 def _normalize_events(df: DataFrame) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS) read as bigint nanos (see
-    FIXTURES.md §1). Convert to a proper microsecond timestamp column."""
+    """events.ts is parquet TIMESTAMP(NANOS); depending on the Spark
+    version/confs it arrives as EITHER bigint nanos (nanosAsLong) OR
+    TIMESTAMP_NTZ (PySpark 4.1.2 ignores nanosAsLong here — FIXTURES.md §1).
+    Normalize both to a session-tz TIMESTAMP: batch results are identical
+    under the UTC session tz, and ``withWatermark`` requires TIMESTAMP
+    (it hard-rejects NTZ with EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), so the
+    streaming surface only works on the normalized column."""
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    elif ts_type == "timestamp_ntz":
+        # NTZ wall-clock reinterpreted in the (UTC) session tz — unix values
+        # are unchanged, but the type becomes watermark-compatible.
+        df = df.withColumn("ts", F.to_timestamp(F.col("ts")))
     return df
 
 

@@ -96,10 +96,30 @@ def test_cosine_topk_prunes_before_shuffle(spark, sf_dir, qs):
 
 
 def test_loader_applies_events_normalization(spark, sf_dir):
+    """ts must normalize to session-tz TIMESTAMP (watermark-compatible)
+    regardless of how the parquet NANOS column arrives (bigint under
+    nanosAsLong, TIMESTAMP_NTZ on PySpark 4.1.2), and the normalization
+    must not shift epoch values — pinned against DuckDB's read of the
+    same file."""
+    import os
+
+    import duckdb
+
     from keystone_spark.sources import load_table
 
     ev = load_table(spark, "events", sf_dir)
     assert dict(ev.dtypes)["ts"] == "timestamp"
+
+    got = ev.select(
+        F.min(F.unix_timestamp("ts")).alias("lo"),
+        F.max(F.unix_timestamp("ts")).alias("hi"),
+        F.count("*").alias("n"),
+    ).first()
+    want = duckdb.sql(
+        "SELECT min(floor(epoch(ts)))::BIGINT, max(floor(epoch(ts)))::BIGINT, count(*) "
+        f"FROM read_parquet('{os.path.join(sf_dir, 'events.parquet')}')"
+    ).fetchone()
+    assert (got["lo"], got["hi"], got["n"]) == want
 
 
 def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):

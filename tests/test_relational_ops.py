@@ -42,6 +42,29 @@ def test_asof_join_forward_with_tolerance(spark):
     assert [r.px for r in out.collect()] == [9.0]
 
 
+def test_asof_join_preserves_duplicate_left_rows(spark):
+    """Two byte-identical left rows must each produce an output row in BOTH
+    the range-join form (rank identity = synthetic row id, not row values)
+    and the merge form."""
+    from keystone_spark.operators.relational import asof_join_merge
+
+    left = spark.createDataFrame(
+        [("u", 100), ("u", 100), ("u", 205)], "k string, t long"
+    ).select("k", F.timestamp_seconds("t").alias("ts"))
+    right = spark.createDataFrame(
+        [("u", 90, 1.0), ("u", 200, 2.0)], "k string, t long, px double"
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "px")
+
+    out = asof_join(left, right, "ts", "ts", on=["k"], direction="backward")
+    assert sorted(r.px for r in out.collect()) == [1.0, 1.0, 2.0]
+
+    merged = asof_join_merge(
+        left, right.withColumnRenamed("ts", "r_ts"),
+        on=["k"], left_ts="ts", right_ts="r_ts", value_cols=["px"],
+    )
+    assert sorted(r.px for r in merged.collect()) == [1.0, 1.0, 2.0]
+
+
 def test_salted_join_matches_plain_join(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_quantity")
     o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_totalprice")

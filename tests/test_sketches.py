@@ -60,3 +60,34 @@ def test_nulls_ignored(spark):
         [("x",), (None,), ("x",), (None,), ("y",)], "w string"
     )
     assert count_min_topk(df, "w", k=2) == [("x", 2), ("y", 1)]
+
+
+def test_high_cardinality_capped_union(spark):
+    """5000 distinct keys across 8 partitions: every merge's candidate
+    union exceeds cpp (k=5 -> cpp=20), so the cap path is exercised —
+    and the true heavy hitters must still come out exactly."""
+    rows = [("heavy_a",)] * 500 + [("heavy_b",)] * 300 + [("heavy_c",)] * 100
+    rows += [(f"tail_{i:05d}",) for i in range(5000)]
+    df = spark.createDataFrame(rows, "w string").repartition(8)
+    got = count_min_topk(df, "w", k=3)
+    assert got == [("heavy_a", 500), ("heavy_b", 300), ("heavy_c", 100)]
+
+
+def test_key_hash_matches_scalar_fnv():
+    """The byte-matrix vectorized FNV-1a must be bit-identical to the
+    textbook per-byte scalar loop, including empty and multibyte utf-8."""
+    import numpy as np
+    import pandas as pd
+
+    from keystone_spark.operators.sketches import _key_hash
+
+    def scalar(v: str) -> int:
+        h = 0xCBF29CE484222325
+        for b in str(v).encode("utf-8"):
+            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    keys = ["", "a", "alpha", "héllo wörld", "数据", "x" * 257, "0", "tail_00042"]
+    got = _key_hash(pd.Series(keys))
+    want = np.array([scalar(k) for k in keys], dtype=np.uint64)
+    assert (got == want).all()
