@@ -343,120 +343,55 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> (h, w, c) float32 in [0, 1], c in {1, 3}.
-
-    Reference parity: loaders/ImageNetLoaderUtils.scala decodes JPEG via
-    javax.imageio; this is the same baseline-sequential pipeline (Huffman
-    -> dequant -> IDCT -> upsample -> YCbCr->RGB) from the public spec.
-    """
-    if not payload.startswith(b"\xff\xd8"):
-        raise ValueError("not a JPEG (no SOI)")
-    pos = 2
-    qt: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict] = {}
-    comps = None  # list of (id, h, v, tq)
-    height = width = None
-    restart_interval = 0
-    scan = None
-    while pos + 4 <= len(payload):
-        if payload[pos] != 0xFF:
-            raise ValueError("JPEG marker expected")
-        marker = payload[pos + 1]
-        if marker == 0xD9:  # EOI
-            break
-        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
-        body = payload[pos + 4 : pos + 2 + seglen]
-        pos += 2 + seglen
-        if marker == 0xDB:  # DQT
-            i = 0
-            while i < len(body):
-                prec, tid = body[i] >> 4, body[i] & 0xF
-                i += 1
-                if prec == 0:
-                    qt[tid] = np.frombuffer(body[i : i + 64], np.uint8).astype(
-                        np.float64
-                    )
-                    i += 64
-                else:
-                    qt[tid] = np.frombuffer(body[i : i + 128], ">u2").astype(
-                        np.float64
-                    )
-                    i += 128
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
-            if body[0] != 8:
-                raise NotImplementedError("only 8-bit JPEG supported")
-            height, width = struct.unpack(">HH", body[1:5])
-            n = body[5]
-            comps = []
-            for ci in range(n):
-                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                comps.append((cid, hv >> 4, hv & 0xF, tq))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
-                        0xCE, 0xCF):
-            raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0}: only baseline sequential supported"
-            )
-        elif marker == 0xC4:  # DHT
-            i = 0
-            while i < len(body):
-                cls, tid = body[i] >> 4, body[i] & 0xF
-                bits = list(body[i + 1 : i + 17])
-                nv = sum(bits)
-                huff[(cls, tid)] = _build_huffman(bits, body[i + 17 : i + 17 + nv])
-                i += 17 + nv
-        elif marker == 0xDD:  # DRI
-            (restart_interval,) = struct.unpack(">H", body)
-        elif marker == 0xDA:  # SOS
-            ns = body[0]
-            scan = []  # (comp_index, dc_tid, ac_tid)
-            for si in range(ns):
-                cid, tids = body[1 + 2 * si : 3 + 2 * si]
-                idx = next(i for i, c in enumerate(comps) if c[0] == cid)
-                scan.append((idx, tids >> 4, tids & 0xF))
-            # destuff entropy data, split on RST markers
-            segs, cur = [], bytearray()
-            p = pos
-            while p < len(payload) - 1:
-                b = payload[p]
-                if b != 0xFF:
-                    cur.append(b)
-                    p += 1
-                    continue
-                nxt = payload[p + 1]
-                if nxt == 0x00:
-                    cur.append(0xFF)
-                    p += 2
-                elif 0xD0 <= nxt <= 0xD7:
-                    segs.append(bytes(cur))
-                    cur = bytearray()
-                    p += 2
-                else:
-                    break  # EOI or next marker
+def _destuff(payload: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Destuff entropy-coded data starting at ``pos``; segments split on
+    RSTn markers. Returns (segments, position of the next marker)."""
+    segs, cur = [], bytearray()
+    p = pos
+    while p < len(payload) - 1:
+        b = payload[p]
+        if b != 0xFF:
+            cur.append(b)
+            p += 1
+            continue
+        nxt = payload[p + 1]
+        if nxt == 0x00:
+            cur.append(0xFF)
+            p += 2
+        elif 0xD0 <= nxt <= 0xD7:
             segs.append(bytes(cur))
-            pos = p
-            break
-    if comps is None or scan is None:
-        raise ValueError("JPEG missing SOF/SOS")
+            cur = bytearray()
+            p += 2
+        else:
+            break  # EOI or next marker
+    segs.append(bytes(cur))
+    return segs, p
 
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcu_cols = -(-width // (8 * hmax))
-    mcu_rows = -(-height // (8 * vmax))
-    n_mcus = mcu_cols * mcu_rows
-    # per component: coefficient store (blocks_h, blocks_w, 64)
-    planes = [
-        np.zeros((mcu_rows * c[2], mcu_cols * c[1], 64)) for c in comps
-    ]
-    reader = _BitReader(segs)
+
+def _comp_block_grid(
+    width: int, height: int, comp: tuple, hmax: int, vmax: int
+) -> tuple[int, int]:
+    """Used (non-MCU-padded) block grid of one component — the iteration
+    order of NON-interleaved scans (T.81 A.2.2)."""
+    _, fh, fv, _ = comp
+    comp_w = -(-width * fh // hmax)
+    comp_h = -(-height * fv // vmax)
+    return -(-comp_h // 8), -(-comp_w // 8)
+
+
+def _decode_scan_baseline(
+    reader, scan, comps, huff, planes, restart_interval, mcu_cols, mcu_rows
+):
+    """One full-spectral interleaved scan (Ss=0..63, Ah=Al=0): DC diff +
+    AC runs per block, MCU order. Writes QUANTIZED coefficients."""
     preds = [0] * len(comps)
-    for m in range(n_mcus):
+    for m in range(mcu_cols * mcu_rows):
         if restart_interval and m and m % restart_interval == 0:
             reader.next_segment()
             preds = [0] * len(comps)
         my, mx = divmod(m, mcu_cols)
         for idx, dct, act in scan:
-            _, ch, cv, tq = comps[idx]
+            _, ch, cv, _tq = comps[idx]
             dc_tbl = huff.get((0, dct))
             ac_tbl = huff.get((1, act))
             if dc_tbl is None or ac_tbl is None:
@@ -481,16 +416,284 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                             raise ValueError("JPEG AC run overflow")
                         coefs[k] = _extend(reader.read_bits(size), size)
                         k += 1
-                    # dequantize in zigzag domain
-                    planes[idx][my * cv + by, mx * ch + bx] = coefs * qt[tq]
-    # dequantized zigzag coeffs -> pixel planes (batched IDCT)
+                    planes[idx][my * cv + by, mx * ch + bx] = coefs
+
+
+def _decode_scan_dc(
+    reader, scan, comps, huff, planes, restart_interval,
+    mcu_cols, mcu_rows, ah, al, width, height, hmax, vmax,
+):
+    """Progressive DC scan. First pass (Ah=0): baseline-style diff coding
+    of DC >> Al. Refinement (Ah>0): one raw bit per block, added at
+    position Al (the prior pass left that bit zero, so += is |=)."""
+    preds = [0] * len(comps)
+    if len(scan) > 1:  # interleaved: MCU order over all scan components
+        for m in range(mcu_cols * mcu_rows):
+            if restart_interval and m and m % restart_interval == 0:
+                reader.next_segment()
+                preds = [0] * len(comps)
+            my, mx = divmod(m, mcu_cols)
+            for idx, dct, _act in scan:
+                _, ch, cv, _tq = comps[idx]
+                for by in range(cv):
+                    for bx in range(ch):
+                        blk = planes[idx][my * cv + by, mx * ch + bx]
+                        if ah == 0:
+                            tbl = huff.get((0, dct))
+                            if tbl is None:
+                                raise ValueError("JPEG missing Huffman table")
+                            t = reader.read_symbol(tbl)
+                            preds[idx] += _extend(reader.read_bits(t), t)
+                            blk[0] = preds[idx] << al
+                        else:
+                            blk[0] = int(blk[0]) + (reader.read_bit() << al)
+        return
+    idx, dct, _act = scan[0]
+    bh_used, bw_used = _comp_block_grid(width, height, comps[idx], hmax, vmax)
+    for b in range(bh_used * bw_used):
+        if restart_interval and b and b % restart_interval == 0:
+            reader.next_segment()
+            preds = [0] * len(comps)
+        by, bx = divmod(b, bw_used)
+        blk = planes[idx][by, bx]
+        if ah == 0:
+            tbl = huff.get((0, dct))
+            if tbl is None:
+                raise ValueError("JPEG missing Huffman table")
+            t = reader.read_symbol(tbl)
+            preds[idx] += _extend(reader.read_bits(t), t)
+            blk[0] = preds[idx] << al
+        else:
+            blk[0] = int(blk[0]) + (reader.read_bit() << al)
+
+
+def _refine_nonzero(reader, blk, k, p1, m1) -> None:
+    v = int(blk[k])
+    if reader.read_bit() and (v & p1) == 0:
+        blk[k] = v + (p1 if v > 0 else m1)
+
+
+def _decode_scan_ac(
+    reader, scan, comps, huff, planes, restart_interval,
+    ss, se, ah, al, width, height, hmax, vmax,
+):
+    """Progressive AC scan (always single-component, non-interleaved).
+
+    First pass (Ah=0): run/size symbols as baseline but values scaled by
+    2^Al, plus EOBn symbols coding runs of all-zero-tail blocks.
+    Refinement (Ah=Al+1): per T.81 G.2 — newly-significant coefficients
+    arrive as (run, 1) symbols with a sign bit; already-nonzero
+    coefficients consume one correction bit each as the run advances; EOB
+    runs carry correction bits for the remaining nonzero coefficients."""
+    if len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    idx, _dct, act = scan[0]
+    tbl = huff.get((1, act))
+    if tbl is None:
+        raise ValueError("JPEG missing Huffman table")
+    bh_used, bw_used = _comp_block_grid(width, height, comps[idx], hmax, vmax)
+    p1, m1 = 1 << al, -1 << al
+    eobrun = 0
+    for b in range(bh_used * bw_used):
+        if restart_interval and b and b % restart_interval == 0:
+            reader.next_segment()
+            eobrun = 0
+        by, bx = divmod(b, bw_used)
+        blk = planes[idx][by, bx]
+        if ah == 0:  # ---- first pass
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = reader.read_symbol(tbl)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r != 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+                    k += 16  # ZRL
+                else:
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC run overflow")
+                    blk[k] = _extend(reader.read_bits(s), s) << al
+                    k += 1
+            continue
+        # ---- refinement pass
+        if eobrun:
+            eobrun -= 1
+            for k in range(ss, se + 1):
+                if blk[k] != 0:
+                    _refine_nonzero(reader, blk, k, p1, m1)
+            continue
+        k = ss
+        while k <= se:
+            rs = reader.read_symbol(tbl)
+            r, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # ZRL: advance over 16 zero-history coefficients below
+            elif s == 1:
+                newval = p1 if reader.read_bit() else m1
+            else:
+                raise ValueError("bad JPEG refinement symbol")
+            while k <= se:
+                if blk[k] != 0:
+                    _refine_nonzero(reader, blk, k, p1, m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                blk[k] = newval
+            k += 1
+        if eobrun:
+            # this block is the first of the EOB run: correction bits for
+            # its remaining nonzero coefficients, then count it consumed
+            for kk in range(k, se + 1):
+                if blk[kk] != 0:
+                    _refine_nonzero(reader, blk, kk, p1, m1)
+            eobrun -= 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """JPEG bytes -> (h, w, c) float32 in [0, 1], c in {1, 3}.
+
+    Decodes baseline sequential (SOF0/1) AND progressive (SOF2, spectral
+    selection + successive approximation) — reference parity:
+    loaders/ImageNetLoaderUtils.scala decodes both via javax.imageio.
+    Quantized coefficients accumulate across scans; dequant + IDCT +
+    upsample + YCbCr->RGB run once at the end. Arithmetic coding,
+    lossless and 12-bit precision raise NotImplementedError.
+    """
+    if not payload.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps = None  # list of (id, h, v, tq)
+    height = width = None
+    restart_interval = 0
+    progressive = False
+    planes = None
+    hmax = vmax = mcu_cols = mcu_rows = 0
+    got_scan = False
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM/stray RSTn
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG")
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0xF
+                i += 1
+                if prec == 0:
+                    qt[tid] = np.frombuffer(body[i : i + 64], np.uint8).astype(
+                        np.float64
+                    )
+                    i += 64
+                else:
+                    qt[tid] = np.frombuffer(body[i : i + 128], ">u2").astype(
+                        np.float64
+                    )
+                    i += 128
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            if body[0] != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            progressive = marker == 0xC2
+            height, width = struct.unpack(">HH", body[1:5])
+            n = body[5]
+            comps = []
+            for ci in range(n):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcu_cols = -(-width // (8 * hmax))
+            mcu_rows = -(-height // (8 * vmax))
+            planes = [
+                np.zeros((mcu_rows * c[2], mcu_cols * c[1], 64)) for c in comps
+            ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+                        0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0}: only baseline sequential and "
+                "progressive Huffman supported"
+            )
+        elif marker == 0xC4:  # DHT (tables may be redefined between scans)
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                huff[(cls, tid)] = _build_huffman(bits, body[i + 17 : i + 17 + nv])
+                i += 17 + nv
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body)
+        elif marker == 0xDA:  # SOS — decode the scan, keep parsing after
+            if comps is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan = []  # (comp_index, dc_tid, ac_tid)
+            for si in range(ns):
+                cid, tids = body[1 + 2 * si : 3 + 2 * si]
+                idx = next(i for i, c in enumerate(comps) if c[0] == cid)
+                scan.append((idx, tids >> 4, tids & 0xF))
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            segs, pos = _destuff(payload, pos)
+            reader = _BitReader(segs)
+            if not progressive:
+                _decode_scan_baseline(
+                    reader, scan, comps, huff, planes, restart_interval,
+                    mcu_cols, mcu_rows,
+                )
+            elif ss == 0:
+                if se != 0:
+                    raise ValueError("progressive DC scan must have Se=0")
+                _decode_scan_dc(
+                    reader, scan, comps, huff, planes, restart_interval,
+                    mcu_cols, mcu_rows, ah, al, width, height, hmax, vmax,
+                )
+            else:
+                _decode_scan_ac(
+                    reader, scan, comps, huff, planes, restart_interval,
+                    ss, se, ah, al, width, height, hmax, vmax,
+                )
+            got_scan = True
+    if comps is None or not got_scan:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    # quantized zigzag coeffs -> dequant -> pixel planes (batched IDCT)
     c_mat = _dct_matrix()
     out_planes = []
     for idx, comp in enumerate(comps):
-        _, ch, cv, _ = comp
+        _, ch, cv, tq = comp
+        if tq not in qt:
+            raise ValueError("JPEG missing quantization table")
         bh, bw, _ = planes[idx].shape
+        deq = planes[idx].reshape(bh * bw, 64) * qt[tq]
         blocks = np.zeros((bh * bw, 8, 8))
-        blocks.reshape(bh * bw, 64)[:, _ZIGZAG] = planes[idx].reshape(bh * bw, 64)
+        blocks.reshape(bh * bw, 64)[:, _ZIGZAG] = deq
         pix = np.einsum("ki,nkl,lj->nij", c_mat, blocks, c_mat) + 128.0
         plane = (
             pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
@@ -531,13 +734,16 @@ class _BitWriter:
 
 
 # encoder Huffman family: canonical fixed-length tables (DC: 12 symbols at
-# 4 bits; AC: 162 symbols at 8 bits) — valid, simple, embedded via DHT so
-# ANY spec decoder (including ours) reads them from the file.
+# 4 bits; AC: 176 symbols at 8 bits) — valid, simple, embedded via DHT so
+# ANY spec decoder (including ours) reads them from the file. The AC family
+# includes the EOBn symbols (r<<4, r=1..14) progressive scans need for
+# EOB runs > 1; baseline emission never uses them.
 _ENC_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
 _ENC_DC_VALS = bytes(range(12))
 _ENC_AC_VALS = bytes(
     [0x00, 0xF0]
     + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    + [r << 4 for r in range(1, 15)]
 )
 _ENC_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_ENC_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
 
@@ -560,14 +766,12 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
 
 
-def _encode_block(
-    bw_: _BitWriter, blk: np.ndarray, q: np.ndarray, pred: int,
-    dc_codes: dict, ac_codes: dict, c_mat: np.ndarray,
+def _emit_block_baseline(
+    bw_: _BitWriter, zz: np.ndarray, pred: int,
+    dc_codes: dict, ac_codes: dict,
 ) -> int:
-    """DCT + quantize + Huffman-emit one 8x8 block; returns the new DC
-    predictor."""
-    coefs = c_mat @ (blk - 128.0) @ c_mat.T
-    zz = np.round(coefs.ravel()[_ZIGZAG] / q).astype(np.int64)
+    """Huffman-emit one quantized zigzag block (baseline, full spectral);
+    returns the new DC predictor."""
     diff = int(zz[0]) - pred
     t = _category(diff)
     code, ln = dc_codes[t]
@@ -597,13 +801,15 @@ def _encode_block(
     return int(zz[0])
 
 
-def encode_jpeg(
-    arr: np.ndarray, quality: int = 90, subsample: str = "444"
-) -> bytes:
-    """(h, w) or (h, w, {1,3}) array (float [0,1] or uint8) -> baseline
-    JPEG bytes; ``subsample`` '444' or '420' (2x2-averaged chroma, the
-    common camera layout — exercises the decoder's upsampling path).
-    Test/fixture writer for the decoder above."""
+def _jpeg_plan(
+    arr: np.ndarray, quality: int, subsample: str
+) -> tuple[int, int, int, list, list, list, int, int]:
+    """Shared encoder front half: color convert, chroma downsample, pad,
+    DCT, quantize. Returns (h, w, c, factors, qts, coef_planes, mcu_rows,
+    mcu_cols) with coef_planes[i] an int64 (block_rows, block_cols, 64)
+    array of zigzag quantized coefficients on the MCU-padded grid — both
+    the baseline and progressive emitters draw from the SAME coefficients,
+    so their decodes are bit-identical."""
     if subsample not in ("444", "420"):
         raise ValueError("subsample must be '444' or '420'")
     a = np.asarray(arr)
@@ -629,11 +835,9 @@ def encode_jpeg(
         raise ValueError("encode_jpeg supports 1 or 3 channels")
     hmax = max(f[0] for f in factors)
     vmax = max(f[1] for f in factors)
-
-    # downsample chroma by the factor ratio (box mean), then pad each
-    # plane to its own whole-MCU block grid
     mcu_cols = -(-w // (8 * hmax))
     mcu_rows = -(-h // (8 * vmax))
+
     padded = []
     for (fh, fv), p in zip(factors, planes):
         if (hmax // fh, vmax // fv) != (1, 1):
@@ -654,26 +858,22 @@ def encode_jpeg(
     q_chroma = np.clip(np.round((1 + 3 * ij) * scale), 1, 255).ravel()[_ZIGZAG]
     qts = [q_luma] + ([q_chroma] if c == 3 else [])
 
-    dc_codes = _enc_codes(_ENC_DC_BITS, _ENC_DC_VALS)
-    ac_codes = _enc_codes(_ENC_AC_BITS, _ENC_AC_VALS)
     c_mat = _dct_matrix()
+    coef_planes = []
+    for ci, ((fh, fv), p) in enumerate(zip(factors, padded)):
+        q = qts[min(ci, len(qts) - 1)]
+        bh, bw = p.shape[0] // 8, p.shape[1] // 8
+        blocks = p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+        dct = np.einsum("ik,nmkl,jl->nmij", c_mat, blocks, c_mat)
+        zz = dct.reshape(bh, bw, 64)[:, :, _ZIGZAG]
+        coef_planes.append(np.round(zz / q).astype(np.int64))
+    return h, w, c, factors, qts, coef_planes, mcu_rows, mcu_cols
 
-    bw_ = _BitWriter()
-    preds = [0] * c
-    for m in range(mcu_rows * mcu_cols):
-        my, mx = divmod(m, mcu_cols)
-        for ci, ((fh, fv), plane) in enumerate(zip(factors, padded)):
-            q = qts[min(ci, len(qts) - 1)]
-            for by in range(fv):
-                for bx in range(fh):
-                    y0 = (my * fv + by) * 8
-                    x0 = (mx * fh + bx) * 8
-                    preds[ci] = _encode_block(
-                        bw_, plane[y0 : y0 + 8, x0 : x0 + 8], q, preds[ci],
-                        dc_codes, ac_codes, c_mat,
-                    )
-    bw_.flush()
 
+def _jpeg_headers(
+    h: int, w: int, c: int, factors: list, qts: list, sof_marker: int
+) -> bytearray:
+    """SOI + DQT + SOFn + DHT segments shared by both encoders."""
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
@@ -684,16 +884,241 @@ def encode_jpeg(
     for ci in range(c):
         fh, fv = factors[ci]
         sof += bytes([ci + 1, (fh << 4) | fv, min(ci, len(qts) - 1)])
-    out += seg(0xC0, sof)
+    out += seg(sof_marker, sof)
     for cls, bits, vals in (
         (0, _ENC_DC_BITS, _ENC_DC_VALS),
         (1, _ENC_AC_BITS, _ENC_AC_VALS),
     ):
         out += seg(0xC4, bytes([cls << 4]) + bytes(bits) + vals)
-    sos = bytes([c]) + b"".join(bytes([ci + 1, 0x00]) for ci in range(c)) + bytes(
-        [0, 63, 0]
+    return out
+
+
+def _sos_seg(scan_comps: list[tuple[int, int, int]], ss: int, se: int,
+             ah: int, al: int) -> bytes:
+    """SOS header: [(comp_id, dc_tid, ac_tid)], spectral + approx params."""
+    body = bytes([len(scan_comps)])
+    for cid, dct, act in scan_comps:
+        body += bytes([cid, (dct << 4) | act])
+    body += bytes([ss, se, (ah << 4) | al])
+    return struct.pack(">BBH", 0xFF, 0xDA, len(body) + 2) + body
+
+
+def encode_jpeg(
+    arr: np.ndarray, quality: int = 90, subsample: str = "444"
+) -> bytes:
+    """(h, w) or (h, w, {1,3}) array (float [0,1] or uint8) -> baseline
+    JPEG bytes; ``subsample`` '444' or '420' (2x2-averaged chroma, the
+    common camera layout — exercises the decoder's upsampling path).
+    Test/fixture writer for the decoder above."""
+    h, w, c, factors, qts, coefs, mcu_rows, mcu_cols = _jpeg_plan(
+        arr, quality, subsample
     )
-    out += seg(0xDA, sos)
+    dc_codes = _enc_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _enc_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+
+    bw_ = _BitWriter()
+    preds = [0] * c
+    for m in range(mcu_rows * mcu_cols):
+        my, mx = divmod(m, mcu_cols)
+        for ci, (fh, fv) in enumerate(factors):
+            for by in range(fv):
+                for bx in range(fh):
+                    preds[ci] = _emit_block_baseline(
+                        bw_, coefs[ci][my * fv + by, mx * fh + bx],
+                        preds[ci], dc_codes, ac_codes,
+                    )
+    bw_.flush()
+
+    out = _jpeg_headers(h, w, c, factors, qts, 0xC0)
+    out += _sos_seg([(ci + 1, 0, 0) for ci in range(c)], 0, 63, 0, 0)
     out += bw_.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+class _ProgACWriter:
+    """AC-scan emitter state: EOB run + the correction bits buffered
+    during it (refinement passes append them after the next EOBn/ZRL/
+    coefficient symbol, per T.81 G.1.2.3)."""
+
+    def __init__(self, bw_: _BitWriter, ac_codes: dict):
+        self.bw = bw_
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def emit_pending(self) -> None:
+        for bit in self.pending:
+            self.bw.write(bit, 1)
+        self.pending = []
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            code, ln = self.ac[nbits << 4]
+            self.bw.write(code, ln)
+            if nbits:
+                self.bw.write(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+        self.emit_pending()
+
+
+def _emit_ac_first(
+    pw: _ProgACWriter, zz: np.ndarray, ss: int, se: int, al: int
+) -> None:
+    """AC first pass (Ah=0) for one block: baseline-style runs over the
+    point-transformed coefficients, EOB runs across all-zero tails."""
+    ac = pw.ac
+    r = 0
+    any_emitted = False
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        temp = (abs(v) >> al) * (1 if v >= 0 else -1)
+        if temp == 0:
+            r += 1
+            continue
+        pw.flush_eobrun()
+        while r > 15:
+            code, ln = ac[0xF0]
+            pw.bw.write(code, ln)
+            r -= 16
+        s = _category(temp)
+        code, ln = ac[(r << 4) | s]
+        pw.bw.write(code, ln)
+        pw.bw.write(temp if temp >= 0 else temp + (1 << s) - 1, s)
+        r = 0
+        any_emitted = True
+    if r > 0 or not any_emitted:
+        pw.eobrun += 1
+        if pw.eobrun == 0x7FFF:
+            pw.flush_eobrun()
+
+
+def _emit_ac_refine(
+    pw: _ProgACWriter, zz: np.ndarray, ss: int, se: int, ah: int, al: int
+) -> None:
+    """AC refinement pass (Ah=Al+1) for one block, per T.81 G.1.2.3:
+    newly-significant coefficients get (run,1)+sign symbols where the run
+    counts only zero-history positions; already-significant ones get
+    buffered correction bits; trailing content joins the EOB run."""
+    ac = pw.ac
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob = -1  # index (into ss..se) of the last newly-significant coef
+    for i, t in enumerate(absv):
+        if t == 1:  # t==1 implies prev (t>>1) == 0: newly significant
+            eob = i
+    # correction bits accumulated this block, appended after each symbol
+    r = 0
+    block_pending: list[int] = []
+    for i, t in enumerate(absv):
+        k = ss + i
+        if t == 0:
+            r += 1
+            continue
+        # ZRL flush runs at EVERY nonzero coefficient while still before
+        # the last newly-significant one — if deferred until emission,
+        # correction bits buffered past the 16th zero would desync the
+        # decoder's 16-zero ZRL advance (T.81 G.1.2.3 / figure G.7).
+        while r > 15 and i <= eob:
+            pw.flush_eobrun()
+            code, ln = ac[0xF0]
+            pw.bw.write(code, ln)
+            for bit in block_pending:
+                pw.bw.write(bit, 1)
+            block_pending = []
+            r -= 16
+        if t > 1:
+            # already significant: one correction bit, buffered
+            block_pending.append(t & 1)
+            continue
+        # newly significant (t == 1; r <= 15 guaranteed since i <= eob)
+        pw.flush_eobrun()
+        code, ln = ac[(r << 4) | 1]
+        pw.bw.write(code, ln)
+        pw.bw.write(1 if int(zz[k]) >= 0 else 0, 1)
+        for bit in block_pending:
+            pw.bw.write(bit, 1)
+        block_pending = []
+        r = 0
+    if r > 0 or block_pending:
+        pw.eobrun += 1
+        pw.pending.extend(block_pending)
+        if pw.eobrun == 0x7FFF:
+            pw.flush_eobrun()
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 90, subsample: str = "444"
+) -> bytes:
+    """(h, w) or (h, w, {1,3}) array -> PROGRESSIVE JPEG bytes (SOF2).
+
+    Scan script exercises every progressive pass type: interleaved DC
+    first at Al=1, DC refinement to Al=0, then per component an AC
+    spectral-selection first pass at Al=1 and an AC refinement to Al=0.
+    Coefficients come from the same ``_jpeg_plan`` as the baseline
+    encoder, so ``decode_jpeg`` of both encodings is bit-identical."""
+    h, w, c, factors, qts, coefs, mcu_rows, mcu_cols = _jpeg_plan(
+        arr, quality, subsample
+    )
+    dc_codes = _enc_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _enc_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    out = _jpeg_headers(h, w, c, factors, qts, 0xC2)
+
+    # scan 1: DC first, interleaved, Al=1 (floor shift per T.81 G.1.2.1)
+    bw_ = _BitWriter()
+    preds = [0] * c
+    for m in range(mcu_rows * mcu_cols):
+        my, mx = divmod(m, mcu_cols)
+        for ci, (fh, fv) in enumerate(factors):
+            for by in range(fv):
+                for bx in range(fh):
+                    v = int(coefs[ci][my * fv + by, mx * fh + bx, 0]) >> 1
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    t = _category(diff)
+                    code, ln = dc_codes[t]
+                    bw_.write(code, ln)
+                    if t:
+                        bw_.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    bw_.flush()
+    out += _sos_seg([(ci + 1, 0, 0) for ci in range(c)], 0, 0, 0, 1)
+    out += bw_.buf
+
+    # scan 2: DC refinement, interleaved, Ah=1 -> Al=0 (raw LSB per block)
+    bw_ = _BitWriter()
+    for m in range(mcu_rows * mcu_cols):
+        my, mx = divmod(m, mcu_cols)
+        for ci, (fh, fv) in enumerate(factors):
+            for by in range(fv):
+                for bx in range(fh):
+                    bw_.write(int(coefs[ci][my * fv + by, mx * fh + bx, 0]) & 1, 1)
+    bw_.flush()
+    out += _sos_seg([(ci + 1, 0, 0) for ci in range(c)], 0, 0, 1, 0)
+    out += bw_.buf
+
+    # per component: AC first (Al=1) then AC refinement (Ah=1 -> Al=0),
+    # non-interleaved over the component's used block grid
+    for ci in range(c):
+        fh, fv = factors[ci]
+        comp_w = -(-w * fh // hmax)
+        comp_h = -(-h * fv // vmax)
+        bh_used, bw_used = -(-comp_h // 8), -(-comp_w // 8)
+        for ah, al in ((0, 1), (1, 0)):
+            bw_ = _BitWriter()
+            pw = _ProgACWriter(bw_, ac_codes)
+            for b in range(bh_used * bw_used):
+                by, bx = divmod(b, bw_used)
+                zz = coefs[ci][by, bx]
+                if ah == 0:
+                    _emit_ac_first(pw, zz, 1, 63, al)
+                else:
+                    _emit_ac_refine(pw, zz, 1, 63, ah, al)
+            pw.flush_eobrun()
+            bw_.flush()
+            out += _sos_seg([(ci + 1, 0, 0)], 1, 63, ah, al)
+            out += bw_.buf
+
     out += b"\xff\xd9"
     return bytes(out)

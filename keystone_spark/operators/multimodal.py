@@ -9,12 +9,13 @@ feature-extract run as Arrow-batched ``mapInPandas`` stages.
 Decode modes: ``decode=fake`` produces a deterministic pseudo-image
 derived from the payload's content hash (schema, batching, partitioning
 and UDF signatures exercised without any codec); ``decode=real`` runs
-the pure-stdlib codecs in functions/codecs.py — PNG (zlib + numpy
-unfiltering) and WAV (stdlib wave). Formats needing a native library
-that is not in this container (JPEG Huffman+DCT, mp3/ogg/flac) raise
-NotImplementedError at the exact hook where the codec belongs; corrupt
-or unrecognized payloads decode to NULL so one bad record cannot fail a
-100 TB job (on_error='raise' flips that for debugging).
+the pure-numpy/stdlib codecs in functions/codecs.py — PNG (zlib + numpy
+unfiltering), JPEG (baseline AND progressive), WAV. Formats needing a
+native library that is not in this container (mp3/ogg/flac; video) keep
+honest NotImplementedError hooks — ``errors='null'`` converts those to
+quarantined NULL rows (optionally counted via a Spark accumulator) so
+one stray exotic file cannot fail a 100 TB ingest, while corrupt
+payloads are governed separately by ``on_error``.
 
 Scale notes: binary payloads make wide rows — keep media in its own table
 keyed by content hash, read with ``spark.read.format("binaryFile")`` or a
@@ -70,20 +71,34 @@ def decode_images(
     channels: int = 3,
     decode: str = "fake",
     on_error: str = "null",
+    errors: str = "strict",
+    quarantine=None,
 ) -> DataFrame:
     """binary payload -> IMAGE_STRUCT column.
 
-    decode='real' decodes PNG and baseline JPEG via functions/codecs.py
-    (output keeps the image's NATIVE dims — height/width/channels params
-    apply to the fake path only; chain ``resize_images`` to normalize);
-    progressive JPEG raises NotImplementedError (reference parity:
-    loaders/ImageNetLoaderUtils.scala decodes JPEG via javax.imageio);
-    corrupt/unknown payloads yield NULL images (on_error='raise' to
-    surface the ValueError instead)."""
+    decode='real' decodes PNG and JPEG (baseline AND progressive) via
+    functions/codecs.py (output keeps the image's NATIVE dims —
+    height/width/channels params apply to the fake path only; chain
+    ``resize_images`` to normalize). Reference parity:
+    loaders/ImageNetLoaderUtils.scala decodes JPEG via javax.imageio.
+
+    Error policy, two independent axes:
+    - ``on_error``: corrupt payloads (codec ValueError). 'null' (default)
+      -> NULL image; 'raise' surfaces the error for debugging.
+    - ``errors``: UNSUPPORTED formats (codec NotImplementedError —
+      arithmetic/lossless/12-bit JPEG). 'strict' (default) raises — you
+      find out your corpus needs a codec; 'null' quarantines the row as a
+      NULL image so one stray exotic file cannot kill a 100 TB ingest.
+    ``quarantine``: optional Spark accumulator (sc.accumulator(0));
+    incremented once per quarantined/nulled payload on either axis, so
+    the job can report how much of the corpus was dropped.
+    """
     if decode not in ("fake", "real"):
         raise ValueError("decode must be 'fake' or 'real'")
     if on_error not in ("null", "raise"):
         raise ValueError("on_error must be 'null' or 'raise'")
+    if errors not in ("strict", "null"):
+        raise ValueError("errors must be 'strict' or 'null'")
 
     fields = [f for f in df.schema.fields]
     out_schema = StructType(fields + [StructField(out_col, IMAGE_STRUCT)])
@@ -112,7 +127,16 @@ def decode_images(
                     except ValueError:
                         if on_error == "raise":
                             raise
+                        if quarantine is not None:
+                            quarantine.add(1)
                         imgs.append(None)  # corrupt/unknown -> null image
+                        continue
+                    except NotImplementedError:
+                        if errors == "strict":
+                            raise
+                        if quarantine is not None:
+                            quarantine.add(1)
+                        imgs.append(None)  # unsupported format -> null image
                         continue
                     h, w, c = arr.shape
                     imgs.append(
@@ -317,20 +341,32 @@ def decode_audio(
     n_samples: int = 1024,
     decode: str = "fake",
     on_error: str = "null",
+    errors: str = "strict",
+    quarantine=None,
 ) -> DataFrame:
     """binary payload -> AUDIO_STRUCT (sample_rate, n_samples, float PCM).
 
     decode='real' decodes PCM WAV via stdlib ``wave`` (multi-channel
     averaged to mono, native sample rate/length kept — sample_rate /
-    n_samples params apply to the fake path only); mp3/ogg/flac raise
-    NotImplementedError (no codec in container); corrupt/unknown payloads
-    yield NULL (on_error='raise' to surface the error). 'fake' derives
+    n_samples params apply to the fake path only). 'fake' derives
     deterministic PCM from the content hash so plumbing, schema and batch
-    shape are testable without any codec."""
+    shape are testable without any codec.
+
+    Error policy, two independent axes (same contract as decode_images):
+    - ``on_error``: corrupt payloads. 'null' (default) -> NULL audio;
+      'raise' surfaces the error.
+    - ``errors``: UNSUPPORTED formats (mp3/ogg/flac — no native codec in
+      container; transcode to PCM WAV upstream). 'strict' (default)
+      raises NotImplementedError; 'null' quarantines the row as NULL so
+      one stray compressed file cannot kill a 100 TB ingest.
+    ``quarantine``: optional Spark accumulator counting nulled rows.
+    """
     if decode not in ("fake", "real"):
         raise ValueError("decode must be 'fake' or 'real'")
     if on_error not in ("null", "raise"):
         raise ValueError("on_error must be 'null' or 'raise'")
+    if errors not in ("strict", "null"):
+        raise ValueError("errors must be 'strict' or 'null'")
 
     fields = [f for f in df.schema.fields]
     out_schema = StructType(fields + [StructField(out_col, AUDIO_STRUCT)])
@@ -351,16 +387,23 @@ def decode_audio(
                 if decode == "real":
                     kind = sniff_media(raw)
                     if kind in ("mp3", "ogg", "flac"):
-                        raise NotImplementedError(
-                            f"{kind} decode requires a native codec "
-                            "(soundfile/ffmpeg, not in container); "
-                            "transcode to PCM WAV upstream"
-                        )
+                        if errors == "strict":
+                            raise NotImplementedError(
+                                f"{kind} decode requires a native codec "
+                                "(soundfile/ffmpeg, not in container); "
+                                "transcode to PCM WAV upstream"
+                            )
+                        if quarantine is not None:
+                            quarantine.add(1)
+                        out.append(None)  # unsupported format -> null audio
+                        continue
                     try:
                         sr, pcm = decode_wav(raw)
                     except Exception:
                         if on_error == "raise":
                             raise
+                        if quarantine is not None:
+                            quarantine.add(1)
                         out.append(None)  # corrupt/unknown -> null audio
                         continue
                     out.append(

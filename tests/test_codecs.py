@@ -346,3 +346,102 @@ def test_decode_audio_real_mp3_raises(spark):
                                "id long, content binary")
     with pytest.raises(Exception, match="mp3"):
         decode_audio(df, decode="real").collect()
+
+
+@pytest.mark.parametrize("subsample", ["444", "420"])
+def test_jpeg_progressive_bit_matches_baseline(subsample):
+    """decode(progressive encode) must equal decode(baseline encode)
+    EXACTLY — both encoders share one coefficient plan, and successive
+    approximation (DC Al=1 + refine, AC Al=1 + refine) reconstructs the
+    quantized coefficients losslessly."""
+    from keystone_spark.functions.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    for img in (
+        rng.random((17, 23, 3)),            # noise: dense AC, ZRL paths
+        np.full((24, 40, 3), 0.5),          # flat: maximal EOB runs
+        np.stack([*np.mgrid[0:16, 0:24]], 2).sum(2) / 38.0,  # smooth gray
+    ):
+        for q in (95, 55):
+            base = decode_jpeg(encode_jpeg(img, quality=q, subsample=subsample))
+            prog = decode_jpeg(
+                encode_jpeg_progressive(img, quality=q, subsample=subsample)
+            )
+            assert np.array_equal(base, prog)
+
+
+def test_decode_images_progressive_jpeg(spark):
+    """Progressive JPEG payloads decode through the Spark kernel (the
+    reference's javax.imageio path handles them; so do we now)."""
+    from keystone_spark.functions.codecs import encode_jpeg_progressive
+    from keystone_spark.operators.multimodal import decode_images
+
+    y, x = np.mgrid[0:16, 0:16]
+    img = np.stack([x / 15.0, y / 15.0, 0.5 * np.ones((16, 16))], axis=2)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg_progressive(img, quality=95)))],
+        "id long, content binary",
+    )
+    got = decode_images(df, decode="real").collect()[0].image
+    assert (got.height, got.width, got.n_channels) == (16, 16, 3)
+    assert _psnr(img, np.array(got.data).reshape(16, 16, 3)) > 40
+
+
+# minimal JPEG with a lossless SOF3 frame: sniffs as jpeg, decode raises
+# NotImplementedError — the 'unsupported format' axis, distinct from corrupt
+_LOSSLESS_JPEG = b"\xff\xd8\xff\xc3\x00\x04\x08\x00"
+
+
+def test_decode_images_errors_null_quarantines(spark):
+    """errors='null': unsupported-format payloads become NULL rows and
+    are counted in the quarantine accumulator; supported payloads in the
+    same batch still decode; errors='strict' (default) raises."""
+    from keystone_spark.operators.multimodal import decode_images
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_png(img))),
+        (2, bytearray(_LOSSLESS_JPEG)),
+        (3, bytearray(b"garbage")),  # corrupt -> on_error axis, also counted
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+
+    with pytest.raises(Exception, match="SOF3"):
+        decode_images(df, decode="real").collect()  # strict default
+
+    acc = spark.sparkContext.accumulator(0)
+    got = {
+        r.id: r.image
+        for r in decode_images(
+            df, decode="real", errors="null", quarantine=acc
+        ).collect()
+    }
+    assert got[2] is None and got[3] is None
+    assert got[1] is not None and got[1].height == 6
+    assert acc.value == 2
+
+
+def test_decode_audio_errors_null_quarantines(spark):
+    from keystone_spark.operators.multimodal import decode_audio
+
+    t = np.arange(160) / 16000.0
+    rows = [
+        (1, bytearray(encode_wav(0.3 * np.sin(880 * t), 16000))),
+        (2, bytearray(b"ID3\x04\x00tag")),  # mp3: unsupported format
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    acc = spark.sparkContext.accumulator(0)
+    got = {
+        r.id: r.audio
+        for r in decode_audio(
+            df, decode="real", errors="null", quarantine=acc
+        ).collect()
+    }
+    assert got[1] is not None and got[1].sample_rate == 16000
+    assert got[2] is None
+    assert acc.value == 1
