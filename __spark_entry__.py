@@ -1106,6 +1106,79 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_INDEX_CACHE: dict = {}
+
+
+def q_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production IVF path: fit-once IvfIndex persisted PARTITIONED BY
+    cell, reloaded, searched with partition pruning — each search scans
+    only the probed cells' files (operators/similarity.IvfIndex). Same
+    per-probe invariant oracle as ivf_topk (ranks 1..k dense + recall@10
+    vs the exact kernel >= 0.5); same seed/params, so the search result
+    is identical to the pure-function form — what's different (and what
+    this query pins) is the SCAN: the plan must carry a cell partition
+    filter, asserted here so a pruning regression fails the query, not
+    just a pytest."""
+    import tempfile
+
+    from keystone_spark.operators.similarity import IvfIndex, cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    # 3 probes x 6 cells: the probed-cell union is a STRICT subset of the
+    # 16 cells (12 at sf0.01), so the partition filter below prunes real
+    # files, not vacuously all of them; min recall@10 at this config is
+    # 6/10 (seeded, deterministic).
+    probes = e.where(F.col("vec_id") < 3)
+    key = (id(spark._jsparkSession) if hasattr(spark, "_jsparkSession")
+           else id(spark), sf_dir)
+    path = _IVF_INDEX_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="ivf_index_")
+        IvfIndex.build(e, n_cells=16).save(path)
+        _IVF_INDEX_CACHE[key] = path
+    idx = IvfIndex.load(spark, path)
+    out = idx.search(probes, k=10, n_probe_cells=6)
+
+    import re
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*cell#\d+ (?:INSET|IN) \(?([^\])]*)", plan)
+    if not m:
+        raise AssertionError(
+            "IvfIndex search scan lost its cell partition filter:\n" + plan[:2000]
+        )
+    n_cells_scanned = len(m.group(1).split(","))
+    if not 0 < n_cells_scanned < 16:
+        raise AssertionError(
+            f"IvfIndex partition filter is vacuous ({n_cells_scanned} of 16 "
+            "cells scanned):\n" + plan[:2000]
+        )
+
+    exact = cosine_topk(e, probes, k=10)
+    hits = (
+        out.select("probe", "vec_id")
+        .join(exact.select("probe", "vec_id"), ["probe", "vec_id"])
+        .groupBy("probe")
+        .agg(F.count("*").alias("hits"))
+    )
+    per = out.groupBy("probe").agg(
+        F.count("*").cast("long").alias("n"),
+        ((F.min("rk") == 1) & (F.max("rk") == 10) & (F.count_distinct("rk") == 10)).alias(
+            "ranks_ok"
+        ),
+    )
+    return (
+        per.join(hits, "probe", "left")
+        .select(
+            "probe",
+            "n",
+            "ranks_ok",
+            (F.coalesce(F.col("hits"), F.lit(0)) >= 5).alias("recall_ok"),
+        )
+        .orderBy("probe")
+    )
+
+
 def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXISTS subquery (TPC-H Q4 shape): orders in 1996-H1 with at least one
     heavy lineitem, counted by priority — decorrelated to a left-semi join
@@ -2082,6 +2155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "augmented_eval": q_augmented_eval,
         "ivf_topk": q_ivf_topk,
+        "ivf_index_topk": q_ivf_index_topk,
         "exists_subquery": q_exists_subquery,
         "scalar_subquery": q_scalar_subquery,
         "shipping_priority": q_shipping_priority,
@@ -2937,6 +3011,16 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS ranks_ok,
                    TRUE AS recall_ok
             FROM embeddings WHERE vec_id < 10 ORDER BY probe
+        """,
+        # same invariant shape as ivf_topk at the pruned-search config
+        # (3 probes, 6/16 probed cells — the query also asserts the cell
+        # partition filter is present AND non-vacuous inside Spark)
+        "ivf_index_topk": """
+            SELECT CAST(vec_id AS BIGINT) AS probe,
+                   CAST(10 AS BIGINT) AS n,
+                   TRUE AS ranks_ok,
+                   TRUE AS recall_ok
+            FROM embeddings WHERE vec_id < 3 ORDER BY probe
         """,
         # greedy packing replayed exactly: the per-group sequential
         # recurrence (close pack on overflow) as a recursive CTE — one

@@ -179,9 +179,14 @@ def test_ivf_index_matches_ivf_topk_and_roundtrips(spark, sf_dir, tmp_path):
     idx.save(path)
     loaded = IvfIndex.load(spark, path)
     assert key(loaded.search(probes, k=5, n_probe_cells=3)) == expect
-    # partition pruning: the search plan's scan carries a cell filter
+    # partition pruning: the scan must carry a real cell PartitionFilter
+    # listing exactly the probed cells (not read-all-then-filter)
+    import re
+
     plan = loaded.indexed.where(F.col("cell").isin([0, 1]))._jdf.queryExecution().executedPlan().toString()
-    assert "cell" in plan
+    m = re.search(r"PartitionFilters: \[[^\]]*cell#\d+ (?:INSET|IN) \(?([^\])]*)", plan)
+    assert m, plan[:2000]
+    assert len(m.group(1).split(",")) == 2, m.group(0)
 
 
 def test_near_dedup_survives_null_and_empty_text(spark):
