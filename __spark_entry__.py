@@ -2134,6 +2134,91 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contract
 # ---------------------------------------------------------------------------
 
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: fixtures carry no partsupp, so lineitem
+    shipment value stands in for supplycost*availqty): per-part value of
+    shipments from one hemisphere's suppliers, keeping parts whose value
+    exceeds 1.6x the per-part average — the group-agg + global
+    scalar-subquery HAVING skeleton. The 100-row supplier subset
+    broadcasts into the lineitem join; the scalar threshold is a 1-row
+    broadcast cross join, never a per-row subquery."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").where(F.col("s_nationkey") < 12)
+    v = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "val"
+            )
+        )
+    )
+    thr = v.agg((F.avg("val") * 1.6).alias("thr"))
+    return (
+        v.crossJoin(F.broadcast(thr))
+        .where(F.col("val") > F.col("thr"))
+        .select("l_partkey", F.round("val", 6).alias("val"))
+        .orderBy(F.col("val").desc(), "l_partkey")
+    )
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem as the partsupp stand-in): distinct
+    supplier count per surviving (brand, type, size) after excluding one
+    brand, one type class, large sizes, and 'complaint' suppliers
+    (negative balance) — the NOT IN subquery decorrelated to a left-anti
+    join. part filter broadcasts; countDistinct is partial+final."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "ECONOMY")
+        & (F.col("p_size") < 30)
+    )
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+def q_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted): suppliers who shipped an outsized share
+    of red parts in one year — the nested-subquery chain: partkey IN
+    (name-filtered parts) as a broadcast semi join, per-supplier quantity
+    agg, HAVING above 1.15x the average supplier's volume (broadcast
+    scalar), then the surviving keys semi-join back to supplier with a
+    broadcast nation lookup for names."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    red = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").startswith("red "))
+        .select("p_partkey")
+    )
+    qty = (
+        li.join(F.broadcast(red), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+    )
+    thr = qty.agg((F.avg("sq") * 1.15).alias("thr"))
+    hot = qty.crossJoin(F.broadcast(thr)).where(F.col("sq") > F.col("thr"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(hot, s.s_suppkey == hot.l_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "s_suppkey", "s_name", "n_name", F.round("sq", 6).alias("ship_qty")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_multi_join(spark, "/root/testdata/sf0.001")
@@ -2156,6 +2241,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "augmented_eval": q_augmented_eval,
         "ivf_topk": q_ivf_topk,
         "ivf_index_topk": q_ivf_index_topk,
+        "important_stock": q_important_stock,
+        "supplier_part_counts": q_supplier_part_counts,
+        "excess_shipments": q_excess_shipments,
         "exists_subquery": q_exists_subquery,
         "scalar_subquery": q_scalar_subquery,
         "shipping_priority": q_shipping_priority,
@@ -3011,6 +3099,48 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS ranks_ok,
                    TRUE AS recall_ok
             FROM embeddings WHERE vec_id < 10 ORDER BY probe
+        """,
+        # TPC-H Q11 shape: per-part shipment value with a scalar-subquery
+        # HAVING (lineitem stands in for partsupp; see query docstring)
+        "important_stock": """
+            WITH v AS (
+                SELECT l_partkey,
+                       SUM(l_extendedprice * (1 - l_discount)) AS val
+                FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                WHERE s_nationkey < 12
+                GROUP BY l_partkey)
+            SELECT l_partkey, ROUND(val, 6) AS val FROM v
+            WHERE val > 1.6 * (SELECT AVG(val) FROM v)
+            ORDER BY val DESC, l_partkey
+        """,
+        # TPC-H Q16 shape: distinct-supplier counts with NOT IN exclusion
+        "supplier_part_counts": """
+            SELECT p_brand, p_type, p_size,
+                   COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1' AND p_type <> 'ECONOMY'
+              AND p_size < 30
+              AND l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        # TPC-H Q20 shape: nested IN chain + relative-volume HAVING
+        "excess_shipments": """
+            WITH qty AS (
+                SELECT l_suppkey, SUM(l_quantity) AS sq
+                FROM lineitem
+                WHERE l_shipdate >= DATE '1997-01-01'
+                  AND l_shipdate < DATE '1998-01-01'
+                  AND l_partkey IN (
+                      SELECT p_partkey FROM part WHERE p_name LIKE 'red %')
+                GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, n_name, ROUND(sq, 6) AS ship_qty
+            FROM supplier
+            JOIN qty ON s_suppkey = l_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE sq > 1.15 * (SELECT AVG(sq) FROM qty)
+            ORDER BY s_suppkey
         """,
         # same invariant shape as ivf_topk at the pruned-search config
         # (3 probes, 6/16 probed cells — the query also asserts the cell
