@@ -4,11 +4,13 @@ The reference decodes images with native libraries (reference:
 loaders/ImageNetLoaderUtils.scala JPEG decode via javax.imageio;
 utils/images/ImageConversions.scala). This container has no PIL/opencv/
 soundfile, so the real-decode path is built on what IS here: PNG is
-zlib-compressed filtered scanlines (RFC 2083) decoded with ``zlib`` +
-numpy; baseline-sequential JPEG (ITU-T T.81) is decoded by a table-driven
-Huffman + dequant + batched-IDCT pipeline below; WAV is stdlib ``wave``.
-Progressive JPEG / mp3 / ogg / flac still raise NotImplementedError at
-their hooks.
+zlib-compressed filtered scanlines (RFC 2083, both interlace methods —
+Adam7 passes deinterlaced per spec) decoded with ``zlib`` + numpy; JPEG
+(ITU-T T.81, baseline sequential AND progressive with spectral selection
++ successive approximation) is decoded by a table-driven Huffman +
+dequant + batched-IDCT pipeline below; WAV is stdlib ``wave``.
+mp3 / ogg / flac still raise NotImplementedError at their hooks
+(quarantinable via the operators' ``errors='null'``).
 
 These run inside Arrow-batched ``mapInPandas`` kernels (one Python call
 per payload). At 100 TB the per-payload cost is the codec itself, not the
@@ -104,12 +106,48 @@ def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass grid: (x_offset, y_offset, x_step, y_step) per pass
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _deinterlace_adam7(
+    raw: bytes, width: int, height: int, bpp: int
+) -> np.ndarray:
+    """Adam7 interlaced PNG data -> (height, width*bpp) uint8 rows.
+
+    Each of the 7 passes is a self-contained sub-image with its own
+    scanline filters (RFC 2083 §2.6/§6): unfilter each pass, then scatter
+    its pixels onto the full-resolution grid at the pass's offsets and
+    strides. Empty passes (dimension underflow on small images)
+    contribute zero bytes, per spec."""
+    out = np.zeros((height, width * bpp), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = -(-(width - x0) // dx) if width > x0 else 0
+        ph = -(-(height - y0) // dy) if height > y0 else 0
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = pw * bpp
+        need = ph * (stride + 1)
+        sub = _unfilter(raw[pos : pos + need], ph, stride, bpp)
+        pos += need
+        sub3 = sub.reshape(ph, pw, bpp)
+        rows_idx = y0 + dy * np.arange(ph)
+        cols = x0 + dx * np.arange(pw)
+        for b in range(bpp):
+            out[np.ix_(rows_idx, cols * bpp + b)] = sub3[:, :, b]
+    return out
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes -> (h, w, c) float32 in [0, 1].
 
     Supports bit depths 8 and 16, color types 0/2/3/4/6 (palette expands
-    to RGB), non-interlaced only (Adam7 raises). Raises ValueError on
-    malformed input — callers in the Spark kernels map that to a null
+    to RGB), and BOTH interlace methods (none + Adam7). Raises ValueError
+    on malformed input — callers in the Spark kernels map that to a null
     image so one corrupt payload can't fail a 100 TB job.
     """
     if not payload.startswith(PNG_SIG):
@@ -138,8 +176,8 @@ def decode_png(payload: bytes) -> np.ndarray:
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if interlace != 0:
-        raise ValueError("interlaced (Adam7) PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     if color_type not in _PNG_CHANNELS:
         raise ValueError(f"unsupported PNG color type {color_type}")
     if bit_depth not in (8, 16) or (color_type == 3 and bit_depth != 8):
@@ -149,7 +187,10 @@ def decode_png(payload: bytes) -> np.ndarray:
     bpp = channels * sampbytes
     stride = width * bpp
     raw = zlib.decompress(bytes(idat))
-    rows = _unfilter(raw, height, stride, bpp)
+    if interlace == 1:
+        rows = _deinterlace_adam7(raw, width, height, bpp)
+    else:
+        rows = _unfilter(raw, height, stride, bpp)
     if bit_depth == 16:
         arr = rows.reshape(height, width, channels, 2).astype(np.uint16)
         arr = ((arr[..., 0] << 8) | arr[..., 1]).astype(np.float32) / 65535.0

@@ -107,6 +107,78 @@ def test_png_palette():
     assert np.array_equal(arr[1, 0], [0.0, 0.0, 1.0])
 
 
+def _spec_adam7_passes(img: np.ndarray, bpp: int) -> bytes:
+    """Independent spec-side Adam7 interlacer (RFC 2083 §2.6): extract the
+    7 passes, each serialized as its own filtered sub-image (filter 0)."""
+    h, w = img.shape[0], img.shape[1] // bpp
+    grid = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    out = bytearray()
+    px = img.reshape(h, w, bpp)
+    for x0, y0, dx, dy in grid:
+        sub = px[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            out += b"\x00" + row.tobytes()
+    return bytes(out)
+
+
+@pytest.mark.parametrize("channels", [1, 3, 4])
+@pytest.mark.parametrize("dims", [(1, 1), (3, 2), (7, 5), (13, 11), (16, 16)])
+def test_png_adam7_interlaced(channels, dims):
+    """Adam7 decode must reproduce the original pixels exactly, for sizes
+    above/below/equal to the 8x8 pass grid (small images skip passes)."""
+    h, w = dims
+    rng = np.random.default_rng(h * 100 + w + channels)
+    img = rng.integers(0, 256, size=(h, w, channels), dtype=np.uint8)
+    raw = _spec_adam7_passes(img.reshape(h, w * channels), channels)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 3: 2, 4: 6}[channels], 0, 0, 1)
+    png = (PNG_SIG + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+    arr = decode_png(png)
+    assert arr.shape == (h, w, channels)
+    assert np.array_equal((arr * 255).round().astype(np.uint8), img)
+
+
+@pytest.mark.parametrize("ftype", [1, 2, 4])
+def test_png_adam7_with_filters(ftype):
+    """Scanline filters inside an interlaced pass reference the PASS's
+    own previous row, not the full image's — pinned with the independent
+    spec-side filter over each extracted pass."""
+    rng = np.random.default_rng(ftype)
+    h, w, c = 12, 10, 3
+    img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    px = img.reshape(h, w, c)
+    grid = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    out = bytearray()
+    for x0, y0, dx, dy in grid:
+        sub = px[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        ph, pw = sub.shape[0], sub.shape[1]
+        out += b"".join(_spec_filter(sub.reshape(ph, pw * c), ftype, bpp=c))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    png = (PNG_SIG + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(bytes(out))) + _chunk(b"IEND", b""))
+    arr = decode_png(png)
+    assert np.array_equal((arr * 255).round().astype(np.uint8), img)
+
+
+def test_png_adam7_16bit_gray():
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 65536, size=(9, 6), dtype=np.uint16)
+    big = img.astype(">u2").view(np.uint8).reshape(9, 12)
+    raw = _spec_adam7_passes(big, 2)
+    ihdr = struct.pack(">IIBBBBB", 6, 9, 16, 0, 0, 0, 1)
+    png = (PNG_SIG + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+    arr = decode_png(png)
+    assert arr.shape == (9, 6, 1)
+    assert np.allclose(arr[:, :, 0], img / 65535.0, atol=1e-7)
+
+
 def test_png_malformed_raises():
     with pytest.raises(ValueError):
         decode_png(b"not a png at all")
