@@ -2134,6 +2134,18 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contract
 # ---------------------------------------------------------------------------
 
+def q_funnel_completions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel completion times via the streaming_funnel
+    operator's batch path (streaming/windows.py — the stateful streaming
+    twin advances the same greedy stages per micro-batch; equivalence is
+    pinned in tests/test_streaming.py). Each stage is the earliest
+    qualifying event strictly after the prior stage."""
+    from keystone_spark.streaming.windows import streaming_funnel
+
+    e = _t(spark, sf_dir, "events")
+    return streaming_funnel(e).orderBy("user_id")
+
+
 def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (adapted: fixtures carry no partsupp, so lineitem
     shipment value stands in for supplycost*availqty): per-part value of
@@ -2244,6 +2256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "important_stock": q_important_stock,
         "supplier_part_counts": q_supplier_part_counts,
         "excess_shipments": q_excess_shipments,
+        "funnel_completions": q_funnel_completions,
         "exists_subquery": q_exists_subquery,
         "scalar_subquery": q_scalar_subquery,
         "shipping_priority": q_shipping_priority,
@@ -3099,6 +3112,22 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS ranks_ok,
                    TRUE AS recall_ok
             FROM embeddings WHERE vec_id < 10 ORDER BY probe
+        """,
+        # per-user funnel completions: stage-wise min-after-prior chain
+        "funnel_completions": """
+            WITH v AS (
+                SELECT user_id, MIN(ts) AS vt FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+            c AS (
+                SELECT e.user_id, MIN(ts) AS ct FROM events e
+                JOIN v ON e.user_id = v.user_id
+                WHERE event_type = 'click' AND ts > vt GROUP BY e.user_id),
+            p AS (
+                SELECT e.user_id, MIN(ts) AS pt FROM events e
+                JOIN c ON e.user_id = c.user_id
+                WHERE event_type = 'purchase' AND ts > ct GROUP BY e.user_id)
+            SELECT user_id, CAST(floor(epoch(pt)) AS BIGINT) AS completed_ts
+            FROM p ORDER BY user_id
         """,
         # TPC-H Q11 shape: per-part shipment value with a scalar-subquery
         # HAVING (lineitem stands in for partsupp; see query docstring)

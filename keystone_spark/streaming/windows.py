@@ -274,6 +274,172 @@ def streaming_fingerprint_dedup(
     return out.drop("__fp")
 
 
+def _tws_available() -> bool:
+    """transformWithStateInPandas needs the protobuf wheel for its
+    state-server protocol; absent in this container (gate per the
+    no-pip-install constraint — auto-detected, not assumed)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def streaming_funnel(
+    df: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    api: str = "auto",
+) -> DataFrame:
+    """Ordered-step funnel per user as a custom stateful streaming
+    operator: state is one (stage, stage_ts) pair per user; each
+    micro-batch advances the stage greedily over its events in timestamp
+    order and emits (user, completed_ts) the moment the final step lands.
+
+    API selection: ``api='tws'`` uses the Spark 4 arbitrary-stateful API
+    (``transformWithStateInPandas`` + typed ValueState, RocksDB state
+    store) — the preferred production surface; ``api='apwis'`` uses
+    ``applyInPandasWithState`` (GroupState); ``'auto'`` picks tws when
+    its protobuf dependency is importable, else apwis — both run the
+    SAME greedy kernel, so results are identical.
+
+    Greedy stage advance equals the batch stage-wise min-after-prior
+    chain (the `funnel` query's semantics) whenever events arrive
+    stage-ordered across micro-batches (AvailableNow file feeds, ordered
+    logs); a cross-batch straggler earlier than the current stage time is
+    ignored, not retroactively replayed — the standard streaming-funnel
+    approximation. Batch input runs the exact one-shot chain so
+    equivalence tests compare the two.
+
+    Scale: state is two longs per user regardless of event volume; the
+    only shuffle is groupBy(user); the state store shards with it and
+    the watermark bounds replay.
+    """
+    if api not in ("auto", "tws", "apwis"):
+        raise ValueError("api must be auto|tws|apwis")
+    if not df.isStreaming:
+        e = df.select(user_col, type_col, ts_col)
+        cur = (
+            e.where(F.col(type_col) == steps[0])
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("__t0"))
+        )
+        for i, s in enumerate(steps[1:], start=1):
+            cur = (
+                e.where(F.col(type_col) == s)
+                .join(cur, user_col)
+                .where(F.col(ts_col) > F.col(f"__t{i-1}"))
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias(f"__t{i}"))
+            )
+        return cur.select(
+            user_col,
+            F.unix_timestamp(f"__t{len(steps)-1}").alias("completed_ts"),
+        )
+
+    import pandas as pd
+
+    n_steps = len(steps)
+    out_schema = f"{user_col} long, completed_ts long"
+
+    def advance(stage: int, stage_ts: int, pdf: "pd.DataFrame") -> tuple:
+        """The shared greedy kernel: scan one batch's events in ts order,
+        returning (stage, stage_ts, [completion epochs])."""
+        completed = []
+        if stage < n_steps and not pdf.empty:
+            pdf = pdf.sort_values(ts_col)
+            ts_ns = pdf[ts_col].astype("int64").to_numpy()
+            for et, tns in zip(pdf[type_col], ts_ns):
+                if stage >= n_steps:
+                    break
+                t = int(tns // 1_000_000_000)
+                if et == steps[stage] and t > stage_ts:
+                    stage += 1
+                    stage_ts = t
+                    if stage == n_steps:
+                        completed.append(t)
+        return stage, stage_ts, completed
+
+    use_tws = api == "tws" or (api == "auto" and _tws_available())
+    if use_tws:
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class _FunnelProcessor(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._state = handle.getValueState(
+                    "funnel", "stage int, stage_ts long"
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                if self._state.exists():
+                    st = self._state.get()
+                    stage, stage_ts = int(st[0]), int(st[1])
+                else:
+                    stage, stage_ts = 0, -1
+                completed = []
+                for pdf in rows:
+                    stage, stage_ts, done = advance(stage, stage_ts, pdf)
+                    completed.extend(done)
+                self._state.update((stage, stage_ts))
+                if completed:
+                    yield pd.DataFrame(
+                        {user_col: [key[0]] * len(completed),
+                         "completed_ts": completed}
+                    )
+
+            def close(self) -> None:
+                pass
+
+        spark = df.sparkSession
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        return (
+            df.withWatermark(ts_col, watermark)
+            .groupBy(user_col)
+            .transformWithStateInPandas(
+                statefulProcessor=_FunnelProcessor(),
+                outputStructType=out_schema,
+                outputMode="Append",
+                timeMode="None",
+            )
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        stage, stage_ts = state.get if state.exists else (0, -1)
+        completed = []
+        for pdf in pdfs:
+            stage, stage_ts, done = advance(int(stage), int(stage_ts), pdf)
+            completed.extend(done)
+        state.update((int(stage), int(stage_ts)))
+        if completed:
+            yield pd.DataFrame(
+                {user_col: [key[0]] * len(completed), "completed_ts": completed}
+            )
+        else:
+            yield pd.DataFrame({user_col: [], "completed_ts": []})
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update, out_schema, "stage int, stage_ts long", "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def streaming_space_saving(
     df: DataFrame,
     key_col: str = "event_type",

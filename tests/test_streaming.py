@@ -296,3 +296,40 @@ def test_space_saving_trim_bounds(spark, sf_dir, events):
     rows = last_batch.collect()
     for r in rows:
         assert r["min_est"] <= truth[r["key"]], (r, truth)
+
+
+def test_streaming_funnel_stateful_vs_batch(spark, sf_dir, events):
+    """Custom stateful streaming funnel: completions over an AvailableNow
+    feed (single ordered batch => greedy == exact) must equal the batch
+    stage-wise min-after-prior chain. api='auto' picks
+    transformWithStateInPandas (Spark 4 API) when its protobuf dep is
+    present, else the applyInPandasWithState twin — this environment
+    exercises the fallback; both share one greedy kernel."""
+    from keystone_spark.streaming.windows import _tws_available, streaming_funnel
+
+    batch = streaming_funnel(events)
+    assert batch.count() > 0  # the fixture must actually complete funnels
+
+    stream_in = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    streamed = streaming_funnel(stream_in)
+    run_available_now(streamed, "funnel_out", output_mode="append")
+    got = spark.sql("SELECT * FROM funnel_out")
+    assert _rows(got) == _rows(batch)
+
+
+@pytest.mark.skipif(
+    "not __import__('keystone_spark.streaming.windows', fromlist=['x'])."
+    "_tws_available()",
+    reason="transformWithStateInPandas needs the protobuf wheel",
+)
+def test_streaming_funnel_tws_api(spark, sf_dir, events):
+    """Same equivalence over the transformWithStateInPandas path — runs
+    wherever protobuf is installed (skipped in this container)."""
+    from keystone_spark.streaming.windows import streaming_funnel
+
+    batch = streaming_funnel(events)
+    stream_in = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    streamed = streaming_funnel(stream_in, api="tws")
+    run_available_now(streamed, "funnel_tws_out", output_mode="append")
+    got = spark.sql("SELECT * FROM funnel_tws_out")
+    assert _rows(got) == _rows(batch)
