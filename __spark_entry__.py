@@ -2134,6 +2134,44 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contract
 # ---------------------------------------------------------------------------
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.pq_topk): ADC over
+    m uint8 codes per vector (16x memory compression at m=16 on the
+    64-dim fixture) generates refine*k candidates, exact re-rank picks
+    the final top-k. Same per-probe invariant oracle as ivf_topk: k
+    dense-ranked results + recall@10 vs the exact kernel >= 0.5 —
+    measured min recall at this config is 9/10 (seeded codebooks,
+    deterministic)."""
+    from keystone_spark.operators.similarity import cosine_topk, pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") < 10)
+    out = pq_topk(e, probes, k=10, m=16, ks=32, refine=8)
+    exact = cosine_topk(e, probes, k=10)
+    hits = (
+        out.select("probe", "vec_id")
+        .join(exact.select("probe", "vec_id"), ["probe", "vec_id"])
+        .groupBy("probe")
+        .agg(F.count("*").alias("hits"))
+    )
+    per = out.groupBy("probe").agg(
+        F.count("*").cast("long").alias("n"),
+        ((F.min("rk") == 1) & (F.max("rk") == 10) & (F.count_distinct("rk") == 10)).alias(
+            "ranks_ok"
+        ),
+    )
+    return (
+        per.join(hits, "probe", "left")
+        .select(
+            "probe",
+            "n",
+            "ranks_ok",
+            (F.coalesce(F.col("hits"), F.lit(0)) >= 5).alias("recall_ok"),
+        )
+        .orderBy("probe")
+    )
+
+
 def q_funnel_completions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user funnel completion times via the streaming_funnel
     operator's batch path (streaming/windows.py — the stateful streaming
@@ -2257,6 +2295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_part_counts": q_supplier_part_counts,
         "excess_shipments": q_excess_shipments,
         "funnel_completions": q_funnel_completions,
+        "pq_topk": q_pq_topk,
         "exists_subquery": q_exists_subquery,
         "scalar_subquery": q_scalar_subquery,
         "shipping_priority": q_shipping_priority,
@@ -3107,6 +3146,15 @@ def oracle_sql() -> dict[str, str]:
         # per-probe IVF invariants: 10 dense-ranked results, recall@10 vs
         # the exact kernel >= 0.5 (measured 0.6-0.9, deterministic seed).
         "ivf_topk": """
+            SELECT CAST(vec_id AS BIGINT) AS probe,
+                   CAST(10 AS BIGINT) AS n,
+                   TRUE AS ranks_ok,
+                   TRUE AS recall_ok
+            FROM embeddings WHERE vec_id < 10 ORDER BY probe
+        """,
+        # PQ ANN: same per-probe invariants as ivf_topk (min recall 9/10
+        # measured at m=16 ks=32 refine=8, deterministic seed)
+        "pq_topk": """
             SELECT CAST(vec_id AS BIGINT) AS probe,
                    CAST(10 AS BIGINT) AS n,
                    TRUE AS ranks_ok,

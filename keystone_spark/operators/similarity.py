@@ -458,3 +458,165 @@ class IvfIndex:
         indexed = spark.read.parquet(os.path.join(path, "corpus"))
         return cls(np.asarray(meta["centroids"]), indexed,
                    meta["id_col"], meta["vec_col"])
+
+
+def _train_pq_codebooks(
+    X: np.ndarray, m: int, ks: int, seed: int
+) -> np.ndarray:
+    """Per-subspace k-means codebooks (m, ks, d/m) over a normalized
+    sample — PQ's training step (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011). Driver-local: the codebook is
+    m*ks*(d/m) = ks*d floats regardless of corpus size."""
+    n, d = X.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    dsub = d // m
+    books = np.zeros((m, ks, dsub))
+    for j in range(m):
+        C = _kmeans_centroids(X[:, j * dsub : (j + 1) * dsub], ks, seed + j)
+        books[j, : len(C)] = C
+        if len(C) < ks:  # tiny sample: pad with the first centroid
+            books[j, len(C) :] = C[0]
+    return books
+
+
+def pq_topk(
+    data: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ks: int = 16,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Product-quantization approximate cosine top-k: ADC candidate
+    generation + exact re-rank.
+
+    The 100 TB story is MEMORY: each vector compresses to m uint8 codes
+    (64-dim float32: 256 B -> 8 B at m=8, 32x), so a corpus that cannot
+    hold its raw vectors in executor memory can still scan its codes; at
+    scale you would persist the codes once next to the ids (exactly like
+    ``IvfIndex`` persists cells) and combine both (IVF-PQ). Here codes
+    are computed on the fly so the operator stays a pure function of its
+    inputs.
+
+    Search per Arrow batch: encode rows (m small gemms against the
+    codebooks), build each probe's (m, ks) lookup table of subspace
+    dots, ADC score = sum of table entries at the row's codes (numpy
+    take + sum — no per-row Python), emit partition-local top-(refine*k)
+    by ADC. Globally: rank ADC candidates, keep refine*k per probe,
+    re-rank THOSE exactly (join back to the raw vectors — a bounded
+    candidate join, O(probes*refine*k) rows), final top-k. The exact
+    re-rank bounds the damage of quantization error: a true neighbor is
+    lost only if ADC pushes it out of the top refine*k entirely.
+    """
+    data = data.where(F.col(vec_col).isNotNull())
+    p_ids, p_mat = _collect_probes(probes, id_col, vec_col)
+    if p_mat.ndim != 2 or len(p_ids) == 0:
+        raise ValueError("probes must be a non-empty DataFrame of vectors")
+    p_norm = _normalize(p_mat)
+
+    samp = np.array(
+        [
+            r[1]
+            for r in data.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(sample_size)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    books = _train_pq_codebooks(_normalize(samp), m, ks, seed)
+    dsub = books.shape[2]
+    # per-probe ADC lookup tables: luts[p, j, c] = <probe_p[j], books[j, c]>
+    luts = np.einsum("pjd,jcd->pjc", p_norm.reshape(len(p_ids), m, dsub), books)
+
+    n_cand = refine * k
+    out_schema = StructType(
+        [
+            StructField("probe", LongType()),
+            StructField(id_col, LongType()),
+            StructField("adc", DoubleType()),
+        ]
+    )
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(np.int64)
+            X = _normalize(np.asarray(list(pdf[vec_col]), dtype=np.float64))
+            sub = X.reshape(len(X), m, dsub)
+            # encode: nearest codebook entry per subspace (m small gemms;
+            # ||c||^2 term suffices — argmin over -2<x,c>+||c||^2)
+            codes = np.empty((len(X), m), dtype=np.int64)
+            for j in range(m):
+                d2 = (
+                    (books[j] ** 2).sum(axis=1)[None, :]
+                    - 2.0 * (sub[:, j, :] @ books[j].T)
+                )
+                codes[:, j] = d2.argmin(axis=1)
+            out_p, out_i, out_a = [], [], []
+            for p in range(len(p_ids)):
+                # ADC: gather each row's m table entries and sum
+                adc = luts[p][np.arange(m)[None, :], codes].sum(axis=1)
+                mask = (
+                    ids != p_ids[p]
+                    if exclude_self
+                    else np.ones(len(ids), dtype=bool)
+                )
+                idx = np.nonzero(mask)[0]
+                if len(idx) == 0:
+                    continue
+                take = min(n_cand, len(idx))
+                cand = idx[np.argpartition(-adc[idx], take - 1)[:take]]
+                out_p.extend([p_ids[p]] * len(cand))
+                out_i.extend(ids[cand].tolist())
+                out_a.extend(adc[cand].tolist())
+            yield pd.DataFrame({"probe": out_p, id_col: out_i, "adc": out_a})
+
+    partial = data.select(id_col, vec_col).mapInPandas(part, out_schema)
+    w_adc = Window.partitionBy("probe").orderBy(F.col("adc").desc(), id_col)
+    cands = (
+        partial.withColumn("__r", F.row_number().over(w_adc))
+        .where(F.col("__r") <= n_cand)
+        .select("probe", id_col)
+    )
+
+    # exact re-rank of the bounded candidate set: join back to the raw
+    # vectors, per-row exact cosine against the (small, closured) probes
+    rerank_schema = StructType(
+        [
+            StructField("probe", LongType()),
+            StructField(id_col, LongType()),
+            StructField("cos", DoubleType()),
+        ]
+    )
+    probe_row = {int(pid): i for i, pid in enumerate(p_ids)}
+    joined = cands.join(data.select(id_col, vec_col), id_col)
+
+    def exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = _normalize(np.asarray(list(pdf[vec_col]), dtype=np.float64))
+            pi = np.array([probe_row[int(p)] for p in pdf["probe"]])
+            cos = np.einsum("nd,nd->n", X, p_norm[pi])
+            yield pd.DataFrame(
+                {
+                    "probe": pdf["probe"].to_numpy(np.int64),
+                    id_col: pdf[id_col].to_numpy(np.int64),
+                    "cos": cos,
+                }
+            )
+
+    exact_df = joined.mapInPandas(exact, rerank_schema)
+    w = Window.partitionBy("probe").orderBy(F.col("cos").desc(), id_col)
+    return (
+        exact_df.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+    )

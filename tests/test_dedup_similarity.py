@@ -348,3 +348,45 @@ def test_edit_distance_pairs_complete_vs_bruteforce(spark):
         if lev(names[i], names[j]) <= 1
     }
     assert got == want
+
+
+def test_pq_topk_recall_and_determinism(spark, sf_dir):
+    """PQ ANN: recall@10 vs exact must clear the declared threshold at
+    the production config, candidates per probe stay bounded at
+    refine*k, and seeded codebooks make the whole result deterministic."""
+    import pyspark.sql.functions as F
+
+    from keystone_spark.operators.similarity import cosine_topk, pq_topk
+    from keystone_spark.sources import load_table
+
+    e = load_table(spark, "embeddings", sf_dir)
+    probes = e.where(F.col("vec_id") < 5)
+    exact = {(r.probe, r.vec_id) for r in cosine_topk(e, probes, k=10).collect()}
+    rows = pq_topk(e, probes, k=10, m=16, ks=32, refine=8).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.probe, []).append(r)
+    for p, rs in per.items():
+        assert len(rs) == 10
+        assert sorted(r.rk for r in rs) == list(range(1, 11))
+        hits = sum((p, r.vec_id) in exact for r in rs)
+        assert hits >= 5, (p, hits)
+    again = pq_topk(e, probes, k=10, m=16, ks=32, refine=8).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_pq_topk_rejects_bad_dims_and_skips_nulls(spark):
+    import pytest as _pytest
+
+    import pyspark.sql.functions as F
+
+    from keystone_spark.operators.similarity import pq_topk
+
+    rows = [(i, [float(i + j) for j in range(8)]) for i in range(30)]
+    rows += [(30, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = df.where("vec_id < 2")
+    out = pq_topk(df, probes, k=3, m=4, ks=8, refine=2)
+    assert out.where(F.col("vec_id") >= 30).count() == 0
+    with _pytest.raises(Exception, match="divisible"):
+        pq_topk(df, probes, k=3, m=3, ks=8).collect()
