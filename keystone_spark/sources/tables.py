@@ -114,3 +114,70 @@ def write_bucketed(
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table back (bucket layout comes from the catalog)."""
     return spark.table(table)
+
+
+def write_zorder(
+    df: DataFrame,
+    cols: list[str],
+    path: str,
+    n_files: int = 32,
+    bits: int = 16,
+) -> None:
+    """Persist ``df`` Z-order (Morton) clustered on ``cols`` — the
+    multi-dimensional data-skipping layout: each numeric column is
+    min/max-quantized to ``bits`` bits and the bit patterns interleaved
+    into one z-key; range-partitioning + sorting on that key gives every
+    output file a BOUNDED min/max envelope on EVERY clustered column, so
+    parquet footer stats prune file/row-group reads for predicates on
+    any of them. A linear sort bounds only its leading column — at
+    100 TB, a query filtering on the second dimension reads the whole
+    table under linear layout and a thin stripe under z-order.
+
+    The z-key is pure Catalyst expression (shift/and/or — whole-stage
+    codegen, no UDF); the min/max pass is one tiny agg broadcast back.
+    Skew caveat: min/max scaling wastes key space on heavy-tailed
+    columns; pre-transform (log, clamp) such columns first.
+    """
+    ndims = len(cols)
+    if ndims < 2:
+        raise ValueError("z-order needs at least 2 columns")
+    if ndims * bits > 63:
+        raise ValueError(f"ndims*bits = {ndims * bits} exceeds 63-bit key")
+
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"__mn_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"__mx_{c}"),
+        ]
+    out = df.crossJoin(F.broadcast(df.agg(*aggs)))
+
+    qcols = []
+    for c in cols:
+        mn, mx = F.col(f"__mn_{c}"), F.col(f"__mx_{c}")
+        scaled = F.when(
+            mx > mn, (F.col(c).cast("double") - mn) / (mx - mn)
+        ).otherwise(F.lit(0.0))
+        qcols.append(
+            F.least(
+                F.floor(scaled * (1 << bits)).cast("long"),
+                F.lit((1 << bits) - 1),
+            )
+        )
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, q in enumerate(qcols):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(q, b).bitwiseAND(F.lit(1)), b * ndims + i
+                )
+            )
+
+    (
+        out.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z", *[f"__mn_{c}" for c in cols], *[f"__mx_{c}" for c in cols])
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -165,3 +165,61 @@ def test_timeseries_layout_prunes_and_sorts(spark, sf_dir, tmp_path):
     assert list(pdf.itertuples(index=False)) == sorted(
         pdf.itertuples(index=False), key=lambda r: (r.user_id, r.ts)
     )
+
+
+def test_zorder_layout_bounds_every_dimension(spark, sf_dir, tmp_path):
+    """Z-order clustering must give every output file a tight min/max
+    envelope on BOTH clustered columns (parquet stats then prune file
+    reads for predicates on either); a linear sort bounds only its
+    leading column — the second dimension's per-file span stays ~full
+    range. Also: content survives the rewrite byte-for-byte."""
+    import pyspark.sql.functions as F
+
+    from keystone_spark.sources.tables import write_zorder
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "linear")
+    write_zorder(li, ["l_orderkey", "l_partkey"], zpath, n_files=16)
+    (
+        li.repartitionByRange(16, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    def avg_span(path, col):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name())
+            .agg((F.max(col) - F.min(col)).alias("span"))
+        )
+        lo, hi = li.agg(F.min(col), F.max(col)).first()
+        return per_file.agg(F.avg("span")).first()[0] / float(hi - lo)
+
+    # leading dim: both layouts bound it
+    assert avg_span(zpath, "l_orderkey") < 0.5
+    assert avg_span(lpath, "l_orderkey") < 0.5
+    # second dim: z-order bounds it, linear cannot
+    z2, l2 = avg_span(zpath, "l_partkey"), avg_span(lpath, "l_partkey")
+    assert z2 < 0.5, z2
+    assert l2 > 0.9, l2
+
+    # rewrite is lossless
+    a = sorted(map(tuple, li.collect()))
+    b = sorted(map(tuple, spark.read.parquet(zpath).collect()))
+    assert a == b
+
+
+def test_zorder_rejects_bad_args(spark, sf_dir, tmp_path):
+    import pytest as _pytest
+
+    from keystone_spark.sources.tables import write_zorder
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    with _pytest.raises(ValueError, match="at least 2"):
+        write_zorder(li, ["l_orderkey"], str(tmp_path / "x"))
+    with _pytest.raises(ValueError, match="63-bit"):
+        write_zorder(li, ["l_orderkey", "l_partkey"], str(tmp_path / "y"),
+                     bits=32)
