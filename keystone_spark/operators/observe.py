@@ -1,0 +1,83 @@
+"""Observed metrics: data-quality counters that ride the action.
+
+``df.observe`` computes aggregate expressions DURING an action as
+accumulator-style metrics — no second scan, no extra shuffle, which is
+the only affordable way to count nulls/violations on a 100 TB ingest
+(a separate ``df.where(bad).count()`` would re-read the input). The
+codec kernels' quarantine accumulator (operators/multimodal.py) is the
+Python-worker form of the same idea; this is the declarative
+Catalyst-native form, usable on any plan.
+
+Batch: ``Observation`` handles get collected after the first action.
+Streaming: metrics surface per micro-batch in the query progress
+(``observedMetrics``); ``run_observed_available_now`` drains a stream
+and returns them merged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+def quality_checks(
+    df: DataFrame, null_cols: list[str] | None = None
+) -> list[Column]:
+    """Default check set: row count + per-column null counts (the
+    ingest-health basics). Extend with any aggregate Column."""
+    cols = null_cols if null_cols is not None else df.columns
+    exprs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        exprs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"n_null_{c}")
+        )
+    return exprs
+
+
+def observe_quality(
+    df: DataFrame,
+    checks: list[Column] | None = None,
+    null_cols: list[str] | None = None,
+) -> tuple[DataFrame, Observation]:
+    """Attach quality metrics to a BATCH plan. Returns (df, observation);
+    read ``observation.get`` after the first action on the returned df —
+    the metrics were computed by that same action."""
+    obs = Observation()
+    exprs = checks if checks is not None else quality_checks(df, null_cols)
+    return df.observe(obs, *exprs), obs
+
+
+def run_observed_available_now(
+    stream_df: DataFrame,
+    out_table: str,
+    checks: list[Column],
+    name: str = "quality",
+    output_mode: str = "append",
+) -> dict:
+    """Drain a STREAM (Trigger.AvailableNow -> memory sink) with observed
+    metrics attached; returns the summed per-micro-batch metrics (counts
+    are additive across batches). The streaming twin of
+    ``observe_quality`` — same expressions, surfaced through
+    ``StreamingQueryProgress.observedMetrics`` instead of an Observation
+    handle."""
+    import tempfile
+
+    observed = stream_df.observe(name, *checks)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            observed.writeStream.format("memory")
+            .queryName(out_table)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        total: dict = {}
+        for prog in q.recentProgress:
+            m = (prog.get("observedMetrics") or {}).get(name)
+            if not m:
+                continue
+            for k, v in m.asDict().items():
+                total[k] = total.get(k, 0) + (v or 0)
+    return total

@@ -1,0 +1,67 @@
+"""Observed metrics: batch Observation + streaming observedMetrics must
+both report the quality counters computed by the SAME action that
+produced the output (no second scan)."""
+
+import pyspark.sql.functions as F
+
+from keystone_spark.operators.observe import (
+    observe_quality,
+    quality_checks,
+    run_observed_available_now,
+)
+from keystone_spark.sources import load_table
+
+
+def test_batch_observation_counts_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None), (5, None)],
+        "id long, v string",
+    )
+    observed, obs = observe_quality(df)
+    assert observed.count() == 5  # the action that computes the metrics
+    got = obs.get
+    assert got["n_rows"] == 5
+    assert got["n_null_id"] == 0
+    assert got["n_null_v"] == 3
+
+
+def test_batch_observation_custom_checks(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    observed, obs = observe_quality(
+        li,
+        checks=[
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.col("l_quantity") <= 0).cast("long")).alias("n_bad_qty"),
+            F.sum(
+                ((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast(
+                    "long"
+                )
+            ).alias("n_bad_discount"),
+        ],
+    )
+    n = observed.count()
+    got = obs.get
+    assert got["n_rows"] == n
+    assert got["n_bad_qty"] == 0 and got["n_bad_discount"] == 0
+
+
+def test_streaming_observed_metrics_match_batch(spark, sf_dir):
+    from keystone_spark.streaming.windows import read_events_stream
+
+    events = load_table(spark, "events", sf_dir)
+    n = events.count()
+    checks = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias("n_null_user"),
+    ]
+    stream_in = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    got = run_observed_available_now(stream_in, "observe_out", checks)
+    assert got["n_rows"] == n
+    assert got["n_null_user"] == 0
+    assert spark.sql("SELECT count(*) FROM observe_out").first()[0] == n
+
+
+def test_quality_checks_shape(spark):
+    df = spark.createDataFrame([(1, 2.0)], "a long, b double")
+    exprs = quality_checks(df)
+    assert len(exprs) == 3  # n_rows + one null counter per column

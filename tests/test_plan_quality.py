@@ -277,3 +277,47 @@ def test_gap_fill_generates_grid_without_shuffle(spark, sf_dir, qs):
     assert "CartesianProduct" not in plan
     assert any("user_id" in l for l in plan.splitlines()
                if "PushedFilters" in l)
+
+
+def test_new_tpch_shapes_plan_quality(spark, sf_dir, qs):
+    """Round-3 shapes keep the plans you'd want at 100x: broadcast on
+    every small side, predicate pushdown on filtered scans, and no
+    unbounded nested-loop joins (the only BNLJ allowed is the 1-row
+    scalar-threshold broadcast)."""
+    p = plan_of(qs["important_stock"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "LessThan(s_nationkey,12)" in p  # supplier filter reaches the scan
+    assert "CartesianProduct" not in p
+
+    p = plan_of(qs["supplier_part_counts"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+    import re
+
+    p = plan_of(qs["excess_shipments"](spark, sf_dir))
+    assert "LeftSemi" in p
+    # unique plan-node ids (formatted explain prints nodes twice):
+    # only the 1-row scalar-threshold broadcast may nested-loop
+    n_bnlj = len(set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", p)))
+    assert n_bnlj <= 1, p[:1500]
+    assert "CartesianProduct" not in p
+
+
+def test_pq_topk_plan_prunes_before_shuffle(spark, sf_dir, qs):
+    """PQ: ADC candidates must come from the Arrow kernel (MapInPandas),
+    bounded per partition — never a cross product of corpus x probes."""
+    plan = plan_of(qs["pq_topk"](spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_completions_plan(spark, sf_dir, qs):
+    """Funnel chain: equi-joins on user_id only (the time condition is a
+    post-join filter), partial+final aggs at every stage."""
+    plan = plan_of(qs["funnel_completions"](spark, sf_dir))
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
