@@ -2172,6 +2172,31 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta-sketch distinct counting with set algebra
+    (operators/sketches.KmvSketch): distributed build (xxhash64 JVM-side,
+    per-partition k-min partials, treeReduce merge), then union and
+    intersection estimates — the operations HLL cannot do. At fixture
+    cardinality (150 users << k=4096) every sketch is unsaturated, so
+    estimates are EXACT and hash-match COUNT(DISTINCT)/INTERSECT oracles;
+    the saturated-regime error bound is pytest-pinned
+    (tests/test_sketches.py)."""
+    from keystone_spark.operators.sketches import kmv_build
+
+    e = _t(spark, sf_dir, "events")
+    users = kmv_build(e, "user_id")
+    clicks = kmv_build(e.where(F.col("event_type") == "click"), "user_id")
+    purch = kmv_build(e.where(F.col("event_type") == "purchase"), "user_id")
+    return spark.createDataFrame(
+        [(
+            int(users.estimate()),
+            int(clicks.union(purch).estimate()),
+            int(round(clicks.intersect_estimate(purch))),
+        )],
+        "n_users long, n_click_or_purchase long, n_click_and_purchase long",
+    )
+
+
 def q_funnel_completions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user funnel completion times via the streaming_funnel
     operator's batch path (streaming/windows.py — the stateful streaming
@@ -2296,6 +2321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "excess_shipments": q_excess_shipments,
         "funnel_completions": q_funnel_completions,
         "pq_topk": q_pq_topk,
+        "kmv_distinct": q_kmv_distinct,
         "exists_subquery": q_exists_subquery,
         "scalar_subquery": q_scalar_subquery,
         "shipping_priority": q_shipping_priority,
@@ -3160,6 +3186,21 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS ranks_ok,
                    TRUE AS recall_ok
             FROM embeddings WHERE vec_id < 10 ORDER BY probe
+        """,
+        # KMV sketch at unsaturated cardinality = exact distinct/set algebra
+        "kmv_distinct": """
+            SELECT
+              (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+              (SELECT COUNT(DISTINCT user_id) FROM events
+               WHERE event_type IN ('click', 'purchase'))
+                  AS n_click_or_purchase,
+              (SELECT COUNT(*) FROM (
+                  SELECT DISTINCT user_id FROM events
+                  WHERE event_type = 'click'
+                  INTERSECT
+                  SELECT DISTINCT user_id FROM events
+                  WHERE event_type = 'purchase') t)
+                  AS n_click_and_purchase
         """,
         # per-user funnel completions: stage-wise min-after-prior chain
         "funnel_completions": """

@@ -151,3 +151,80 @@ def count_min_topk(
         zip(cand_list, est.tolist()), key=lambda kv: (-kv[1], kv[0])
     )
     return [(k_, int(v)) for k_, v in ranked[:k]]
+
+
+_HASH_SPACE = float(1 << 64)
+
+
+class KmvSketch:
+    """KMV / theta sketch: the k minimum distinct 64-bit hashes of a
+    column — a mergeable distinct-count summary supporting UNION and
+    INTERSECTION estimates, which HLL (approx_count_distinct) cannot
+    intersect. Size is k uint64s regardless of cardinality.
+
+    Estimator (Beyer et al., SIGMOD'07 / the theta-sketch family):
+    unsaturated (seen < k distinct hashes) the sketch IS the exact
+    distinct set; saturated, theta = (k-th min)/2^64 and the estimate is
+    (k-1)/theta, with relative error ~1/sqrt(k-2). Set algebra: union =
+    k smallest of the merged hash sets; intersection counts common
+    hashes below the joint theta and rescales."""
+
+    __slots__ = ("k", "hashes")
+
+    def __init__(self, k: int, hashes: np.ndarray):
+        self.k = int(k)
+        self.hashes = np.asarray(hashes, dtype=np.uint64)  # sorted, distinct
+
+    @property
+    def saturated(self) -> bool:
+        return len(self.hashes) >= self.k
+
+    @property
+    def theta(self) -> float:
+        if not self.saturated:
+            return 1.0
+        return float(self.hashes[self.k - 1]) / _HASH_SPACE
+
+    def estimate(self) -> float:
+        if not self.saturated:
+            return float(len(self.hashes))
+        return (self.k - 1) / self.theta
+
+    def union(self, other: "KmvSketch") -> "KmvSketch":
+        k = min(self.k, other.k)
+        merged = np.unique(np.concatenate([self.hashes, other.hashes]))
+        return KmvSketch(k, merged[:k])
+
+    def intersect_estimate(self, other: "KmvSketch") -> float:
+        """|A ∩ B| ≈ |{common hashes < joint theta}| / theta — exact when
+        both sketches are unsaturated (theta == 1)."""
+        theta = min(self.theta, other.theta)
+        cut = np.uint64(int(theta * _HASH_SPACE)) if theta < 1.0 else None
+        a, b = self.hashes, other.hashes
+        if cut is not None:
+            a, b = a[a < cut], b[b < cut]
+        common = np.intersect1d(a, b, assume_unique=True)
+        return len(common) / theta
+
+
+def kmv_build(df: DataFrame, col: str, k: int = 4096) -> KmvSketch:
+    """Distributed KMV build: hash JVM-side (xxhash64 — no Python in the
+    scan), per-partition k smallest distinct hashes (numpy unique on a
+    bounded slice), treeReduce merge of k-sized partials. Only k uint64s
+    per partition ever leave the executors."""
+    hashed = (
+        df.where(F.col(col).isNotNull())
+        .select(F.xxhash64(F.col(col).cast("string")).alias("h"))
+    )
+
+    def part(it):
+        hs = np.fromiter((r["h"] for r in it), dtype=np.int64)
+        u = np.unique(hs.astype(np.uint64))
+        yield u[:k]
+
+    def merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return np.unique(np.concatenate([a, b]))[:k]
+
+    partials = hashed.rdd.mapPartitions(part)
+    hashes = partials.treeReduce(merge, depth=2)
+    return KmvSketch(k, hashes)

@@ -91,3 +91,56 @@ def test_key_hash_matches_scalar_fnv():
     got = _key_hash(pd.Series(keys))
     want = np.array([scalar(k) for k in keys], dtype=np.uint64)
     assert (got == want).all()
+
+
+def test_kmv_exact_when_unsaturated(spark):
+    from keystone_spark.operators.sketches import kmv_build
+
+    df = spark.createDataFrame(
+        [(i % 37,) for i in range(500)] + [(None,)], "v long"
+    ).repartition(8)
+    sk = kmv_build(df, "v", k=1024)
+    assert not sk.saturated
+    assert sk.estimate() == 37.0  # exact below k; nulls ignored
+
+
+def test_kmv_saturated_error_bound(spark):
+    """Saturated regime: (k-1)/theta estimate within ~4/sqrt(k) relative
+    error of the true 20k distinct values (deterministic hashes)."""
+    from keystone_spark.operators.sketches import kmv_build
+
+    n = 20000
+    df = spark.range(n).withColumnRenamed("id", "v").repartition(8)
+    sk = kmv_build(df, "v", k=512)
+    assert sk.saturated
+    rel = abs(sk.estimate() - n) / n
+    assert rel < 4 / (512 ** 0.5), rel
+
+
+def test_kmv_union_and_intersection(spark):
+    """A = 0..999, B = 500..1499: union 1500, intersection 500 — both
+    exact when unsaturated; union commutes; merge across partitions
+    equals the single-partition build."""
+    from keystone_spark.operators.sketches import kmv_build
+
+    a_df = spark.range(0, 1000).withColumnRenamed("id", "v").repartition(6)
+    b_df = spark.range(500, 1500).withColumnRenamed("id", "v").repartition(6)
+    a, b = kmv_build(a_df, "v", k=4096), kmv_build(b_df, "v", k=4096)
+    assert a.union(b).estimate() == 1500.0
+    assert b.union(a).estimate() == 1500.0
+    assert a.intersect_estimate(b) == 500.0
+
+    one = kmv_build(a_df.coalesce(1), "v", k=4096)
+    assert (one.hashes == a.hashes).all()
+
+
+def test_kmv_intersection_saturated_estimate(spark):
+    """Saturated intersection: |A∩B| estimate stays within 15% with
+    k=1024 on a 5k-element overlap of two 10k sets."""
+    from keystone_spark.operators.sketches import kmv_build
+
+    a_df = spark.range(0, 10000).withColumnRenamed("id", "v")
+    b_df = spark.range(5000, 15000).withColumnRenamed("id", "v")
+    a, b = kmv_build(a_df, "v", k=1024), kmv_build(b_df, "v", k=1024)
+    est = a.intersect_estimate(b)
+    assert abs(est - 5000) / 5000 < 0.15, est
