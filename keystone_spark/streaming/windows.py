@@ -210,13 +210,22 @@ def interval_join(
     lower: str = "0 seconds",
     upper: str = "5 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream (or batch) inner join: same key, right event within
-    (left_ts - lower handled by caller orientation; here right in
-    [left_ts - upper, left_ts]). In streaming both sides carry watermarks
-    and the time-range condition bounds join state retention — without it
-    Spark would buffer both streams forever.
+    """Stream-stream (or batch) interval join: same key, right event
+    within [left_ts - upper, left_ts - lower]. In streaming both sides
+    carry watermarks and the time-range condition bounds join state
+    retention — without it Spark would buffer both streams forever.
+
+    ``how='left_outer'`` emits unmatched left rows too: in streaming the
+    engine holds each left row until the watermark proves no matching
+    right row can still arrive, THEN emits it null-extended — so outer
+    results trail the inner ones by the watermark delay, but state stays
+    bounded. (Right/full outer follow the same pattern; left is the
+    common enrich-events shape.)
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError("how must be inner|left_outer")
     if left.isStreaming:
         left = left.withWatermark(left_ts, watermark)
     if right.isStreaming:
@@ -227,7 +236,7 @@ def interval_join(
         & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {upper}"))
         & (F.col(right_ts) <= F.col(left_ts) - F.expr(f"INTERVAL {lower}"))
     )
-    return left.join(right, cond, "inner").drop("__rk")
+    return left.join(right, cond, how).drop("__rk")
 
 
 def run_foreach_batch(

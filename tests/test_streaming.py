@@ -333,3 +333,79 @@ def test_streaming_funnel_tws_api(spark, sf_dir, events):
     run_available_now(streamed, "funnel_tws_out", output_mode="append")
     got = spark.sql("SELECT * FROM funnel_tws_out")
     assert _rows(got) == _rows(batch)
+
+
+def test_stream_stream_left_outer_interval_join(spark, sf_dir, events, tmp_path):
+    """Left-outer stream-stream join: inner matches must equal the batch
+    join exactly (they emit immediately); null-extended rows emit only
+    once the watermark proves no match can arrive, so they are a subset
+    of the batch unmatched set — and with time-ordered input chunks the
+    watermark advances enough that the subset is non-empty."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from keystone_spark.streaming.windows import interval_join
+
+    # split the fixture into 4 time-ordered chunk dirs (increasing
+    # mtimes) so AvailableNow processes multiple batches and the
+    # watermark actually advances between them
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    src = str(tmp_path / "chunks")
+    bounds = [lo, *[lo + (hi - lo) * f for f in (0.25, 0.5, 0.75)], hi]
+    for i in range(4):
+        sel = events.where(
+            (F.col("ts") >= bounds[i])
+            & (F.col("ts") <= bounds[i + 1] if i == 3 else F.col("ts") < bounds[i + 1])
+        )
+        sel.coalesce(1).write.mode("overwrite").parquet(f"{src}/c{i}")
+
+    def split(df):
+        err = df.where(F.col("event_type") == "error").select(
+            "event_id", "user_id", "ts"
+        )
+        sig = df.where(F.col("event_type") == "signup").select(
+            F.col("event_id").alias("sig_id"), "user_id", F.col("ts").alias("r_ts")
+        )
+        return err, sig
+
+    b_err, b_sig = split(events)
+    batch = interval_join(
+        b_err, b_sig, "user_id", upper="6 hours", watermark="12 hours",
+        how="left_outer",
+    ).select("event_id", "sig_id")
+    batch_rows = set(map(tuple, batch.collect()))
+    batch_matched = {r for r in batch_rows if r[1] is not None}
+    batch_null = {r for r in batch_rows if r[1] is None}
+    assert batch_null, "fixture must have unmatched errors"
+
+    schema = spark.read.parquet(f"{src}/c0").schema
+    stream_df = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/c*")
+    )
+    from keystone_spark.sources.tables import _normalize_events
+
+    s_err, s_sig = split(_normalize_events(stream_df))
+    streamed = interval_join(
+        s_err, s_sig, "user_id", upper="6 hours", watermark="12 hours",
+        how="left_outer",
+    ).select("event_id", "sig_id")
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            streamed.writeStream.format("memory")
+            .queryName("ssj_outer_out")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    got = set(map(tuple, spark.sql("SELECT * FROM ssj_outer_out").collect()))
+    got_matched = {r for r in got if r[1] is not None}
+    got_null = {r for r in got if r[1] is None}
+
+    assert got_matched == batch_matched      # inner part: exact
+    assert got_null <= batch_null            # outer part: watermark-gated
+    assert got_null, "watermark advanced across chunks => some outer rows"
