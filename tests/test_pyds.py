@@ -1,0 +1,93 @@
+"""Python DataSource API: the binary_records custom source must scan in
+parallel byte-range partitions and push record_idx range filters into
+the Python reader (skipping I/O, not just rows)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from keystone_spark.sources.pyds import (
+    BinaryRecordsReader,
+    register_binary_records,
+)
+
+REC = 16  # record size for fixtures
+
+
+@pytest.fixture()
+def bin_dir(tmp_path):
+    # two files x 64 records, globally indexed 0..127
+    for fi in range(2):
+        payload = b"".join(
+            bytes([fi]) + (fi * 64 + i).to_bytes(4, "little") + bytes(REC - 5)
+            for i in range(64)
+        )
+        (tmp_path / f"part-{fi}.bin").write_bytes(payload)
+    return str(tmp_path / "*.bin")
+
+
+def test_reads_all_records_in_order(spark, bin_dir):
+    register_binary_records(spark)
+    df = (
+        spark.read.format("binary_records")
+        .option("path", bin_dir)
+        .option("record_bytes", REC)
+        .option("partition_records", 10)  # forces many partitions
+        .load()
+    )
+    rows = df.select("record_idx", "record").collect()
+    assert len(rows) == 128
+    got = {r.record_idx: bytes(r.record) for r in rows}
+    assert int.from_bytes(got[70][1:5], "little") == 70  # payload intact
+    assert sorted(got) == list(range(128))
+
+
+def test_filter_pushdown_skips_io(spark, bin_dir):
+    register_binary_records(spark)
+    df = (
+        spark.read.format("binary_records")
+        .option("path", bin_dir)
+        .option("record_bytes", REC)
+        .load()
+    )
+    out = df.where((F.col("record_idx") >= 60) & (F.col("record_idx") < 70))
+    assert sorted(r.record_idx for r in out.collect()) == list(range(60, 70))
+    # the range crosses the file boundary (64): both files contribute
+    assert out.select("file").distinct().count() == 2
+
+    # equality prunes to a single record
+    one = df.where(F.col("record_idx") == 100).collect()
+    assert len(one) == 1 and one[0].record_idx == 100
+
+
+def test_pushdown_narrows_partitions_directly(bin_dir, tmp_path):
+    """Unit-level: pushed bounds must shrink the planned byte ranges —
+    the reader plans ONLY the surviving records, not filter-after-read."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan, StringContains
+
+    r = BinaryRecordsReader(
+        {"path": bin_dir, "record_bytes": str(REC), "partition_records": "1000"}
+    )
+    leftover = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("record_idx",), 100),
+                LessThan(("record_idx",), 120),
+                StringContains(("file",), "part"),  # unsupported -> returned
+            ]
+        )
+    )
+    assert len(leftover) == 1 and isinstance(leftover[0], StringContains)
+    parts = r.partitions()
+    assert sum(p.n_recs for p in parts) == 20
+    assert all(p.start_rec >= 100 for p in parts)
+
+
+def test_empty_match_yields_empty_scan(spark, bin_dir):
+    register_binary_records(spark)
+    df = (
+        spark.read.format("binary_records")
+        .option("path", bin_dir)
+        .option("record_bytes", REC)
+        .load()
+    )
+    assert df.where(F.col("record_idx") > 10_000).count() == 0
