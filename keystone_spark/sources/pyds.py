@@ -32,6 +32,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -126,6 +127,56 @@ class BinaryRecordsReader(DataSourceReader):
                 yield (part.path, part.start_rec + i, rec)
 
 
+class BinaryRecordsStreamReader(DataSourceStreamReader):
+    """Streaming twin: micro-batches over a GROWING directory of record
+    files. The offset is the count of (sorted) files already ingested —
+    deterministic and replayable: ``partitions(start, end)`` plans the
+    files in [start, end) as record-range partitions read ON EXECUTORS
+    (this is the scalable DataSourceStreamReader, not the driver-only
+    Simple variant), so a checkpointed restart re-plans exactly the same
+    files. Records of one file share its micro-batch; new files form the
+    next batch."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("binary_records requires option 'path'")
+        self.record_bytes = int(options.get("record_bytes", 0))
+        if self.record_bytes <= 0:
+            raise ValueError("binary_records requires option 'record_bytes' > 0")
+        self.partition_records = int(options.get("partition_records", 65536))
+
+    def _files(self) -> list[str]:
+        return sorted(_glob.glob(self.path))
+
+    def initialOffset(self) -> dict:
+        return {"n_files": 0}
+
+    def latestOffset(self) -> dict:
+        return {"n_files": len(self._files())}
+
+    def partitions(self, start: dict, end: dict):
+        parts: list[_RecordRange] = []
+        files = self._files()
+        rec0 = 0
+        for i, p in enumerate(files[: end["n_files"]]):
+            n = os.path.getsize(p) // self.record_bytes
+            if i >= start["n_files"]:
+                r = rec0
+                while r < rec0 + n:
+                    cnt = min(self.partition_records, rec0 + n - r)
+                    parts.append(_RecordRange(p, r, rec0, cnt))
+                    r += cnt
+            rec0 += n
+        return parts or [_RecordRange(self.path, 0, 0, 0)]
+
+    def read(self, part: _RecordRange):
+        yield from BinaryRecordsReader.read(self, part)  # same range logic
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: files are immutable once listed
+
+
 class BinaryRecordsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -142,6 +193,9 @@ class BinaryRecordsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return BinaryRecordsReader(self.options)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return BinaryRecordsStreamReader(self.options)
 
 
 def register_binary_records(spark) -> None:

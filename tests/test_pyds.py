@@ -91,3 +91,55 @@ def test_empty_match_yields_empty_scan(spark, bin_dir):
         .load()
     )
     assert df.where(F.col("record_idx") > 10_000).count() == 0
+
+
+def test_stream_reader_batches_by_file_arrival(spark, tmp_path):
+    """Streaming form: files ingested exactly once across two AvailableNow
+    runs sharing a checkpoint (offset = sorted-file count), with records
+    read on executors via record-range partitions."""
+    import tempfile
+
+    register_binary_records(spark)
+    src = tmp_path / "stream_src"
+    src.mkdir()
+
+    def write_file(fi, n=20):
+        payload = b"".join(
+            (fi * 1000 + i).to_bytes(4, "little") + bytes(REC - 4)
+            for i in range(n)
+        )
+        (src / f"f{fi:03d}.bin").write_bytes(payload)
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("binary_records")
+            .option("path", f"{src}/*.bin")
+            .option("record_bytes", REC)
+            .option("partition_records", 7)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_file(0)
+    write_file(1)
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == 40
+
+    write_file(2)  # arrives later -> next run's batch only
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == 60  # earlier files NOT re-ingested
+    firsts = sorted(
+        int.from_bytes(bytes(r.record)[:4], "little")
+        for r in got.where("record_idx % 20 = 0").collect()
+    )
+    assert firsts == [0, 1000, 2000]
