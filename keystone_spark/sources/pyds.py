@@ -33,6 +33,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -40,6 +41,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     BinaryType,
@@ -177,6 +179,66 @@ class BinaryRecordsStreamReader(DataSourceStreamReader):
         pass  # nothing to clean up: files are immutable once listed
 
 
+@dataclass
+class _WroteFile(WriterCommitMessage):
+    path: str
+    n_recs: int
+
+
+class BinaryRecordsWriter(DataSourceWriter):
+    """Custom sink: each task streams its rows' ``record`` payloads into
+    one fixed-record-length part file (task-temp name, content written
+    executor-side), and the driver-side ``commit`` atomically renames
+    the temp files into place only when EVERY task succeeded — the
+    standard two-phase commit that makes a 1000-task write all-or-
+    nothing; ``abort`` removes the temps."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("binary_records requires option 'path'")
+        self.record_bytes = int(options.get("record_bytes", 0))
+        if self.record_bytes <= 0:
+            raise ValueError("binary_records requires option 'record_bytes' > 0")
+        self.overwrite = overwrite
+
+    def write(self, rows) -> _WroteFile:
+        import uuid
+
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc else 0
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"._tmp-{pid:05d}-{uuid.uuid4().hex}.bin")
+        n = 0
+        with open(tmp, "wb") as f:
+            for row in rows:
+                rec = bytes(row["record"])
+                if len(rec) != self.record_bytes:
+                    raise ValueError(
+                        f"record length {len(rec)} != record_bytes "
+                        f"{self.record_bytes}"
+                    )
+                f.write(rec)
+                n += 1
+        return _WroteFile(tmp, n)
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for old in _glob.glob(os.path.join(self.path, "part-*.bin")):
+                os.remove(old)
+        for i, m in enumerate(sorted(
+            (m for m in messages if m is not None), key=lambda m: m.path
+        )):
+            os.replace(m.path, os.path.join(self.path, f"part-{i:05d}.bin"))
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
 class BinaryRecordsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -196,6 +258,11 @@ class BinaryRecordsDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return BinaryRecordsStreamReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        if "record" not in schema.fieldNames():
+            raise ValueError("binary_records writer needs a 'record' column")
+        return BinaryRecordsWriter(self.options, overwrite)
 
 
 def register_binary_records(spark) -> None:

@@ -143,3 +143,48 @@ def test_stream_reader_batches_by_file_arrival(spark, tmp_path):
         for r in got.where("record_idx % 20 = 0").collect()
     )
     assert firsts == [0, 1000, 2000]
+
+
+def test_writer_roundtrip_and_overwrite(spark, tmp_path):
+    """Custom sink: records written executor-side land atomically via the
+    two-phase commit, and read back identical through the custom reader;
+    overwrite mode replaces prior part files."""
+    import pyspark.sql.functions as F
+
+    register_binary_records(spark)
+    out = str(tmp_path / "sink")
+    df = spark.range(100).select(
+        F.concat(
+            F.col("id").cast("binary"),  # 8-byte big-endian id
+            F.lit(bytes(REC - 8)),
+        ).alias("record")
+    ).repartition(4)
+    df.write.format("binary_records").option("path", out).option(
+        "record_bytes", REC
+    ).mode("append").save()
+
+    back = (
+        spark.read.format("binary_records")
+        .option("path", f"{out}/part-*.bin")
+        .option("record_bytes", REC)
+        .load()
+    )
+    assert back.count() == 100
+    ids = sorted(
+        int.from_bytes(bytes(r.record)[:8], "big") for r in back.collect()
+    )
+    assert ids == list(range(100))
+    import glob as g
+    assert not g.glob(f"{out}/._tmp-*")  # temps cleaned up
+
+    # overwrite replaces content
+    df.limit(10).write.format("binary_records").option("path", out).option(
+        "record_bytes", REC
+    ).mode("overwrite").save()
+    back2 = (
+        spark.read.format("binary_records")
+        .option("path", f"{out}/part-*.bin")
+        .option("record_bytes", REC)
+        .load()
+    )
+    assert back2.count() == 10
