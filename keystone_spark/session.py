@@ -38,6 +38,11 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for all Python<->JVM columnar crossings.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # runtime bloom-filter join pruning: when a selective filter sits on
+    # one side of a shuffle join, inject its bloom filter into the other
+    # side's scan — at 100 TB this drops most of the probe side's rows
+    # BEFORE the shuffle. No-op for broadcast joins (already pruned).
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # ANSI off: fixture queries rely on permissive casts (e.g. '' -> NULL).
     "spark.sql.ansi.enabled": "false",
 }

@@ -321,3 +321,37 @@ def test_funnel_completions_plan(spark, sf_dir, qs):
     assert "partial_" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_runtime_bloom_filter_prunes_smj_probe_side(spark, sf_dir):
+    """With a selective filter on one side of a shuffle join, the engine
+    defaults must inject a runtime bloom filter into the probe side —
+    the pre-shuffle row pruning that matters at 100 TB (broadcast joins
+    don't need it, so force SMJ to expose the path)."""
+    from keystone_spark.sources import load_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold", "0",
+    )
+    try:
+        o = load_table(spark, "orders", sf_dir).where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, "lineitem", sf_dir)
+        j = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), plan[:1500]
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold"
+        )
