@@ -138,3 +138,61 @@ def test_jpeg_roundtrip_property(shape, c, sub, seed):
     if sub == "444":
         mse = np.mean((back[:, :, : img.shape[2]] - img) ** 2)
         assert 10 * np.log10(1.0 / max(mse, 1e-12)) > 30
+
+
+@SETTINGS
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    c=st.sampled_from([1, 3]),
+    q=st.sampled_from([45, 90]),
+    sub=st.sampled_from(["444", "420"]),
+    seed=st.integers(0, 2**16),
+)
+def test_progressive_jpeg_equals_baseline_property(h, w, c, q, sub, seed):
+    """For ANY image/quality/subsampling, decode(progressive encode) must
+    be bit-identical to decode(baseline encode) — successive
+    approximation reconstructs the shared quantized coefficients
+    losslessly."""
+    from keystone_spark.functions.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.random((h, w)) if c == 1 else rng.random((h, w, c))
+    base = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=q, subsample=sub))
+    assert np.array_equal(base, prog)
+
+
+@SETTINGS
+@given(
+    vals=st.lists(st.integers(-1000, 1000), min_size=0, max_size=300),
+    k=st.sampled_from([16, 64]),
+)
+def test_kmv_exactness_property(vals, k):
+    """Below saturation the KMV estimate equals the exact distinct count;
+    at/above saturation it never exceeds the hash-space bound and the
+    sketch keeps exactly k hashes."""
+    import pandas as pd
+
+    from keystone_spark.operators.sketches import KmvSketch
+
+    # driver-side build through the same hashing contract (xxhash64 of
+    # str) is overkill here; the estimator properties are pure-numpy
+    hs = np.unique(
+        np.fromiter(
+            (hash(("kmv", v)) & 0xFFFFFFFFFFFFFFFF for v in set(vals)),
+            dtype=np.uint64,
+            count=len(set(vals)),
+        )
+    )
+    sk = KmvSketch(k, hs[:k])
+    n = len(set(vals))
+    if n < k:
+        assert sk.estimate() == float(len(hs[:k]))
+    else:
+        assert sk.saturated and len(sk.hashes) == k
+        assert sk.estimate() > 0
