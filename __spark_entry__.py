@@ -2196,6 +2196,55 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVFPQ_INDEX_CACHE: dict = {}
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ production ANN (operators/similarity.IvfPqIndex): persisted
+    cell-partitioned PQ codes (16x smaller than raw vectors) + pruned
+    scan + ADC + exact re-rank against the base table — the FAISS-IVFPQ-
+    with-refine recipe, Spark-first. Same per-probe invariant oracle as
+    ivf_topk/pq_topk; recall_ok threshold 5/10 vs the exact kernel."""
+    import tempfile
+
+    from keystone_spark.operators.similarity import IvfPqIndex, cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") < 10)
+    key = (id(spark._jsparkSession) if hasattr(spark, "_jsparkSession")
+           else id(spark), sf_dir)
+    path = _IVFPQ_INDEX_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="ivfpq_index_")
+        IvfPqIndex.build(e, n_cells=16, m=16, ks=32).save(path)
+        _IVFPQ_INDEX_CACHE[key] = path
+    idx = IvfPqIndex.load(spark, path)
+    out = idx.search(e, probes, k=10, n_probe_cells=8, refine=8)
+    exact = cosine_topk(e, probes, k=10)
+    hits = (
+        out.select("probe", "vec_id")
+        .join(exact.select("probe", "vec_id"), ["probe", "vec_id"])
+        .groupBy("probe")
+        .agg(F.count("*").alias("hits"))
+    )
+    per = out.groupBy("probe").agg(
+        F.count("*").cast("long").alias("n"),
+        ((F.min("rk") == 1) & (F.max("rk") == 10) & (F.count_distinct("rk") == 10)).alias(
+            "ranks_ok"
+        ),
+    )
+    return (
+        per.join(hits, "probe", "left")
+        .select(
+            "probe",
+            "n",
+            "ranks_ok",
+            (F.coalesce(F.col("hits"), F.lit(0)) >= 5).alias("recall_ok"),
+        )
+        .orderBy("probe")
+    )
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV/theta-sketch distinct counting with set algebra
     (operators/sketches.KmvSketch): distributed build (xxhash64 JVM-side,
@@ -2347,6 +2396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "kmv_distinct": q_kmv_distinct,
         "variant_json": q_variant_json,
+        "ivfpq_topk": q_ivfpq_topk,
         "exists_subquery": q_exists_subquery,
         "scalar_subquery": q_scalar_subquery,
         "shipping_priority": q_shipping_priority,
@@ -3221,6 +3271,14 @@ def oracle_sql() -> dict[str, str]:
                    MIN(CAST(props::JSON ->> 'k' AS BIGINT)) AS min_k,
                    MAX(CAST(props::JSON ->> 'k' AS BIGINT)) AS max_k
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # IVF-PQ: same per-probe invariants as ivf_topk/pq_topk
+        "ivfpq_topk": """
+            SELECT CAST(vec_id AS BIGINT) AS probe,
+                   CAST(10 AS BIGINT) AS n,
+                   TRUE AS ranks_ok,
+                   TRUE AS recall_ok
+            FROM embeddings WHERE vec_id < 10 ORDER BY probe
         """,
         # KMV sketch at unsaturated cardinality = exact distinct/set algebra
         "kmv_distinct": """

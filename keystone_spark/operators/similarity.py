@@ -620,3 +620,222 @@ def pq_topk(
         exact_df.withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= k)
     )
+
+
+class IvfPqIndex:
+    """IVF-PQ: the production ANN composition — IVF cells prune WHICH
+    files a search reads (partition pruning, like ``IvfIndex``) and PQ
+    codes shrink WHAT each file stores (m uint8 codes per vector instead
+    of the raw floats: 64-dim float32 256 B -> 8-16 B). At 100 TB the
+    index is ~2-4% the size of the corpus and a search touches
+    n_probe_cells/n_cells of THAT; the raw vectors stay only in the base
+    table, fetched for exact re-rank of the bounded candidate set.
+
+    Search: prune cells -> ADC over codes (per-probe lookup tables, numpy
+    take+sum) -> top-(refine*k) candidates by ADC -> join candidate ids
+    back to the BASE data for exact cosine -> final top-k. Exactly the
+    FAISS IVFPQ + refine recipe, Spark-first: pruning is Catalyst
+    partition pruning, ADC is an Arrow kernel, re-rank is a bounded join.
+    """
+
+    def __init__(self, C, books, indexed, id_col="vec_id", vec_col="embedding"):
+        self.C = np.asarray(C, dtype=np.float64)
+        self.books = np.asarray(books, dtype=np.float64)
+        self.indexed = indexed  # DataFrame(cell, id, codes array<byte-ish>)
+        self.id_col, self.vec_col = id_col, vec_col
+
+    @classmethod
+    def build(
+        cls,
+        data: DataFrame,
+        n_cells: int = 16,
+        m: int = 16,
+        ks: int = 32,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        sample_size: int = 4096,
+        seed: int = 42,
+    ) -> "IvfPqIndex":
+        data = data.where(F.col(vec_col).isNotNull())
+        samp = np.array(
+            [
+                r[1]
+                for r in data.select(id_col, vec_col)
+                .orderBy(id_col)
+                .limit(sample_size)
+                .collect()
+            ],
+            dtype=np.float64,
+        )
+        sn = _normalize(samp)
+        C = _normalize(_kmeans_centroids(sn, n_cells, seed))
+        books = _train_pq_codebooks(sn, m, ks, seed)
+        dsub = books.shape[2]
+
+        from pyspark.sql.types import ArrayType, IntegerType, LongType as LT
+        from pyspark.sql.types import StructField as SF, StructType as ST
+
+        out_schema = ST([
+            SF(id_col, LT()),
+            SF("cell", IntegerType()),
+            SF("codes", ArrayType(IntegerType())),
+        ])
+
+        def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = _normalize(np.asarray(list(pdf[vec_col]), dtype=np.float64))
+                cells = (X @ C.T).argmax(axis=1).astype(np.int32)
+                sub = X.reshape(len(X), m, dsub)
+                codes = np.empty((len(X), m), dtype=np.int32)
+                for j in range(m):
+                    d2 = (
+                        (books[j] ** 2).sum(axis=1)[None, :]
+                        - 2.0 * (sub[:, j, :] @ books[j].T)
+                    )
+                    codes[:, j] = d2.argmin(axis=1)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy(np.int64),
+                        "cell": cells,
+                        "codes": list(codes),
+                    }
+                )
+
+        indexed = data.select(id_col, vec_col).mapInPandas(encode, out_schema)
+        return cls(C, books, indexed, id_col, vec_col)
+
+    def save(self, path: str) -> None:
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        self.indexed.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(path, "codes")
+        )
+        with open(os.path.join(path, "model.json"), "w") as f:
+            json.dump(
+                {
+                    "centroids": self.C.tolist(),
+                    "books": self.books.tolist(),
+                    "id_col": self.id_col,
+                    "vec_col": self.vec_col,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfPqIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, "model.json")) as f:
+            meta = json.load(f)
+        indexed = spark.read.parquet(os.path.join(path, "codes"))
+        return cls(
+            np.asarray(meta["centroids"]),
+            np.asarray(meta["books"]),
+            indexed,
+            meta["id_col"],
+            meta["vec_col"],
+        )
+
+    def search(
+        self,
+        base: DataFrame,
+        probes: DataFrame,
+        k: int = 10,
+        n_probe_cells: int = 6,
+        refine: int = 4,
+        exclude_self: bool = True,
+    ) -> DataFrame:
+        """``base`` is the raw-vector table (re-rank source) — at scale
+        the index's code files are the only thing scanned broadly; base
+        rows are fetched just for the refine*k candidates per probe."""
+        id_col, vec_col = self.id_col, self.vec_col
+        m, ks, dsub = self.books.shape
+        p_ids, p_mat = _collect_probes(probes, id_col, vec_col)
+        p_norm = _normalize(p_mat)
+        probe_cells = np.argsort(-(p_norm @ self.C.T), axis=1)[:, :n_probe_cells]
+        wanted = sorted({int(c) for row in probe_cells for c in row})
+        luts = np.einsum(
+            "pjd,jcd->pjc", p_norm.reshape(len(p_ids), m, dsub), self.books
+        )
+        n_cand = refine * k
+
+        subset = self.indexed.where(F.col("cell").isin(wanted))
+        out_schema = StructType(
+            [
+                StructField("probe", LongType()),
+                StructField(id_col, LongType()),
+                StructField("adc", DoubleType()),
+            ]
+        )
+
+        def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                ids = pdf[id_col].to_numpy(np.int64)
+                cells = pdf["cell"].to_numpy(np.int64)
+                codes = np.asarray(list(pdf["codes"]), dtype=np.int64)
+                out_p, out_i, out_a = [], [], []
+                for p in range(len(p_ids)):
+                    mask = np.isin(cells, probe_cells[p])
+                    if exclude_self:
+                        mask &= ids != p_ids[p]
+                    idx = np.nonzero(mask)[0]
+                    if len(idx) == 0:
+                        continue
+                    adc = luts[p][np.arange(m)[None, :], codes[idx]].sum(axis=1)
+                    take = min(n_cand, len(idx))
+                    cand = idx[np.argpartition(-adc, take - 1)[:take]]
+                    out_p.extend([p_ids[p]] * len(cand))
+                    out_i.extend(ids[cand].tolist())
+                    a = luts[p][np.arange(m)[None, :], codes[cand]].sum(axis=1)
+                    out_a.extend(a.tolist())
+                yield pd.DataFrame({"probe": out_p, id_col: out_i, "adc": out_a})
+
+        partial = subset.mapInPandas(part, out_schema)
+        w_adc = Window.partitionBy("probe").orderBy(F.col("adc").desc(), id_col)
+        cands = (
+            partial.withColumn("__r", F.row_number().over(w_adc))
+            .where(F.col("__r") <= n_cand)
+            .select("probe", id_col)
+        )
+
+        rerank_schema = StructType(
+            [
+                StructField("probe", LongType()),
+                StructField(id_col, LongType()),
+                StructField("cos", DoubleType()),
+            ]
+        )
+        probe_row = {int(pid): i for i, pid in enumerate(p_ids)}
+        joined = cands.join(
+            base.where(F.col(vec_col).isNotNull()).select(id_col, vec_col),
+            id_col,
+        )
+
+        def exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = _normalize(np.asarray(list(pdf[vec_col]), dtype=np.float64))
+                pi = np.array([probe_row[int(p)] for p in pdf["probe"]])
+                cos = np.einsum("nd,nd->n", X, p_norm[pi])
+                yield pd.DataFrame(
+                    {
+                        "probe": pdf["probe"].to_numpy(np.int64),
+                        id_col: pdf[id_col].to_numpy(np.int64),
+                        "cos": cos,
+                    }
+                )
+
+        exact_df = joined.mapInPandas(exact, rerank_schema)
+        w = Window.partitionBy("probe").orderBy(F.col("cos").desc(), id_col)
+        return (
+            exact_df.withColumn("rk", F.row_number().over(w).cast("long"))
+            .where(F.col("rk") <= k)
+        )

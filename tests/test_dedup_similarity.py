@@ -390,3 +390,49 @@ def test_pq_topk_rejects_bad_dims_and_skips_nulls(spark):
     assert out.where(F.col("vec_id") >= 30).count() == 0
     with _pytest.raises(Exception, match="divisible"):
         pq_topk(df, probes, k=3, m=3, ks=8).collect()
+
+
+def test_ivfpq_index_recall_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    """IVF-PQ composition: save/load round-trips (codes partitioned by
+    cell + model JSON), the pruned-scan plan carries a cell
+    PartitionFilter, and recall@10 vs exact clears 0.5 per probe at the
+    production config (cells prune AND codes quantize, so recall trails
+    pure-PQ slightly — re-rank over raw vectors recovers most of it)."""
+    import pyspark.sql.functions as F
+
+    from keystone_spark.operators.similarity import IvfPqIndex, cosine_topk
+    from keystone_spark.sources import load_table
+
+    e = load_table(spark, "embeddings", sf_dir)
+    probes = e.where(F.col("vec_id") < 5)
+    exact = {(r.probe, r.vec_id) for r in cosine_topk(e, probes, k=10).collect()}
+
+    idx = IvfPqIndex.build(e, n_cells=16, m=16, ks=32)
+    path = str(tmp_path / "ivfpq")
+    idx.save(path)
+    loaded = IvfPqIndex.load(spark, path)
+
+    out = loaded.search(e, probes, k=10, n_probe_cells=8, refine=8)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.probe, []).append(r)
+    for p, rs in per.items():
+        assert len(rs) == 10
+        assert sorted(r.rk for r in rs) == list(range(1, 11))
+        hits = sum((p, r.vec_id) in exact for r in rs)
+        assert hits >= 5, (p, hits)
+
+    # the code scan prunes to probed cells' partitions
+    import re
+
+    p_ids = sorted(r.vec_id for r in probes.select("vec_id").collect())
+    assert p_ids == [0, 1, 2, 3, 4]
+    plan = loaded.indexed.where(
+        F.col("cell").isin([0, 1])
+    )._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*cell#\d+ (?:INSET|IN)", plan)
+
+    # compression: codes are m small ints per vector, not d floats
+    row = loaded.indexed.first()
+    assert len(row.codes) == 16
