@@ -2172,6 +2172,20 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source document sample
+    (operators/curation.reservoir_per_key): md5-priority hash sampling —
+    k smallest hash priorities per key = uniform without replacement,
+    reproducible across runs/sharding, one WindowGroupLimit-pruned
+    shuffle. The oracle replays the identical md5 ranking in DuckDB, so
+    the EXACT sampled rows hash-match."""
+    from keystone_spark.operators.curation import reservoir_per_key
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    out = reservoir_per_key(d, ["source"], k=5, id_cols=["doc_id"])
+    return out.select("source", "doc_id", "lang").orderBy("source", "doc_id")
+
+
 def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VARIANT path for semi-structured JSON: parse_json ONCE
     into the binary variant encoding, then typed variant_get extraction
@@ -2397,6 +2411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "variant_json": q_variant_json,
         "ivfpq_topk": q_ivfpq_topk,
+        "reservoir_sample": q_reservoir_sample,
         "exists_subquery": q_exists_subquery,
         "scalar_subquery": q_scalar_subquery,
         "shipping_priority": q_shipping_priority,
@@ -3261,6 +3276,19 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS ranks_ok,
                    TRUE AS recall_ok
             FROM embeddings WHERE vec_id < 10 ORDER BY probe
+        """,
+        # identical md5 priority ranking -> the exact sample reproduces
+        "reservoir_sample": """
+            WITH ranked AS (
+                SELECT source, doc_id, lang,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(chr(31) || CAST(doc_id AS VARCHAR)),
+                                    doc_id
+                       ) AS rs
+                FROM documents)
+            SELECT source, doc_id, lang FROM ranked
+            WHERE rs <= 5 ORDER BY source, doc_id
         """,
         # VARIANT extraction == classic JSON extraction semantics
         "variant_json": """

@@ -122,3 +122,37 @@ def sample_mixture(
         part = part.withColumn("mix_source", F.lit(name))
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def reservoir_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    k: int,
+    id_cols: list[str] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic uniform sample WITHOUT replacement of k rows per key
+    — hash-priority sampling: each row's priority is a hash of its
+    identity, and the k smallest priorities per key win. Statistically
+    identical to a per-key reservoir, but stateless and distributed: one
+    shuffle on the keys and the rank prunes map-side (WindowGroupLimit),
+    so it behaves like any top-k at 100 TB. Re-running (or re-sharding)
+    the input yields the SAME sample — the property reservoirs lack and
+    curation pipelines need for reproducibility; vary ``salt`` to draw a
+    different sample.
+
+    ``id_cols`` defaults to all non-key columns; md5 is the priority
+    hash deliberately (available in every engine, so the exact sample is
+    cross-checkable against a SQL oracle)."""
+    ids = id_cols if id_cols is not None else [
+        c for c in df.columns if c not in key_cols
+    ]
+    pri = F.md5(
+        F.concat_ws("\x1f", F.lit(salt), *[F.col(c).cast("string") for c in ids])
+    )
+    w = Window.partitionBy(*key_cols).orderBy(pri, *ids)
+    return (
+        df.withColumn("__rs", F.row_number().over(w))
+        .where(F.col("__rs") <= k)
+        .drop("__rs")
+    )

@@ -93,3 +93,30 @@ def test_sample_mixture_tags_and_upsamples(spark, sf_dir):
     n_es = es.count()
     assert counts["es"] > n_es  # oversampled with replacement
     assert 0 < counts["en"] < en.count()
+
+
+def test_reservoir_per_key_deterministic_and_uniformish(spark):
+    """Same input (however sharded) -> same sample; different salt ->
+    different sample; per-key counts = min(k, n); plan prunes map-side
+    (WindowGroupLimit)."""
+    import pyspark.sql.functions as F
+
+    from keystone_spark.operators.curation import reservoir_per_key
+
+    rows = [(i, f"k{i % 3}") for i in range(300)] + [(900, "rare")]
+    df = spark.createDataFrame(rows, "id long, key string")
+
+    a = reservoir_per_key(df.repartition(8), ["key"], 10, id_cols=["id"])
+    b = reservoir_per_key(df.coalesce(1), ["key"], 10, id_cols=["id"])
+    sa = sorted(map(tuple, a.collect()))
+    assert sa == sorted(map(tuple, b.collect()))  # sharding-invariant
+
+    per = {r.key: r.n for r in a.groupBy("key").agg(
+        F.count("*").alias("n")).collect()}
+    assert per == {"k0": 10, "k1": 10, "k2": 10, "rare": 1}
+
+    c = reservoir_per_key(df, ["key"], 10, id_cols=["id"], salt="other")
+    assert sorted(map(tuple, c.collect())) != sa  # salt draws a new sample
+
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
