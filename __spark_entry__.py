@@ -2172,6 +2172,33 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (slowly-changing-dimension type 2) snapshot built from an
+    event log: collapse consecutive same-state rows to change points
+    (lag filter), then each change point's validity interval is
+    [ts, next-change ts) via lead — the lakehouse dimension-history
+    builder. Both windows share one user_id partitioning, so the whole
+    construction is a single shuffle; the open interval's valid_to is
+    NULL (current row)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = e.withColumn("prev", F.lag("event_type").over(w)).where(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    )
+    return (
+        ch.withColumn("valid_to_ts", F.lead("ts").over(w))
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_timestamp("ts").alias("valid_from"),
+            F.unix_timestamp("valid_to_ts").alias("valid_to"),
+        )
+        .orderBy("user_id", "valid_from")
+    )
+
+
 def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-source document sample
     (operators/curation.reservoir_per_key): md5-priority hash sampling —
@@ -2412,6 +2439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_json": q_variant_json,
         "ivfpq_topk": q_ivfpq_topk,
         "reservoir_sample": q_reservoir_sample,
+        "scd2_intervals": q_scd2_intervals,
         "exists_subquery": q_exists_subquery,
         "scalar_subquery": q_scalar_subquery,
         "shipping_priority": q_shipping_priority,
@@ -3276,6 +3304,24 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS ranks_ok,
                    TRUE AS recall_ok
             FROM embeddings WHERE vec_id < 10 ORDER BY probe
+        """,
+        # SCD2 history: change points + lead validity intervals
+        "scd2_intervals": """
+            WITH ordered AS (
+                SELECT user_id, event_type, ts, event_id,
+                       LAG(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev
+                FROM events),
+            ch AS (
+                SELECT * FROM ordered
+                WHERE prev IS NULL OR prev <> event_type)
+            SELECT user_id, event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS valid_from,
+                   CAST(floor(epoch(LEAD(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ))) AS BIGINT) AS valid_to
+            FROM ch ORDER BY user_id, valid_from
         """,
         # identical md5 priority ranking -> the exact sample reproduces
         "reservoir_sample": """

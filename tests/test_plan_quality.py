@@ -355,3 +355,15 @@ def test_runtime_bloom_filter_prunes_smj_probe_side(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter."
             "applicationSideScanSizeThreshold"
         )
+
+
+def test_scd2_single_shuffle(spark, sf_dir, qs):
+    """Both SCD2 windows share the user_id partitioning: one exchange for
+    the construction (plus the final presentation orderBy)."""
+    import re
+
+    plan = plan_of(qs["scd2_intervals"](spark, sf_dir))
+    # 2 = the shared user_id hash partition + the final presentation sort
+    n_ex = len(set(re.findall(r"\((\d+)\) Exchange", plan)))
+    assert n_ex == 2, plan[:1200]
+    assert len(set(re.findall(r"\((\d+)\) Window", plan))) == 2
