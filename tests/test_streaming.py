@@ -409,3 +409,30 @@ def test_stream_stream_left_outer_interval_join(spark, sf_dir, events, tmp_path)
     assert got_matched == batch_matched      # inner part: exact
     assert got_null <= batch_null            # outer part: watermark-gated
     assert got_null, "watermark advanced across chunks => some outer rows"
+
+
+def test_stream_static_dim_enrichment(spark, sf_dir, events):
+    """Stream-static join: a streaming fact enriched against a static
+    dimension (the kimball enrich shape — no watermark needed on the
+    static side, broadcast at micro-batch planning). Result must equal
+    the batch join."""
+    from pyspark.sql import functions as F
+
+    dim = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    batch = (
+        events.join(dim, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("v"))
+    )
+    stream_in = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    streamed = (
+        stream_in.join(dim, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("v"))
+    )
+    run_available_now(streamed, "dim_enrich_out", output_mode="complete")
+    got = spark.sql("SELECT * FROM dim_enrich_out")
+    assert _rows(got) == _rows(batch)
+    assert got.count() > 0
