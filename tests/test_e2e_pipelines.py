@@ -198,3 +198,21 @@ def test_curate_corpus_app_writes_shards(spark, sf_dir, tmp_path):
         .where((F.col("t") > 512) & (F.col("n") > 1))
     )
     assert tot.count() == 0
+
+
+def test_ann_index_app(spark, sf_dir, tmp_path):
+    """ANN index lifecycle app: build-once (second call reuses the saved
+    index), recall over the exact kernel clears the declared threshold,
+    and the accounting reports the real compression ratio."""
+    from keystone_spark.apps.ann_index import run
+
+    idx_dir = str(tmp_path / "annidx")
+    first = run(spark, sf_dir, idx_dir, k=10, n_probe_cells=8, refine=8)
+    assert first["built"] is True
+    assert first["recall_at_k"] >= 0.5
+    assert first["rows_per_probe"] == 10
+    assert first["compression_x"] == 16.0
+
+    again = run(spark, sf_dir, idx_dir)
+    assert again["built"] is False  # fit-once: reused the saved index
+    assert again["recall_at_k"] == first["recall_at_k"]
