@@ -154,6 +154,7 @@ def stateful_running_agg(
     ts_col: str = "ts",
     value_col: str = "value",
     watermark: str = "1 hour",
+    state_ttl: str = "2 hours",
 ) -> DataFrame:
     """Custom stateful operator: per-key running (count, sum, max_ts) kept in
     the state store across micro-batches via ``applyInPandasWithState`` —
@@ -163,8 +164,18 @@ def stateful_running_agg(
     Batch input gets the equivalent one-shot groupBy so batch-equivalence
     tests can compare the final streaming state against the batch answer.
 
+    Output contract: ``update`` mode — each micro-batch re-emits the rows
+    for keys touched in that batch (plus nothing for evicted keys); sinks
+    must upsert on ``key_col``. Events older than the watermark horizon
+    are dropped by the engine before reaching the kernel.
+
     Scale: state is one tiny tuple per key, partitioned by groupBy(key) —
     the state store shards with the shuffle; the watermark bounds replay.
+    State LIFETIME is bounded too: ``EventTimeTimeout`` evicts a key once
+    the watermark passes its last event by ``state_ttl``, so total-ever
+    key cardinality (dead users on an unbounded stream) cannot grow the
+    store without bound. A key that reappears after eviction restarts its
+    running totals from zero — that is the documented TTL trade-off.
     """
     if not df.isStreaming:
         return df.groupBy(key_col).agg(
@@ -178,8 +189,16 @@ def stateful_running_agg(
 
     out_schema = f"{key_col} long, n long, sum_value double, last_ts long"
     state_schema = "n long, sum_value double, last_ts long"
+    ttl_ms = int(pd.Timedelta(state_ttl).total_seconds() * 1000)
 
     def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # Watermark passed last_ts + ttl: evict, emit nothing.
+            state.remove()
+            yield pd.DataFrame(
+                {key_col: [], "n": [], "sum_value": [], "last_ts": []}
+            )
+            return
         n, s, last = state.get if state.exists else (0, 0.0, 0)
         for pdf in pdfs:
             n += len(pdf)
@@ -187,6 +206,12 @@ def stateful_running_agg(
             ts_max = int(pdf[ts_col].astype("int64").max() // 1_000_000_000)
             last = max(last, ts_max)
         state.update((n, s, last))
+        # Timeout must sit strictly above the current watermark or Spark
+        # rejects it; a stale key whose last+ttl already passed gets the
+        # earliest legal eviction point instead.
+        state.setTimeoutTimestamp(
+            max(last * 1000 + ttl_ms, state.getCurrentWatermarkMs() + 1)
+        )
         yield pd.DataFrame(
             {key_col: [key[0]], "n": [n], "sum_value": [s], "last_ts": [last]}
         )
@@ -196,7 +221,7 @@ def stateful_running_agg(
         .groupBy(key_col)
         .applyInPandasWithState(
             update, out_schema, state_schema, "update",
-            GroupStateTimeout.NoTimeout,
+            GroupStateTimeout.EventTimeTimeout,
         )
     )
 
@@ -303,11 +328,19 @@ def streaming_funnel(
     ts_col: str = "ts",
     watermark: str = "1 hour",
     api: str = "auto",
+    state_ttl: str = "24 hours",
+    state_store_provider: str | None = None,
 ) -> DataFrame:
     """Ordered-step funnel per user as a custom stateful streaming
     operator: state is one (stage, stage_ts) pair per user; each
     micro-batch advances the stage greedily over its events in timestamp
     order and emits (user, completed_ts) the moment the final step lands.
+
+    Output contract: ``append`` mode — a (user, completed_ts) row is
+    emitted exactly once, in the micro-batch where the final step lands;
+    partial progress is never emitted. Late events beyond the watermark
+    are dropped by the engine; a cross-batch straggler inside the horizon
+    but earlier than the current stage time is ignored (see below).
 
     API selection: ``api='tws'`` uses the Spark 4 arbitrary-stateful API
     (``transformWithStateInPandas`` + typed ValueState, RocksDB state
@@ -326,7 +359,14 @@ def streaming_funnel(
 
     Scale: state is two longs per user regardless of event volume; the
     only shuffle is groupBy(user); the state store shards with it and
-    the watermark bounds replay.
+    the watermark bounds replay. State LIFETIME is bounded by
+    ``state_ttl``: a user idle past the TTL is evicted (event-time
+    timeout on the GroupState path, processing-time ttlConfig on the
+    tws path), so abandoned funnels don't accrete state forever; a
+    returning user restarts from stage 0. ``state_store_provider``
+    (e.g. RocksDB) is applied to ``df``'s session ONLY when passed
+    explicitly — the operator never mutates shared session conf on its
+    own.
     """
     if api not in ("auto", "tws", "apwis"):
         raise ValueError("api must be auto|tws|apwis")
@@ -354,6 +394,12 @@ def streaming_funnel(
 
     n_steps = len(steps)
     out_schema = f"{user_col} long, completed_ts long"
+    ttl_ms = int(pd.Timedelta(state_ttl).total_seconds() * 1000)
+    if state_store_provider:
+        df.sparkSession.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            state_store_provider,
+        )
 
     def advance(stage: int, stage_ts: int, pdf: "pd.DataFrame") -> tuple:
         """The shared greedy kernel: scan one batch's events in ts order,
@@ -382,8 +428,11 @@ def streaming_funnel(
 
         class _FunnelProcessor(StatefulProcessor):
             def init(self, handle: StatefulProcessorHandle) -> None:
+                # ttlDurationMs bounds state lifetime (processing-time
+                # TTL — the tws state-eviction surface); idle users are
+                # dropped by the store itself.
                 self._state = handle.getValueState(
-                    "funnel", "stage int, stage_ts long"
+                    "funnel", "stage int, stage_ts long", ttlDurationMs=ttl_ms
                 )
 
             def handleInputRows(self, key, rows, timerValues):
@@ -406,12 +455,6 @@ def streaming_funnel(
             def close(self) -> None:
                 pass
 
-        spark = df.sparkSession
-        spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
-        )
         return (
             df.withWatermark(ts_col, watermark)
             .groupBy(user_col)
@@ -419,19 +462,31 @@ def streaming_funnel(
                 statefulProcessor=_FunnelProcessor(),
                 outputStructType=out_schema,
                 outputMode="Append",
-                timeMode="None",
+                # TTL needs a clock: ProcessingTime timeMode powers the
+                # ttlDurationMs eviction above (watermark still drops
+                # late input rows).
+                timeMode="ProcessingTime",
             )
         )
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # Idle past the TTL: abandoned funnel, evict silently.
+            state.remove()
+            yield pd.DataFrame({user_col: [], "completed_ts": []})
+            return
         stage, stage_ts = state.get if state.exists else (0, -1)
         completed = []
         for pdf in pdfs:
             stage, stage_ts, done = advance(int(stage), int(stage_ts), pdf)
             completed.extend(done)
         state.update((int(stage), int(stage_ts)))
+        state.setTimeoutTimestamp(
+            max(max(stage_ts, 0) * 1000 + ttl_ms,
+                state.getCurrentWatermarkMs() + 1)
+        )
         if completed:
             yield pd.DataFrame(
                 {user_col: [key[0]] * len(completed), "completed_ts": completed}
@@ -444,7 +499,7 @@ def streaming_funnel(
         .groupBy(user_col)
         .applyInPandasWithState(
             update, out_schema, "stage int, stage_ts long", "append",
-            GroupStateTimeout.NoTimeout,
+            GroupStateTimeout.EventTimeTimeout,
         )
     )
 

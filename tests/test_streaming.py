@@ -436,3 +436,116 @@ def test_stream_static_dim_enrichment(spark, sf_dir, events):
     got = spark.sql("SELECT * FROM dim_enrich_out")
     assert _rows(got) == _rows(batch)
     assert got.count() > 0
+
+
+def _drain_with_progress(streamed, name, output_mode):
+    """AvailableNow drain that returns the query's progress list so tests
+    can read state-store metrics (numRowsTotal / numRowsRemoved)."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            streamed.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return list(q.recentProgress)
+
+
+def _state_rows(progresses):
+    """(numRowsTotal of last batch with a state operator, total removed)."""
+    total, removed = None, 0
+    for p in progresses:
+        ops = p.get("stateOperators") or []
+        if ops:
+            total = ops[0]["numRowsTotal"]
+            removed += ops[0].get("numRowsRemoved", 0)
+    return total, removed
+
+
+def _write_ts_chunks(spark, tmp_path, chunks):
+    """Write one parquet dir per chunk (ordered mtimes) and return a
+    maxFilesPerTrigger=1 stream over them. chunks: list of row-lists
+    (user_id, ts_str, event_type, value)."""
+    import time
+
+    src = str(tmp_path / "evchunks")
+    for i, rows in enumerate(chunks):
+        df = spark.createDataFrame(
+            [(u, t, e, v) for (u, t, e, v) in rows],
+            "user_id long, ts_s string, event_type string, value double",
+        )
+        from pyspark.sql import functions as F
+
+        df.select(
+            "user_id",
+            F.to_timestamp("ts_s").alias("ts"),
+            "event_type",
+            "value",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/c{i}")
+        time.sleep(1.05)  # distinct mtimes => deterministic batch order
+
+    schema = spark.read.parquet(f"{src}/c0").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/c*")
+    )
+
+
+def test_stateful_running_agg_evicts_idle_keys(spark, tmp_path):
+    """EventTimeTimeout state bound (VERDICT r3 #1): once the watermark
+    passes an idle key's last event by state_ttl, its state row is REMOVED
+    from the store — total state tracks live keys, not total-ever keys."""
+    from keystone_spark.streaming.windows import stateful_running_agg
+
+    t0 = "2024-01-01 00:00:00"
+    chunks = [
+        [(1, t0, "view", 1.0), (1, "2024-01-01 00:10:00", "view", 2.0)],
+        [(2, "2024-01-01 03:00:00", "view", 3.0)],
+        [(2, "2024-01-01 06:00:00", "view", 4.0)],
+    ]
+    stream_in = _write_ts_chunks(spark, tmp_path, chunks)
+    streamed = stateful_running_agg(
+        stream_in, watermark="1 hour", state_ttl="1 hour"
+    )
+    prog = _drain_with_progress(streamed, "evict_agg_out", "update")
+    total, removed = _state_rows(prog)
+    # batch3 watermark = 03:00 - 1h = 02:00 > user1 timeout (00:10 + 1h)
+    assert removed >= 1, f"user1 state never evicted: {prog}"
+    assert total == 1, f"expected only user2 live, got {total}"
+    # and the emitted aggregates are still correct per key
+    got = {r.user_id: (r.n, r.sum_value) for r in spark.sql(
+        "SELECT user_id, max(n) AS n, max(sum_value) AS sum_value "
+        "FROM evict_agg_out GROUP BY user_id").collect()}
+    assert got[1] == (2, 3.0) and got[2] == (2, 7.0)
+
+
+def test_streaming_funnel_evicts_idle_users(spark, tmp_path):
+    """Funnel fallback path: an abandoned funnel (user stuck mid-stage)
+    is evicted once idle past state_ttl; active users keep their state
+    and still complete."""
+    from keystone_spark.streaming.windows import streaming_funnel
+
+    chunks = [
+        # user1 stalls at stage 2 (view+click, never purchases)
+        [(1, "2024-01-01 00:00:00", "view", 0.0),
+         (1, "2024-01-01 00:05:00", "click", 0.0)],
+        # user2 starts much later -> watermark jumps past user1's TTL
+        [(2, "2024-01-01 05:00:00", "view", 0.0)],
+        [(2, "2024-01-01 08:00:00", "click", 0.0),
+         (2, "2024-01-01 08:01:00", "purchase", 0.0)],
+    ]
+    stream_in = _write_ts_chunks(spark, tmp_path, chunks)
+    streamed = streaming_funnel(
+        stream_in, api="apwis", watermark="1 hour", state_ttl="1 hour"
+    )
+    prog = _drain_with_progress(streamed, "evict_funnel_out", "append")
+    total, removed = _state_rows(prog)
+    assert removed >= 1, f"user1 funnel state never evicted: {prog}"
+    rows = spark.sql("SELECT * FROM evict_funnel_out").collect()
+    assert [r.user_id for r in rows] == [2]  # user2 completed, user1 never
