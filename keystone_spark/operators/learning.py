@@ -494,19 +494,31 @@ class ApproxKernelRidge(LabelEstimator):
 
 class ZCAWhitener(Estimator):
     """ZCA whitening (Sigma + eps I)^(-1/2) from a seeded sample
-    (reference: nodes/learning/ZCAWhitener.scala — local SVD on patches)."""
+    (reference: nodes/learning/ZCAWhitener.scala — local SVD on patches).
+
+    The fit-time collect is HARD-CAPPED at ``n_sample_rows`` regardless of
+    input size — the reference fits on sampled patches, and a covariance
+    estimate does not need more rows than that; without the cap a caller
+    fitting on a 10^8-row DataFrame would drive the whole dataset into the
+    driver. ``sample_fraction`` (optional) additionally pre-thins before
+    the cap for seed-controlled randomization; the cap itself is a plain
+    ``limit`` (deterministic for file sources, no sort, no extra shuffle).
+    """
 
     name = "zca"
 
     def __init__(self, in_col: str = "features", out_col: str = "white",
-                 eps: float = 0.1, sample_fraction: float = 1.0, seed: int = 42):
+                 eps: float = 0.1, sample_fraction: float | None = None,
+                 seed: int = 42, n_sample_rows: int = 100_000):
         self.in_col, self.out_col, self.eps = in_col, out_col, eps
         self.sample_fraction, self.seed = sample_fraction, seed
+        self.n_sample_rows = n_sample_rows
 
     def _fit(self, df: DataFrame) -> Transformer:
         sample = df.select(self.in_col)
-        if self.sample_fraction < 1.0:
+        if self.sample_fraction is not None and self.sample_fraction < 1.0:
             sample = sample.sample(self.sample_fraction, seed=self.seed)
+        sample = sample.limit(int(self.n_sample_rows))
         X = np.asarray([r[0] for r in sample.collect()], dtype=np.float64)
         mu = X.mean(axis=0)
         Xc = X - mu
