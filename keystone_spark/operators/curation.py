@@ -143,12 +143,23 @@ def reservoir_per_key(
 
     ``id_cols`` defaults to all non-key columns; md5 is the priority
     hash deliberately (available in every engine, so the exact sample is
-    cross-checkable against a SQL oracle)."""
+    cross-checkable against a SQL oracle). NULL id values are encoded as
+    an explicit sentinel before hashing — concat_ws silently DROPS null
+    arguments, which would otherwise collide rows that differ only in
+    which column is null (the SQL mirror is
+    ``coalesce(CAST(c AS VARCHAR), chr(0) || 'NULL')``)."""
     ids = id_cols if id_cols is not None else [
         c for c in df.columns if c not in key_cols
     ]
     pri = F.md5(
-        F.concat_ws("\x1f", F.lit(salt), *[F.col(c).cast("string") for c in ids])
+        F.concat_ws(
+            "\x1f",
+            F.lit(salt),
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+                for c in ids
+            ],
+        )
     )
     w = Window.partitionBy(*key_cols).orderBy(pri, *ids)
     return (

@@ -63,21 +63,38 @@ def run_observed_available_now(
     import tempfile
 
     observed = stream_df.observe(name, *checks)
-    with tempfile.TemporaryDirectory() as ckpt:
-        q = (
-            observed.writeStream.format("memory")
-            .queryName(out_table)
-            .outputMode(output_mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        total: dict = {}
-        for prog in q.recentProgress:
-            m = (prog.get("observedMetrics") or {}).get(name)
-            if not m:
-                continue
-            for k, v in m.asDict().items():
-                total[k] = total.get(k, 0) + (v or 0)
+    # recentProgress is a ring buffer capped by numRecentProgressUpdates
+    # (default 100): a drain producing more micro-batches would silently
+    # drop early batches' metrics. Raise it for this run (set/restore —
+    # no lasting session mutation); 100k batches bounds any AvailableNow
+    # drain this helper is for, and the cap is documented here rather
+    # than hidden.
+    spark = stream_df.sparkSession
+    _key = "spark.sql.streaming.numRecentProgressUpdates"
+    _old = spark.conf.get(_key, None)
+    spark.conf.set(_key, "100000")
+    try:
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                observed.writeStream.format("memory")
+                .queryName(out_table)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            progresses = list(q.recentProgress)
+    finally:
+        if _old is None:
+            spark.conf.unset(_key)
+        else:
+            spark.conf.set(_key, _old)
+    total: dict = {}
+    for prog in progresses:
+        m = (prog.get("observedMetrics") or {}).get(name)
+        if not m:
+            continue
+        for k, v in m.asDict().items():
+            total[k] = total.get(k, 0) + (v or 0)
     return total

@@ -228,10 +228,22 @@ class BinaryRecordsWriter(DataSourceWriter):
         if self.overwrite:
             for old in _glob.glob(os.path.join(self.path, "part-*.bin")):
                 os.remove(old)
+            base = 0
+        else:
+            # Append must never clobber previously committed part files:
+            # start numbering past the highest existing index.
+            existing = _glob.glob(os.path.join(self.path, "part-*.bin"))
+            base = max(
+                (
+                    int(os.path.basename(p)[len("part-"):-len(".bin")]) + 1
+                    for p in existing
+                ),
+                default=0,
+            )
         for i, m in enumerate(sorted(
             (m for m in messages if m is not None), key=lambda m: m.path
         )):
-            os.replace(m.path, os.path.join(self.path, f"part-{i:05d}.bin"))
+            os.replace(m.path, os.path.join(self.path, f"part-{base + i:05d}.bin"))
 
     def abort(self, messages) -> None:
         for m in messages:

@@ -120,3 +120,37 @@ def test_reservoir_per_key_deterministic_and_uniformish(spark):
 
     plan = a._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_reservoir_null_ids_do_not_collide(spark):
+    """ADVICE r3: concat_ws drops NULL args, so rows differing only in
+    WHICH id column is null used to hash to the same priority. With the
+    explicit NULL sentinel they rank as distinct rows: sampling k=2 from
+    (a,NULL) and (NULL,a) must keep both."""
+    from keystone_spark.operators.curation import reservoir_per_key
+
+    df = spark.createDataFrame(
+        [("k", "a", None), ("k", None, "a")],
+        "key string, c1 string, c2 string",
+    )
+    out = reservoir_per_key(df, ["key"], 2, id_cols=["c1", "c2"])
+    assert out.count() == 2
+
+    # and the DuckDB-mirrorable encoding is stable: same rows, same sample
+    import duckdb
+
+    pdf = df.toPandas()
+    got = duckdb.sql(
+        """
+        WITH ranked AS (
+            SELECT key, c1, c2, ROW_NUMBER() OVER (
+                PARTITION BY key
+                ORDER BY md5(chr(31)
+                    || coalesce(CAST(c1 AS VARCHAR), chr(0) || 'NULL') || chr(31)
+                    || coalesce(CAST(c2 AS VARCHAR), chr(0) || 'NULL')),
+                    c1 NULLS FIRST, c2 NULLS FIRST
+            ) AS rs FROM pdf)
+        SELECT key, c1, c2 FROM ranked WHERE rs <= 2
+        """
+    ).df()
+    assert len(got) == 2

@@ -188,3 +188,40 @@ def test_writer_roundtrip_and_overwrite(spark, tmp_path):
         .load()
     )
     assert back2.count() == 10
+
+
+def test_writer_append_accumulates(spark, tmp_path):
+    """ADVICE r3: mode('append') onto a non-empty sink must ADD part files,
+    never silently replace previously committed ones — two appends of 10
+    records leave 20, with all payloads intact."""
+    import pyspark.sql.functions as F
+
+    register_binary_records(spark)
+    out = str(tmp_path / "append_sink")
+
+    def write_ids(lo, hi):
+        df = spark.range(lo, hi).select(
+            F.concat(
+                F.col("id").cast("binary"),
+                F.lit(bytes(REC - 8)),
+            ).alias("record")
+        ).repartition(2)
+        df.write.format("binary_records").option("path", out).option(
+            "record_bytes", REC
+        ).mode("append").save()
+
+    write_ids(0, 10)
+    write_ids(10, 20)
+    back = (
+        spark.read.format("binary_records")
+        .option("path", f"{out}/part-*.bin")
+        .option("record_bytes", REC)
+        .load()
+    )
+    ids = sorted(
+        int.from_bytes(bytes(r.record)[:8], "big") for r in back.collect()
+    )
+    assert ids == list(range(20)), "second append clobbered the first"
+    import glob as g
+    names = sorted(g.glob(f"{out}/part-*.bin"))
+    assert len(names) == 4  # 2 tasks x 2 appends, distinct indices
