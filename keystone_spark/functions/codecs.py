@@ -8,9 +8,11 @@ zlib-compressed filtered scanlines (RFC 2083, both interlace methods —
 Adam7 passes deinterlaced per spec) decoded with ``zlib`` + numpy; JPEG
 (ITU-T T.81, baseline sequential AND progressive with spectral selection
 + successive approximation) is decoded by a table-driven Huffman +
-dequant + batched-IDCT pipeline below; WAV is stdlib ``wave``.
-mp3 / ogg / flac still raise NotImplementedError at their hooks
-(quarantinable via the operators' ``errors='null'``).
+dequant + batched-IDCT pipeline below; WAV is stdlib ``wave``; FLAC
+(constant/verbatim/fixed/LPC subframes, Rice residuals, all stereo
+decorrelation modes, CRC-verified frames) is the sibling module
+``functions/flac.py``. mp3 / ogg still raise NotImplementedError at
+their hooks (quarantinable via the operators' ``errors='null'``).
 
 These run inside Arrow-batched ``mapInPandas`` kernels (one Python call
 per payload). At 100 TB the per-payload cost is the codec itself, not the

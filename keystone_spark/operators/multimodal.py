@@ -346,17 +346,18 @@ def decode_audio(
 ) -> DataFrame:
     """binary payload -> AUDIO_STRUCT (sample_rate, n_samples, float PCM).
 
-    decode='real' decodes PCM WAV via stdlib ``wave`` (multi-channel
-    averaged to mono, native sample rate/length kept — sample_rate /
-    n_samples params apply to the fake path only). 'fake' derives
-    deterministic PCM from the content hash so plumbing, schema and batch
-    shape are testable without any codec.
+    decode='real' decodes PCM WAV via stdlib ``wave`` and FLAC via the
+    pure-numpy decoder (functions/flac.py) — multi-channel averaged to
+    mono, native sample rate/length kept; sample_rate / n_samples params
+    apply to the fake path only. 'fake' derives deterministic PCM from
+    the content hash so plumbing, schema and batch shape are testable
+    without any codec.
 
     Error policy, two independent axes (same contract as decode_images):
     - ``on_error``: corrupt payloads. 'null' (default) -> NULL audio;
       'raise' surfaces the error.
-    - ``errors``: UNSUPPORTED formats (mp3/ogg/flac — no native codec in
-      container; transcode to PCM WAV upstream). 'strict' (default)
+    - ``errors``: UNSUPPORTED formats (mp3/ogg — no native codec in
+      container; transcode to PCM WAV/FLAC upstream). 'strict' (default)
       raises NotImplementedError; 'null' quarantines the row as NULL so
       one stray compressed file cannot kill a 100 TB ingest.
     ``quarantine``: optional Spark accumulator counting nulled rows.
@@ -374,6 +375,7 @@ def decode_audio(
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from keystone_spark.functions.codecs import decode_wav, sniff_media
+        from keystone_spark.functions.flac import decode_flac
 
         for pdf in batches:
             if pdf.empty:
@@ -386,19 +388,22 @@ def decode_audio(
                 raw = bytes(payload)
                 if decode == "real":
                     kind = sniff_media(raw)
-                    if kind in ("mp3", "ogg", "flac"):
+                    if kind in ("mp3", "ogg"):
                         if errors == "strict":
                             raise NotImplementedError(
                                 f"{kind} decode requires a native codec "
                                 "(soundfile/ffmpeg, not in container); "
-                                "transcode to PCM WAV upstream"
+                                "transcode to PCM WAV or FLAC upstream"
                             )
                         if quarantine is not None:
                             quarantine.add(1)
                         out.append(None)  # unsupported format -> null audio
                         continue
                     try:
-                        sr, pcm = decode_wav(raw)
+                        if kind == "flac":
+                            sr, pcm = decode_flac(raw)
+                        else:
+                            sr, pcm = decode_wav(raw)
                     except Exception:
                         if on_error == "raise":
                             raise
