@@ -287,8 +287,16 @@ def frame_sample(
     out_col: str = "frames",
     decode: str = "fake",
 ) -> DataFrame:
-    """video binary -> n_frames decoded frames (1->N via explode after a
-    batched decode). decode='real' is the ffmpeg hook."""
+    """video binary -> up to n_frames decoded frames, evenly sampled over
+    the video's timeline (1->N via the batched mapInPandas kernel;
+    ``frame_idx`` is the frame's ORIGINAL index in the stream, so samples
+    are traceable back to a timestamp via fps).
+
+    decode='real' decodes MJPEG-in-AVI containers for real: RIFF chunk
+    walk (functions/avi.py) -> per-frame JPEG payloads -> the existing
+    pure-numpy ``decode_jpeg``. Other containers/codecs (H.264, VP9, ...)
+    raise NotImplementedError — interframe codecs need ffmpeg, which is
+    not in this container."""
     fields = [f for f in df.schema.fields]
     out_schema = StructType(
         fields
@@ -300,14 +308,42 @@ def frame_sample(
     cols = [f.name for f in fields]
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from keystone_spark.functions.avi import parse_avi_mjpeg_frames
+        from keystone_spark.functions.codecs import decode_jpeg
+
         for pdf in batches:
             if pdf.empty:
                 continue
             rows = []
             for _, row in pdf.iterrows():
-                if decode == "real":
-                    raise NotImplementedError("real video decode requires ffmpeg")
                 payload = bytes(row[payload_col])
+                if decode == "real":
+                    try:
+                        jpegs = parse_avi_mjpeg_frames(payload)
+                    except ValueError as exc:
+                        raise NotImplementedError(
+                            "real video decode beyond MJPEG-in-AVI requires "
+                            f"ffmpeg (not in container): {exc}"
+                        ) from exc
+                    take = np.unique(
+                        np.linspace(
+                            0, len(jpegs) - 1, min(n_frames, len(jpegs))
+                        ).round().astype(int)
+                    )
+                    for k in take.tolist():
+                        arr = decode_jpeg(jpegs[k])
+                        if arr.ndim == 2:
+                            arr = arr[:, :, None]
+                        r = {c: row[c] for c in cols}
+                        r["frame_idx"] = int(k)
+                        r[out_col] = {
+                            "height": arr.shape[0],
+                            "width": arr.shape[1],
+                            "n_channels": arr.shape[2],
+                            "data": arr.ravel().tolist(),
+                        }
+                        rows.append(r)
+                    continue
                 for k in range(n_frames):
                     arr = _fake_decode(payload + k.to_bytes(4, "little"))
                     r = {c: row[c] for c in cols}

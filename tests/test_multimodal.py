@@ -112,3 +112,47 @@ def test_null_payload_propagates_as_null(spark):
     assert feats[1] is None and len(feats[0]) == 6
     gray = {r.doc_id: r.gray for r in grayscale(imgs).collect()}
     assert gray[1] is None and gray[0].n_channels == 1
+
+
+def test_frame_sample_real_mjpeg_avi(spark):
+    """VERDICT r3 #6: frame_sample(decode='real') decodes MJPEG-in-AVI —
+    N evenly-sampled frames come back with their ORIGINAL stream indices
+    and pixel content matching the encoded frames."""
+    import numpy as np
+
+    from keystone_spark.functions.avi import encode_avi_mjpeg
+    from keystone_spark.functions.codecs import encode_jpeg
+
+    # 10 frames, each a flat image whose level encodes its index
+    jpegs = [
+        encode_jpeg(np.full((16, 24, 3), i / 10.0), quality=95)
+        for i in range(10)
+    ]
+    avi = encode_avi_mjpeg(jpegs, 24, 16, fps=5)
+    df = spark.createDataFrame(
+        [(1, bytearray(avi))], "id long, content binary"
+    )
+    got = frame_sample(df, n_frames=4, decode="real").collect()
+    assert [r.frame_idx for r in got] == [0, 3, 6, 9]  # even timeline sample
+    for r in got:
+        img = r.frames
+        assert (img.height, img.width, img.n_channels) == (16, 24, 3)
+        level = float(np.mean(img.data))
+        assert abs(level - r.frame_idx / 10.0) < 0.02
+
+    # asking for more frames than exist returns every frame once
+    all_got = frame_sample(df, n_frames=99, decode="real").collect()
+    assert [r.frame_idx for r in all_got] == list(range(10))
+
+
+def test_frame_sample_real_non_avi_keeps_ffmpeg_hook(spark):
+    """Non-AVI (or non-MJPEG) payloads still raise the honest
+    NotImplementedError — interframe codecs need ffmpeg."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x00\x00\x00\x20ftypisom not a riff"))],
+        "id long, content binary",
+    )
+    with _pytest.raises(Exception, match="ffmpeg"):
+        frame_sample(df, decode="real").collect()
