@@ -10,6 +10,14 @@ output column through the full plan with no driver-side row transfer). A
 warmup pass primes the JVM/codegen caches; reported value is the best of 2
 timed iterations (steady-state, matches how a long-running cluster
 behaves).
+
+Second scale point (VERDICT r3 #7): when ``.localdata/sf1`` exists
+(build: ``python tools/make_scaled_data.py``), the same suite also runs
+there and lands in the SAME JSON line under ``sf1_value``/``sf1_queries``
+— the one-line contract the driver parses stays intact while data-bound
+regressions become driver-visible instead of living only in BASELINE.md.
+Primary metric/value stay $SPARK_GRAFT_SF_DIR-based for baseline
+comparability. Opt out with SPARK_GRAFT_SKIP_SF1=1.
 """
 
 from __future__ import annotations
@@ -50,29 +58,36 @@ def main() -> None:
         # noop datasource: full plan incl. every output column, zero sink IO
         df.write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name, key in BENCH_QUERIES:
-        fn = qs[key]
-        run(fn(spark, sf_dir))  # warmup (plan + codegen + file listing)
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            run(fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+    def run_suite(d: str) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name, key in BENCH_QUERIES:
+            fn = qs[key]
+            run(fn(spark, d))  # warmup (plan + codegen + file listing)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                run(fn(spark, d))
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
+        return timings
 
+    timings = run_suite(sf_dir)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "bench_suite_total",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "bench_suite_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    sf1_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".localdata", "sf1")
+    if os.path.isdir(sf1_dir) and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
+        sf1 = run_suite(sf1_dir)
+        result["sf1_value"] = round(sum(sf1.values()), 4)
+        result["sf1_queries"] = sf1
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
