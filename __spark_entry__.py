@@ -2408,6 +2408,74 @@ def q_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-curation PII scrub (functions/text.redact_pii): email/phone/IP
+    patterns replaced by typed tags in one codegen regexp_replace chain —
+    a map-only scan at 100 TB, no shuffle, no Python. The fixture corpus
+    carries no PII, so the query deterministically injects one email,
+    phone and IPv4 per doc (derived from doc_id) before scrubbing; the
+    oracle replays the identical injection + chain, so the full redacted
+    string AND the per-doc match count hash-check."""
+    from keystone_spark.functions.text import pii_count, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-012-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    return aug.select(
+        "doc_id",
+        redact_pii(F.col("text")).alias("redacted"),
+        pii_count(F.col("text")).cast("long").alias("n_pii"),
+    ).orderBy("doc_id")
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals
+    (functions/text.repetition_signals): distinct-token ratio + most
+    frequent bigram share per document, all array-lambda codegen (the
+    bigram mode is computed without any per-doc shuffle — at 100 TB this
+    stays one map-only scan feeding a curation filter)."""
+    from keystone_spark.functions.text import repetition_signals
+
+    d = _t(spark, sf_dir, "documents")
+    sig = repetition_signals(F.split(F.col("text"), " "))
+    return d.select(
+        "doc_id",
+        sig["n_tokens"].alias("n_tokens"),
+        F.round(sig["distinct_ratio"], 6).alias("distinct_ratio"),
+        sig["top_bigram_count"].alias("top_bigram_count"),
+        F.round(sig["top_bigram_frac"], 6).alias("top_bigram_frac"),
+    ).orderBy("doc_id")
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination scan
+    (operators/curation.contamination_check): docs sharing any word
+    4-gram with the benchmark subset (doc_id % 97 == 0). Docs explode to
+    distinct xxhash64 gram hashes (8 bytes through the shuffle, not the
+    gram string); the tiny benchmark side broadcasts, so the check is one
+    corpus scan + map-side semi filter at 100 TB. The oracle joins on the
+    literal gram strings — identical result unless xxhash64 collides."""
+    from keystone_spark.operators.curation import contamination_check
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return contamination_check(
+        d.where(F.col("doc_id") % 97 != 0),
+        d.where(F.col("doc_id") % 97 == 0),
+        n=4,
+        token_expr=toks,
+    ).orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_multi_join(spark, "/root/testdata/sf0.001")
@@ -2430,6 +2498,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waiting_suppliers": q_waiting_suppliers,
         "window_nav": q_window_nav,
         "collect_agg": q_collect_agg,
+        # --- new in round 4 (LLM-curation text ops) ---
+        "pii_redact": q_pii_redact,
+        "repetition_signals": q_repetition_signals,
+        "contamination": q_contamination,
         "event_sliding_window": q_event_sliding_window,
         "map_fns": q_map_fns,
         "approx_distinct": q_approx_distinct,
@@ -3323,6 +3395,87 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id ORDER BY ts, event_id
                    ))) AS BIGINT) AS valid_to
             FROM ch ORDER BY user_id, valid_from
+        """,
+        # identical PII injection + regexp chain; counts taken on the
+        # progressively redacted text exactly like pii_count
+        "pii_redact": r"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or 555-012-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                            || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                            || '.7' AS text
+                FROM documents),
+            s1 AS (
+                SELECT doc_id,
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '[EMAIL]', 'g') AS t1,
+                       len(regexp_extract_all(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                           AS c1
+                FROM aug),
+            s2 AS (
+                SELECT doc_id,
+                       regexp_replace(t1,
+                           '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b',
+                           '[PHONE]', 'g') AS t2,
+                       c1 + len(regexp_extract_all(t1,
+                           '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS c2
+                FROM s1)
+            SELECT doc_id,
+                   regexp_replace(t2,
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                       '[IP]', 'g') AS redacted,
+                   CAST(c2 + len(regexp_extract_all(t2,
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+                       AS BIGINT) AS n_pii
+            FROM s2 ORDER BY doc_id
+        """,
+        # same split + bigram construction + list-lambda mode
+        "repetition_signals": """
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+            g AS (
+                SELECT doc_id, tk,
+                       CASE WHEN len(tk) >= 2 THEN list_transform(
+                                range(1, len(tk)),
+                                i -> tk[i] || ' ' || tk[i+1])
+                            ELSE [] END AS g2
+                FROM t),
+            m AS (
+                SELECT doc_id, tk, g2,
+                       coalesce(list_max(list_transform(
+                           list_distinct(g2),
+                           x -> len(list_filter(g2, y -> y = x)))), 0) AS top
+                FROM g)
+            SELECT doc_id,
+                   CAST(len(tk) AS BIGINT) AS n_tokens,
+                   ROUND(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6)
+                       AS distinct_ratio,
+                   CAST(top AS BIGINT) AS top_bigram_count,
+                   CASE WHEN len(g2) > 0
+                        THEN ROUND(CAST(top AS DOUBLE) / len(g2), 6)
+                        END AS top_bigram_frac
+            FROM m ORDER BY doc_id
+        """,
+        # gram-string join == gram-hash semi join (xxhash64 collision-free
+        # at fixture scale)
+        "contamination": """
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+            g AS (
+                SELECT doc_id,
+                       UNNEST(list_distinct(CASE WHEN len(tk) >= 4
+                           THEN list_transform(range(1, len(tk) - 2),
+                               i -> tk[i] || ' ' || tk[i+1] || ' '
+                                    || tk[i+2] || ' ' || tk[i+3])
+                           ELSE [] END)) AS gram
+                FROM t),
+            b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+            SELECT DISTINCT g.doc_id FROM g JOIN b USING (gram)
+            WHERE g.doc_id % 97 <> 0 ORDER BY doc_id
         """,
         # identical md5 priority ranking -> the exact sample reproduces
         "reservoir_sample": """

@@ -179,3 +179,72 @@ def rolling_fingerprint(toks: Column | str, window: int = 8) -> Column:
         F.size(grams) > 0,
         F.array_min(F.transform(grams, lambda g: F.xxhash64(g))),
     ).otherwise(F.xxhash64(F.concat_ws(" ", _c(toks))))
+
+
+# --- PII redaction (LLM-curation scrub pass) --------------------------------
+# Patterns are deliberately limited to syntax that means the SAME thing in
+# Java regex (Spark codegen) and RE2 (DuckDB oracle): char classes, bounded
+# repetition, \b. Order matters: emails first (their local part can contain
+# digit runs), then phones, then bare IPv4s.
+
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "[PHONE]"),
+    (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
+)
+
+
+def redact_pii(text: Column | str) -> Column:
+    """text -> text with emails/phones/IPv4s replaced by typed tags.
+
+    Pure ``regexp_replace`` chain — codegen end to end, so the scrub pass
+    is a map-only scan at 100 TB (no shuffle, no Python)."""
+    out = _c(text)
+    for pat, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def pii_count(text: Column | str) -> Column:
+    """Number of PII matches that ``redact_pii`` would replace."""
+    t = _c(text)
+    total = F.lit(0)
+    # count patterns on the PROGRESSIVELY REDACTED text, mirroring the
+    # replace chain — otherwise the IP pattern would also count the
+    # digit runs inside already-counted phone numbers
+    for pat, tag in PII_PATTERNS:
+        total = total + F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+        t = F.regexp_replace(t, pat, tag)
+    return total
+
+
+def repetition_signals(toks: Column | str) -> Column:
+    """Gopher-style repetition quality signals from a token array:
+    struct(n_tokens, distinct_ratio, top_bigram_count, top_bigram_frac).
+
+    ``top_bigram_*`` is the most frequent 2-gram's share — high values
+    flag boilerplate/spam documents. The mode is computed with
+    array-lambda expressions (O(distinct * n) per doc, pure codegen):
+    at 100 TB this stays a map-only scan; no per-doc shuffle ever."""
+    t = _c(toks)
+    g2 = word_ngrams(t, 2)
+    top = F.when(
+        F.size(g2) > 0,
+        F.array_max(
+            F.transform(
+                F.array_distinct(g2),
+                lambda x: F.size(F.filter(g2, lambda y: y == x)),
+            )
+        ),
+    ).otherwise(F.lit(0))
+    n = F.size(t)
+    return F.struct(
+        n.cast("long").alias("n_tokens"),
+        F.when(n > 0, F.size(F.array_distinct(t)).cast("double") / n)
+        .otherwise(F.lit(None).cast("double"))
+        .alias("distinct_ratio"),
+        top.cast("long").alias("top_bigram_count"),
+        F.when(F.size(g2) > 0, top.cast("double") / F.size(g2))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("top_bigram_frac"),
+    )

@@ -167,3 +167,54 @@ def reservoir_per_key(
         .where(F.col("__rs") <= k)
         .drop("__rs")
     )
+
+
+def contamination_check(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_expr=None,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark-contamination scan: which training docs share at least
+    one word n-gram with an evaluation/benchmark set.
+
+    The standard train/test leakage check for LLM corpora (n-gram overlap
+    a la GPT-3/PaLM decontamination): docs explode to DISTINCT n-gram
+    hashes (xxhash64 — 8 bytes through the shuffle instead of the gram
+    string), the benchmark side reduces to a distinct hash set, and a
+    LEFT SEMI join keeps contaminated doc ids. At 100 TB the benchmark
+    side is tiny -> Spark broadcasts it and the check is a map-side
+    filter over one scan of the corpus; no all-pairs anything.
+
+    ``token_expr``: optional Column producing array<string> tokens from a
+    row (defaults to functions.text.tokens on ``text_col``).
+    """
+    from pyspark.sql import functions as F
+
+    from keystone_spark.functions.text import tokens, word_ngrams
+
+    toks = token_expr if token_expr is not None else tokens(F.col(text_col))
+    gram_hashes = F.transform(
+        F.array_distinct(word_ngrams(toks, n)), lambda g: F.xxhash64(g)
+    )
+
+    def explode_grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            id_col, F.explode(gram_hashes).alias("__gram")
+        )
+
+    bench_grams = explode_grams(bench).select("__gram").distinct()
+    if broadcast_bench:
+        # eval sets are tiny next to the corpus: pin the broadcast so the
+        # scan-side semi filter never degrades to a sort-merge of 100 TB
+        # of gram hashes (pass False for a genuinely huge bench side)
+        bench_grams = F.broadcast(bench_grams)
+    return (
+        explode_grams(docs)
+        .join(bench_grams, "__gram", "left_semi")
+        .select(id_col)
+        .distinct()
+    )

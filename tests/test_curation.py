@@ -154,3 +154,30 @@ def test_reservoir_null_ids_do_not_collide(spark):
         """
     ).df()
     assert len(got) == 2
+
+
+def test_contamination_check_synthetic(spark):
+    """Exact overlap semantics: a doc is contaminated iff it shares a
+    FULL word n-gram with the benchmark set (shorter overlaps don't
+    count), and benchmark membership itself doesn't leak into results."""
+    from keystone_spark.operators.curation import contamination_check
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over"),   # shares 4-gram with bench
+            (2, "quick brown fox leaps over walls"), # only 3-gram overlap
+            (3, "completely different words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "see the quick brown fox jumps far away")],
+        "doc_id long, text string",
+    )
+    got = [r.doc_id for r in contamination_check(docs, bench, n=4).collect()]
+    assert got == [1]
+    # n=3 also catches doc 2
+    got3 = sorted(
+        r.doc_id for r in contamination_check(docs, bench, n=3).collect()
+    )
+    assert got3 == [1, 2]

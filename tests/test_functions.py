@@ -107,3 +107,60 @@ def test_rolling_fingerprint_shift_invariance(spark):
     fs = {r.id: r.f for r in rows}
     assert fs[0] == fs[1]          # deterministic
     assert fs[2] is not None       # short-doc fallback works
+
+
+def test_redact_pii_and_count(spark):
+    from keystone_spark.functions.text import pii_count, redact_pii
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "mail a.b-c_9@sub.example.org now"),
+        (2, "call 555-123-4567 or 555.123.4567"),
+        (3, "host 192.168.0.1 up"),
+        (4, "clean text, no pii at all"),
+        # phone digits must not double-count as an IP once redacted
+        (5, "x 555-123-4567 at 10.0.0.7"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        r.id: (r.red, r.n)
+        for r in df.select(
+            "id",
+            redact_pii("t").alias("red"),
+            pii_count("t").alias("n"),
+        ).collect()
+    }
+    assert got[1] == ("mail [EMAIL] now", 1)
+    assert got[2] == ("call [PHONE] or [PHONE]", 2)
+    assert got[3] == ("host [IP] up", 1)
+    assert got[4] == ("clean text, no pii at all", 0)
+    assert got[5] == ("x [PHONE] at [IP]", 2)
+
+
+def test_repetition_signals_known_values(spark):
+    from keystone_spark.functions.text import repetition_signals
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x y z w"), (3, "q")], "id long, t string"
+    )
+    sig = repetition_signals(F.split("t", " "))
+    got = {r.id: r.s.asDict() for r in df.select("id", sig.alias("s")).collect()}
+    # "a b a b a": 5 tokens, 2 distinct, bigrams [ab,ba,ab,ba] -> top 2/4
+    assert got[1]["n_tokens"] == 5
+    assert abs(got[1]["distinct_ratio"] - 0.4) < 1e-9
+    assert got[1]["top_bigram_count"] == 2
+    assert abs(got[1]["top_bigram_frac"] - 0.5) < 1e-9
+    # all-distinct doc: ratio 1.0, every bigram unique
+    assert got[2]["distinct_ratio"] == 1.0 and got[2]["top_bigram_count"] == 1
+    # single token: no bigrams -> count 0, frac null
+    assert got[3]["top_bigram_count"] == 0 and got[3]["top_bigram_frac"] is None
+
+
+def test_redact_pii_is_codegen_only(spark):
+    """The scrub pass must stay JVM-side: no BatchEvalPython stage."""
+    from keystone_spark.functions.text import redact_pii
+
+    df = spark.range(10).select(F.concat(F.lit("u@x.io "), F.col("id").cast("string")).alias("t"))
+    plan = df.select(redact_pii("t")). _jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -367,3 +367,22 @@ def test_scd2_single_shuffle(spark, sf_dir, qs):
     n_ex = len(set(re.findall(r"\((\d+)\) Exchange", plan)))
     assert n_ex == 2, plan[:1200]
     assert len(set(re.findall(r"\((\d+)\) Window", plan))) == 2
+
+
+def test_contamination_broadcast_semi_filter(spark, sf_dir, qs):
+    """Decontamination must be a broadcast LEFT SEMI against the tiny
+    benchmark gram set — a sort-merge here would shuffle the whole
+    corpus's gram hashes at 100 TB."""
+    plan = plan_of(qs["contamination"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pii_and_repetition_stay_codegen(spark, sf_dir, qs):
+    """The curation scrub/score passes are map-only scans: zero Python
+    stages, and repetition adds no shuffle beyond its output sort."""
+    for name in ("pii_redact", "repetition_signals"):
+        plan = plan_of(qs[name](spark, sf_dir))
+        assert "EvalPython" not in plan, name
+    rep = plan_of(qs["repetition_signals"](spark, sf_dir))
+    assert rep.count("Exchange") <= 2  # rangepartition for orderBy only
