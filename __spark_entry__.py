@@ -2476,6 +2476,124 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-line removal (operators/curation.line_dedup — the
+    RefinedWeb/Falcon boilerplate pass): deterministic boilerplate
+    headers/footers are injected per doc (so the check is non-vacuous),
+    then every line occurring in > 4 distinct docs is dropped and docs
+    reassemble from surviving lines in order. One map-side-combinable
+    line-frequency agg + broadcast anti join + per-doc reassembly —
+    no all-pairs anything at 100 TB."""
+    from keystone_spark.operators.curation import line_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    boiler = F.element_at(
+        F.array(
+            F.lit("subscribe to our newsletter"),
+            F.lit("accept all cookies"),
+            F.lit("copyright 2026 example corp"),
+            F.lit("all rights reserved"),
+        ),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    footer = F.element_at(
+        F.array(
+            F.lit("home about contact"),
+            F.lit("follow us on social"),
+            F.lit("terms of service apply"),
+        ),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    aug = d.select(
+        "doc_id", F.concat_ws("\n", boiler, F.col("text"), footer).alias("text")
+    )
+    return line_dedup(aug, max_docs=4).orderBy("doc_id")
+
+
+def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE (operators/curation.apply_changes — Delta/Iceberg MERGE
+    INTO semantics on raw parquet): a synthesized changelog of updates
+    (key % 97: +1000 price at seq 2, with a DECOY delete at seq 1 that
+    latest-wins must discard), deletes (% 101), and inserts (% 103,
+    shifted keys) folds onto the orders snapshot. The changelog
+    broadcast-anti-joins the snapshot: one base scan, map-side filter,
+    metadata-only union."""
+    from keystone_spark.operators.curation import apply_changes
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    decoy = base.where(k % 97 == 0).withColumn("op", F.lit("D")).withColumn(
+        "seq", F.lit(1)
+    )
+    upd = (
+        base.where(k % 97 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(2))
+    )
+    dele = (
+        base.where((k % 101 == 0) & (k % 97 != 0))
+        .withColumn("op", F.lit("D"))
+        .withColumn("seq", F.lit(2))
+    )
+    ins = (
+        base.where(k % 103 == 0)
+        .withColumn("o_orderkey", k + F.lit(10_000_000))
+        .withColumn("op", F.lit("I"))
+        .withColumn("seq", F.lit(1))
+    )
+    changes = decoy.unionByName(upd).unionByName(dele).unionByName(ins)
+    out = apply_changes(base, changes, ["o_orderkey"], seq_col="seq")
+    return out.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 6).alias("price"),
+    ).orderBy("o_orderkey")
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style LM filter signal (operators/nlp
+    .bigram_logprob_score): bigram stupid-backoff counts fit on the even
+    half of the corpus, every doc scored by mean log P(w_i | w_{i-1}) —
+    the odd half exercises the backoff path (unseen bigrams). Count fits
+    are map-side-combinable aggs; the vocab-bounded model tables
+    broadcast back onto the exploded doc bigrams."""
+    from keystone_spark.operators.nlp import bigram_logprob_score
+
+    d = _t(spark, sf_dir, "documents")
+    out = bigram_logprob_score(d, fit_docs=d.where(F.col("doc_id") % 2 == 0))
+    return out.select(
+        "doc_id", "n_bigrams", F.round("lm_score", 6).alias("lm_score")
+    ).orderBy("doc_id")
+
+
+def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup labeling (operators/dedup.semantic_clusters): cosine
+    >= 0.3 near-dup pairs over the bounded id range (the
+    embedding_neardup pair kernel) become connected components
+    (large-star/small-star), every vec gets (cluster_id, is_rep) with
+    the min-id representative kept — the semantic-dedup KEEP/DROP
+    labeling. Component labels broadcast back onto the id spine; at
+    100 TB the pair generator swaps to simhash/LSH candidates, the
+    labeling stays identical."""
+    from keystone_spark.functions.vector import cosine_similarity
+    from keystone_spark.operators.dedup import semantic_clusters
+
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    a = e.select(F.col("vec_id").alias("i"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("j"), F.col("embedding").alias("vb"))
+    cos = cosine_similarity(
+        F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("i") < F.col("j"))
+        .select("i", "j", F.round(cos, 6).alias("cos"))
+        .where(F.col("cos") >= 0.3)
+    )
+    return semantic_clusters(pairs, e.select("vec_id")).orderBy("vec_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_multi_join(spark, "/root/testdata/sf0.001")
@@ -2502,6 +2620,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "repetition_signals": q_repetition_signals,
         "contamination": q_contamination,
+        "line_dedup": q_line_dedup,
+        "cdc_upsert": q_cdc_upsert,
+        "lm_score": q_lm_score,
+        "semantic_clusters": q_semantic_clusters,
         "event_sliding_window": q_event_sliding_window,
         "map_fns": q_map_fns,
         "approx_distinct": q_approx_distinct,
@@ -3476,6 +3598,133 @@ def oracle_sql() -> dict[str, str]:
             b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
             SELECT DISTINCT g.doc_id FROM g JOIN b USING (gram)
             WHERE g.doc_id % 97 <> 0 ORDER BY doc_id
+        """,
+        # same boilerplate injection; lines in > 4 distinct docs removed
+        "line_dedup": """
+            WITH aug AS (
+                SELECT doc_id,
+                    ['subscribe to our newsletter','accept all cookies',
+                     'copyright 2026 example corp','all rights reserved']
+                        [CAST(doc_id % 4 AS INT) + 1]
+                    || chr(10) || text || chr(10) ||
+                    ['home about contact','follow us on social',
+                     'terms of service apply'][CAST(doc_id % 3 AS INT) + 1]
+                    AS t
+                FROM documents),
+            ls AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM aug),
+            lines AS (
+                SELECT doc_id,
+                       UNNEST([{'pos': i, 'line': l[i]}
+                               FOR i IN range(1, len(l) + 1)],
+                              recursive := true)
+                FROM ls),
+            common AS (
+                SELECT line FROM lines
+                GROUP BY line HAVING COUNT(DISTINCT doc_id) > 4),
+            kept AS (
+                SELECT * FROM lines
+                WHERE line NOT IN (SELECT line FROM common)),
+            rebuilt AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY pos) AS clean_text
+                FROM kept GROUP BY doc_id)
+            SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text
+            FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        # MERGE INTO fold: latest change per key wins (the seq-1 decoy
+        # delete on % 97 keys must lose to the seq-2 update)
+        "cdc_upsert": """
+            WITH base AS (
+                SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+                FROM orders),
+            upd AS (
+                SELECT o_orderkey, o_custkey, o_orderstatus,
+                       o_totalprice + 1000.0 AS o_totalprice
+                FROM base WHERE o_orderkey % 97 = 0),
+            del_keys AS (
+                SELECT o_orderkey FROM base
+                WHERE o_orderkey % 101 = 0 AND o_orderkey % 97 <> 0),
+            ins AS (
+                SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+                       o_orderstatus, o_totalprice
+                FROM base WHERE o_orderkey % 103 = 0),
+            touched AS (
+                SELECT o_orderkey FROM upd
+                UNION SELECT o_orderkey FROM del_keys
+                UNION SELECT o_orderkey FROM ins),
+            merged AS (
+                SELECT * FROM base
+                WHERE o_orderkey NOT IN (SELECT o_orderkey FROM touched)
+                UNION ALL SELECT * FROM upd
+                UNION ALL SELECT * FROM ins)
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   ROUND(o_totalprice, 6) AS price
+            FROM merged ORDER BY o_orderkey
+        """,
+        # bigram stupid-backoff fit on the even half, scored over all docs
+        "lm_score": """
+            WITH toks AS (
+                SELECT doc_id, list_filter(
+                    string_split_regex(lower(trim(text)), '[^\\p{L}\\p{N}'']+'),
+                    x -> x <> '') AS t
+                FROM documents),
+            fit AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+            fit_uni AS (SELECT UNNEST(t) AS w FROM fit),
+            c1 AS (SELECT w, COUNT(*) AS c1 FROM fit_uni GROUP BY w),
+            n AS (SELECT COUNT(*) AS n FROM fit_uni),
+            fit_bi AS (
+                SELECT UNNEST([{'w1': t[i], 'w2': t[i+1]}
+                               FOR i IN range(1, len(t))],
+                              recursive := true)
+                FROM fit),
+            c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM fit_bi GROUP BY 1, 2),
+            doc_bi AS (
+                SELECT doc_id,
+                       UNNEST([{'w1': t[i], 'w2': t[i+1]}
+                               FOR i IN range(1, len(t))],
+                              recursive := true)
+                FROM toks),
+            scored AS (
+                SELECT doc_id,
+                       CASE WHEN c2.c2 IS NOT NULL
+                            THEN ln(c2.c2 * 1.0 / c1a.c1)
+                            ELSE ln(0.4 * COALESCE(c1b.c1, 1.0) / n.n)
+                       END AS lp
+                FROM doc_bi
+                LEFT JOIN c2 ON c2.w1 = doc_bi.w1 AND c2.w2 = doc_bi.w2
+                LEFT JOIN c1 c1a ON c1a.w = doc_bi.w1
+                LEFT JOIN c1 c1b ON c1b.w = doc_bi.w2
+                CROSS JOIN n)
+            SELECT doc_id, COUNT(*) AS n_bigrams,
+                   ROUND(AVG(lp), 6) AS lm_score
+            FROM scored GROUP BY doc_id ORDER BY doc_id
+        """,
+        # connected components of the rounded-cos >= 0.3 pair graph;
+        # singletons label themselves; representative = cluster min id
+        "semantic_clusters": """
+            WITH RECURSIVE pairs AS (
+                SELECT a.vec_id AS i, b.vec_id AS j
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE a.vec_id < 200 AND b.vec_id < 200
+                  AND ROUND(list_cosine_similarity(
+                        CAST(a.embedding AS DOUBLE[]),
+                        CAST(b.embedding AS DOUBLE[])), 6) >= 0.3),
+            sym AS (SELECT i AS a, j AS b FROM pairs
+                    UNION SELECT j, i FROM pairs),
+            reach(a, b) AS (
+                SELECT a, b FROM sym
+                UNION
+                SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+            comp AS (
+                SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster_id
+                FROM reach GROUP BY a)
+            SELECT e.vec_id,
+                   COALESCE(c.cluster_id, e.vec_id) AS cluster_id,
+                   CAST(COALESCE(c.cluster_id, e.vec_id) = e.vec_id AS INT)
+                       AS is_rep
+            FROM embeddings e LEFT JOIN comp c USING (vec_id)
+            WHERE e.vec_id < 200 ORDER BY e.vec_id
         """,
         # identical md5 priority ranking -> the exact sample reproduces
         "reservoir_sample": """

@@ -169,6 +169,104 @@ def reservoir_per_key(
     )
 
 
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_docs: int = 4,
+    sep: str = "\n",
+    out_col: str = "clean_text",
+    broadcast_common: bool = True,
+) -> DataFrame:
+    """Repeated-line removal (the RefinedWeb/Falcon line-dedup pass):
+    drop every line that occurs in more than ``max_docs`` distinct
+    documents — navbars, cookie banners, boilerplate footers — and
+    reassemble each document from its surviving lines in original order.
+
+    Shape at 100 TB: one map-side-combinable agg over line text to find
+    the common set (web boilerplate is a tiny, heavy-hitter set next to
+    the corpus — millions of lines, not trillions), broadcast LEFT ANTI
+    to filter, then one groupBy per doc to reassemble. The line
+    frequency agg keys on the full line string so the common set is
+    exact (hash-only keys would conflate colliding lines and delete
+    innocent content); set ``broadcast_common=False`` if the common set
+    ever outgrows the broadcast threshold.
+    """
+    lines = docs.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("__pos", "__line"),
+    )
+    common = (
+        lines.groupBy("__line")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .where(F.col("__nd") > max_docs)
+        .select("__line")
+    )
+    if broadcast_common:
+        common = F.broadcast(common)
+    kept = lines.join(common, "__line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            sep,
+        ).alias(out_col)
+    )
+    # docs whose every line was boilerplate must survive as empty strings,
+    # not vanish — left join back to the id spine
+    return (
+        docs.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+    )
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+    seq_col: str | None = None,
+    broadcast_changes: bool = True,
+) -> DataFrame:
+    """CDC MERGE: apply a changelog (insert/update/delete rows) to a base
+    snapshot and return the new snapshot — the Delta/Iceberg ``MERGE
+    INTO`` semantics expressed as plain DataFrame algebra so it works on
+    raw parquet:
+
+    - rows whose ``op_col`` is ``'D'`` delete the matching base key;
+    - any other op upserts (replaces-or-inserts) the change row's values;
+    - with ``seq_col``, only the LATEST change per key applies (ties
+      broken by preferring the delete, then deterministic op order), so a
+      full day's changelog folds in one pass.
+
+    Scale shape: the changelog is small next to the snapshot (else you'd
+    rewrite, not merge) — the per-key latest-change fold shuffles only
+    the changelog, and the base-side LEFT ANTI is a broadcast hash join,
+    i.e. one full scan of base with a map-side filter plus a
+    metadata-only union. Set ``broadcast_changes=False`` to let it
+    degrade to a sort-merge anti join for changelog-sized-like-base
+    backfills.
+    """
+    if seq_col is not None:
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col(seq_col).desc(), F.col(op_col).desc()
+        )
+        changes = (
+            changes.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    touched = changes.select(*key_cols).distinct()
+    if broadcast_changes:
+        touched = F.broadcast(touched)
+    survivors = base.join(touched, key_cols, "left_anti")
+    upserts = changes.where(F.col(op_col) != F.lit("D")).select(*base.columns)
+    return survivors.unionByName(upserts)
+
+
 def contamination_check(
     docs: DataFrame,
     bench: DataFrame,

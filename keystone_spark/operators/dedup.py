@@ -591,3 +591,47 @@ def simhash_candidates(
         .where(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def semantic_clusters(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+    src: str = "i",
+    dst: str = "j",
+    broadcast_labels: bool = True,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup labeling: given near-duplicate PAIRS
+    over an embedding space (any candidate generator — exact threshold
+    pairs, simhash_candidates, lsh_bucket_topk — verified by cosine), and
+    the full id spine ``ids``, label every item with its semantic cluster
+    and mark one deterministic representative (min id) per cluster to
+    KEEP; everything else in the cluster is a semantic duplicate to drop.
+
+    Clusters are connected components of the pair graph (large-star /
+    small-star, O(log^2 n) rounds — see graph.connected_components);
+    items touching no pair become singleton clusters of themselves via a
+    left join against the spine, so the output is a total labeling:
+    (id, cluster_id, is_rep). The component-label table has one row per
+    PAIRED node — usually a small fraction of the corpus, so it
+    broadcasts back onto the spine and the only data-sized operation is
+    the single spine scan; set ``broadcast_labels=False`` when the
+    duplicate fraction is large enough that the labels must sort-merge.
+    """
+    from keystone_spark.operators.graph import connected_components
+
+    comp = connected_components(pairs, src=src, dst=dst, node_col="__n",
+                                comp_col="__c").withColumnRenamed("__n", id_col)
+    if broadcast_labels:
+        comp = F.broadcast(comp)
+    spine = ids.select(F.col(id_col).cast("long").alias(id_col)).distinct()
+    labeled = (
+        spine.join(comp, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__c"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    return labeled.withColumn(
+        "is_rep", (F.col("cluster_id") == F.col(id_col)).cast("int")
+    )

@@ -314,3 +314,85 @@ class AllSparseFeatures(Estimator):
         t = Transformer(apply, "all_sparse_features")
         t.vocab = {r.tok: r.idx for r in vocab_rows}
         return t
+
+
+def bigram_logprob_score(
+    docs: DataFrame,
+    fit_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-document mean bigram log-probability under a corpus LM — the
+    CCNet/Gopher-style "perplexity filter" signal for corpus curation,
+    built on the same counts the StupidBackoffEstimator fits (reference:
+    nodes/nlp/StupidBackoff.scala): score(doc) = mean over positions i>=2
+    of log P(w_i | w_{i-1}) with stupid-backoff smoothing
+
+        P(w2|w1) = c(w1 w2) / c(w1)          if the bigram was seen
+                 = alpha * c(w2) / N          else if w2 was seen
+                 = alpha / N                  else (OOV floor)
+
+    ``fit_docs`` (default: ``docs`` itself) is the corpus the counts come
+    from; pass a held-out/reference slice to score against a clean LM.
+    Returns (id_col, n_bigrams, lm_score) — low scores mark gibberish /
+    boilerplate / wrong-language docs for filtering.
+
+    Scale shape: both count fits are map-side-combinable hash aggs; the
+    model tables are vocab-bounded (unigrams ~1e6 rows, bigrams the only
+    potentially large one) and join back onto the exploded doc bigrams —
+    broadcast by default, flip ``broadcast_model=False`` to sort-merge
+    when the bigram table outgrows the driver. The doc side shuffles only
+    on the final per-doc mean, which AQE coalesces.
+    """
+    fit = fit_docs if fit_docs is not None else docs
+    toks = tokens(F.col(text_col))
+
+    def doc_bigrams(d: DataFrame) -> DataFrame:
+        t = d.select(id_col, toks.alias("__t"))
+        return t.select(
+            id_col,
+            F.posexplode(
+                F.when(F.size("__t") >= 2, F.slice("__t", 1, F.size("__t") - 1))
+                .otherwise(F.array())
+            ).alias("__pos", "w1"),
+            F.col("__t").alias("__t"),
+        ).select(
+            id_col, "__pos", "w1",
+            F.element_at("__t", F.col("__pos") + 2).alias("w2"),
+        )
+
+    fit_bi = doc_bigrams(fit)
+    c2 = fit_bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    uni = fit.select(F.explode(toks).alias("w"))
+    c1 = uni.groupBy("w").agg(F.count("*").alias("c1"))
+    n_total = uni.count()
+
+    if broadcast_model:
+        c2, c1 = F.broadcast(c2), F.broadcast(c1)
+
+    scored = (
+        doc_bigrams(docs)
+        .join(c2, ["w1", "w2"], "left")
+        .join(c1.withColumnRenamed("w", "w1").withColumnRenamed("c1", "c1_w1"),
+              "w1", "left")
+        .join(c1.withColumnRenamed("w", "w2").withColumnRenamed("c1", "c1_w2"),
+              "w2", "left")
+        .select(
+            id_col,
+            F.log(
+                F.when(
+                    F.col("c2").isNotNull(),
+                    F.col("c2") / F.col("c1_w1"),
+                ).otherwise(
+                    F.lit(alpha) * F.coalesce(F.col("c1_w2"), F.lit(1.0))
+                    / F.lit(float(n_total))
+                )
+            ).alias("__lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.avg("__lp").alias("lm_score"),
+    )

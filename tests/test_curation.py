@@ -181,3 +181,53 @@ def test_contamination_check_synthetic(spark):
         r.doc_id for r in contamination_check(docs, bench, n=3).collect()
     )
     assert got3 == [1, 2]
+
+
+def test_line_dedup_removes_boilerplate_keeps_order(spark):
+    from keystone_spark.operators.curation import line_dedup
+
+    rows = []
+    for i in range(10):
+        rows.append((i, f"unique opener {i}\nBOILER\ncontent {i} line\nFOOTER"))
+    # doc 10: entirely boilerplate -> must survive as empty, not vanish
+    rows.append((10, "BOILER\nFOOTER"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.clean_text for r in line_dedup(df, max_docs=4).collect()}
+    assert len(out) == 11
+    assert out[3] == "unique opener 3\ncontent 3 line"
+    assert out[10] == ""
+    # below the threshold nothing is touched
+    out2 = {r.doc_id: r.clean_text
+            for r in line_dedup(df.where("doc_id < 4"), max_docs=4).collect()}
+    assert out2[2] == "unique opener 2\nBOILER\ncontent 2 line\nFOOTER"
+
+
+def test_apply_changes_merge_semantics(spark):
+    from keystone_spark.operators.curation import apply_changes
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "s", "v"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 99.0, "U", 1),   # update k=2
+            (3, None, 0.0, "D", 1),    # delete k=3
+            (4, "d", 40.0, "I", 1),    # insert k=4
+            (1, None, 0.0, "D", 1),    # k=1: delete at seq 1 ...
+            (1, "a2", 11.0, "U", 2),   # ... overridden by update at seq 2
+        ],
+        ["k", "s", "v", "op", "seq"],
+    )
+    out = {r.k: (r.s, r.v)
+           for r in apply_changes(base, changes, ["k"], seq_col="seq").collect()}
+    assert out == {1: ("a2", 11.0), 2: ("b2", 99.0), 4: ("d", 40.0)}
+
+
+def test_apply_changes_latest_delete_wins(spark):
+    from keystone_spark.operators.curation import apply_changes
+
+    base = spark.createDataFrame([(1, 1.0)], ["k", "v"])
+    changes = spark.createDataFrame(
+        [(1, 5.0, "U", 1), (1, 0.0, "D", 2)], ["k", "v", "op", "seq"]
+    )
+    assert apply_changes(base, changes, ["k"], seq_col="seq").count() == 0

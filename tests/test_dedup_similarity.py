@@ -436,3 +436,17 @@ def test_ivfpq_index_recall_roundtrip_and_pruning(spark, sf_dir, tmp_path):
     # compression: codes are m small ints per vector, not d floats
     row = loaded.indexed.first()
     assert len(row.codes) == 16
+
+
+def test_semantic_clusters_labeling(spark):
+    from keystone_spark.operators.dedup import semantic_clusters
+
+    pairs = spark.createDataFrame([(1, 2), (2, 5), (7, 8)], ["i", "j"])
+    ids = spark.createDataFrame([(x,) for x in [1, 2, 3, 5, 7, 8]], ["vec_id"])
+    out = {r.vec_id: (r.cluster_id, r.is_rep)
+           for r in semantic_clusters(pairs, ids).collect()}
+    assert out == {
+        1: (1, 1), 2: (1, 0), 5: (1, 0),   # chain 1-2-5 -> cluster 1
+        3: (3, 1),                          # singleton
+        7: (7, 1), 8: (7, 0),
+    }

@@ -108,3 +108,29 @@ def test_all_sparse_features_indexes_every_token(spark):
     assert model.vocab == {"a": 0, "b": 1, "c": 2, "zz": 3}
     out = {r.id: r.sparse for r in model(df).collect()}
     assert out[0] == [0, 1] and out[1] == [0, 2, 3]
+
+
+def test_bigram_logprob_score_exact(spark):
+    """Hand-computed stupid-backoff on a 2-doc corpus: fit on doc 0 only,
+    doc 1 exercises seen-bigram, backoff-to-unigram, and OOV-floor paths."""
+    import math
+
+    from keystone_spark.operators.nlp import bigram_logprob_score
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "a b zz c")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: (r.n_bigrams, r.lm_score)
+        for r in bigram_logprob_score(
+            docs, fit_docs=docs.where("doc_id = 0"), alpha=0.4
+        ).collect()
+    }
+    # fit counts: c1 = {a:2, b:2, c:1}, N=5; c2 = {ab:2, ba:1, bc:1}
+    # doc 0: log(2/2) + log(1/2) + log(2/2) + log(1/2)
+    exp0 = (math.log(1.0) + math.log(0.5)) * 2
+    # doc 1: ab seen log(2/2); b->zz unseen, zz OOV -> log(.4*1/5);
+    #        zz->c unseen, c seen -> log(.4*1/5)
+    exp1 = math.log(1.0) + math.log(0.4 / 5) + math.log(0.4 * 1 / 5)
+    assert out[0][0] == 4 and abs(out[0][1] - exp0 / 4) < 1e-9
+    assert out[1][0] == 3 and abs(out[1][1] - exp1 / 3) < 1e-9

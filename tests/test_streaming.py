@@ -549,3 +549,50 @@ def test_streaming_funnel_evicts_idle_users(spark, tmp_path):
     assert removed >= 1, f"user1 funnel state never evicted: {prog}"
     rows = spark.sql("SELECT * FROM evict_funnel_out").collect()
     assert [r.user_id for r in rows] == [2]  # user2 completed, user1 never
+
+
+def test_streaming_funnel_state_schema_pinned(spark, tmp_path):
+    """Pin the funnel's persisted state layout (VERDICT r3 #5): the
+    checkpoint's state-schema metadata must keep recording exactly the
+    (stage int, stage_ts long) value schema keyed by user_id, and the
+    state operator must stay applyInPandasWithState. A Spark upgrade (or
+    a refactor) that silently changes the state layout would strand every
+    production checkpoint — this test makes that loud."""
+    import glob
+    import os
+
+    from keystone_spark.streaming.windows import streaming_funnel
+
+    chunks = [
+        [(1, "2024-01-01 00:00:00", "view", 0.0),
+         (1, "2024-01-01 00:05:00", "click", 0.0),
+         (1, "2024-01-01 00:06:00", "purchase", 0.0)],
+    ]
+    stream_in = _write_ts_chunks(spark, tmp_path, chunks)
+    streamed = streaming_funnel(
+        stream_in, api="apwis", watermark="1 hour", state_ttl="1 hour"
+    )
+    ckpt = str(tmp_path / "pin_ckpt")
+    q = (
+        streamed.writeStream.format("memory")
+        .queryName("pin_funnel_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ops = [
+        op["operatorName"]
+        for p in q.recentProgress
+        for op in (p.get("stateOperators") or [])
+    ]
+    assert set(ops) == {"applyInPandasWithState"}
+    schema_files = glob.glob(
+        os.path.join(ckpt, "state", "0", "*", "_metadata", "schema")
+    )
+    assert schema_files, "state schema metadata missing from checkpoint"
+    blob = open(schema_files[0], "rb").read().decode("utf-8", "replace")
+    # key schema: the grouping column; value schema: the funnel state pair
+    for field in ("user_id", "stage", "stage_ts"):
+        assert field in blob, f"state schema no longer records {field!r}"
