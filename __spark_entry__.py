@@ -2594,6 +2594,74 @@ def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_clusters(pairs, e.select("vec_id")).orderBy("vec_id")
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText quality-rule bundle (functions/text
+    .gopher_rules): word-count band, mean-word-length band,
+    symbol-to-word ratio, bullet/ellipsis line fractions, alpha-word
+    ratio, min distinct stopwords — per-rule booleans + the conjunction,
+    all one codegen map-only scan. Deterministic symbol spam / bullet /
+    ellipsis injections make every rule decide both ways."""
+    from keystone_spark.functions.text import gopher_rules
+
+    d = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.when(F.col("doc_id") % 11 == 0,
+               F.lit("- bullet item\n- second bullet\n")).otherwise(F.lit("")),
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit(" # # # # # # # #")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0,
+               F.lit("\nto be continued...")).otherwise(F.lit("")),
+        # digit spam: 40 x 30-char numeric tokens push mean_word_len over
+        # 10 AND alpha_ratio under 0.8 so both rules decide both ways
+        F.when(F.col("doc_id") % 17 == 0,
+               F.repeat(F.lit(" 123456789012345678901234567890"), 40))
+        .otherwise(F.lit("")),
+    )
+    g = gopher_rules(
+        aug, min_words=50, max_bullet_line_frac=0.5,
+        max_ellipsis_line_frac=0.1,
+    )
+    return d.select("doc_id", g.alias("g")).select("doc_id", "g.*").orderBy(
+        "doc_id"
+    )
+
+
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE tokenization (operators/bpe.BpeTokenizer): merge table
+    fit as one word-frequency agg + driver loop over the vocab-bounded
+    dictionary, applied as an Arrow-batched pandas_udf with per-batch
+    word memoization. The fit itself is iterative (not SQL) — the oracle
+    checks n_words exactly and the Spark side proves the subword
+    invariants: concatenation conserves every character and the subword
+    count is within [n_words, n_chars + n_words]."""
+    from keystone_spark.functions.text import tokens
+    from keystone_spark.operators.bpe import BpeTokenizer
+
+    d = _t(spark, sf_dir, "documents")
+    df = d.select("doc_id", tokens("text").alias("toks"))
+    bpe = BpeTokenizer(num_merges=100).fit(df, "toks")
+    out = df.withColumn("sub", bpe.encode_column("toks"))
+    n_words = F.size("toks")
+    n_sub = F.size("sub")
+    chars = F.aggregate(
+        F.transform("toks", lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    conserved = (
+        F.replace(F.concat_ws("", "sub"), F.lit("</w>"), F.lit(""))
+        == F.concat_ws("", "toks")
+    )
+    bounded = (n_sub >= n_words) & (n_sub.cast("long") <= chars + n_words)
+    return out.select(
+        "doc_id",
+        n_words.cast("int").alias("n_words"),
+        conserved.alias("conserved"),
+        bounded.alias("bounded"),
+    ).orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_multi_join(spark, "/root/testdata/sf0.001")
@@ -2624,6 +2692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_upsert": q_cdc_upsert,
         "lm_score": q_lm_score,
         "semantic_clusters": q_semantic_clusters,
+        "gopher_rules": q_gopher_rules,
+        "bpe_tokens": q_bpe_tokens,
         "event_sliding_window": q_event_sliding_window,
         "map_fns": q_map_fns,
         "approx_distinct": q_approx_distinct,
@@ -3699,6 +3769,92 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, COUNT(*) AS n_bigrams,
                    ROUND(AVG(lp), 6) AS lm_score
             FROM scored GROUP BY doc_id ORDER BY doc_id
+        """,
+        # same injections; every rule and the conjunction re-derived
+        "gopher_rules": """
+            WITH aug AS (
+                SELECT doc_id,
+                    CASE WHEN doc_id % 11 = 0
+                         THEN '- bullet item' || chr(10)
+                              || '- second bullet' || chr(10)
+                         ELSE '' END
+                    || text
+                    || CASE WHEN doc_id % 7 = 0
+                            THEN ' # # # # # # # #' ELSE '' END
+                    || CASE WHEN doc_id % 13 = 0
+                            THEN chr(10) || 'to be continued...'
+                            ELSE '' END
+                    || CASE WHEN doc_id % 17 = 0
+                            THEN repeat(' 123456789012345678901234567890', 40)
+                            ELSE '' END AS t
+                FROM documents),
+            feat AS (
+                SELECT doc_id, t,
+                    list_filter(string_split_regex(lower(trim(t)),
+                        '[^\\p{L}\\p{N}'']+'), x -> x <> '') AS tk,
+                    string_split(t, chr(10)) AS ls
+                FROM aug),
+            sig AS (
+                SELECT doc_id,
+                    len(tk) AS n_words,
+                    list_sum(list_transform(tk, x -> length(x))) * 1.0
+                        / GREATEST(len(tk), 1) AS mean_word_len,
+                    ((length(t) - length(replace(t, '#', ''))) +
+                     (length(t) - length(replace(t, '...', ''))) / 3 +
+                     (length(t) - length(replace(t, chr(8230), ''))))
+                        * 1.0 / GREATEST(len(tk), 1) AS symbol_ratio,
+                    len(list_filter(ls, l ->
+                        starts_with(trim(l), '-') OR starts_with(trim(l), '*')
+                        OR starts_with(trim(l), chr(8226)))) * 1.0
+                        / GREATEST(len(ls), 1) AS bullet_frac,
+                    len(list_filter(ls, l ->
+                        ends_with(rtrim(l), '...')
+                        OR ends_with(rtrim(l), chr(8230)))) * 1.0
+                        / GREATEST(len(ls), 1) AS ellipsis_frac,
+                    len(list_filter(tk, x -> regexp_matches(x, '\\p{L}')))
+                        * 1.0 / GREATEST(len(tk), 1) AS alpha_ratio,
+                    len(list_intersect(list_distinct(tk),
+                        ['the','of','and','a','to','in','is','you','that',
+                         'it','he','was','for','on','are','as','with','his',
+                         'they','i'])) AS stop_hits
+                FROM feat),
+            rules AS (
+                SELECT doc_id, n_words,
+                    ROUND(mean_word_len, 6) AS mean_word_len,
+                    ROUND(symbol_ratio, 6) AS symbol_ratio,
+                    ROUND(bullet_frac, 6) AS bullet_frac,
+                    ROUND(ellipsis_frac, 6) AS ellipsis_frac,
+                    ROUND(alpha_ratio, 6) AS alpha_ratio,
+                    stop_hits,
+                    n_words >= 50 AND n_words <= 100000 AS ok_words,
+                    mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                        AS ok_mean_len,
+                    symbol_ratio <= 0.1 AS ok_symbol,
+                    bullet_frac <= 0.5 AS ok_bullet,
+                    ellipsis_frac <= 0.1 AS ok_ellipsis,
+                    alpha_ratio >= 0.8 AS ok_alpha,
+                    stop_hits >= 2 AS ok_stop
+                FROM sig)
+            SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_word_len,
+                   symbol_ratio, bullet_frac, ellipsis_frac, alpha_ratio,
+                   CAST(stop_hits AS INT) AS stop_hits,
+                   ok_words, ok_mean_len, ok_symbol, ok_bullet, ok_ellipsis,
+                   ok_alpha, ok_stop,
+                   ok_words AND ok_mean_len AND ok_symbol AND ok_bullet
+                       AND ok_ellipsis AND ok_alpha AND ok_stop AS passes
+            FROM rules ORDER BY doc_id
+        """,
+        # BPE fit is iterative (not SQL): n_words checked exactly, the
+        # subword invariants are proven Spark-side and pinned TRUE here
+        "bpe_tokens": """
+            WITH toks AS (
+                SELECT doc_id, list_filter(
+                    string_split_regex(lower(trim(text)), '[^\\p{L}\\p{N}'']+'),
+                    x -> x <> '') AS t
+                FROM documents)
+            SELECT doc_id, CAST(len(t) AS INT) AS n_words,
+                   TRUE AS conserved, TRUE AS bounded
+            FROM toks ORDER BY doc_id
         """,
         # connected components of the rounded-cos >= 0.3 pair graph;
         # singletons label themselves; representative = cluster min id

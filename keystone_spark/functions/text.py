@@ -248,3 +248,100 @@ def repetition_signals(toks: Column | str) -> Column:
         .otherwise(F.lit(None).cast("double"))
         .alias("top_bigram_frac"),
     )
+
+
+def gopher_rules(
+    text: Column | str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_avg_word_len: float = 3.0,
+    max_avg_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> Column:
+    """The Gopher/MassiveText quality-rule bundle (Rae et al. 2021 §A1.1)
+    as ONE codegen struct — word-count bounds, mean-word-length band,
+    symbol-to-word ratio (# and ellipsis), bullet/ellipsis line fractions,
+    alphabetic-word ratio, and a minimum distinct-stopword count — plus
+    per-rule booleans and the conjunction ``passes``. Pure built-in
+    expressions (no UDF): the whole filter is a map-only scan at 100 TB.
+    """
+    t = _c(text)
+    toks = tokens(t)
+    n_words = F.size(toks)
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_len = (
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / nw
+    )
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ell = (
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+        + F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit("")))
+    )
+    symbol_ratio = (n_hash + n_ell).cast("double") / nw
+    lines = F.split(t, "\n")
+    nl = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.trim(l).startswith("-")
+                | F.trim(l).startswith("*")
+                | F.trim(l).startswith("•"),
+            )
+        ).cast("double")
+        / nl
+    )
+    ellipsis_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.rtrim(l).endswith("...")
+                | F.rtrim(l).endswith("…"),
+            )
+        ).cast("double")
+        / nl
+    )
+    alpha_ratio = (
+        F.size(F.filter(toks, lambda x: x.rlike(r"\p{L}"))).cast("double") / nw
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(w) for w in STOPWORDS_EN])
+        )
+    )
+    ok_words = (n_words >= min_words) & (n_words <= max_words)
+    ok_mean = (mean_len >= min_avg_word_len) & (mean_len <= max_avg_word_len)
+    ok_symbol = symbol_ratio <= max_symbol_word_ratio
+    ok_bullet = bullet_frac <= max_bullet_line_frac
+    ok_ellipsis = ellipsis_frac <= max_ellipsis_line_frac
+    ok_alpha = alpha_ratio >= min_alpha_word_ratio
+    ok_stop = stop_hits >= min_stop_hits
+    return F.struct(
+        n_words.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_frac"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        stop_hits.alias("stop_hits"),
+        ok_words.alias("ok_words"),
+        ok_mean.alias("ok_mean_len"),
+        ok_symbol.alias("ok_symbol"),
+        ok_bullet.alias("ok_bullet"),
+        ok_ellipsis.alias("ok_ellipsis"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stop"),
+        (
+            ok_words & ok_mean & ok_symbol & ok_bullet & ok_ellipsis
+            & ok_alpha & ok_stop
+        ).alias("passes"),
+    )

@@ -164,3 +164,33 @@ def test_redact_pii_is_codegen_only(spark):
     df = spark.range(10).select(F.concat(F.lit("u@x.io "), F.col("id").cast("string")).alias("t"))
     plan = df.select(redact_pii("t")). _jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    from keystone_spark.functions.text import gopher_rules
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat and the dog sat on a mat with his toys they are "
+                "happy for it was a good day in the sun and all was well"),
+            (1, "word " * 3),                       # too few words
+            (2, "the a " + "# " * 50 + "cat dog"),  # symbol spam
+            (3, "- a\n- b\n- c\nthe cat"),          # bullet lines
+            (4, "the cat...\nand dog...\nthe end"), # ellipsis lines
+            (5, "the a " + "12345678901234567890 " * 30),  # digits
+        ],
+        ["doc_id", "text"],
+    )
+    g = gopher_rules(
+        "text", min_words=10, max_bullet_line_frac=0.5,
+        max_ellipsis_line_frac=0.3, min_stop_hits=2,
+    )
+    out = {r.doc_id: r for r in docs.select("doc_id", g.alias("g"))
+           .select("doc_id", "g.*").collect()}
+    assert out[0].passes
+    assert not out[1].ok_words
+    assert not out[2].ok_symbol
+    assert not out[3].ok_bullet
+    assert not out[4].ok_ellipsis
+    assert not out[5].ok_alpha and not out[5].ok_mean_len
+    assert not any(out[i].passes for i in range(1, 6))

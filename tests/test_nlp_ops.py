@@ -134,3 +134,39 @@ def test_bigram_logprob_score_exact(spark):
     exp1 = math.log(1.0) + math.log(0.4 / 5) + math.log(0.4 * 1 / 5)
     assert out[0][0] == 4 and abs(out[0][1] - exp0 / 4) < 1e-9
     assert out[1][0] == 3 and abs(out[1][1] - exp1 / 3) < 1e-9
+
+
+def test_bpe_fit_matches_hand_run(spark):
+    """Sennrich-style fit on the classic low/lower/newest/widest corpus:
+    first merges must be the highest-frequency adjacent pairs with
+    deterministic lexicographic tie-breaks, and encoding reuses them."""
+    from keystone_spark.operators.bpe import BpeTokenizer, _encode_word
+
+    rows = [(0, ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)]
+    df = spark.createDataFrame(rows, ["doc_id", "toks"])
+    bpe = BpeTokenizer(num_merges=10).fit(df, "toks")
+    # 'es' (freq 9) then 'est' (9) then 'est</w>' (9) are forced first
+    assert bpe.merges[:3] == [("e", "s"), ("es", "t"), ("est", "</w>")]
+    ranks = {p: i for i, p in enumerate(bpe.merges)}
+    enc = _encode_word("newest", ranks)
+    assert "".join(enc).replace("</w>", "") == "newest"
+    assert enc[-1].endswith("est</w>") or enc[-1] == "est</w>"
+
+
+def test_bpe_encode_column_conserves_chars(spark):
+    from keystone_spark.functions.text import tokens
+    from keystone_spark.operators.bpe import BpeTokenizer
+
+    df = spark.createDataFrame(
+        [(0, "the lowest newest low low wide widest"),
+         (1, "newest lowest he said"),
+         (2, "")],
+        ["doc_id", "text"],
+    ).withColumn("toks", tokens("text"))
+    bpe = BpeTokenizer(num_merges=50).fit(df, "toks")
+    out = df.withColumn("sub", bpe.encode_column("toks")).collect()
+    for r in out:
+        joined = "".join(r.sub).replace("</w>", "")
+        assert joined == "".join(r.toks)
+        # one </w> per word
+        assert sum(s.count("</w>") for s in r.sub) == len(r.toks)
