@@ -2662,6 +2662,33 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group statistics: exact p01/p99 fences per event_type
+    (interpolated percentile — matches quantile_cont), values clipped to
+    the fences, then mean/std of the winsorized column plus clip counts.
+    The fence table is group-cardinality-bounded -> broadcast back; two
+    scans, no sort of the full data. The outlier-robust cousin of the
+    StandardScaler moments fit (SURVEY §2.4)."""
+    e = _t(spark, sf_dir, "events")
+    fences = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.01)).alias("p01"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+    )
+    j = e.join(F.broadcast(fences), "event_type")
+    clipped = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("value") < F.col("p01")).cast("long")).alias("n_low"),
+            F.sum((F.col("value") > F.col("p99")).cast("long")).alias("n_high"),
+            F.round(F.avg(clipped), 6).alias("w_mean"),
+            F.round(F.stddev_samp(clipped), 6).alias("w_std"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_multi_join(spark, "/root/testdata/sf0.001")
@@ -2694,6 +2721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_clusters": q_semantic_clusters,
         "gopher_rules": q_gopher_rules,
         "bpe_tokens": q_bpe_tokens,
+        "winsorized_stats": q_winsorized_stats,
         "event_sliding_window": q_event_sliding_window,
         "map_fns": q_map_fns,
         "approx_distinct": q_approx_distinct,
@@ -3843,6 +3871,25 @@ def oracle_sql() -> dict[str, str]:
                    ok_words AND ok_mean_len AND ok_symbol AND ok_bullet
                        AND ok_ellipsis AND ok_alpha AND ok_stop AS passes
             FROM rules ORDER BY doc_id
+        """,
+        # Spark percentile() interpolates like quantile_cont
+        "winsorized_stats": """
+            WITH fences AS (
+                SELECT event_type,
+                       quantile_cont(value, 0.01) AS p01,
+                       quantile_cont(value, 0.99) AS p99
+                FROM events GROUP BY event_type)
+            SELECT e.event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(e.value < f.p01 AS BIGINT)) AS BIGINT)
+                       AS n_low,
+                   CAST(SUM(CAST(e.value > f.p99 AS BIGINT)) AS BIGINT)
+                       AS n_high,
+                   ROUND(AVG(LEAST(GREATEST(e.value, f.p01), f.p99)), 6)
+                       AS w_mean,
+                   ROUND(STDDEV_SAMP(LEAST(GREATEST(e.value, f.p01), f.p99)), 6)
+                       AS w_std
+            FROM events e JOIN fences f USING (event_type)
+            GROUP BY e.event_type ORDER BY e.event_type
         """,
         # BPE fit is iterative (not SQL): n_words checked exactly, the
         # subword invariants are proven Spark-side and pinned TRUE here

@@ -596,3 +596,87 @@ def test_streaming_funnel_state_schema_pinned(spark, tmp_path):
     # key schema: the grouping column; value schema: the funnel state pair
     for field in ("user_id", "stage", "stage_ts"):
         assert field in blob, f"state schema no longer records {field!r}"
+
+
+def test_streaming_upsert_maintains_snapshot(spark, tmp_path):
+    """foreachBatch CDC fold (streaming MERGE INTO): two micro-batches of
+    changes applied in order produce exactly the batch-mode apply_changes
+    result, the _LATEST pointer commit is atomic-replace, and every
+    committed version stays a complete readable snapshot."""
+    import os
+
+    from keystone_spark.operators.curation import apply_changes
+    from keystone_spark.streaming.windows import read_snapshot, streaming_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "s", "v"]
+    )
+    chunk1 = [(2, "b2", 21.0, "U", 1), (4, "d", 40.0, "I", 1)]
+    chunk2 = [(1, None, 0.0, "D", 2), (4, "d2", 41.0, "U", 2)]
+    schema = "k long, s string, v double, op string, seq long"
+    src = tmp_path / "changes"
+    src.mkdir()
+    for i, chunk in enumerate([chunk1, chunk2]):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+            str(src / f"c{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    snap_dir = str(tmp_path / "snap")
+    os.makedirs(snap_dir)
+    q = (
+        streaming_upsert(stream, snap_dir, ["k"], seq_col="seq", base_df=base)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.k: (r.s, r.v) for r in read_snapshot(spark, snap_dir).collect()}
+    all_changes = spark.createDataFrame(chunk1 + chunk2, schema)
+    want = {r.k: (r.s, r.v)
+            for r in apply_changes(base, all_changes, ["k"], seq_col="seq")
+            .collect()}
+    assert got == want == {2: ("b2", 21.0), 3: ("c", 30.0), 4: ("d2", 41.0)}
+    # multiple committed versions exist; each one is a readable snapshot
+    versions = [d for d in os.listdir(snap_dir) if d.startswith("v")]
+    assert len(versions) >= 2
+    for v in versions:
+        assert spark.read.parquet(os.path.join(snap_dir, v)).count() >= 3
+
+
+def test_streaming_upsert_replay_is_idempotent(spark, tmp_path):
+    """A replayed micro-batch whose pointer commit already happened must
+    be skipped (not re-folded onto its own output)."""
+    import os
+
+    from keystone_spark.streaming.windows import read_snapshot, streaming_upsert
+
+    base = spark.createDataFrame([(1, 1.0)], ["k", "v"])
+    schema = "k long, v double, op string"
+    src = tmp_path / "changes"
+    src.mkdir()
+    spark.createDataFrame([(2, 2.0, "I")], schema).coalesce(1).write.parquet(
+        str(src / "c0")
+    )
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    snap_dir = str(tmp_path / "snap")
+    os.makedirs(snap_dir)
+
+    def run(ck):
+        q = (
+            streaming_upsert(stream, snap_dir, ["k"], base_df=base)
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run("ck1")
+    first = sorted(r.k for r in read_snapshot(spark, snap_dir).collect())
+    # fresh checkpoint -> batch 0 REPLAYS against the committed snapshot
+    run("ck2")
+    second = sorted(r.k for r in read_snapshot(spark, snap_dir).collect())
+    assert first == second == [1, 2]
