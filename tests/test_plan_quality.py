@@ -386,3 +386,46 @@ def test_pii_and_repetition_stay_codegen(spark, sf_dir, qs):
         assert "EvalPython" not in plan, name
     rep = plan_of(qs["repetition_signals"](spark, sf_dir))
     assert rep.count("Exchange") <= 2  # rangepartition for orderBy only
+
+
+def test_line_dedup_broadcast_anti_and_partial_agg(spark, sf_dir, qs):
+    """The common-line set must broadcast (LEFT ANTI) — a sort-merge anti
+    would shuffle every line of a 100 TB corpus — and the line-frequency
+    count-distinct must have a partial (map-side) aggregation."""
+    plan = plan_of(qs["line_dedup"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan or "partial_" in plan
+
+
+def test_cdc_upsert_broadcast_anti(spark, sf_dir, qs):
+    """The snapshot-side scan must be filtered by a BROADCAST anti join
+    on the changelog keys — one base scan + map-side filter."""
+    plan = plan_of(qs["cdc_upsert"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_lm_score_model_joins_broadcast(spark, sf_dir, qs):
+    """Both LM model tables (bigram + unigram counts) broadcast onto the
+    exploded doc bigrams; no Python stage anywhere in the scoring path."""
+    plan = plan_of(qs["lm_score"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_gopher_rules_stays_codegen_single_scan(spark, sf_dir, qs):
+    """The whole 7-rule bundle is one codegen map-only scan: no Python,
+    no join, no aggregation exchange (orderBy's range partition only)."""
+    plan = plan_of(qs["gopher_rules"](spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # orderBy range partition only
+
+
+def test_winsorized_stats_broadcast_fences(spark, sf_dir, qs):
+    """Fence table broadcasts back; the big side is scanned, not sorted."""
+    plan = plan_of(qs["winsorized_stats"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

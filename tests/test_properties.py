@@ -196,3 +196,67 @@ def test_kmv_exactness_property(vals, k):
     else:
         assert sk.saturated and len(sk.hashes) == k
         assert sk.estimate() > 0
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="abc ", min_size=1, max_size=6).map(str.strip),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_line_dedup_identity_below_threshold(spark, docs):
+    """With max_docs >= corpus size no line can be removed: line_dedup
+    must reproduce every document byte-for-byte (order preserved), for
+    arbitrary line content including empties and duplicates in-doc."""
+    from keystone_spark.operators.curation import line_dedup
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.clean_text
+           for r in line_dedup(df, max_docs=len(docs)).collect()}
+    assert out == dict(rows)
+
+
+@SETTINGS
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=0,
+        max_size=10,
+    )
+)
+def test_semantic_clusters_vs_union_find(spark, pairs):
+    """Distributed connected components + singleton spine must equal a
+    driver-side union-find over the same edges."""
+    from keystone_spark.operators.dedup import semantic_clusters
+
+    ids = list(range(16))
+    parent = list(range(16))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: min(j for j in ids if find(j) == find(i)) for i in ids}
+
+    pdf = spark.createDataFrame(pairs or [(0, 0)], ["i", "j"])
+    if not pairs:
+        pdf = pdf.where("i <> j")  # empty edge set
+    ids_df = spark.createDataFrame([(i,) for i in ids], ["vec_id"])
+    got = {r.vec_id: r.cluster_id
+           for r in semantic_clusters(pdf, ids_df).collect()}
+    assert got == want
