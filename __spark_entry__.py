@@ -2689,6 +2689,78 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing surface (web-curation staple): deterministic URLs
+    synthesized per doc, parse_url extracts HOST/PATH/QUERY-param
+    JVM-side, then per-host rollup. The oracle re-derives the same parts
+    with anchored regexes — identical for well-formed URLs."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/doc-"), F.col("doc_id"),
+        F.lit("?ref="), F.col("lang"),
+        F.lit("&p="), F.col("doc_id") % 7,
+    )
+    parts = d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref"),
+    )
+    return (
+        parts.groupBy("host")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("path").alias("n_paths"),
+            F.countDistinct("ref").alias("n_refs"),
+        )
+        .orderBy("host")
+    )
+
+
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user over a bounded
+    20-row trailing window (time-series smoothing / spike detection
+    input): one shuffle on user_id, bounded window state, the weighted
+    sum folded with a higher-order array aggregate — no UDF, no
+    unbounded recursion (the bounded frame keeps pow() well-conditioned
+    and memory per key O(window))."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    arr = F.collect_list("value").over(w)
+    n = F.size(arr)
+    decay = 0.7
+    num = F.aggregate(
+        F.zip_with(
+            arr,
+            F.sequence(F.lit(1), n),
+            lambda x, i: x * F.pow(F.lit(decay), (n - i).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    den = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.pow(F.lit(decay), (n - i).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    # two-step select: aliasing the rounded value in the same projection
+    # as the window would be a lateral-alias reference into the frame
+    smoothed = e.where(F.col("user_id") < 200).select(
+        "user_id", "event_id", "value", F.round(num / den, 6).alias("ewma")
+    )
+    return smoothed.select(
+        "user_id", "event_id", F.round("value", 6).alias("value"), "ewma"
+    ).orderBy("user_id", "event_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_multi_join(spark, "/root/testdata/sf0.001")
@@ -2722,6 +2794,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "bpe_tokens": q_bpe_tokens,
         "winsorized_stats": q_winsorized_stats,
+        "url_stats": q_url_stats,
+        "ewma_smooth": q_ewma_smooth,
         "event_sliding_window": q_event_sliding_window,
         "map_fns": q_map_fns,
         "approx_distinct": q_approx_distinct,
@@ -3871,6 +3945,43 @@ def oracle_sql() -> dict[str, str]:
                    ok_words AND ok_mean_len AND ok_symbol AND ok_bullet
                        AND ok_ellipsis AND ok_alpha AND ok_stop AS passes
             FROM rules ORDER BY doc_id
+        """,
+        # anchored regex parts == parse_url for well-formed URLs
+        "url_stats": """
+            WITH u AS (
+                SELECT doc_id,
+                    'https://' || source || '.example.com/' || lang
+                    || '/doc-' || doc_id || '?ref=' || lang
+                    || '&p=' || CAST(doc_id % 7 AS VARCHAR) AS url
+                FROM documents),
+            parts AS (
+                SELECT doc_id,
+                    regexp_extract(url, 'https?://([^/?#]+)', 1) AS host,
+                    regexp_extract(url, 'https?://[^/?#]+([^?#]*)', 1) AS path,
+                    regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS ref
+                FROM u)
+            SELECT host, COUNT(*) AS n,
+                   COUNT(DISTINCT path) AS n_paths,
+                   COUNT(DISTINCT ref) AS n_refs
+            FROM parts GROUP BY host ORDER BY host
+        """,
+        # bounded-window weighted fold: same 20-row EWMA, list window twin
+        "ewma_smooth": """
+            WITH arrs AS (
+                SELECT user_id, event_id, value,
+                       list(value) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW
+                       ) AS l
+                FROM events WHERE user_id < 200)
+            SELECT user_id, event_id, ROUND(value, 6) AS value,
+                   ROUND(
+                       list_sum([l[i] * pow(0.7, len(l) - i)
+                                 FOR i IN range(1, len(l) + 1)])
+                       / list_sum([pow(0.7, len(l) - i)
+                                   FOR i IN range(1, len(l) + 1)]), 6)
+                       AS ewma
+            FROM arrs ORDER BY user_id, event_id
         """,
         # Spark percentile() interpolates like quantile_cont
         "winsorized_stats": """

@@ -216,3 +216,39 @@ def test_ann_index_app(spark, sf_dir, tmp_path):
     again = run(spark, sf_dir, idx_dir)
     assert again["built"] is False  # fit-once: reused the saved index
     assert again["recall_at_k"] == first["recall_at_k"]
+
+
+def test_quality_classifier_pipeline(spark, sf_dir):
+    """DCLM/fasttext-style quality classifier, end to end on the fixture
+    corpus: codegen gopher/quality signals as the feature vector, a
+    planted low-quality cohort (symbol + digit spam on doc_id % 3), a
+    LogisticRegressionEstimator fit on even doc_ids, evaluated on odd —
+    the learned filter must recover the planted signal near-perfectly
+    (majority baseline is ~0.67)."""
+    from keystone_spark.functions.text import gopher_rules
+    from keystone_spark.operators.learning import LogisticRegressionEstimator
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spam = F.concat(
+        F.col("text"),
+        F.lit(" # # # # "),
+        F.repeat(F.lit(" 1234567890123456789012345"), 10),
+    )
+    labeled = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, spam).otherwise(F.col("text"))
+        .alias("text"),
+        (F.col("doc_id") % 3 == 0).cast("long").alias("label"),
+    )
+    feats = labeled.withColumn("g", gopher_rules("text")).select(
+        "doc_id", "label",
+        F.array(
+            F.col("g.mean_word_len"), F.col("g.symbol_ratio"),
+            F.col("g.alpha_ratio"), F.col("g.n_words").cast("double"),
+        ).alias("features"),
+    )
+    train = feats.where(F.col("doc_id") % 2 == 0)
+    test = feats.where(F.col("doc_id") % 2 == 1)
+    model = LogisticRegressionEstimator(max_iter=50).fit(train)
+    acc = _accuracy(model(test))
+    assert acc >= 0.95, acc
