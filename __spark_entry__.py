@@ -2761,6 +2761,27 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "event_id")
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval (operators/nlp.bm25_search): queries are the
+    first 5 tokens of every doc_id % 100 == 0 doc; postings + doc-length
+    + idf tables from one tokenize/explode pass each; tiny query side
+    broadcasts so scoring touches only matched postings. Oracle replays
+    the exact Lucene-form formula in SQL."""
+    from keystone_spark.functions.text import tokens
+    from keystone_spark.operators.nlp import bm25_search
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    qs = d.where(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"), F.slice("toks", 1, 5).alias("q_toks")
+    )
+    out = bm25_search(d, qs, k=10)
+    return out.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"), "rk"
+    ).orderBy("query_id", "rk")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_multi_join(spark, "/root/testdata/sf0.001")
@@ -2796,6 +2817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_stats": q_winsorized_stats,
         "url_stats": q_url_stats,
         "ewma_smooth": q_ewma_smooth,
+        "bm25_search": q_bm25_search,
         "event_sliding_window": q_event_sliding_window,
         "map_fns": q_map_fns,
         "approx_distinct": q_approx_distinct,
@@ -3945,6 +3967,50 @@ def oracle_sql() -> dict[str, str]:
                    ok_words AND ok_mean_len AND ok_symbol AND ok_bullet
                        AND ok_ellipsis AND ok_alpha AND ok_stop AS passes
             FROM rules ORDER BY doc_id
+        """,
+        # exact Lucene-form BM25 replay over the same tokenization
+        "bm25_search": """
+            WITH toks AS (
+                SELECT doc_id, list_filter(
+                    string_split_regex(lower(trim(text)), '[^\\p{L}\\p{N}'']+'),
+                    x -> x <> '') AS t
+                FROM documents),
+            n AS (SELECT COUNT(*) AS n FROM toks),
+            dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+            a AS (SELECT AVG(dl) AS avgdl FROM dl),
+            tfs AS (
+                SELECT doc_id, UNNEST(t) AS term FROM toks),
+            tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf
+                FROM tfs GROUP BY 1, 2),
+            idf AS (
+                SELECT term,
+                       ln(1 + (n.n - COUNT(DISTINCT doc_id) + 0.5)
+                              / (COUNT(DISTINCT doc_id) + 0.5)) AS idf
+                FROM tf CROSS JOIN n GROUP BY term, n.n),
+            qt AS (
+                SELECT doc_id AS query_id, UNNEST(list_distinct(t[1:5])) AS term
+                FROM toks WHERE doc_id % 100 = 0),
+            scored AS (
+                SELECT qt.query_id, tf.doc_id,
+                       SUM(idf.idf * (tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / a.avgdl)))
+                           AS score
+                FROM qt
+                JOIN tf USING (term)
+                JOIN idf USING (term)
+                JOIN dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN a
+                GROUP BY 1, 2),
+            ranked AS (
+                SELECT query_id, doc_id, score,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY score DESC, doc_id) AS rk
+                FROM scored)
+            SELECT query_id, doc_id, ROUND(score, 6) AS score,
+                   CAST(rk AS INT) AS rk
+            FROM ranked WHERE rk <= 10 ORDER BY query_id, rk
         """,
         # anchored regex parts == parse_url for well-formed URLs
         "url_stats": """

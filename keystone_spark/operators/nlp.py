@@ -396,3 +396,73 @@ def bigram_logprob_score(
         F.count("*").alias("n_bigrams"),
         F.avg("__lp").alias("lm_score"),
     )
+
+
+def bm25_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    tokens_col: str = "toks",
+    query_id_col: str = "query_id",
+    query_tokens_col: str = "q_toks",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """BM25 top-k retrieval over an inverted index — the sparse-lexical
+    complement to the dense ANN stack (similarity.py): Lucene-form idf
+    ``ln(1 + (N - df + .5)/(df + .5))`` and the standard saturated-tf
+    term weight, summed per (query, doc) over shared terms only.
+
+    Scale shape: postings (term, doc, tf) and doc lengths are ONE
+    tokenize+explode aggregation each (map-side combinable); the query
+    side is tiny next to the corpus and broadcasts, so scoring touches
+    only postings whose term appears in some query — never a full
+    corpus scan per query, never all-pairs. The per-query top-k prunes
+    map-side (WindowGroupLimit). ``idf`` weighting lives in a
+    term-cardinality-bounded table joined onto the matched postings.
+    """
+    n_docs = docs.count()
+    postings = (
+        docs.select(id_col, F.explode(tokens_col).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = docs.select(id_col, F.size(tokens_col).alias("dl"))
+    avgdl = dl.agg(F.avg("dl")).first()[0] or 1.0
+    df_t = postings.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    idf = df_t.select(
+        "term",
+        F.log(
+            1.0
+            + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+    q_terms = queries.select(
+        query_id_col, F.explode(F.array_distinct(query_tokens_col)).alias("term")
+    )
+    if broadcast_queries:
+        q_terms = F.broadcast(q_terms)
+    matched = (
+        postings.join(q_terms, "term")
+        .join(idf, "term")
+        .join(dl, id_col)
+    )
+    w = (
+        F.col("idf")
+        * (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl))))
+    )
+    scores = matched.groupBy(query_id_col, id_col).agg(
+        F.sum(w).alias("score")
+    )
+    win = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        scores.withColumn("rk", F.row_number().over(win))
+        .where(F.col("rk") <= k)
+    )

@@ -170,3 +170,45 @@ def test_bpe_encode_column_conserves_chars(spark):
         assert joined == "".join(r.toks)
         # one </w> per word
         assert sum(s.count("</w>") for s in r.sub) == len(r.toks)
+
+
+def test_bm25_hand_computed(spark):
+    """Two-doc corpus, one query term: exact Lucene-form BM25 values."""
+    import math
+
+    from keystone_spark.operators.nlp import bm25_search
+
+    docs = spark.createDataFrame(
+        [(0, ["cat", "dog", "cat"]), (1, ["dog", "bird"])],
+        ["doc_id", "toks"],
+    )
+    qs = spark.createDataFrame([(100, ["cat"])], ["query_id", "q_toks"])
+    out = bm25_search(docs, qs, k=10).collect()
+    # only doc 0 contains 'cat': df=1, N=2, idf=ln(1+1.5/1.5)=ln 2
+    # tf=2, dl=3, avgdl=2.5 -> w = ln2 * 2*2.2 / (2 + 1.2*(.25+.75*3/2.5))
+    want = math.log(2.0) * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 3 / 2.5))
+    assert len(out) == 1
+    r = out[0]
+    assert r.query_id == 100 and r.doc_id == 0 and r.rk == 1
+    assert abs(r.score - want) < 1e-12
+
+
+def test_bm25_ranks_relevance(spark):
+    """A doc repeating the query terms with short length must outrank a
+    long doc mentioning one term once."""
+    from keystone_spark.operators.nlp import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (0, ["spark", "shuffle", "spark", "join"]),
+            (1, ["spark"] + ["filler"] * 30),
+            (2, ["unrelated", "words", "here"]),
+        ],
+        ["doc_id", "toks"],
+    )
+    qs = spark.createDataFrame(
+        [(0, ["spark", "shuffle"])], ["query_id", "q_toks"]
+    )
+    got = [r.doc_id for r in bm25_search(docs, qs, k=10)
+           .orderBy("rk").collect()]
+    assert got == [0, 1]  # doc 2 never scored (no shared term)

@@ -429,3 +429,13 @@ def test_winsorized_stats_broadcast_fences(spark, sf_dir, qs):
     plan = plan_of(qs["winsorized_stats"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bm25_broadcasts_queries_and_prunes_topk(spark, sf_dir, qs):
+    """The query-term side must broadcast onto the postings (never a
+    sort-merge of the corpus against a handful of queries) and the
+    per-query top-k must prune map-side (WindowGroupLimit)."""
+    plan = plan_of(qs["bm25_search"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "EvalPython" not in plan
