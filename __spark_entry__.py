@@ -2782,6 +2782,44 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rk")
 
 
+def q_gap_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the gap_fill grid (operators/relational
+    .interpolate_linear): missing hourly points get the time-weighted
+    blend of nearest observed neighbors (LOCF/NOCB at the edges). Both
+    direction windows share one user_id shuffle + sort."""
+    from keystone_spark.operators.relational import interpolate_linear
+
+    e = _t(spark, sf_dir, "events").where(
+        (F.col("ts") >= F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp"))
+        & (F.col("user_id") < 10)
+    )
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    grid = (
+        e.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                    F.lit("2024-01-01 23:00:00").cast("timestamp"),
+                    F.expr("interval 1 hour"),
+                )
+            ).alias("h"),
+        )
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left").select(
+        "user_id", F.unix_timestamp("h").alias("h"), "v"
+    )
+    out = interpolate_linear(joined, ["user_id"], "h", "v")
+    return out.select(
+        "user_id", "h", F.round("v_interp", 6).alias("v_interp")
+    ).orderBy("user_id", "h")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_multi_join(spark, "/root/testdata/sf0.001")
@@ -2818,6 +2856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_stats": q_url_stats,
         "ewma_smooth": q_ewma_smooth,
         "bm25_search": q_bm25_search,
+        "gap_interpolate": q_gap_interpolate,
         "event_sliding_window": q_event_sliding_window,
         "map_fns": q_map_fns,
         "approx_distinct": q_approx_distinct,
@@ -3967,6 +4006,57 @@ def oracle_sql() -> dict[str, str]:
                    ok_words AND ok_mean_len AND ok_symbol AND ok_bullet
                        AND ok_ellipsis AND ok_alpha AND ok_stop AS passes
             FROM rules ORDER BY doc_id
+        """,
+        # same grid as gap_fill; linear blend of nearest observed points
+        "gap_interpolate": """
+            WITH ev AS (
+                SELECT user_id, ts, value FROM events
+                WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+                  AND ts < TIMESTAMP '2024-01-02 00:00:00'
+                  AND user_id < 10),
+            hourly AS (
+                SELECT user_id, date_trunc('hour', ts) AS h,
+                       ROUND(AVG(value), 6) AS v
+                FROM ev GROUP BY 1, 2),
+            grid AS (
+                SELECT user_id,
+                       UNNEST(generate_series(
+                           TIMESTAMP '2024-01-01 00:00:00',
+                           TIMESTAMP '2024-01-01 23:00:00',
+                           INTERVAL 1 HOUR)) AS h
+                FROM (SELECT DISTINCT user_id FROM ev)),
+            joined AS (
+                SELECT g.user_id, CAST(epoch(g.h) AS BIGINT) AS h, hr.v
+                FROM grid g
+                LEFT JOIN hourly hr ON g.user_id = hr.user_id AND g.h = hr.h),
+            ctx AS (
+                SELECT user_id, h, v,
+                    LAST_VALUE(v IGNORE NULLS) OVER (
+                        PARTITION BY user_id ORDER BY h
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS pv,
+                    LAST_VALUE(CASE WHEN v IS NOT NULL THEN h END
+                               IGNORE NULLS) OVER (
+                        PARTITION BY user_id ORDER BY h
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS po,
+                    FIRST_VALUE(v IGNORE NULLS) OVER (
+                        PARTITION BY user_id ORDER BY h
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                        AS nv,
+                    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN h END
+                                IGNORE NULLS) OVER (
+                        PARTITION BY user_id ORDER BY h
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                        AS no
+                FROM joined)
+            SELECT user_id, h,
+                   ROUND(CASE WHEN v IS NOT NULL THEN v
+                              WHEN pv IS NULL THEN nv
+                              WHEN nv IS NULL THEN pv
+                              ELSE pv + (nv - pv) * (h - po) / (no - po)
+                         END, 6) AS v_interp
+            FROM ctx ORDER BY user_id, h
         """,
         # exact Lucene-form BM25 replay over the same tokenization
         "bm25_search": """

@@ -192,3 +192,47 @@ def range_join(
     """
     r = F.broadcast(right) if broadcast_right else right
     return left.join(r, on=condition, how=how)
+
+
+def interpolate_linear(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    out_col: str = "v_interp",
+) -> DataFrame:
+    """Linear interpolation of NULL gaps in a per-key ordered series —
+    the resampling companion to LOCF gap-fill: each missing point gets
+    the time-weighted blend of its nearest observed neighbors (LOCF when
+    there is no later observation, NOCB when there is no earlier one).
+
+    Pure window algebra: last(IGNORE NULLS) over the preceding frame and
+    first(IGNORE NULLS) over the following frame share one partition+sort,
+    so the whole thing is a single shuffle on the keys with O(1) running
+    state per task — no UDF, no per-key collect, safe at 100 TB key
+    cardinality. ``order_col`` must be numeric (epoch seconds etc.) so
+    the blend weight is well-defined.
+    """
+    v, o = F.col(value_col), F.col(order_col)
+    obs_o = F.when(v.isNotNull(), o)
+    back = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    pv = F.last(v, ignorenulls=True).over(back)
+    po = F.last(obs_o, ignorenulls=True).over(back)
+    nv = F.first(v, ignorenulls=True).over(fwd)
+    no = F.first(obs_o, ignorenulls=True).over(fwd)
+    interp = (
+        F.when(v.isNotNull(), v)
+        .when(pv.isNull(), nv)
+        .when(nv.isNull(), pv)
+        .otherwise(pv + (nv - pv) * (o - po) / (no - po))
+    )
+    return df.withColumn(out_col, interp)

@@ -196,3 +196,35 @@ def test_salted_join_balances_skewed_key(spark):
         spark.conf.set(
             "spark.sql.adaptive.coalescePartitions.enabled", old_coalesce
         )
+
+
+def test_interpolate_linear_hand_case(spark):
+    """NULL gaps get the time-weighted blend; leading/trailing gaps fall
+    back to NOCB/LOCF; observed points pass through untouched."""
+    from keystone_spark.operators.relational import interpolate_linear
+
+    rows = [
+        ("a", 0, None), ("a", 10, 1.0), ("a", 20, None), ("a", 30, None),
+        ("a", 40, 4.0), ("a", 50, None),
+        ("b", 0, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    out = {(r.k, r.t): r.v_interp
+           for r in interpolate_linear(df, ["k"], "t", "v").collect()}
+    assert out[("a", 0)] == 1.0            # NOCB
+    assert out[("a", 10)] == 1.0           # observed
+    assert abs(out[("a", 20)] - 2.0) < 1e-12  # 1 + (4-1)*(10/30)
+    assert abs(out[("a", 30)] - 3.0) < 1e-12
+    assert out[("a", 50)] == 4.0           # LOCF
+    assert out[("b", 0)] == 7.0
+
+
+def test_interpolate_linear_single_shuffle(spark):
+    from keystone_spark.operators.relational import interpolate_linear
+
+    df = spark.range(100).selectExpr(
+        "id % 5 AS k", "id AS t",
+        "CASE WHEN id % 3 = 0 THEN CAST(id AS DOUBLE) END AS v",
+    )
+    plan = interpolate_linear(df, ["k"], "t", "v")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1  # both windows share one shuffle
