@@ -181,3 +181,46 @@ def write_zorder(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_files(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_mb: int = 128,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Small-files compaction (the OPTIMIZE pass every long-running
+    ingest needs): rewrite a parquet directory into ceil(bytes/target)
+    right-sized files. Streaming sinks and per-batch CDC commits emit
+    file counts proportional to trigger count, and at 100 TB the footer/
+    open overhead of millions of tiny files dominates scan time — the
+    fix is a periodic rewrite, NOT more executor memory.
+
+    File count comes from the actual on-disk byte size (not row count,
+    which misestimates wide/narrow rows); with ``sort_cols`` the rewrite
+    also locally sorts within each output file (sortWithinPartitions —
+    no extra shuffle beyond the repartition) so footer min/max stats
+    stay selective after compaction. Returns {files_before, files_after,
+    bytes} for observability.
+    """
+    import glob as _glob
+    import os as _os
+
+    parts_before = [
+        p for p in _glob.glob(_os.path.join(src_path, "**", "*.parquet"),
+                              recursive=True)
+    ] or [p for p in _glob.glob(_os.path.join(src_path, "part-*"))]
+    total_bytes = sum(_os.path.getsize(p) for p in parts_before)
+    n_out = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_path)
+    out = df.repartition(int(n_out))
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    out.write.mode("overwrite").parquet(dst_path)
+    parts_after = _glob.glob(_os.path.join(dst_path, "*.parquet"))
+    return {
+        "files_before": len(parts_before),
+        "files_after": len(parts_after),
+        "bytes": total_bytes,
+    }

@@ -223,3 +223,19 @@ def test_zorder_rejects_bad_args(spark, sf_dir, tmp_path):
     with _pytest.raises(ValueError, match="63-bit"):
         write_zorder(li, ["l_orderkey", "l_partkey"], str(tmp_path / "y"),
                      bits=32)
+
+
+def test_compact_files_rightsizes_and_preserves_rows(spark, tmp_path):
+    from keystone_spark.sources.tables import compact_files
+
+    src = str(tmp_path / "many")
+    spark.range(10_000).selectExpr("id", "id % 7 AS k").repartition(
+        40
+    ).write.parquet(src)
+    dst = str(tmp_path / "compacted")
+    stats = compact_files(spark, src, dst, target_mb=128, sort_cols=["k"])
+    assert stats["files_before"] == 40
+    assert stats["files_after"] <= 2  # tiny data -> ~1 right-sized file
+    a = spark.read.parquet(src).orderBy("id").collect()
+    b = spark.read.parquet(dst).orderBy("id").collect()
+    assert a == b
