@@ -2820,6 +2820,81 @@ def q_gap_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "h")
 
 
+def q_pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality (operators/graph.pagerank) over the symmetric
+    cosine >= 0.3 near-dup graph on the bounded id range: power
+    iteration with dangling-mass redistribution, localCheckpoint-bounded
+    lineage. The iteration is not SQL-expressible — the oracle pins the
+    conservation invariants (all nodes labeled, ranks sum to 1, all
+    positive), and pytest checks exact values against numpy on a known
+    graph."""
+    from keystone_spark.functions.vector import cosine_similarity
+    from keystone_spark.operators.graph import pagerank
+
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    a = e.select(F.col("vec_id").alias("i"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("j"), F.col("embedding").alias("vb"))
+    cos = cosine_similarity(
+        F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("i") < F.col("j"))
+        .select("i", "j", F.round(cos, 6).alias("cos"))
+        .where(F.col("cos") >= 0.3)
+    )
+    sym = pairs.select("i", "j").unionByName(
+        pairs.select(F.col("j").alias("i"), F.col("i").alias("j"))
+    )
+    ranks = pagerank(sym, nodes=e.select("vec_id"), max_iter=20)
+    return ranks.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        (F.abs(F.sum("rank") - 1.0) < 1e-9).alias("sum_ok"),
+        (F.min("rank") > 0.0).alias("all_pos"),
+    )
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over per-user event-type baskets:
+    support / confidence / lift for every ordered type pair — the
+    A-priori 2-itemset pass as pure joins/aggs. Baskets are distinct
+    (user, type) rows (one dedup shuffle); pair counts come from a
+    self-join on user_id (bounded fanout: |types|^2 per user, here <=
+    25); item counts broadcast back onto the pair table. At 100 TB the
+    same shape holds because the per-basket item set, not the corpus,
+    bounds the join fanout."""
+    e = _t(spark, sf_dir, "events")
+    baskets = e.select("user_id", "event_type").distinct()
+    n_users = baskets.select("user_id").distinct().count()
+    item = baskets.groupBy("event_type").agg(F.count("*").alias("cnt"))
+    a = baskets.select("user_id", F.col("event_type").alias("ante"))
+    b = baskets.select("user_id", F.col("event_type").alias("cons"))
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count("*").alias("both"))
+    )
+    ia = F.broadcast(item.select(F.col("event_type").alias("ante"),
+                                 F.col("cnt").alias("n_a")))
+    ic = F.broadcast(item.select(F.col("event_type").alias("cons"),
+                                 F.col("cnt").alias("n_c")))
+    nu = float(n_users)
+    return (
+        pairs.join(ia, "ante").join(ic, "cons")
+        .select(
+            "ante", "cons",
+            F.round(F.col("both") / F.lit(nu), 6).alias("support"),
+            F.round(F.col("both") / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                (F.col("both") / F.lit(nu))
+                / ((F.col("n_a") / F.lit(nu)) * (F.col("n_c") / F.lit(nu))),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("ante", "cons")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_multi_join(spark, "/root/testdata/sf0.001")
@@ -2857,6 +2932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_smooth": q_ewma_smooth,
         "bm25_search": q_bm25_search,
         "gap_interpolate": q_gap_interpolate,
+        "pagerank_ranks": q_pagerank_ranks,
+        "assoc_rules": q_assoc_rules,
         "event_sliding_window": q_event_sliding_window,
         "map_fns": q_map_fns,
         "approx_distinct": q_approx_distinct,
@@ -4006,6 +4083,39 @@ def oracle_sql() -> dict[str, str]:
                    ok_words AND ok_mean_len AND ok_symbol AND ok_bullet
                        AND ok_ellipsis AND ok_alpha AND ok_stop AS passes
             FROM rules ORDER BY doc_id
+        """,
+        # a-priori 2-itemset pass: identical counting in SQL
+        "assoc_rules": """
+            WITH baskets AS (
+                SELECT DISTINCT user_id, event_type FROM events),
+            nu AS (SELECT COUNT(DISTINCT user_id) AS n FROM baskets),
+            item AS (
+                SELECT event_type, COUNT(*) AS cnt
+                FROM baskets GROUP BY event_type),
+            pairs AS (
+                SELECT a.event_type AS ante, b.event_type AS cons,
+                       COUNT(*) AS nb
+                FROM baskets a JOIN baskets b USING (user_id)
+                WHERE a.event_type <> b.event_type
+                GROUP BY 1, 2)
+            SELECT ante, cons,
+                   ROUND(nb * 1.0 / nu.n, 6) AS support,
+                   ROUND(nb * 1.0 / ia.cnt, 6) AS confidence,
+                   ROUND((nb * 1.0 / nu.n)
+                         / ((ia.cnt * 1.0 / nu.n) * (ic.cnt * 1.0 / nu.n)),
+                         6) AS lift
+            FROM pairs
+            JOIN item ia ON ia.event_type = ante
+            JOIN item ic ON ic.event_type = cons
+            CROSS JOIN nu
+            ORDER BY ante, cons
+        """,
+        # iterative power method (not SQL): conservation invariants only;
+        # exact values pinned vs numpy in tests/test_graph.py
+        "pagerank_ranks": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                   TRUE AS sum_ok, TRUE AS all_pos
+            FROM embeddings WHERE vec_id < 200
         """,
         # same grid as gap_fill; linear blend of nearest observed points
         "gap_interpolate": """

@@ -1,5 +1,6 @@
 """LLM training-data curation over the documents fixture — the north-star
-pipeline: exact dedup -> MinHash near-dedup -> quality filter ->
+pipeline: line-dedup + PII scrub -> exact dedup -> MinHash near-dedup ->
+Gopher+quality filter ->
 language ID -> token accounting -> budget-true shard packing (-> shard
 write). Every stage is a DataFrame->DataFrame operator from the engine;
 nothing collects to the driver except the final summary row.
@@ -24,11 +25,13 @@ def curate(spark, sf_dir: str, jaccard_threshold: float = 0.8,
            pack_budget: int = 2048, out_dir: str | None = None) -> dict:
     from keystone_spark.functions.text import (
         bpe_ish_token_count,
+        gopher_rules,
         language_scores,
         quality_features,
+        redact_pii,
         token_count,
     )
-    from keystone_spark.operators.curation import pack_sequences_greedy
+    from keystone_spark.operators.curation import line_dedup, pack_sequences_greedy
     from keystone_spark.operators.dedup import exact_dedup, minhash_dedup
     from keystone_spark.sources import load_table
     from keystone_spark.sources.loaders import write_table
@@ -36,9 +39,18 @@ def curate(spark, sf_dir: str, jaccard_threshold: float = 0.8,
     docs = load_table(spark, "documents", sf_dir)
     n0 = docs.count()
 
+    # 0. repeated-line boilerplate removal + PII scrub (text-rewriting
+    # passes run FIRST so every later dedup/quality signal sees clean
+    # text; both are map-only scans plus line_dedup's one frequency agg)
+    cleaned = line_dedup(
+        docs, max_docs=max(5, n0 // 20)
+    ).join(docs.drop("text"), "doc_id").withColumnRenamed(
+        "clean_text", "text"
+    ).withColumn("text", redact_pii("text"))
+
     # 1. exact dedup on normalized text
     exact = exact_dedup(
-        docs.withColumn("__norm", F.lower(F.trim("text"))), ["__norm"]
+        cleaned.withColumn("__norm", F.lower(F.trim("text"))), ["__norm"]
     ).drop("__norm")
     n1 = exact.count()
 
@@ -46,15 +58,22 @@ def curate(spark, sf_dir: str, jaccard_threshold: float = 0.8,
     near = minhash_dedup(exact, threshold=jaccard_threshold)
     n2 = near.count()
 
-    # 3. quality filter: enough tokens, not digit-soup
+    # 3. quality filter: enough tokens, not digit-soup, and the Gopher
+    # repetition/symbol/alpha rules (word-count floor relaxed to the
+    # fixture's scale via min_words=min_tokens)
     q = quality_features("text")
+    g = gopher_rules("text", min_words=min_tokens, min_stop_hits=0)
     filtered = (
         near.withColumn("__q", q)
+        .withColumn("__g", g)
         .where(
             (F.col("__q.n_tokens") >= min_tokens)
             & (F.col("__q.digit_ratio") <= max_digit_ratio)
+            & F.col("__g.ok_symbol")
+            & F.col("__g.ok_alpha")
+            & F.col("__g.ok_mean_len")
         )
-        .drop("__q")
+        .drop("__q", "__g")
     )
     n3 = filtered.count()
 

@@ -114,3 +114,30 @@ def test_dedup_clusters_transitive(spark, sf_dir):
     # docs outside any cluster are never dropped
     all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
     assert (all_ids - clustered) <= kept
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from keystone_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]  # node 4 isolated
+    n = 5
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["node"])
+    e = spark.createDataFrame(edges, ["i", "j"])
+    got = {r.node: r["rank"]
+           for r in pagerank(e, nodes=nodes, max_iter=30).collect()}
+
+    # numpy reference: column-stochastic with uniform dangling handling
+    M = np.zeros((n, n))
+    deg = {0: 2, 1: 1, 2: 1, 3: 1}
+    for s, d in edges:
+        M[d, s] = 1.0 / deg[s]
+    r = np.full(n, 1.0 / n)
+    damp = 0.85
+    for _ in range(30):
+        dangling = r[[4]].sum()  # node 4 has no out-edges
+        r = (1 - damp) / n + damp * (M @ r + dangling / n)
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
