@@ -635,3 +635,59 @@ def semantic_clusters(
     return labeled.withColumn(
         "is_rep", (F.col("cluster_id") == F.col(id_col)).cast("int")
     )
+
+
+def hash64_candidates(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """Banded near-dup candidates over ANY 64-bit signature column (the
+    simhash_candidates kernel generalized): pigeonhole guarantees a pair
+    within Hamming distance n_bands-1 shares an exact band, the band
+    equi-join replaces the all-pairs product, bit_count verifies. Use
+    with text simhash, image phash (multimodal.phash64), audio
+    fingerprints — anything that emits a LongType signature.
+    """
+    assert 64 % n_bands == 0
+    seg = 64 // n_bands
+    mask = (1 << seg) - 1
+    sh = df.select(F.col(id_col), F.col(hash_col).alias("__sh"))
+    banded = sh.select(
+        id_col,
+        "__sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("__sh"), b * seg)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "__sh", "bb.band", "bb.bucket")
+    banded = _drop_oversized_buckets(banded, ["band", "bucket"], bucket_cap)
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("i"),
+            F.col(f"b.{id_col}").alias("j"),
+            F.bit_count(F.col("a.__sh").bitwiseXOR(F.col("b.__sh")))
+            .alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

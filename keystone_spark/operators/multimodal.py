@@ -500,3 +500,73 @@ def audio_features(
             yield pdf[cols + [out_col]]
 
     return df.mapInPandas(part, out_schema)
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (the JPEG/pHash transform)."""
+    k = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    c = np.cos(np.pi * (2 * x + 1) * k / (2 * n))
+    c[0] *= 1.0 / np.sqrt(2)
+    return c * np.sqrt(2.0 / n)
+
+
+def phash64(
+    df: DataFrame,
+    image_col: str = "image",
+    out_col: str = "phash",
+    resize: int = 32,
+    hash_size: int = 8,
+) -> DataFrame:
+    """64-bit perceptual hash (classic pHash) per image — the image-side
+    near-dup signature (LAION-style multimodal dedup): grayscale ->
+    area-resize to ``resize``² -> 2-D DCT-II -> keep the top-left
+    ``hash_size``² low-frequency block -> bit i = coefficient > median.
+    Robust to recompression/resizing/small edits; Hamming distance on
+    the LongType output measures perceptual closeness, so the banded
+    64-bit candidate machinery (dedup.hash64_candidates) applies as-is.
+
+    One Arrow pass, numpy matmuls per batch; emits a plain LongType so
+    everything downstream (banding, bit_count verify, joins) is codegen.
+    """
+    fields = [f for f in df.schema.fields]
+    out_schema = StructType(fields + [StructField(out_col, LongType())])
+    cols = [f.name for f in fields]
+    wts = np.array([0.299, 0.587, 0.114])
+    D = _dct_matrix(resize)
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            hashes = []
+            for img in pdf[image_col]:
+                if img is None:
+                    hashes.append(None)
+                    continue
+                h, w, c = img["height"], img["width"], img["n_channels"]
+                arr = np.asarray(img["data"], dtype=np.float64).reshape(h, w, c)
+                g = arr @ wts[:c] if c == 3 else arr.mean(axis=2)
+                # deterministic resize: sample the source at each target
+                # cell's center (nearest) — hole-free for up- AND
+                # down-scaling, and scale-aligned so a 2x copy maps to
+                # the same source pixels (the invariance pHash needs)
+                ys = ((np.arange(resize) + 0.5) * h / resize).astype(int).clip(max=h - 1)
+                xs = ((np.arange(resize) + 0.5) * w / resize).astype(int).clip(max=w - 1)
+                small = g[ys[:, None], xs[None, :]]
+                t = D @ small @ D.T
+                block = t[:hash_size, :hash_size].ravel()
+                med = np.median(block)
+                bits = block > med
+                val = 0
+                for bit in bits:
+                    val = (val << 1) | int(bit)
+                # wrap to signed 64-bit for LongType
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                hashes.append(val)
+            pdf = pdf.copy()
+            pdf[out_col] = pd.Series(hashes, dtype="object")
+            yield pdf[cols + [out_col]]
+
+    return df.mapInPandas(part, out_schema)

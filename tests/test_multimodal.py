@@ -156,3 +156,56 @@ def test_frame_sample_real_non_avi_keeps_ffmpeg_hook(spark):
     )
     with _pytest.raises(Exception, match="ffmpeg"):
         frame_sample(df, decode="real").collect()
+
+
+def test_phash64_invariance_and_discrimination(spark):
+    """Perceptual hash: a lightly-perturbed copy stays within a few bits
+    (robust to noise/rescale), unrelated images land far apart, and the
+    generic banded candidate join recovers exactly the planted pair."""
+    import numpy as np
+
+    from keystone_spark.operators.dedup import hash64_candidates
+    from keystone_spark.operators.multimodal import phash64
+
+    rng = np.random.default_rng(7)
+
+    def img_row(i, arr):
+        h, w = arr.shape
+        return (i, {"height": h, "width": w, "n_channels": 1,
+                    "data": arr.astype("float32").ravel().tolist()})
+
+    base = rng.random((24, 24)) * 255
+    noisy = base + rng.normal(0, 2.0, base.shape)          # near-dup
+    bigger = np.kron(base, np.ones((2, 2)))                # rescaled copy
+    other = rng.random((24, 24)) * 255                     # unrelated
+    rows = [img_row(0, base), img_row(1, noisy), img_row(2, bigger),
+            img_row(3, other)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, image struct<height:int,width:int,"
+              "n_channels:int,data:array<float>>"
+    )
+    hashed = phash64(df, "image")
+    hs = {r.vec_id: r.phash for r in hashed.collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(hs[0], hs[1]) <= 6
+    assert ham(hs[0], hs[2]) <= 6      # resize-invariant
+    assert ham(hs[0], hs[3]) >= 16     # unrelated stays far
+    cands = hash64_candidates(hashed, "vec_id", "phash", n_bands=8,
+                              max_hamming=7)
+    got = {(r.i, r.j) for r in cands.collect()}
+    assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+    assert all(3 not in pair for pair in got)
+
+
+def test_phash64_null_image_is_null_hash(spark):
+    from keystone_spark.operators.multimodal import phash64
+
+    df = spark.createDataFrame(
+        [(0, None)],
+        "vec_id long, image struct<height:int,width:int,"
+        "n_channels:int,data:array<float>>",
+    )
+    assert phash64(df, "image").first().phash is None
