@@ -570,3 +570,84 @@ def phash64(
             yield pdf[cols + [out_col]]
 
     return df.mapInPandas(part, out_schema)
+
+
+def _mel_filterbank(n_mels: int, n_fft: int, sr: float) -> np.ndarray:
+    """Triangular HTK-mel filterbank, (n_mels, n_fft//2 + 1)."""
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f) / 700.0)
+
+    def mel_to_hz(m):
+        return 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
+
+    n_bins = n_fft // 2 + 1
+    mel_pts = np.linspace(0.0, hz_to_mel(sr / 2.0), n_mels + 2)
+    hz_pts = mel_to_hz(mel_pts)
+    bins = np.floor((n_fft + 1) * hz_pts / sr).astype(int).clip(max=n_bins - 1)
+    fb = np.zeros((n_mels, n_bins))
+    for m in range(1, n_mels + 1):
+        lo, c, hi = bins[m - 1], bins[m], bins[m + 1]
+        if c > lo:
+            fb[m - 1, lo:c] = (np.arange(lo, c) - lo) / (c - lo)
+        if hi > c:
+            fb[m - 1, c:hi] = (hi - np.arange(c, hi)) / (hi - c)
+    return fb
+
+
+def mfcc_features(
+    df: DataFrame,
+    audio_col: str = "audio",
+    out_col: str = "mfcc",
+    n_mfcc: int = 13,
+    n_mels: int = 26,
+    n_fft: int = 512,
+    hop: int = 256,
+) -> DataFrame:
+    """Mel-frequency cepstral coefficients per clip — the real version of
+    the speech front-end the reference consumed pre-computed (SURVEY
+    §2.1 TimitFeaturesDataLoader ate MFCC-ish frames from disk; this
+    computes them from PCM): Hann-windowed framing -> rFFT power
+    spectrum -> HTK mel filterbank -> log -> DCT-II -> first ``n_mfcc``
+    coefficients, summarized as per-coefficient mean then std over
+    frames (2*n_mfcc values per clip, a fixed-width feature row ready
+    for the solvers).
+
+    Whole clip batches flow through one Arrow pass; every step is a
+    numpy matmul over a (frames, bins) matrix — no per-sample Python.
+    Clips shorter than one frame window are zero-padded to ``n_fft``.
+    """
+    fields = [f for f in df.schema.fields]
+    out_schema = StructType(fields + [StructField(out_col, ArrayType(DoubleType()))])
+    cols = [f.name for f in fields]
+    window = np.hanning(n_fft)
+    Dct = _dct_matrix(n_mels)[:n_mfcc]  # orthonormal DCT-II rows
+
+    def one(sr: float, pcm: np.ndarray) -> list:
+        fb = _mel_filterbank(n_mels, n_fft, sr)
+        if len(pcm) < n_fft:
+            pcm = np.pad(pcm, (0, n_fft - len(pcm)))
+        n_frames = 1 + (len(pcm) - n_fft) // hop
+        idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+        frames = pcm[idx] * window[None, :]
+        power = np.abs(np.fft.rfft(frames, axis=1)) ** 2 / n_fft
+        mel = power @ fb.T
+        logmel = np.log(np.maximum(mel, 1e-10))
+        cc = logmel @ Dct.T  # (frames, n_mfcc)
+        return np.concatenate([cc.mean(axis=0), cc.std(axis=0)]).tolist()
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feats = []
+            for au in pdf[audio_col]:
+                if au is None:
+                    feats.append(None)
+                    continue
+                pcm = np.asarray(au["pcm"], dtype=np.float64)
+                feats.append(one(float(au["sample_rate"]), pcm))
+            pdf = pdf.copy()
+            pdf[out_col] = feats
+            yield pdf[cols + [out_col]]
+
+    return df.mapInPandas(part, out_schema)

@@ -209,3 +209,49 @@ def test_phash64_null_image_is_null_hash(spark):
         "n_channels:int,data:array<float>>",
     )
     assert phash64(df, "image").first().phash is None
+
+
+def test_mfcc_features_pure_tone_and_shape(spark):
+    """MFCC sanity: output is 2*n_mfcc wide; a pure tone yields identical
+    coefficients across identical clips (deterministic) and different
+    tones produce different cepstra; matches a direct numpy replay."""
+    import numpy as np
+
+    from keystone_spark.operators.multimodal import (
+        _dct_matrix,
+        _mel_filterbank,
+        mfcc_features,
+    )
+
+    sr, n = 16000, 4096
+    t = np.arange(n) / sr
+
+    def clip(i, freq):
+        pcm = np.sin(2 * np.pi * freq * t).astype("float32")
+        return (i, {"sample_rate": sr, "n_samples": n,
+                    "pcm": pcm.tolist()})
+
+    df = spark.createDataFrame(
+        [clip(0, 440.0), clip(1, 440.0), clip(2, 3000.0), (3, None)],
+        "clip_id long, audio struct<sample_rate:int,n_samples:int,"
+        "pcm:array<float>>",
+    )
+    out = {r.clip_id: r.mfcc for r in mfcc_features(df).collect()}
+    assert out[3] is None
+    assert len(out[0]) == 26  # 13 means + 13 stds
+    assert out[0] == out[1]   # deterministic
+    assert max(abs(a - b) for a, b in zip(out[0], out[2])) > 0.5
+
+    # direct numpy replay of clip 0 (same framing constants)
+    n_fft, hop, n_mels, n_mfcc = 512, 256, 26, 13
+    pcm = np.asarray(
+        np.sin(2 * np.pi * 440.0 * t).astype("float32"), dtype=np.float64
+    )
+    win = np.hanning(n_fft)
+    n_frames = 1 + (len(pcm) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    power = np.abs(np.fft.rfft(pcm[idx] * win, axis=1)) ** 2 / n_fft
+    mel = power @ _mel_filterbank(n_mels, n_fft, sr).T
+    cc = np.log(np.maximum(mel, 1e-10)) @ _dct_matrix(n_mels)[:n_mfcc].T
+    want = np.concatenate([cc.mean(axis=0), cc.std(axis=0)])
+    assert np.allclose(out[0], want, atol=1e-12)
