@@ -131,3 +131,28 @@ class BpeTokenizer:
 
         col = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
         return enc(col)
+
+    def save(self, path: str) -> None:
+        """Persist the merge table as JSON (a few KB — ship it with the
+        corpus so every downstream job tokenizes identically)."""
+        import json
+
+        if self.merges is None:
+            raise ValueError("nothing to save: fit first")
+        with open(path, "w") as fh:
+            json.dump(
+                {"num_merges": self.num_merges,
+                 "max_fit_words": self.max_fit_words,
+                 "merges": self.merges},
+                fh,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "BpeTokenizer":
+        import json
+
+        with open(path) as fh:
+            blob = json.load(fh)
+        tok = cls(blob["num_merges"], blob["max_fit_words"])
+        tok.merges = [tuple(p) for p in blob["merges"]]
+        return tok

@@ -212,3 +212,20 @@ def test_bm25_ranks_relevance(spark):
     got = [r.doc_id for r in bm25_search(docs, qs, k=10)
            .orderBy("rk").collect()]
     assert got == [0, 1]  # doc 2 never scored (no shared term)
+
+
+def test_bpe_save_load_roundtrip(spark, tmp_path):
+    from keystone_spark.functions.text import tokens
+    from keystone_spark.operators.bpe import BpeTokenizer
+
+    df = spark.createDataFrame(
+        [(0, "the lowest newest low low wide widest")], ["doc_id", "text"]
+    ).withColumn("toks", tokens("text"))
+    bpe = BpeTokenizer(num_merges=30).fit(df, "toks")
+    p = str(tmp_path / "merges.json")
+    bpe.save(p)
+    loaded = BpeTokenizer.load(p)
+    assert loaded.merges == bpe.merges
+    a = df.withColumn("s", bpe.encode_column("toks")).first().s
+    b = df.withColumn("s", loaded.encode_column("toks")).first().s
+    assert a == b
