@@ -2895,6 +2895,32 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_binned_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-bucketed range join (operators/relational.binned_range_join):
+    order totalprice points against 60 overlapping price bands — the
+    equi-join on floor(price/bin) + exploded band bins replaces the
+    nested loop Spark would otherwise plan for a bare BETWEEN (pinned:
+    no BNLJ/cartesian in test_plan_quality). Band membership counts per
+    band; oracle uses the naive BETWEEN join (same semantics)."""
+    from keystone_spark.operators.relational import binned_range_join
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bands = spark.range(60).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 5000.0).alias("lo"),
+        (F.col("id") * 5000.0 + 12000.0).alias("hi"),
+    )
+    j = binned_range_join(o, bands, "o_totalprice", "lo", "hi", 5000.0)
+    return (
+        j.groupBy("band_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        )
+        .orderBy("band_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_multi_join(spark, "/root/testdata/sf0.001")
@@ -2934,6 +2960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_interpolate": q_gap_interpolate,
         "pagerank_ranks": q_pagerank_ranks,
         "assoc_rules": q_assoc_rules,
+        "binned_range": q_binned_range,
         "event_sliding_window": q_event_sliding_window,
         "map_fns": q_map_fns,
         "approx_distinct": q_approx_distinct,
@@ -4083,6 +4110,18 @@ def oracle_sql() -> dict[str, str]:
                    ok_words AND ok_mean_len AND ok_symbol AND ok_bullet
                        AND ok_ellipsis AND ok_alpha AND ok_stop AS passes
             FROM rules ORDER BY doc_id
+        """,
+        # naive BETWEEN join — same semantics as the binned equi-join
+        "binned_range": """
+            WITH bands AS (
+                SELECT i AS band_id, i * 5000.0 AS lo,
+                       i * 5000.0 + 12000.0 AS hi
+                FROM range(0, 60) t(i))
+            SELECT band_id, COUNT(*) AS n,
+                   ROUND(AVG(o_totalprice), 6) AS avg_price
+            FROM orders JOIN bands
+              ON o_totalprice >= lo AND o_totalprice <= hi
+            GROUP BY band_id ORDER BY band_id
         """,
         # a-priori 2-itemset pass: identical counting in SQL
         "assoc_rules": """

@@ -439,3 +439,12 @@ def test_bm25_broadcasts_queries_and_prunes_topk(spark, sf_dir, qs):
     assert "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan
     assert "EvalPython" not in plan
+
+
+def test_binned_range_is_hash_join_not_bnlj(spark, sf_dir, qs):
+    """The whole point of the bin trick: a BETWEEN join must become a
+    hash join on the bin key — never a nested loop or cartesian."""
+    plan = plan_of(qs["binned_range"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan

@@ -228,3 +228,26 @@ def test_interpolate_linear_single_shuffle(spark):
     )
     plan = interpolate_linear(df, ["k"], "t", "v")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1  # both windows share one shuffle
+
+
+def test_binned_range_join_equals_naive(spark):
+    """Bin-bucketed range join must equal the naive BETWEEN join for
+    arbitrary bin sizes (pair meets in exactly one bin: no dups/misses),
+    including intervals spanning many bins and empty bands."""
+    pts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([0, 1, 5, 49, 50, 99, 1000])],
+        ["pid", "p"],
+    )
+    iv = spark.createDataFrame(
+        [(0, 0.0, 10.0), (1, 4.0, 60.0), (2, 90.0, 95.0), (3, 200.0, 900.0)],
+        ["iid", "lo", "hi"],
+    )
+    from keystone_spark.operators.relational import binned_range_join
+
+    naive = {(r.pid, r.iid) for r in pts.join(
+        iv, (F.col("p") >= F.col("lo")) & (F.col("p") <= F.col("hi"))
+    ).collect()}
+    for bin_size in (1.0, 7.0, 50.0, 1000.0):
+        got = {(r.pid, r.iid) for r in binned_range_join(
+            pts, iv, "p", "lo", "hi", bin_size).collect()}
+        assert got == naive, bin_size
