@@ -2921,6 +2921,41 @@ def q_binned_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct sketches (Spark 4 datasketches surface):
+    one sketch per event_type, merged with hll_union_agg to a global
+    estimate — the re-aggregatable distinct-count lifecycle (build
+    per-partition/per-day sketches once, merge any rollup later without
+    rescanning 100 TB). Per-type estimates must be exact at this
+    cardinality; the merged estimate is pinned within 5% of exact
+    (boolean, oracle-checkable)."""
+    e = _t(spark, sf_dir, "events")
+    sk = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    per_type = sk.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("est"),
+        "exact",
+    )
+    merged = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("m_est")
+    ).first()
+    total_exact = e.select("user_id").distinct().count()
+    ok = abs(merged["m_est"] - total_exact) <= 0.05 * total_exact
+    return (
+        per_type.select(
+            "event_type",
+            F.col("exact").cast("long").alias("exact"),
+            (F.abs(F.col("est") - F.col("exact"))
+             <= 0.05 * F.col("exact")).alias("est_within_5pct"),
+            F.lit(bool(ok)).alias("merged_within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_multi_join(spark, "/root/testdata/sf0.001")
@@ -2961,6 +2996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_ranks": q_pagerank_ranks,
         "assoc_rules": q_assoc_rules,
         "binned_range": q_binned_range,
+        "hll_union": q_hll_union,
         "event_sliding_window": q_event_sliding_window,
         "map_fns": q_map_fns,
         "approx_distinct": q_approx_distinct,
@@ -4110,6 +4146,14 @@ def oracle_sql() -> dict[str, str]:
                    ok_words AND ok_mean_len AND ok_symbol AND ok_bullet
                        AND ok_ellipsis AND ok_alpha AND ok_stop AS passes
             FROM rules ORDER BY doc_id
+        """,
+        # exact distincts from SQL; sketch accuracy pinned as booleans
+        "hll_union": """
+            SELECT event_type,
+                   COUNT(DISTINCT user_id) AS exact,
+                   TRUE AS est_within_5pct,
+                   TRUE AS merged_within_5pct
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         # naive BETWEEN join — same semantics as the binned equi-join
         "binned_range": """

@@ -239,3 +239,45 @@ def test_compact_files_rightsizes_and_preserves_rows(spark, tmp_path):
     a = spark.read.parquet(src).orderBy("id").collect()
     b = spark.read.parquet(dst).orderBy("id").collect()
     assert a == b
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC is a first-class Spark source: roundtrip preserves values and
+    predicates reach the ORC scan (searchArgument pushdown)."""
+    p = str(tmp_path / "orc")
+    df = spark.range(1000).selectExpr("id", "id % 13 AS k",
+                                      "CAST(id AS STRING) AS s")
+    df.write.orc(p)
+    back = spark.read.orc(p)
+    assert back.count() == 1000
+    assert back.where("k = 3").count() == df.where("k = 3").count()
+    plan = back.where("k = 3")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(k), EqualTo(k,3)]" in plan or \
+        "EqualTo(k,3)" in plan
+
+
+def test_text_and_binaryfile_sources(spark, tmp_path):
+    """text source: one row per line; binaryFile: (path, content) rows —
+    the raw-ingest entries for document and media corpora."""
+    d = tmp_path / "txt"
+    d.mkdir()
+    (d / "a.txt").write_text("alpha\nbeta\n")
+    (d / "b.txt").write_text("gamma\n")
+    lines = spark.read.text(str(d))
+    assert sorted(r.value for r in lines.collect()) == [
+        "alpha", "beta", "gamma"]
+    blobs = spark.read.format("binaryFile").load(str(d))
+    got = {r.path.split("/")[-1]: bytes(r.content) for r in blobs.collect()}
+    assert got["a.txt"] == b"alpha\nbeta\n" and got["b.txt"] == b"gamma\n"
+
+
+def test_parquet_zstd_codec_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "zstd")
+    df = spark.range(5000).selectExpr("id", "repeat('x', 50) AS pad")
+    df.write.option("compression", "zstd").parquet(p)
+    import glob
+    import pyarrow.parquet as pq
+    f = glob.glob(p + "/*.parquet")[0]
+    assert pq.ParquetFile(f).metadata.row_group(0).column(0).compression \
+        == "ZSTD"
+    assert spark.read.parquet(p).count() == 5000
