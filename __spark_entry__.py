@@ -2956,6 +2956,44 @@ def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators/observe
+    .constraint_checks) over orders with PLANTED violations (nulled
+    custkeys, duplicated keys, out-of-range prices, orphan FK rows) so
+    every check reports a non-zero, oracle-checkable count: not-null +
+    range fold into one scan, uniqueness is one grouped agg, FK orphans
+    one broadcast anti join."""
+    from keystone_spark.operators.observe import constraint_checks
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    planted = o.unionByName(
+        o.where(F.col("o_orderkey") % 500 == 0)  # duplicate keys
+    ).withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey")),
+    ).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 101 == 0, F.lit(-5.0))
+        .otherwise(F.col("o_totalprice")),
+    ).withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 103 == 0, F.col("o_custkey") + 9_000_000)
+        .otherwise(F.col("o_custkey")),  # orphan FKs
+    )
+    cust = _t(spark, sf_dir, "customer")
+    out = constraint_checks(
+        planted,
+        not_null=["o_custkey"],
+        unique=[["o_orderkey"]],
+        ranges={"o_totalprice": (0.0, 1e9)},
+        foreign_keys=[("o_custkey", cust, "c_custkey")],
+    )
+    return out.orderBy("check")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_multi_join(spark, "/root/testdata/sf0.001")
@@ -2997,6 +3035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assoc_rules": q_assoc_rules,
         "binned_range": q_binned_range,
         "hll_union": q_hll_union,
+        "dq_checks": q_dq_checks,
         "event_sliding_window": q_event_sliding_window,
         "map_fns": q_map_fns,
         "approx_distinct": q_approx_distinct,
@@ -4146,6 +4185,44 @@ def oracle_sql() -> dict[str, str]:
                    ok_words AND ok_mean_len AND ok_symbol AND ok_bullet
                        AND ok_ellipsis AND ok_alpha AND ok_stop AS passes
             FROM rules ORDER BY doc_id
+        """,
+        # same planting; each check re-derived as plain SQL counts
+        "dq_checks": """
+            WITH base AS (
+                SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+            planted0 AS (
+                SELECT * FROM base
+                UNION ALL
+                SELECT * FROM base WHERE o_orderkey % 500 = 0),
+            planted AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                            WHEN o_orderkey % 103 = 0
+                                THEN o_custkey + 9000000
+                            ELSE o_custkey END AS o_custkey,
+                       CASE WHEN o_orderkey % 101 = 0 THEN -5.0
+                            ELSE o_totalprice END AS o_totalprice
+                FROM planted0)
+            SELECT * FROM (
+                SELECT 'fk:o_custkey->c_custkey' AS "check",
+                       COUNT(*) AS violations
+                FROM planted
+                WHERE o_custkey IS NOT NULL
+                  AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+                UNION ALL
+                SELECT 'not_null:o_custkey', COUNT(*)
+                FROM planted WHERE o_custkey IS NULL
+                UNION ALL
+                SELECT 'range:o_totalprice', COUNT(*)
+                FROM planted
+                WHERE o_totalprice NOT BETWEEN 0.0 AND 1e9
+                UNION ALL
+                SELECT 'unique:o_orderkey',
+                       CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+                FROM (SELECT o_orderkey, COUNT(*) AS n
+                      FROM planted GROUP BY o_orderkey) g
+                WHERE n > 1
+            ) ORDER BY "check"
         """,
         # exact distincts from SQL; sketch accuracy pinned as booleans
         "hll_union": """

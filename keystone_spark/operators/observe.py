@@ -98,3 +98,64 @@ def run_observed_available_now(
         for k, v in m.asDict().items():
             total[k] = total.get(k, 0) + (v or 0)
     return total
+
+
+def constraint_checks(
+    df: DataFrame,
+    not_null: list[str] | None = None,
+    unique: list[list[str]] | None = None,
+    ranges: dict | None = None,
+    foreign_keys: list[tuple] | None = None,
+) -> DataFrame:
+    """Deequ/dbt-style declarative constraint validation, returned as one
+    (check, violations) report DataFrame — the CI gate a 100 TB ingest
+    runs before publishing a partition.
+
+    - ``not_null``: columns that must never be NULL (counted in ONE scan
+      via conditional aggregates — no per-check pass).
+    - ``unique``: key lists that must be distinct (count - countDistinct,
+      map-side-combinable; NULL-containing keys are counted by the
+      grouped fallback exactly).
+    - ``ranges``: {col: (lo, hi)} closed-interval bounds.
+    - ``foreign_keys``: (fk_col, dim_df, pk_col) triples — orphans found
+      with a LEFT ANTI join (broadcast when the dim is small, exactly
+      the scan-side shape of the star-schema integrity check).
+
+    All single-table checks fold into one aggregation over one scan;
+    each FK adds one anti-join count. Violations == 0 for every row is
+    the pass condition; the report stays a tiny driver-safe table.
+    """
+    aggs = []
+    for c in not_null or []:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"not_null:{c}")
+        )
+    for c, (lo, hi) in (ranges or {}).items():
+        aggs.append(
+            F.sum(
+                (~F.col(c).between(lo, hi)).cast("long")
+            ).alias(f"range:{c}")
+        )
+    rows = []
+    spark = df.sparkSession
+    if aggs:
+        r = df.agg(*aggs).first()
+        rows += [(k, int(r[k] or 0)) for k in r.asDict()]
+    for keys in unique or []:
+        dup = (
+            df.groupBy(*keys)
+            .agg(F.count("*").alias("__n"))
+            .where(F.col("__n") > 1)
+            .agg(F.coalesce(F.sum(F.col("__n") - 1), F.lit(0)))
+            .first()[0]
+        )
+        rows.append((f"unique:{','.join(keys)}", int(dup)))
+    for fk_col, dim_df, pk_col in foreign_keys or []:
+        orphans = (
+            df.select(F.col(fk_col).alias(pk_col))
+            .where(F.col(pk_col).isNotNull())
+            .join(dim_df.select(pk_col).distinct(), pk_col, "left_anti")
+            .count()
+        )
+        rows.append((f"fk:{fk_col}->{pk_col}", int(orphans)))
+    return spark.createDataFrame(rows, "check string, violations long")

@@ -65,3 +65,39 @@ def test_quality_checks_shape(spark):
     df = spark.createDataFrame([(1, 2.0)], "a long, b double")
     exprs = quality_checks(df)
     assert len(exprs) == 3  # n_rows + one null counter per column
+
+
+def test_constraint_checks_counts_each_violation_class(spark):
+    from keystone_spark.operators.observe import constraint_checks
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, 5.0), (2, None, 5.0), (3, 10, -1.0),
+            (4, 99, 5.0),          # orphan fk
+            (1, 10, 5.0), (1, 10, 5.0),  # key 1 x3 -> 2 extras
+        ],
+        "k long, fk long, v double",
+    )
+    dim = spark.createDataFrame([(10,), (11,)], ["pk"])
+    out = {r["check"]: r.violations for r in constraint_checks(
+        df,
+        not_null=["fk"],
+        unique=[["k"]],
+        ranges={"v": (0.0, 100.0)},
+        foreign_keys=[("fk", dim, "pk")],
+    ).collect()}
+    assert out == {
+        "not_null:fk": 1,
+        "unique:k": 2,
+        "range:v": 1,
+        "fk:fk->pk": 1,
+    }
+
+
+def test_constraint_checks_clean_table_all_zero(spark):
+    from keystone_spark.operators.observe import constraint_checks
+
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double")
+    out = constraint_checks(df, not_null=["v"], unique=[["k"]],
+                            ranges={"v": (0.0, 10.0)})
+    assert all(r.violations == 0 for r in out.collect())
