@@ -2994,6 +2994,88 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("check")
 
 
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dimension-as-of-fact-time lookup: events join their user's
+    SCD2 interval valid at the event's timestamp (the lakehouse temporal
+    join). The equi user_id key makes it a plain hash join with a range
+    post-filter — the shape that scales; per-(user, state) event counts
+    keep the output bounded."""
+    e = _t(spark, sf_dir, "events").where(F.col("user_id") < 100).select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("t"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    ch = e.withColumn("prev", F.lag("event_type").over(w)).where(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    )
+    dim = ch.withColumn("valid_to", F.lead("t").over(w)).select(
+        "user_id", F.col("event_type").alias("state"),
+        F.col("t").alias("valid_from"), "valid_to",
+    )
+    facts = e.select("user_id", "t")
+    j = facts.join(dim, "user_id").where(
+        (F.col("t") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("t") < F.col("valid_to")))
+    )
+    return (
+        j.groupBy("user_id", "state")
+        .agg(F.count("*").alias("n"))
+        .orderBy("user_id", "state")
+    )
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the cosine >= 0.3 near-dup graph: with edges
+    canonicalized i < j, triangles are triples a<b<c with all three
+    edges present — two equi-joins, no enumeration of non-edges. (At
+    scale, orient each edge from its lower-degree endpoint first so the
+    join fanout is bounded by arboricity — the standard MR triangle
+    recipe; the canonical-id orientation here is its fixture-scale
+    form.) Exact SQL twin."""
+    from keystone_spark.functions.vector import cosine_similarity
+
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    a = e.select(F.col("vec_id").alias("i"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("j"), F.col("embedding").alias("vb"))
+    cos = cosine_similarity(
+        F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")
+    )
+    edges = (
+        a.join(F.broadcast(b), F.col("i") < F.col("j"))
+        .select("i", "j", F.round(cos, 6).alias("cos"))
+        .where(F.col("cos") >= 0.3)
+        .select("i", "j")
+    )
+    ab = edges.select(F.col("i").alias("a"), F.col("j").alias("b"))
+    bc = edges.select(F.col("i").alias("b"), F.col("j").alias("c"))
+    ac = edges.select(F.col("i").alias("a"), F.col("j").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    return tri.agg(F.count("*").cast("long").alias("n_triangles"))
+
+
+def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) histogram of order totalprice via NTILE:
+    every bucket holds the same row count, bucket edges adapt to the
+    distribution — the histogram a cost-based optimizer keeps. The
+    global NTILE is the exact, oracle-checkable fixture form (one
+    partition — fine at this scale); the 100 TB path replaces it with
+    approx percentile boundaries + a map-side bucket assignment, same
+    output schema (see winsorized_stats for the fence pattern)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(F.col("o_totalprice").alias("p"),
+                 F.ntile(10).over(w).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("p"), 6).alias("lo"),
+            F.round(F.max("p"), 6).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_multi_join(spark, "/root/testdata/sf0.001")
@@ -3036,6 +3118,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binned_range": q_binned_range,
         "hll_union": q_hll_union,
         "dq_checks": q_dq_checks,
+        "scd2_lookup": q_scd2_lookup,
+        "triangle_count": q_triangle_count,
+        "equidepth_hist": q_equidepth_hist,
         "event_sliding_window": q_event_sliding_window,
         "map_fns": q_map_fns,
         "approx_distinct": q_approx_distinct,
@@ -4185,6 +4270,59 @@ def oracle_sql() -> dict[str, str]:
                    ok_words AND ok_mean_len AND ok_symbol AND ok_bullet
                        AND ok_ellipsis AND ok_alpha AND ok_stop AS passes
             FROM rules ORDER BY doc_id
+        """,
+        # temporal join: same interval build + point-in-interval filter
+        "scd2_lookup": """
+            WITH ev AS (
+                SELECT user_id, event_type,
+                       CAST(epoch(ts) AS BIGINT) AS t, event_id
+                FROM events WHERE user_id < 100),
+            ch AS (
+                SELECT * FROM (
+                    SELECT user_id, event_type, t,
+                           LAG(event_type) OVER (
+                               PARTITION BY user_id ORDER BY t, event_id
+                           ) AS prev,
+                           event_id
+                    FROM ev)
+                WHERE prev IS NULL OR prev <> event_type),
+            dim AS (
+                SELECT user_id, event_type AS state, t AS valid_from,
+                       LEAD(t) OVER (
+                           PARTITION BY user_id ORDER BY t, event_id
+                       ) AS valid_to
+                FROM ch)
+            SELECT f.user_id, d.state, COUNT(*) AS n
+            FROM ev f JOIN dim d ON f.user_id = d.user_id
+            WHERE f.t >= d.valid_from
+              AND (d.valid_to IS NULL OR f.t < d.valid_to)
+            GROUP BY f.user_id, d.state
+            ORDER BY f.user_id, d.state
+        """,
+        # a<b<c canonical triple join == exact triangle count
+        "triangle_count": """
+            WITH e AS (
+                SELECT a.vec_id AS i, b.vec_id AS j
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE a.vec_id < 200 AND b.vec_id < 200
+                  AND ROUND(list_cosine_similarity(
+                        CAST(a.embedding AS DOUBLE[]),
+                        CAST(b.embedding AS DOUBLE[])), 6) >= 0.3)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM e ab
+            JOIN e bc ON ab.j = bc.i
+            JOIN e ac ON ac.i = ab.i AND ac.j = bc.j
+        """,
+        # NTILE with the same deterministic tie-break
+        "equidepth_hist": """
+            SELECT bucket, COUNT(*) AS n,
+                   ROUND(MIN(p), 6) AS lo, ROUND(MAX(p), 6) AS hi
+            FROM (
+                SELECT o_totalprice AS p,
+                       NTILE(10) OVER (
+                           ORDER BY o_totalprice, o_orderkey) AS bucket
+                FROM orders)
+            GROUP BY bucket ORDER BY bucket
         """,
         # same planting; each check re-derived as plain SQL counts
         "dq_checks": """
