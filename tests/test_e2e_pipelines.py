@@ -252,3 +252,38 @@ def test_quality_classifier_pipeline(spark, sf_dir):
     model = LogisticRegressionEstimator(max_iter=50).fit(train)
     acc = _accuracy(model(test))
     assert acc >= 0.95, acc
+
+
+def test_maintain_app_cli(spark, tmp_path):
+    """maintain CLI: compact emits file accounting; dq exits non-zero on
+    planted violations and zero on a clean table."""
+    import json
+    import subprocess
+    import sys
+
+    src = str(tmp_path / "frag")
+    spark.range(2000).selectExpr("id", "id % 5 AS k").repartition(
+        16
+    ).write.parquet(src)
+
+    def run(*argv):
+        return subprocess.run(
+            [sys.executable, "-m", "keystone_spark.apps.maintain", *argv],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+
+    r = run("compact", "--src", src, "--dst", str(tmp_path / "out"),
+            "--target-mb", "128")
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["files_before"] == 16 and stats["files_after"] <= 2
+
+    r = run("dq", "--src", src, "--not-null", "k", "--unique", "id")
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    bad = str(tmp_path / "bad")
+    spark.range(10).selectExpr(
+        "CAST(NULL AS BIGINT) AS id", "id AS k"
+    ).write.parquet(bad)
+    r = run("dq", "--src", bad, "--not-null", "id")
+    assert r.returncode == 1, (r.stdout, r.stderr[-500:])
