@@ -3076,6 +3076,24 @@ def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hashed_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (functions/text.hash_bucket — the HashingTF
+    trick): per-doc bucket counts in a fixed 256-dim space, exact
+    collisions included. md5-derived buckets so the oracle replays the
+    IDENTICAL assignment; one explode + count shuffle here (the map
+    form in functions/text.hashed_tf is explode-free)."""
+    from keystone_spark.functions.text import hash_bucket, tokens
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return (
+        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .select("doc_id", hash_bucket("tok", 256).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("tf"))
+        .orderBy("doc_id", "bucket")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_multi_join(spark, "/root/testdata/sf0.001")
@@ -3121,6 +3139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_lookup": q_scd2_lookup,
         "triangle_count": q_triangle_count,
         "equidepth_hist": q_equidepth_hist,
+        "hashed_tf": q_hashed_tf,
         "event_sliding_window": q_event_sliding_window,
         "map_fns": q_map_fns,
         "approx_distinct": q_approx_distinct,
@@ -4270,6 +4289,19 @@ def oracle_sql() -> dict[str, str]:
                    ok_words AND ok_mean_len AND ok_symbol AND ok_bullet
                        AND ok_ellipsis AND ok_alpha AND ok_stop AS passes
             FROM rules ORDER BY doc_id
+        """,
+        # identical md5 bucket assignment -> identical collisions
+        "hashed_tf": """
+            WITH toks AS (
+                SELECT doc_id, UNNEST(list_filter(
+                    string_split_regex(lower(trim(text)), '[^\\p{L}\\p{N}'']+'),
+                    x -> x <> '')) AS tok
+                FROM documents WHERE doc_id < 100)
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(tok), 1, 13)) AS BIGINT) % 256
+                       AS bucket,
+                   COUNT(*) AS tf
+            FROM toks GROUP BY 1, 2 ORDER BY doc_id, bucket
         """,
         # temporal join: same interval build + point-in-interval filter
         "scd2_lookup": """

@@ -345,3 +345,32 @@ def gopher_rules(
             & ok_alpha & ok_stop
         ).alias("passes"),
     )
+
+
+def hash_bucket(s: Column | str, dim: int) -> Column:
+    """Hashing-trick bucket id in [0, dim): md5-derived so the EXACT
+    bucket assignment replays in any engine (SQL twin:
+    ``CAST('0x' || substr(md5(x),1,13) AS BIGINT) % dim``) — the
+    engine-portable HashingTF primitive. 13 hex chars = 52 bits, no
+    precision loss through the long cast. Use xxhash64 instead when
+    cross-engine replay is not needed (cheaper, no string hex hop)."""
+    t = _c(s)
+    return (
+        F.conv(F.substring(F.md5(t), 1, 13), 16, 10).cast("long") % dim
+    )
+
+
+def hashed_tf(toks: Column | str, dim: int) -> Column:
+    """Feature-hashed term-frequency map: tokens -> map<bucket, count>
+    (the sparse HashingTF row, collision semantics included). Pure
+    higher-order expressions: buckets via hash_bucket, counts via
+    aggregate over the distinct buckets — no explode, no shuffle."""
+    t = _c(toks)
+    buckets = F.transform(t, lambda x: hash_bucket(x, dim))
+    return F.map_from_arrays(
+        F.array_distinct(buckets),
+        F.transform(
+            F.array_distinct(buckets),
+            lambda b: F.size(F.filter(buckets, lambda y: y == b)),
+        ),
+    )

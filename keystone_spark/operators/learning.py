@@ -642,3 +642,57 @@ def grouped_least_squares(
         )
 
     return df.groupBy(*group_cols).applyInPandas(fit, schema)
+
+
+def train_test_split(
+    df: DataFrame, test_frac: float = 0.2, id_cols: list[str] | None = None,
+    salt: str = "",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic, re-runnable train/test split: membership is a pure
+    function of the row's identity hash (md5, like reservoir_per_key) —
+    the same row lands on the same side across runs, shard orders, and
+    engines, which random splits cannot guarantee. Map-side filter, no
+    shuffle. ``id_cols`` default: all columns."""
+    ids = id_cols or df.columns
+    u = (
+        F.conv(F.substring(F.md5(F.concat_ws(
+            "\x1f", F.lit(salt),
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+              for c in ids],
+        )), 1, 13), 16, 10).cast("double")
+        / float(16 ** 13)
+    )
+    return df.where(u >= test_frac), df.where(u < test_frac)
+
+
+def kfold_cv(
+    estimator,
+    df: DataFrame,
+    k: int = 5,
+    metric=None,
+    id_cols: list[str] | None = None,
+) -> list[float]:
+    """Deterministic k-fold cross-validation for any engine estimator:
+    fold id = identity-hash % k (stable across runs/sharding), each fold
+    held out once. Returns the k metric values (default: accuracy on
+    ``label``/``pred``). The fits are sequential (model selection is a
+    driver-side loop by nature); each fit/apply is fully distributed, so
+    wall-clock is k * fit-cost — parallelize across folds by submitting
+    to separate Spark schedulers if needed."""
+    from keystone_spark.operators.evaluation import accuracy
+
+    ids = id_cols or df.columns
+    fold = F.abs(F.xxhash64(*[F.coalesce(F.col(c).cast("string"),
+                                         F.lit("\x00NULL"))
+                              for c in ids])) % k
+    with_fold = df.withColumn("__fold", fold)
+    scores = []
+    for i in range(k):
+        train = with_fold.where(F.col("__fold") != i).drop("__fold")
+        test = with_fold.where(F.col("__fold") == i).drop("__fold")
+        model = estimator.fit(train)
+        scored = model(test)
+        scores.append(
+            metric(scored) if metric is not None else accuracy(scored)
+        )
+    return scores

@@ -194,3 +194,22 @@ def test_gopher_rules_each_rule_fires(spark):
     assert not out[4].ok_ellipsis
     assert not out[5].ok_alpha and not out[5].ok_mean_len
     assert not any(out[i].passes for i in range(1, 6))
+
+
+def test_hashed_tf_map_matches_exploded_counts(spark):
+    """The explode-free map form must agree with naive per-token
+    counting, collisions included; buckets stay in [0, dim)."""
+    from collections import Counter
+
+    from keystone_spark.functions.text import hash_bucket, hashed_tf, tokens
+
+    df = spark.createDataFrame(
+        [(0, "the cat and the dog and the cat")], ["doc_id", "text"]
+    ).withColumn("toks", tokens("text"))
+    m = df.select(hashed_tf("toks", 16).alias("m")).first().m
+    per_tok = df.select(F.explode("toks").alias("t")).select(
+        hash_bucket("t", 16).alias("b")
+    ).collect()
+    want = Counter(r.b for r in per_tok)
+    assert m == dict(want)
+    assert all(0 <= b < 16 for b in m)

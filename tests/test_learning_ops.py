@@ -305,3 +305,42 @@ def test_zca_fit_collect_is_row_capped(spark):
     # and the cap is in the plan, not an accident of data size
     plan = df.select("features").limit(64)._jdf.queryExecution().toString()
     assert "GlobalLimit" in plan
+
+
+def test_train_test_split_deterministic_partition(spark):
+    from keystone_spark.operators.learning import train_test_split
+
+    df = spark.range(2000).selectExpr("id", "id % 7 AS k")
+    tr1, te1 = train_test_split(df, 0.25, id_cols=["id"])
+    tr2, te2 = train_test_split(df, 0.25, id_cols=["id"])
+    a, b = {r.id for r in tr1.collect()}, {r.id for r in te1.collect()}
+    assert a | b == set(range(2000)) and not (a & b)  # exact partition
+    assert {r.id for r in tr2.collect()} == a          # rerun-stable
+    assert 0.18 < len(b) / 2000 < 0.32                 # ~test_frac
+    # different salt draws a different split
+    _, te3 = train_test_split(df, 0.25, id_cols=["id"], salt="x")
+    assert {r.id for r in te3.collect()} != b
+
+
+def test_kfold_cv_separable_problem(spark):
+    """5-fold CV on a linearly-separable set: every fold is a partition
+    of the data and every fold's accuracy is high."""
+    import numpy as np
+
+    from keystone_spark.operators.learning import (
+        LogisticRegressionEstimator,
+        kfold_cv,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(300):
+        lbl = i % 2
+        x = rng.normal(size=3) + (3.0 if lbl else -3.0)
+        rows.append((i, int(lbl), x.tolist()))
+    df = spark.createDataFrame(rows, "id int, label int, features array<double>")
+    scores = kfold_cv(
+        LogisticRegressionEstimator(max_iter=50), df, k=5, id_cols=["id"]
+    )
+    assert len(scores) == 5
+    assert all(s >= 0.95 for s in scores), scores
