@@ -281,3 +281,44 @@ def test_parquet_zstd_codec_roundtrip(spark, tmp_path):
     assert pq.ParquetFile(f).metadata.row_group(0).column(0).compression \
         == "ZSTD"
     assert spark.read.parquet(p).count() == 5000
+
+
+def test_join_strategy_hints_are_honored(spark):
+    big = spark.range(10_000).selectExpr("id AS k", "id AS a")
+    small = spark.range(100).selectExpr("id AS k", "id AS b")
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    merged = big.join(small.hint("merge"), "k")
+    assert "SortMergeJoin" in plan(merged)
+    sh = big.join(small.hint("shuffle_hash"), "k")
+    assert "ShuffledHashJoin" in plan(sh)
+    bc = big.join(small.hint("broadcast"), "k")
+    assert "BroadcastHashJoin" in plan(bc)
+
+
+def test_ignore_corrupt_files_keeps_good_rows(spark, tmp_path):
+    """One corrupt file in a 100 TB scan must not kill the job when the
+    ops conf says skip-and-continue."""
+    p = tmp_path / "mix"
+    spark.range(500).write.parquet(str(p))
+    (p / "part-corrupt.parquet").write_bytes(b"PAR1 this is not parquet")
+    try:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+        assert spark.read.parquet(str(p)).count() == 500
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+
+
+def test_metadata_columns_expose_provenance(spark, tmp_path):
+    """_metadata.file_path/file_name give per-row provenance — the hook
+    for quarantine-by-file and incremental reprocessing."""
+    p = str(tmp_path / "prov")
+    spark.range(10).write.parquet(p)
+    rows = (
+        spark.read.parquet(p)
+        .select("id", "_metadata.file_name")
+        .collect()
+    )
+    assert all(r.file_name.endswith(".parquet") for r in rows)
