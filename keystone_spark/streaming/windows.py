@@ -652,3 +652,87 @@ def read_snapshot(spark, snapshot_dir: str) -> DataFrame:
     with open(os.path.join(snapshot_dir, "_LATEST")) as fh:
         vdir = fh.read().strip()
     return spark.read.parquet(os.path.join(snapshot_dir, vdir))
+
+
+def stateful_ewma(
+    df: DataFrame,
+    alpha: float = 0.3,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "1 hour",
+    state_ttl: str = "2 hours",
+) -> DataFrame:
+    """Per-key streaming EWMA (the online smoothing/anomaly-baseline
+    primitive): state is ONE (ewma, n, last_ts) tuple per key, folded
+    ``ewma = alpha*x + (1-alpha)*ewma`` over events in timestamp order
+    within each micro-batch — inherently sequential per key, which is
+    exactly what applyInPandasWithState exists for. Same output-mode /
+    TTL-eviction contract as ``stateful_running_agg`` (update mode,
+    EventTimeTimeout); same cross-batch ordering caveat as
+    ``streaming_funnel`` (batches must arrive in event-time order for
+    exact batch equivalence — true for AvailableNow file feeds).
+
+    Batch input gets the equivalent full-history fold (a sorted
+    collect_list aggregate per key) so equivalence tests compare the
+    final streaming state against the batch answer exactly.
+    """
+    if not df.isStreaming:
+        rows = F.array_sort(
+            F.collect_list(F.struct(
+                F.col(ts_col).alias("t"),
+                F.col("event_id").alias("e") if "event_id" in df.columns
+                else F.lit(0).alias("e"),
+                F.col(value_col).alias("v"),
+            ))
+        )
+        fold = F.aggregate(
+            rows,
+            F.struct(F.lit(0.0).alias("m"), F.lit(0).cast("long").alias("n")),
+            lambda acc, r: F.struct(
+                F.when(acc["n"] == 0, r["v"])
+                .otherwise(F.lit(alpha) * r["v"]
+                           + F.lit(1.0 - alpha) * acc["m"]).alias("m"),
+                (acc["n"] + 1).alias("n"),
+            ),
+        )
+        return df.groupBy(key_col).agg(
+            F.round(fold["m"], 6).alias("ewma"), fold["n"].alias("n")
+        )
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} long, ewma double, n long"
+    state_schema = "m double, n long, last_ts long"
+    ttl_ms = int(pd.Timedelta(state_ttl).total_seconds() * 1000)
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame({key_col: [], "ewma": [], "n": []})
+            return
+        m, n, last = state.get if state.exists else (0.0, 0, 0)
+        for pdf in pdfs:
+            cols = [c for c in (ts_col, "event_id") if c in pdf.columns]
+            pdf = pdf.sort_values(list(cols), kind="mergesort")
+            for v, t in zip(pdf[value_col], pdf[ts_col]):
+                m = float(v) if n == 0 else alpha * float(v) + (1 - alpha) * m
+                n += 1
+                last = max(last, int(pd.Timestamp(t).value // 1_000_000_000))
+        state.update((m, n, last))
+        state.setTimeoutTimestamp(
+            max(last * 1000 + ttl_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        yield pd.DataFrame(
+            {key_col: [key[0]], "ewma": [round(m, 6)], "n": [n]}
+        )
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

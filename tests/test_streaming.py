@@ -680,3 +680,35 @@ def test_streaming_upsert_replay_is_idempotent(spark, tmp_path):
     run("ck2")
     second = sorted(r.k for r in read_snapshot(spark, snap_dir).collect())
     assert first == second == [1, 2]
+
+
+def test_stateful_ewma_stream_equals_batch(spark, tmp_path):
+    """Streaming EWMA folded across ordered micro-batches must equal the
+    batch full-history fold exactly (same alpha, same ordering)."""
+    from keystone_spark.streaming.windows import stateful_ewma
+
+    chunks = [
+        [(1, "2024-01-01 00:00:00", "view", 10.0),
+         (1, "2024-01-01 00:05:00", "view", 20.0),
+         (2, "2024-01-01 00:06:00", "view", 5.0)],
+        [(1, "2024-01-01 01:00:00", "view", 30.0),
+         (2, "2024-01-01 01:10:00", "view", 15.0)],
+    ]
+    stream_in = _write_ts_chunks(spark, tmp_path, chunks)
+    streamed = stateful_ewma(stream_in, alpha=0.3)
+    prog = _drain_with_progress(streamed, "ewma_out", "update")
+    got = {r.user_id: (r.ewma, r.n) for r in spark.sql(
+        "SELECT user_id, ewma, n FROM ewma_out t "
+        "WHERE n = (SELECT MAX(n) FROM ewma_out u "
+        "           WHERE u.user_id = t.user_id)").collect()}
+
+    import pyspark.sql.functions as F
+    rows = [r for c in chunks for r in c]
+    batch = spark.createDataFrame(
+        rows, ["user_id", "ts", "event_type", "value"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    want = {r.user_id: (r.ewma, r.n)
+            for r in stateful_ewma(batch, alpha=0.3).collect()}
+    assert got == want
+    # hand value: user1 = .3*30 + .7*(.3*20 + .7*10) = 18.1
+    assert abs(got[1][0] - 18.1) < 1e-6 and got[1][1] == 3
