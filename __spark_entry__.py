@@ -3094,6 +3094,23 @@ def q_hashed_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sample without replacement
+    (operators/curation.weighted_sample_per_key — Efraimidis-Spirakis
+    priorities on md5-derived uniforms): 5 docs per source, weighted by
+    n_chars, the EXACT selection replayed by the SQL twin. Longer docs
+    survive more often — the quality-weighted corpus subsample."""
+    from keystone_spark.operators.curation import weighted_sample_per_key
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", "lang", "n_chars"
+    )
+    out = weighted_sample_per_key(
+        d, ["source"], 5, "n_chars", id_cols=["doc_id"]
+    )
+    return out.select("source", "doc_id", "lang").orderBy("source", "doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_multi_join(spark, "/root/testdata/sf0.001")
@@ -3140,6 +3157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "equidepth_hist": q_equidepth_hist,
         "hashed_tf": q_hashed_tf,
+        "weighted_sample": q_weighted_sample,
         "event_sliding_window": q_event_sliding_window,
         "map_fns": q_map_fns,
         "approx_distinct": q_approx_distinct,
@@ -4289,6 +4307,25 @@ def oracle_sql() -> dict[str, str]:
                    ok_words AND ok_mean_len AND ok_symbol AND ok_bullet
                        AND ok_ellipsis AND ok_alpha AND ok_stop AS passes
             FROM rules ORDER BY doc_id
+        """,
+        # identical md5 uniforms -> identical E-S priorities -> same rows
+        "weighted_sample": """
+            WITH pri AS (
+                SELECT source, doc_id, lang,
+                       pow(
+                           (CAST(('0x' || substr(md5(
+                                chr(31) || CAST(doc_id AS VARCHAR)), 1, 13))
+                               AS BIGINT) + 0.5) / 4503599627370496.0,
+                           1.0 / n_chars) AS p
+                FROM documents),
+            ranked AS (
+                SELECT source, doc_id, lang,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY p DESC, doc_id) AS rk
+                FROM pri)
+            SELECT source, doc_id, lang FROM ranked
+            WHERE rk <= 5 ORDER BY source, doc_id
         """,
         # identical md5 bucket assignment -> identical collisions
         "hashed_tf": """

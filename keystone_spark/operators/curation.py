@@ -316,3 +316,62 @@ def contamination_check(
         .select(id_col)
         .distinct()
     )
+
+
+def weighted_sample_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    k: int,
+    weight_col: str,
+    id_cols: list[str] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic WEIGHTED sample without replacement of k rows per
+    key — Efraimidis-Spirakis priority sampling: each row draws a
+    deterministic uniform u from its identity hash and competes with key
+    ``u^(1/w)``; the k LARGEST win, which selects row i with probability
+    proportional to its weight. The weighted sibling of
+    ``reservoir_per_key`` (same md5-identity determinism, same one
+    shuffle + WindowGroupLimit shape), for quality-weighted corpus
+    subsampling where better documents must survive more often.
+
+    u is the md5-derived 52-bit uniform shifted into (0,1); the whole
+    priority replays in a SQL oracle (``CAST('0x'||substr(md5(..),1,13)
+    AS BIGINT)``), so the EXACT sample is cross-checkable. Weights must
+    be > 0; vary ``salt`` for an independent redraw.
+    """
+    ids = id_cols if id_cols is not None else [
+        c for c in df.columns if c not in key_cols
+    ]
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "\x1f",
+                            F.lit(salt),
+                            *[
+                                F.coalesce(
+                                    F.col(c).cast("string"),
+                                    F.lit("\x00NULL"),
+                                )
+                                for c in ids
+                            ],
+                        )
+                    ),
+                    1, 13,
+                ),
+                16, 10,
+            ).cast("double")
+            + 0.5
+        )
+        / float(1 << 52)
+    )
+    pri = F.pow(u, 1.0 / F.col(weight_col))
+    w = Window.partitionBy(*key_cols).orderBy(F.desc_nulls_last(pri), *ids)
+    return (
+        df.withColumn("__ws", F.row_number().over(w))
+        .where(F.col("__ws") <= k)
+        .drop("__ws")
+    )

@@ -231,3 +231,28 @@ def test_apply_changes_latest_delete_wins(spark):
         [(1, 5.0, "U", 1), (1, 0.0, "D", 2)], ["k", "v", "op", "seq"]
     )
     assert apply_changes(base, changes, ["k"], seq_col="seq").count() == 0
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    """E-S weighted sampling: across many independent redraws (salts), a
+    row with 10x the weight must be selected substantially more often;
+    each draw is an exact k-subset and rerun-deterministic."""
+    rows = [(0, i, 10.0 if i < 5 else 1.0) for i in range(50)]
+    df = spark.createDataFrame(rows, ["g", "rid", "w"])
+    from keystone_spark.operators.curation import weighted_sample_per_key
+
+    heavy_hits, light_hits = 0, 0
+    for s in range(12):
+        got = {r.rid for r in weighted_sample_per_key(
+            df, ["g"], 5, "w", id_cols=["rid"], salt=str(s)).collect()}
+        assert len(got) == 5
+        heavy_hits += len([r for r in got if r < 5])
+        light_hits += len([r for r in got if r >= 5])
+    # 5 heavy (w=10) vs 45 light (w=1): heavy should win most slots
+    assert heavy_hits > light_hits, (heavy_hits, light_hits)
+    # determinism: same salt -> same draw
+    a = {r.rid for r in weighted_sample_per_key(
+        df, ["g"], 5, "w", id_cols=["rid"], salt="7").collect()}
+    b = {r.rid for r in weighted_sample_per_key(
+        df, ["g"], 5, "w", id_cols=["rid"], salt="7").collect()}
+    assert a == b
