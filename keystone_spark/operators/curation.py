@@ -238,8 +238,9 @@ def apply_changes(
 
     - rows whose ``op_col`` is ``'D'`` delete the matching base key;
     - any other op upserts (replaces-or-inserts) the change row's values;
-    - with ``seq_col``, only the LATEST change per key applies (ties
-      broken by preferring the delete, then deterministic op order), so a
+    - with ``seq_col``, only the LATEST change per key applies (equal
+      seq ties break deterministically by op descending, i.e. 'U' > 'I'
+      > 'D' — give deletes a higher seq when they must win a tie), so a
       full day's changelog folds in one pass.
 
     Scale shape: the changelog is small next to the snapshot (else you'd

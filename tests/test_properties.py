@@ -260,3 +260,45 @@ def test_semantic_clusters_vs_union_find(spark, pairs):
     got = {r.vec_id: r.cluster_id
            for r in semantic_clusters(pdf, ids_df).collect()}
     assert got == want
+
+
+@SETTINGS
+@given(
+    base=st.dictionaries(st.integers(0, 9), st.integers(0, 99),
+                         min_size=0, max_size=6),
+    changes=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 99),
+                  st.sampled_from(["U", "D", "I"])),
+        min_size=0, max_size=12,
+    ),
+)
+def test_apply_changes_matches_dict_fold(spark, base, changes):
+    """MERGE fold == a sequential dict fold for arbitrary changelogs:
+    latest change per key wins (seq = position), deletes remove, any
+    other op upserts."""
+    from keystone_spark.operators.curation import apply_changes
+
+    base_df = spark.createDataFrame(
+        [(k, v) for k, v in base.items()] or [(None, None)],
+        "k int, v int",
+    )
+    if not base:
+        base_df = base_df.where("k IS NOT NULL")
+    ch_df = spark.createDataFrame(
+        [(k, v, op, i) for i, (k, v, op) in enumerate(changes)]
+        or [(None, None, None, None)],
+        "k int, v int, op string, seq int",
+    )
+    if not changes:
+        ch_df = ch_df.where("k IS NOT NULL")
+
+    want = dict(base)
+    for k, v, op in changes:  # in seq order
+        if op == "D":
+            want.pop(k, None)
+        else:
+            want[k] = v
+    got = {r.k: r.v
+           for r in apply_changes(base_df, ch_df, ["k"], seq_col="seq")
+           .collect()}
+    assert got == want
