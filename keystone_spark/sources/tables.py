@@ -198,7 +198,10 @@ def compact_files(
     fix is a periodic rewrite, NOT more executor memory.
 
     File count comes from the actual on-disk byte size (not row count,
-    which misestimates wide/narrow rows); with ``sort_cols`` the rewrite
+    which misestimates wide/narrow rows). Sizing globs the local
+    filesystem — on an object store, swap the glob for the Hadoop
+    FileSystem listing (the rewrite itself is already FS-agnostic
+    through Spark). With ``sort_cols`` the rewrite
     also locally sorts within each output file (sortWithinPartitions —
     no extra shuffle beyond the repartition) so footer min/max stats
     stay selective after compaction. Returns {files_before, files_after,
