@@ -3111,6 +3111,19 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("source", "doc_id", "lang").orderBy("source", "doc_id")
 
 
+def q_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result set as ngram_jaccard_pairs, computed through the
+    PPJoin prefix filter (operators/dedup.prefix_jaccard_pairs): rare
+    tokens only in the candidate index, exact verify from full arrays —
+    the shuffle-pruned formulation that replaces the full inverted index
+    at scale. The oracle is the naive inverted-index SQL: identical
+    answers prove the filter is lossless."""
+    from keystone_spark.operators.dedup import prefix_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    return prefix_jaccard_pairs(d, threshold=0.1).orderBy("i", "j")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_multi_join(spark, "/root/testdata/sf0.001")
@@ -3158,6 +3171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equidepth_hist": q_equidepth_hist,
         "hashed_tf": q_hashed_tf,
         "weighted_sample": q_weighted_sample,
+        "jaccard_prefix_pairs": q_jaccard_prefix_pairs,
         "event_sliding_window": q_event_sliding_window,
         "map_fns": q_map_fns,
         "approx_distinct": q_approx_distinct,
@@ -3432,6 +3446,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY lang, source ORDER BY lang, source
         """,
         "ngram_jaccard_pairs": """
+            WITH toks AS (
+                SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                FROM documents WHERE doc_id < 40),
+            tk AS (SELECT * FROM toks WHERE tok <> ''),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM tk GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+                FROM tk a JOIN tk b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT i, j, ROUND(c / (na.n + nb.n - c), 6) AS jac
+            FROM inter
+            JOIN sizes na ON na.doc_id = i
+            JOIN sizes nb ON nb.doc_id = j
+            WHERE c / (na.n + nb.n - c) >= 0.1
+            ORDER BY i, j
+        """,
+        # identical naive-inverted-index twin: proves prefix filter lossless
+        "jaccard_prefix_pairs": """
             WITH toks AS (
                 SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS tok
                 FROM documents WHERE doc_id < 40),

@@ -25,7 +25,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
@@ -690,4 +690,72 @@ def hash64_candidates(
         )
         .distinct()
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    token_expr=None,
+) -> DataFrame:
+    """Exact token-set Jaccard join with PPJoin-style PREFIX FILTERING:
+    order the universe of tokens by ascending document frequency (rarest
+    first), and index each set only by its first ``L - ceil(t*L) + 1``
+    tokens in that order — the prefix-filter lemma guarantees any pair
+    with Jaccard >= t shares at least one indexed token, so the
+    candidate join touches a FRACTION of the postings the full inverted
+    index would shuffle (and the surviving prefix entries are the RARE
+    tokens, i.e. the small buckets). Candidates are then verified
+    exactly from the full token arrays. Same results as the naive
+    inverted-index join, strictly less shuffle — the difference between
+    workable and not at 100 TB for high thresholds.
+    """
+    toks_arr = (
+        token_expr
+        if token_expr is not None
+        else F.array_distinct(F.split(F.col(text_col), " "))
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_sort(F.filter(toks_arr, lambda x: x != "")).alias("__t"),
+    )
+    toks = base.select("__id", F.explode("__t").alias("tok"))
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("__df"))
+    order = Window.orderBy("__df", "tok")
+    tok_rank = dfreq.select(
+        "tok", F.row_number().over(order).alias("__rk")
+    )
+    ranked = toks.join(F.broadcast(tok_rank), "tok")
+    wdoc = Window.partitionBy("__id").orderBy("__rk")
+    sized = ranked.withColumn("__pos", F.row_number().over(wdoc)).withColumn(
+        "__len", F.count("*").over(Window.partitionBy("__id"))
+    )
+    prefix = sized.where(
+        F.col("__pos")
+        <= F.col("__len") - F.ceil(F.lit(threshold) * F.col("__len")) + 1
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("i"), F.col("b.__id").alias("j"))
+        .distinct()
+    )
+    ai = base.select(F.col("__id").alias("i"), F.col("__t").alias("ta"))
+    bj = base.select(F.col("__id").alias("j"), F.col("__t").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size("ta") + F.size("tb") - inter
+    return (
+        cands.join(ai, "i")
+        .join(bj, "j")
+        .select(
+            "i", "j",
+            F.round(inter / union, 6).alias("jac"),
+        )
+        .where(F.col("jac") >= threshold)
     )

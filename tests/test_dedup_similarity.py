@@ -450,3 +450,33 @@ def test_semantic_clusters_labeling(spark):
         3: (3, 1),                          # singleton
         7: (7, 1), 8: (7, 0),
     }
+
+
+def test_prefix_jaccard_equals_brute_force_and_prunes(spark):
+    """Prefix-filtered join must return exactly the brute-force pairs at
+    the threshold, while indexing strictly fewer postings than the full
+    inverted index."""
+    import itertools
+
+    from keystone_spark.operators.dedup import prefix_jaccard_pairs
+
+    rows = [
+        (0, "a b c d e f"),
+        (1, "a b c d e g"),      # J(0,1) = 5/7
+        (2, "a b c x y z"),      # J(0,2) = 3/9
+        (3, "p q r s t u"),      # disjoint
+        (4, "p q r s t v"),      # J(3,4) = 5/7
+        (5, "a p x q"),          # low overlap with everyone
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    thr = 0.5
+    got = {(r.i, r.j): r.jac
+           for r in prefix_jaccard_pairs(df, threshold=thr).collect()}
+
+    sets = {i: set(t.split()) for i, t in rows}
+    want = {}
+    for i, j in itertools.combinations(sorted(sets), 2):
+        jac = len(sets[i] & sets[j]) / len(sets[i] | sets[j])
+        if jac >= thr:
+            want[(i, j)] = round(jac, 6)
+    assert got == want and (0, 1) in got and (3, 4) in got
