@@ -3124,6 +3124,76 @@ def q_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_jaccard_pairs(d, threshold=0.1).orderBy("i", "j")
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: users grouped by first-activity week,
+    counted per subsequent activity week offset — two hash aggs and one
+    broadcast-able join of the per-user cohort table back onto events;
+    the whole analysis shuffles on user_id once."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    )
+    first = e.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    j = e.join(first, "user_id")
+    return (
+        j.groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+            F.floor(
+                F.datediff(F.col("wk"), F.col("cohort")) / 7
+            ).cast("long").alias("week_n"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort", "week_n")
+    )
+
+
+def q_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 3-sigma anomaly detection per event_type: each event
+    compared to the mean/std of the PRECEDING 50 events of its type
+    (leakage-free trailing frame); returns only the flagged rows.
+    One shuffle on event_type, bounded window state."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-50, -1)
+    )
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    n = F.count("value").over(w)
+    flagged = e.select(
+        "event_type", "event_id", F.round("value", 6).alias("value"),
+        F.round(mu, 6).alias("mu"),
+        ((F.abs(F.col("value") - mu) > 3 * sd) & (n >= 20)).alias("is_anom"),
+    )
+    return flagged.where("is_anom").select(
+        "event_type", "event_id", "value", "mu"
+    ).orderBy("event_type", "event_id")
+
+
+def q_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: every purchase credited to the FIRST
+    event type its user ever emitted (the acquisition channel proxy) —
+    one window min-struct per user broadcast back, purchases counted per
+    channel."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first = (
+        e.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("user_id", F.col("event_type").alias("channel"))
+    )
+    purchases = e.where(F.col("event_type") == "purchase")
+    return (
+        purchases.join(first, "user_id")
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("purchases"),
+            F.round(F.sum("value"), 6).alias("revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_multi_join(spark, "/root/testdata/sf0.001")
@@ -3172,6 +3242,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_tf": q_hashed_tf,
         "weighted_sample": q_weighted_sample,
         "jaccard_prefix_pairs": q_jaccard_prefix_pairs,
+        "retention_cohorts": q_retention_cohorts,
+        "anomaly_flags": q_anomaly_flags,
+        "first_touch": q_first_touch,
         "event_sliding_window": q_event_sliding_window,
         "map_fns": q_map_fns,
         "approx_distinct": q_approx_distinct,
@@ -4339,6 +4412,50 @@ def oracle_sql() -> dict[str, str]:
                    ok_words AND ok_mean_len AND ok_symbol AND ok_bullet
                        AND ok_ellipsis AND ok_alpha AND ok_stop AS passes
             FROM rules ORDER BY doc_id
+        """,
+        # both engines truncate weeks to Monday
+        "retention_cohorts": """
+            WITH e AS (
+                SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+            first AS (
+                SELECT user_id, MIN(wk) AS cohort FROM e GROUP BY user_id)
+            SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+                   CAST(FLOOR(date_diff('day', cohort, wk) / 7.0) AS BIGINT)
+                       AS week_n,
+                   CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+            FROM e JOIN first ON e.user_id = first.user_id
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # trailing 50-row frame, same leakage-free bounds
+        "anomaly_flags": """
+            WITH s AS (
+                SELECT event_type, event_id, value,
+                       AVG(value) OVER w AS mu,
+                       STDDEV_SAMP(value) OVER w AS sd,
+                       COUNT(value) OVER w AS n
+                FROM events
+                WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                             ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING))
+            SELECT event_type, event_id, ROUND(value, 6) AS value,
+                   ROUND(mu, 6) AS mu
+            FROM s
+            WHERE ABS(value - mu) > 3 * sd AND n >= 20
+            ORDER BY event_type, event_id
+        """,
+        "first_touch": """
+            WITH ranked AS (
+                SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events),
+            first AS (
+                SELECT user_id, event_type AS channel
+                FROM ranked WHERE rn = 1)
+            SELECT channel, COUNT(*) AS purchases,
+                   ROUND(SUM(e.value), 6) AS revenue
+            FROM events e JOIN first USING (user_id)
+            WHERE e.event_type = 'purchase'
+            GROUP BY channel ORDER BY channel
         """,
         # identical md5 uniforms -> identical E-S priorities -> same rows
         "weighted_sample": """
