@@ -3194,6 +3194,82 @@ def q_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-aware (leave-one-out) target encoding with additive
+    smoothing — the classic categorical feature for tabular models:
+    each row's category encoded by the mean label of OTHER rows in its
+    category, shrunk toward the global mean by m pseudo-observations.
+    Pure window algebra: per-category sum/count windows minus self, one
+    shuffle. Label synthesized deterministically (price > global
+    median-ish constant)."""
+    o = _t(spark, sf_dir, "orders")
+    label = (F.col("o_totalprice") > 150000.0).cast("double")
+    w = Window.partitionBy("o_orderpriority")
+    m = 10.0
+    g = o.select(
+        "o_orderkey", "o_orderpriority", label.alias("y")
+    )
+    gsum = F.sum("y").over(w)
+    gcnt = F.count("y").over(w)
+    # global mean via a window over everything (single scalar, no collect)
+    gm = F.sum("y").over(Window.partitionBy()) / F.count("y").over(
+        Window.partitionBy()
+    )
+    loo = (gsum - F.col("y") + F.lit(m) * gm) / (gcnt - 1 + m)
+    return (
+        g.select(
+            "o_orderkey", "o_orderpriority",
+            F.round(loo, 6).alias("te"),
+        )
+        .where(F.col("o_orderkey") < 3000)
+        .orderBy("o_orderkey")
+    )
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-to-uniform quantile normalization per event_type (the
+    distribution-free feature transform): percent_rank maps each value
+    to [0,1] within its group — one shuffle, no UDF."""
+    e = _t(spark, sf_dir, "events").where(F.col("user_id") < 300)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        e.select(
+            "event_type", "event_id",
+            F.round(F.percent_rank().over(w), 6).alias("q"),
+        )
+        .orderBy("event_type", "event_id")
+    )
+
+
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median over a trailing 21-row frame per event_type
+    (robust smoothing): median of the collected frame array — bounded
+    state per row, one shuffle; the approx-percentile sketch replaces
+    the exact array at unbounded frame sizes."""
+    e = _t(spark, sf_dir, "events").where(F.col("user_id") < 200)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, 0)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    med = F.when(
+        n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))
+    ).otherwise(
+        (
+            F.element_at(arr, (n / 2).cast("int"))
+            + F.element_at(arr, (n / 2 + 1).cast("int"))
+        ) / 2.0
+    )
+    return (
+        e.select(
+            "event_type", "event_id", F.round(med, 6).alias("rmed")
+        )
+        .orderBy("event_type", "event_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_multi_join(spark, "/root/testdata/sf0.001")
@@ -3245,6 +3321,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": q_retention_cohorts,
         "anomaly_flags": q_anomaly_flags,
         "first_touch": q_first_touch,
+        "target_encoding": q_target_encoding,
+        "quantile_normalize": q_quantile_normalize,
+        "rolling_median": q_rolling_median,
         "event_sliding_window": q_event_sliding_window,
         "map_fns": q_map_fns,
         "approx_distinct": q_approx_distinct,
@@ -4412,6 +4491,45 @@ def oracle_sql() -> dict[str, str]:
                    ok_words AND ok_mean_len AND ok_symbol AND ok_bullet
                        AND ok_ellipsis AND ok_alpha AND ok_stop AS passes
             FROM rules ORDER BY doc_id
+        """,
+        # LOO mean + additive smoothing replayed with the same windows
+        "target_encoding": """
+            WITH g AS (
+                SELECT o_orderkey, o_orderpriority,
+                       CAST(o_totalprice > 150000.0 AS DOUBLE) AS y
+                FROM orders),
+            s AS (
+                SELECT o_orderkey, o_orderpriority, y,
+                       SUM(y) OVER (PARTITION BY o_orderpriority) AS gs,
+                       COUNT(y) OVER (PARTITION BY o_orderpriority) AS gc,
+                       SUM(y) OVER () / COUNT(y) OVER () AS gm
+                FROM g)
+            SELECT o_orderkey, o_orderpriority,
+                   ROUND((gs - y + 10.0 * gm) / (gc - 1 + 10.0), 6) AS te
+            FROM s WHERE o_orderkey < 3000 ORDER BY o_orderkey
+        """,
+        "quantile_normalize": """
+            SELECT event_type, event_id,
+                   ROUND(PERCENT_RANK() OVER (
+                       PARTITION BY event_type
+                       ORDER BY value, event_id), 6) AS q
+            FROM events WHERE user_id < 300
+            ORDER BY event_type, event_id
+        """,
+        # same 21-row trailing frame; DuckDB medians the frame list
+        "rolling_median": """
+            WITH f AS (
+                SELECT event_type, event_id,
+                       list_sort(list(value) OVER (
+                           PARTITION BY event_type ORDER BY ts, event_id
+                           ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)) AS l
+                FROM events WHERE user_id < 200)
+            SELECT event_type, event_id,
+                   ROUND(CASE WHEN len(l) % 2 = 1
+                              THEN l[(len(l) + 1) // 2]
+                              ELSE (l[len(l) // 2] + l[len(l) // 2 + 1]) / 2.0
+                         END, 6) AS rmed
+            FROM f ORDER BY event_type, event_id
         """,
         # both engines truncate weeks to Monday
         "retention_cohorts": """
