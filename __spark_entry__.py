@@ -3270,6 +3270,39 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/curation.diff_snapshots — the inverse of
+    apply_changes): orders vs a deterministically perturbed copy; the
+    emitted changelog must contain EXACTLY the planted churn (updates at
+    % 97, deletes at % 101, inserts at shifted % 103 keys) and nothing
+    else — changelog size proportional to churn, not table. One
+    full-outer join on the key with null-safe change detection."""
+    from keystone_spark.operators.curation import diff_snapshots
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    new = (
+        base.withColumn(
+            "o_totalprice",
+            F.when(k % 97 == 0, F.col("o_totalprice") + 1000.0)
+            .otherwise(F.col("o_totalprice")),
+        )
+        .where(~((k % 101 == 0) & (k % 97 != 0)))
+        .unionByName(
+            base.where(k % 103 == 0).withColumn(
+                "o_orderkey", k + F.lit(10_000_000)
+            )
+        )
+    )
+    d = diff_snapshots(base, new, ["o_orderkey"])
+    return d.select(
+        "o_orderkey", "op", "o_orderstatus",
+        F.round("o_totalprice", 6).alias("price"),
+    ).orderBy("o_orderkey")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_multi_join(spark, "/root/testdata/sf0.001")
@@ -3324,6 +3357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encoding": q_target_encoding,
         "quantile_normalize": q_quantile_normalize,
         "rolling_median": q_rolling_median,
+        "snapshot_diff": q_snapshot_diff,
         "event_sliding_window": q_event_sliding_window,
         "map_fns": q_map_fns,
         "approx_distinct": q_approx_distinct,
@@ -4491,6 +4525,25 @@ def oracle_sql() -> dict[str, str]:
                    ok_words AND ok_mean_len AND ok_symbol AND ok_bullet
                        AND ok_ellipsis AND ok_alpha AND ok_stop AS passes
             FROM rules ORDER BY doc_id
+        """,
+        # planted churn re-derived as direct SQL op rows
+        "snapshot_diff": """
+            WITH base AS (
+                SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders)
+            SELECT * FROM (
+                SELECT o_orderkey, 'U' AS op, o_orderstatus,
+                       ROUND(o_totalprice + 1000.0, 6) AS price
+                FROM base WHERE o_orderkey % 97 = 0
+                UNION ALL
+                SELECT o_orderkey, 'D', o_orderstatus,
+                       ROUND(o_totalprice, 6)
+                FROM base
+                WHERE o_orderkey % 101 = 0 AND o_orderkey % 97 <> 0
+                UNION ALL
+                SELECT o_orderkey + 10000000, 'I', o_orderstatus,
+                       ROUND(o_totalprice, 6)
+                FROM base WHERE o_orderkey % 103 = 0
+            ) ORDER BY o_orderkey
         """,
         # LOO mean + additive smoothing replayed with the same windows
         "target_encoding": """

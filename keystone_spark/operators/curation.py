@@ -376,3 +376,44 @@ def weighted_sample_per_key(
         .where(F.col("__ws") <= k)
         .drop("__ws")
     )
+
+
+def diff_snapshots(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Snapshot diff — the INVERSE of ``apply_changes``: compare two
+    versions of a table and emit the minimal changelog ('I' inserted,
+    'D' deleted, 'U' value-changed keys with the new values) such that
+    ``apply_changes(old, diff_snapshots(old, new), keys) == new``. The
+    audit/backfill primitive: turns any pair of daily snapshots into the
+    CDC stream you wish the source had emitted.
+
+    One full-outer join on the keys; change detection compares the
+    remaining columns null-safely (eqNullSafe), so NULL-vs-value edits
+    are real updates and NULL==NULL is unchanged. Unchanged rows drop
+    out — the changelog is proportional to the churn, not the table.
+    """
+    val_cols = [c for c in old.columns if c not in key_cols]
+    # presence must come from a row-existence marker, not value nullness
+    o2 = old.withColumn("__o", F.lit(1)).alias("o")
+    n2 = new.withColumn("__n", F.lit(1)).alias("n")
+    j = o2.join(n2, key_cols, "full_outer")
+    changed = F.lit(False)
+    for c in val_cols:
+        changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    status = (
+        F.when(F.col("o.__o").isNull(), F.lit("I"))
+        .when(F.col("n.__n").isNull(), F.lit("D"))
+        .when(changed, F.lit("U"))
+    )
+    out_vals = [
+        F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c)
+        for c in val_cols
+    ]
+    return (
+        j.select(*key_cols, *out_vals, status.alias(op_col))
+        .where(F.col(op_col).isNotNull())
+    )

@@ -256,3 +256,29 @@ def test_weighted_sample_favors_heavy_rows(spark):
     b = {r.rid for r in weighted_sample_per_key(
         df, ["g"], 5, "w", id_cols=["rid"], salt="7").collect()}
     assert a == b
+
+
+def test_diff_snapshots_roundtrip_law(spark):
+    """apply_changes(old, diff_snapshots(old, new)) == new, including
+    NULL-vs-value edits, inserts, deletes, and unchanged rows (which
+    must NOT appear in the diff)."""
+    from keystone_spark.operators.curation import apply_changes, diff_snapshots
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, None, 2.0), (3, "c", 3.0), (4, "d", None)],
+        "k int, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0),        # unchanged
+         (2, "b2", 2.0),       # NULL -> value update
+         (4, "d", 4.0),        # value update (from NULL)
+         (5, "e", 5.0)],       # insert; k=3 deleted
+        "k int, s string, v double",
+    )
+    diff = diff_snapshots(old, new, ["k"])
+    ops = {r.k: r.op for r in diff.collect()}
+    assert ops == {2: "U", 3: "D", 4: "U", 5: "I"}  # k=1 absent
+    applied = apply_changes(old, diff, ["k"])
+    got = sorted((r.k, r.s, r.v) for r in applied.collect())
+    want = sorted((r.k, r.s, r.v) for r in new.collect())
+    assert got == want

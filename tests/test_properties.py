@@ -302,3 +302,25 @@ def test_apply_changes_matches_dict_fold(spark, base, changes):
            for r in apply_changes(base_df, ch_df, ["k"], seq_col="seq")
            .collect()}
     assert got == want
+
+
+@SETTINGS
+@given(
+    old=st.dictionaries(st.integers(0, 7), st.integers(0, 3),
+                        min_size=0, max_size=6),
+    new=st.dictionaries(st.integers(0, 7), st.integers(0, 3),
+                        min_size=0, max_size=6),
+)
+def test_diff_apply_roundtrip_property(spark, old, new):
+    """diff -> apply reproduces the target snapshot for arbitrary pairs."""
+    from keystone_spark.operators.curation import apply_changes, diff_snapshots
+
+    def mk(d):
+        df = spark.createDataFrame(
+            [(k, v) for k, v in d.items()] or [(None, None)], "k int, v int"
+        )
+        return df.where("k IS NOT NULL") if not d else df
+
+    diff = diff_snapshots(mk(old), mk(new), ["k"])
+    got = {r.k: r.v for r in apply_changes(mk(old), diff, ["k"]).collect()}
+    assert got == new
