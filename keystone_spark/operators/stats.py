@@ -407,3 +407,38 @@ class MultiLabelIndicators(ColumnTransformer):
             ),
             name=f"multilabel_indicators(n={n_classes})",
         )
+
+
+def approx_equidepth_hist(
+    df: DataFrame,
+    col: str,
+    n_buckets: int = 10,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Scale path for equi-depth histograms (the exact NTILE form needs
+    a single-partition global sort — see the `equidepth_hist` declared
+    query): boundaries come from approx_percentile (Greenwald-Khanna
+    sketch, one partial+final agg), bucket assignment is a map-side
+    array comparison against the broadcast boundary list, and the final
+    counts are one hash agg. Error is bounded by the sketch's
+    ``relative_error`` on RANKS, so bucket populations deviate by at
+    most ~2*relative_error*N from N/n_buckets.
+
+    Returns (bucket, n, lo, hi) like the exact form.
+    """
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.agg(
+        F.percentile_approx(col, qs, int(1.0 / relative_error)).alias("b")
+    ).first()["b"]
+    barr = F.array(*[F.lit(float(b)) for b in bounds])
+    bucket = F.size(F.filter(barr, lambda b: F.col(col) > b)) + 1
+    return (
+        df.select(F.col(col).alias("p"), bucket.cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("p"), 6).alias("lo"),
+            F.round(F.max("p"), 6).alias("hi"),
+        )
+        .orderBy("bucket")
+    )

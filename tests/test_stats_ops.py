@@ -144,3 +144,30 @@ def test_float_to_double_and_image_vectorizer(spark):
     assert vec.first().features == [1.0, 2.0]
     f = spark.createDataFrame([(0, [1.5, 2.5])], "id int, v array<float>")
     assert FloatToDouble("v")(f).schema["v"].dataType.simpleString() == "array<double>"
+
+
+def test_approx_equidepth_matches_exact_buckets(spark, sf_dir):
+    """The sketch-boundary form must put near-equal mass in every bucket
+    (within a few % of N/k) without any single-partition global sort."""
+    from keystone_spark.operators.stats import approx_equidepth_hist
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = o.count()
+    out = approx_equidepth_hist(o, "o_totalprice", n_buckets=10,
+                                relative_error=0.001).collect()
+    assert len(out) == 10
+    assert sum(r.n for r in out) == n
+    target = n / 10
+    for r in out:
+        assert abs(r.n - target) <= max(5, 0.02 * n), (r.bucket, r.n, target)
+    # buckets are ordered and contiguous in value space
+    for a, b in zip(out, out[1:]):
+        assert a.hi <= b.lo or abs(a.hi - b.lo) < 1e-9
+    # the DATA path is scan -> map-side bucket -> hash agg; the only
+    # range partition is the 10-row output sort, never a data-wide
+    # window/NTILE (the point of the approx path)
+    plan = approx_equidepth_hist(
+        o, "o_totalprice", 10
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "ntile" not in plan.lower()
+    assert plan.lower().count("rangepartitioning") <= 1
