@@ -3303,6 +3303,73 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+def q_twap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price/value per (event_type, hour) over
+    irregularly-spaced events — each observation weighted by its holding
+    time (until the next event of the type, capped at the hour
+    boundary). The finance/IoT aggregation a plain AVG gets wrong when
+    sampling is bursty. One lead window + one hash agg, single
+    event_type shuffle."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    t = F.unix_timestamp("ts")
+    nxt = F.lead(t).over(w)
+    hour_end = F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) + 3600
+    weight = F.least(F.coalesce(nxt, hour_end), hour_end) - t
+    base = e.select(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("h"),
+        "value",
+        weight.alias("w"),
+    ).where(F.col("w") > 0)
+    return (
+        base.groupBy("event_type", "h")
+        .agg(
+            F.round(F.sum(F.col("value") * F.col("w")) / F.sum("w"), 6)
+            .alias("twap"),
+            F.count("*").alias("n"),
+        )
+        .where(F.col("h") < 1704153600)  # bound output: first ~2 days
+        .orderBy("event_type", "h")
+    )
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiling (the dbt/Deequ profile report): per
+    column, row count, null count, distinct count, min/max as strings —
+    ALL columns folded into a single aggregation over one scan, then
+    unpivoted; no per-column job storm."""
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    r = o.agg(*aggs)
+    rows = []
+    for c in cols:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__n").alias("n"),
+                F.col(f"{c}__nulls").alias("nulls"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_s"),
+                F.col(f"{c}__max").alias("max_s"),
+            )
+        )
+    return (
+        r.select(F.explode(F.array(*rows)).alias("p"))
+        .select("p.*")
+        .orderBy("column")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_multi_join(spark, "/root/testdata/sf0.001")
@@ -3358,6 +3425,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_normalize": q_quantile_normalize,
         "rolling_median": q_rolling_median,
         "snapshot_diff": q_snapshot_diff,
+        "twap_hourly": q_twap_hourly,
+        "table_profile": q_table_profile,
         "event_sliding_window": q_event_sliding_window,
         "map_fns": q_map_fns,
         "approx_distinct": q_approx_distinct,
@@ -4525,6 +4594,64 @@ def oracle_sql() -> dict[str, str]:
                    ok_words AND ok_mean_len AND ok_symbol AND ok_bullet
                        AND ok_ellipsis AND ok_alpha AND ok_stop AS passes
             FROM rules ORDER BY doc_id
+        """,
+        # same lead/cap weighting on truncated epoch seconds
+        "twap_hourly": """
+            WITH b AS (
+                SELECT event_type,
+                       CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) AS h,
+                       value,
+                       LEAST(
+                           COALESCE(
+                               LEAD(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (
+                                   PARTITION BY event_type
+                                   ORDER BY ts, event_id),
+                               CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT)
+                                   + 3600),
+                           CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT)
+                               + 3600)
+                       - CAST(FLOOR(epoch(ts)) AS BIGINT) AS w
+                FROM events)
+            SELECT event_type, h,
+                   ROUND(SUM(value * w) / SUM(w), 6) AS twap,
+                   COUNT(*) AS n
+            FROM b WHERE w > 0 AND h < 1704153600
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # one UNION ALL row per column, same string casts
+        "table_profile": """
+            SELECT * FROM (
+                SELECT 'o_orderkey' AS "column", COUNT(*) AS n,
+                       CAST(SUM(CAST(o_orderkey IS NULL AS BIGINT)) AS BIGINT)
+                           AS nulls,
+                       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT)
+                           AS n_distinct,
+                       MIN(CAST(o_orderkey AS VARCHAR)) AS min_s,
+                       MAX(CAST(o_orderkey AS VARCHAR)) AS max_s
+                FROM orders
+                UNION ALL
+                SELECT 'o_custkey', COUNT(*),
+                       CAST(SUM(CAST(o_custkey IS NULL AS BIGINT)) AS BIGINT),
+                       CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+                       MIN(CAST(o_custkey AS VARCHAR)),
+                       MAX(CAST(o_custkey AS VARCHAR))
+                FROM orders
+                UNION ALL
+                SELECT 'o_totalprice', COUNT(*),
+                       CAST(SUM(CAST(o_totalprice IS NULL AS BIGINT))
+                            AS BIGINT),
+                       CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+                       MIN(CAST(o_totalprice AS VARCHAR)),
+                       MAX(CAST(o_totalprice AS VARCHAR))
+                FROM orders
+                UNION ALL
+                SELECT 'o_orderstatus', COUNT(*),
+                       CAST(SUM(CAST(o_orderstatus IS NULL AS BIGINT))
+                            AS BIGINT),
+                       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+                       MIN(o_orderstatus), MAX(o_orderstatus)
+                FROM orders
+            ) ORDER BY "column"
         """,
         # planted churn re-derived as direct SQL op rows
         "snapshot_diff": """

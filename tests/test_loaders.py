@@ -322,3 +322,29 @@ def test_metadata_columns_expose_provenance(spark, tmp_path):
         .collect()
     )
     assert all(r.file_name.endswith(".parquet") for r in rows)
+
+
+def test_corrupt_json_dead_letter_capture(spark):
+    """PERMISSIVE JSON parsing routes malformed payloads to the
+    _corrupt_record column instead of failing the job — the dead-letter
+    pattern for semi-structured ingest."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    rows = [('{"k": 1}',), ("{not json",), ('{"k": 3}',), (None,)]
+    df = spark.createDataFrame(rows, ["raw"])
+    schema = StructType([
+        StructField("k", StringType()),
+        StructField("_corrupt_record", StringType()),
+    ])
+    parsed = df.select(
+        "raw",
+        F.from_json("raw", schema,
+                    {"mode": "PERMISSIVE",
+                     "columnNameOfCorruptRecord": "_corrupt_record"}).alias("j"),
+    ).select("raw", "j.k", F.col("j._corrupt_record").alias("bad"))
+    got = parsed.collect()
+    ok = [r for r in got if r.k is not None]
+    dead = [r for r in got if r.bad is not None]
+    assert len(ok) == 2 and {r.k for r in ok} == {"1", "3"}
+    assert len(dead) == 1 and dead[0].raw == "{not json"
