@@ -3370,6 +3370,56 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, seconds from FIRST view
+    to FIRST subsequent purchase; aggregated to count/avg/median
+    (exact percentile) — the latency companion to the funnel count.
+    Two min-aggs + one join, one user_id shuffle."""
+    e = _t(spark, sf_dir, "events")
+    t = F.unix_timestamp("ts")
+    views = e.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min(t).alias("t_view")
+    )
+    buys = e.where(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.min(t).alias("t_buy")
+    )
+    lat = (
+        views.join(buys, "user_id")
+        .where(F.col("t_buy") >= F.col("t_view"))
+        .select((F.col("t_buy") - F.col("t_view")).alias("lat"))
+    )
+    return lat.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.avg("lat"), 6).alias("avg_s"),
+        F.round(F.percentile("lat", F.lit(0.5)), 6).alias("median_s"),
+    )
+
+
+def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto report): customers ranked by spend,
+    cumulative revenue share at each decile — 'the top 10% of customers
+    drive X% of revenue'. One spend agg + one global rank window over
+    the CUSTOMER-cardinality table (dimension-sized, not fact-sized —
+    the fact scan stays a hash agg)."""
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("s"))
+    w = Window.orderBy(F.col("s").desc(), F.col("o_custkey"))
+    total = Window.partitionBy()
+    ranked = spend.select(
+        "s",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+        F.sum("s").over(total).alias("tot"),
+    )
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("s") / F.first("tot"), 6).alias("rev_share"),
+        )
+        .orderBy("decile")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_multi_join(spark, "/root/testdata/sf0.001")
@@ -3427,6 +3477,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "twap_hourly": q_twap_hourly,
         "table_profile": q_table_profile,
+        "funnel_latency": q_funnel_latency,
+        "revenue_concentration": q_revenue_concentration,
         "event_sliding_window": q_event_sliding_window,
         "map_fns": q_map_fns,
         "approx_distinct": q_approx_distinct,
@@ -4594,6 +4646,38 @@ def oracle_sql() -> dict[str, str]:
                    ok_words AND ok_mean_len AND ok_symbol AND ok_bullet
                        AND ok_ellipsis AND ok_alpha AND ok_stop AS passes
             FROM rules ORDER BY doc_id
+        """,
+        "funnel_latency": """
+            WITH v AS (
+                SELECT user_id,
+                       MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS t_view
+                FROM events WHERE event_type = 'view' GROUP BY user_id),
+            b AS (
+                SELECT user_id,
+                       MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS t_buy
+                FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+            lat AS (
+                SELECT t_buy - t_view AS lat
+                FROM v JOIN b USING (user_id) WHERE t_buy >= t_view)
+            SELECT COUNT(*) AS n_converted,
+                   ROUND(AVG(lat), 6) AS avg_s,
+                   ROUND(quantile_cont(lat, 0.5), 6) AS median_s
+            FROM lat
+        """,
+        # same deciles (NTILE over spend desc, custkey tie-break)
+        "revenue_concentration": """
+            WITH spend AS (
+                SELECT o_custkey, SUM(o_totalprice) AS s
+                FROM orders GROUP BY o_custkey),
+            ranked AS (
+                SELECT s,
+                       CAST(NTILE(10) OVER (ORDER BY s DESC, o_custkey)
+                            AS BIGINT) AS decile,
+                       SUM(s) OVER () AS tot
+                FROM spend)
+            SELECT decile, COUNT(*) AS n_customers,
+                   ROUND(SUM(s) / ANY_VALUE(tot), 6) AS rev_share
+            FROM ranked GROUP BY decile ORDER BY decile
         """,
         # same lead/cap weighting on truncated epoch seconds
         "twap_hourly": """
