@@ -3420,6 +3420,59 @@ def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    (prev_type -> type) counts and conditional probabilities — the
+    behavioral-model fit (next-action prediction baseline). One lag
+    window + one hash agg, single user_id shuffle."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("prev", F.lag("event_type").over(w))
+        .where(F.col("prev").isNotNull())
+        .groupBy("prev", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = Window.partitionBy("prev")
+    return (
+        pairs.select(
+            "prev", "event_type", "n",
+            F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"),
+        )
+        .orderBy("prev", "event_type")
+    )
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level summary on gap-based sessionization (30-min gap):
+    total sessions, mean/median events per session, mean duration —
+    the rollup layer over the same lag+cumsum session ids the
+    sessionization query builds; one user_id shuffle then
+    session-cardinality aggs."""
+    e = _t(spark, sf_dir, "events")
+    t = F.unix_timestamp("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = t - F.lag(t).over(w)
+    new_s = (gap.isNull() | (gap > 1800)).cast("long")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = e.select(
+        "user_id", t.alias("t"),
+        F.sum(new_s).over(run).alias("s_id"),
+    )
+    per = sess.groupBy("user_id", "s_id").agg(
+        F.count("*").alias("n_ev"),
+        (F.max("t") - F.min("t")).alias("dur"),
+    )
+    return per.agg(
+        F.count("*").alias("n_sessions"),
+        F.round(F.avg("n_ev"), 6).alias("avg_events"),
+        F.round(F.percentile("n_ev", F.lit(0.5)), 6).alias("median_events"),
+        F.round(F.avg("dur"), 6).alias("avg_dur_s"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_multi_join(spark, "/root/testdata/sf0.001")
@@ -3479,6 +3532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": q_table_profile,
         "funnel_latency": q_funnel_latency,
         "revenue_concentration": q_revenue_concentration,
+        "event_transitions": q_event_transitions,
+        "session_stats": q_session_stats,
         "event_sliding_window": q_event_sliding_window,
         "map_fns": q_map_fns,
         "approx_distinct": q_approx_distinct,
@@ -4646,6 +4701,52 @@ def oracle_sql() -> dict[str, str]:
                    ok_words AND ok_mean_len AND ok_symbol AND ok_bullet
                        AND ok_ellipsis AND ok_alpha AND ok_stop AS passes
             FROM rules ORDER BY doc_id
+        """,
+        "event_transitions": """
+            WITH pairs AS (
+                SELECT LAG(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev,
+                       event_type
+                FROM events),
+            c AS (
+                SELECT prev, event_type, COUNT(*) AS n
+                FROM pairs WHERE prev IS NOT NULL
+                GROUP BY 1, 2)
+            SELECT prev, event_type, n,
+                   ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY prev), 6) AS p
+            FROM c ORDER BY prev, event_type
+        """,
+        # same 30-min gap sessionization then session-level aggs
+        "session_stats": """
+            WITH t AS (
+                SELECT user_id,
+                       CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+                       ts, event_id
+                FROM events),
+            g AS (
+                SELECT user_id, t, ts, event_id,
+                       CASE WHEN t - LAG(t) OVER w IS NULL
+                                 OR t - LAG(t) OVER w > 1800
+                            THEN 1 ELSE 0 END AS new_s
+                FROM t
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+                SELECT user_id, t,
+                       SUM(new_s) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS s_id
+                FROM g),
+            per AS (
+                SELECT user_id, s_id, COUNT(*) AS n_ev,
+                       MAX(t) - MIN(t) AS dur
+                FROM s GROUP BY 1, 2)
+            SELECT COUNT(*) AS n_sessions,
+                   ROUND(AVG(n_ev), 6) AS avg_events,
+                   ROUND(quantile_cont(n_ev, 0.5), 6) AS median_events,
+                   ROUND(AVG(dur), 6) AS avg_dur_s
+            FROM per
         """,
         "funnel_latency": """
             WITH v AS (
