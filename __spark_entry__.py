@@ -3473,6 +3473,38 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label coherence: per-label centroid (per-dim
+    mean via posexplode + hash agg — label-cardinality-bounded table),
+    then each vector's cosine to its OWN label centroid, averaged per
+    label. The embedding-quality / clustering-sanity metric: low
+    coherence flags mislabeled or entangled classes. Centroids
+    broadcast back; per-vec cosine is a (label, dim) join + agg —
+    no pairwise anything."""
+    e = _t(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+    )
+    cent = dims.groupBy("label", "i").agg(F.avg("x").alias("c"))
+    j = dims.join(F.broadcast(cent), ["label", "i"])
+    per_vec = j.groupBy("vec_id", "label").agg(
+        (
+            F.sum(F.col("x") * F.col("c"))
+            / (F.sqrt(F.sum(F.col("x") * F.col("x")))
+               * F.sqrt(F.sum(F.col("c") * F.col("c"))))
+        ).alias("cos")
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("cos"), 6).alias("avg_coherence"),
+        )
+        .orderBy("label")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_multi_join(spark, "/root/testdata/sf0.001")
@@ -3534,6 +3566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_concentration": q_revenue_concentration,
         "event_transitions": q_event_transitions,
         "session_stats": q_session_stats,
+        "label_coherence": q_label_coherence,
         "event_sliding_window": q_event_sliding_window,
         "map_fns": q_map_fns,
         "approx_distinct": q_approx_distinct,
@@ -4701,6 +4734,25 @@ def oracle_sql() -> dict[str, str]:
                    ok_words AND ok_mean_len AND ok_symbol AND ok_bullet
                        AND ok_ellipsis AND ok_alpha AND ok_stop AS passes
             FROM rules ORDER BY doc_id
+        """,
+        # identical centroid + cosine algebra on (label, dim) rows
+        "label_coherence": """
+            WITH dims AS (
+                SELECT vec_id, label, i - 1 AS i,
+                       CAST(embedding[i] AS DOUBLE) AS x
+                FROM embeddings, range(1, 65) r(i)),
+            cent AS (
+                SELECT label, i, AVG(x) AS c FROM dims GROUP BY 1, 2),
+            per_vec AS (
+                SELECT d.vec_id, d.label,
+                       SUM(d.x * c.c)
+                       / (SQRT(SUM(d.x * d.x)) * SQRT(SUM(c.c * c.c)))
+                           AS cos
+                FROM dims d JOIN cent c ON d.label = c.label AND d.i = c.i
+                GROUP BY 1, 2)
+            SELECT label, COUNT(*) AS n_vecs,
+                   ROUND(AVG(cos), 6) AS avg_coherence
+            FROM per_vec GROUP BY label ORDER BY label
         """,
         "event_transitions": """
             WITH pairs AS (
