@@ -3505,6 +3505,40 @@ def q_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus forensics: exact-duplicate pairs counted by (source,
+    source) — which feeds copy from each other, the contamination
+    matrix that decides dedup ordering and source trust. Self-join on
+    the normalized-text hash (only duplicate groups join — the equi key
+    IS the content), canonical source ordering via least/greatest. The
+    fixture has no exact cross-source copies, so a deterministic
+    'mirror' feed (every doc_id % 50 == 0 doc republished under a
+    mirror source) is planted to make the matrix non-vacuous."""
+    base = _t(spark, sf_dir, "documents")
+    mirrored = base.unionByName(
+        base.where(F.col("doc_id") % 50 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 100_000)
+        .withColumn("source", F.concat(F.lit("mirror-"), F.col("source")))
+    )
+    d = mirrored.select(
+        "doc_id", "source", F.md5(F.lower(F.trim("text"))).alias("h")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.least(F.col("a.source"), F.col("b.source")).alias("src_a"),
+        F.greatest(F.col("a.source"), F.col("b.source")).alias("src_b"),
+    )
+    return (
+        pairs.groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_dup_pairs"))
+        .orderBy("src_a", "src_b")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_multi_join(spark, "/root/testdata/sf0.001")
@@ -3567,6 +3601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "session_stats": q_session_stats,
         "label_coherence": q_label_coherence,
+        "cross_source_dups": q_cross_source_dups,
         "event_sliding_window": q_event_sliding_window,
         "map_fns": q_map_fns,
         "approx_distinct": q_approx_distinct,
@@ -4734,6 +4769,22 @@ def oracle_sql() -> dict[str, str]:
                    ok_words AND ok_mean_len AND ok_symbol AND ok_bullet
                        AND ok_ellipsis AND ok_alpha AND ok_stop AS passes
             FROM rules ORDER BY doc_id
+        """,
+        "cross_source_dups": """
+            WITH m AS (
+                SELECT doc_id, source, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000, 'mirror-' || source, text
+                FROM documents WHERE doc_id % 50 = 0),
+            d AS (
+                SELECT doc_id, source, md5(lower(trim(text))) AS h
+                FROM m)
+            SELECT LEAST(a.source, b.source) AS src_a,
+                   GREATEST(a.source, b.source) AS src_b,
+                   COUNT(*) AS n_dup_pairs
+            FROM d a JOIN d b
+              ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # identical centroid + cosine algebra on (label, dim) rows
         "label_coherence": """
