@@ -282,3 +282,25 @@ def test_diff_snapshots_roundtrip_law(spark):
     got = sorted((r.k, r.s, r.v) for r in applied.collect())
     want = sorted((r.k, r.s, r.v) for r in new.collect())
     assert got == want
+
+
+def test_weighted_sample_k_exceeds_group(spark):
+    from keystone_spark.operators.curation import weighted_sample_per_key
+
+    df = spark.createDataFrame([(0, i, 1.0) for i in range(3)],
+                               ["g", "rid", "w"])
+    got = weighted_sample_per_key(df, ["g"], 10, "w", id_cols=["rid"])
+    assert got.count() == 3  # whole group survives
+
+
+def test_line_dedup_crlf_and_empty_lines(spark):
+    from keystone_spark.operators.curation import line_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"unique {i}\r\nCOMMON\r\n\r\nalso {i}") for i in range(6)],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.clean_text
+           for r in line_dedup(docs, max_docs=3, sep="\r\n").collect()}
+    # COMMON (6 docs) and the empty line (6 docs) both removed
+    assert out[2] == "unique 2\r\nalso 2"

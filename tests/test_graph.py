@@ -141,3 +141,13 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     for i in range(n):
         assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_no_edges_uniform(spark):
+    from keystone_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], ["node"])
+    edges = spark.createDataFrame([], "i long, j long")
+    got = {r.node: r["rank"]
+           for r in pagerank(edges, nodes=nodes, max_iter=5).collect()}
+    assert all(abs(v - 0.25) < 1e-12 for v in got.values())

@@ -229,3 +229,17 @@ def test_bpe_save_load_roundtrip(spark, tmp_path):
     a = df.withColumn("s", bpe.encode_column("toks")).first().s
     b = df.withColumn("s", loaded.encode_column("toks")).first().s
     assert a == b
+
+
+def test_bm25_empty_and_oov_queries(spark):
+    """No shared terms -> no rows; empty query token array -> no rows;
+    neither crashes the pipeline."""
+    from keystone_spark.operators.nlp import bm25_search
+
+    docs = spark.createDataFrame(
+        [(0, ["cat", "dog"]), (1, ["bird"])], ["doc_id", "toks"]
+    )
+    qs = spark.createDataFrame(
+        [(0, ["zebra"]), (1, [])], ["query_id", "q_toks"]
+    )
+    assert bm25_search(docs, qs, k=5).count() == 0
