@@ -3211,11 +3211,11 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gsum = F.sum("y").over(w)
     gcnt = F.count("y").over(w)
-    # global mean via a window over everything (single scalar, no collect)
-    gm = F.sum("y").over(Window.partitionBy()) / F.count("y").over(
-        Window.partitionBy()
-    )
-    loo = (gsum - F.col("y") + F.lit(m) * gm) / (gcnt - 1 + m)
+    # global mean as a broadcast 1-row cross join — NOT an empty-partition
+    # window, which would move every row to a single partition
+    gm_df = g.agg((F.sum("y") / F.count("y")).alias("__gm"))
+    g = g.crossJoin(F.broadcast(gm_df))
+    loo = (gsum - F.col("y") + F.lit(m) * F.col("__gm")) / (gcnt - 1 + m)
     return (
         g.select(
             "o_orderkey", "o_orderpriority",
@@ -3404,11 +3404,11 @@ def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("s"))
     w = Window.orderBy(F.col("s").desc(), F.col("o_custkey"))
-    total = Window.partitionBy()
-    ranked = spend.select(
+    tot_df = spend.agg(F.sum("s").alias("tot"))
+    ranked = spend.crossJoin(F.broadcast(tot_df)).select(
         "s",
         F.ntile(10).over(w).cast("long").alias("decile"),
-        F.sum("s").over(total).alias("tot"),
+        "tot",
     )
     return (
         ranked.groupBy("decile")
