@@ -3229,7 +3229,10 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-to-uniform quantile normalization per event_type (the
     distribution-free feature transform): percent_rank maps each value
-    to [0,1] within its group — one shuffle, no UDF."""
+    to [0,1] within its group — one shuffle, no UDF. Low-cardinality
+    partitions (5 types here) mean one task per type at scale; for a
+    100 TB version swap the exact rank for approx-percentile boundary
+    interpolation (see operators/stats.approx_equidepth_hist)."""
     e = _t(spark, sf_dir, "events").where(F.col("user_id") < 300)
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     return (

@@ -723,6 +723,9 @@ def prefix_jaccard_pairs(
     )
     toks = base.select("__id", F.explode("__t").alias("tok"))
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("__df"))
+    # global rank over the VOCABULARY table only (vocab-bounded — a few
+    # million rows at web scale, never the corpus); the broadcast below
+    # keeps the rank table off the shuffle path entirely
     order = Window.orderBy("__df", "tok")
     tok_rank = dfreq.select(
         "tok", F.row_number().over(order).alias("__rk")
