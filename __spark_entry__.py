@@ -3542,6 +3542,41 @@ def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_supplier_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier on-time ranking by the Wilson score lower bound (z=1.96)
+    — the statistically sound way to rank proportions with unequal
+    sample sizes (a 3/3 supplier must NOT outrank a 97/100 one, which a
+    raw rate does). One hash agg over lineitem + closed-form math;
+    top-20 by the bound. On-time = shipped within 30 days of the order
+    date (the fixture carries l_shipdate + o_orderdate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    agg = j.groupBy("l_suppkey").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            (F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) <= 30)
+            .cast("long")
+        ).alias("on_time"),
+    )
+    z = 1.959963984540054
+    p = F.col("on_time") / F.col("n")
+    n = F.col("n").cast("double")
+    wilson = (
+        p + z * z / (2 * n)
+        - z * F.sqrt((p * (1 - p) + z * z / (4 * n)) / n)
+    ) / (1 + z * z / n)
+    return (
+        agg.select(
+            "l_suppkey", "n", "on_time",
+            F.round(p, 6).alias("rate"),
+            F.round(wilson, 6).alias("wilson_lb"),
+        )
+        .orderBy(F.col("wilson_lb").desc(), "l_suppkey")
+        .limit(20)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_multi_join(spark, "/root/testdata/sf0.001")
@@ -3605,6 +3640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "label_coherence": q_label_coherence,
         "cross_source_dups": q_cross_source_dups,
+        "supplier_reliability": q_supplier_reliability,
         "event_sliding_window": q_event_sliding_window,
         "map_fns": q_map_fns,
         "approx_distinct": q_approx_distinct,
@@ -4772,6 +4808,28 @@ def oracle_sql() -> dict[str, str]:
                    ok_words AND ok_mean_len AND ok_symbol AND ok_bullet
                        AND ok_ellipsis AND ok_alpha AND ok_stop AS passes
             FROM rules ORDER BY doc_id
+        """,
+        # identical closed-form Wilson bound, same z constant
+        "supplier_reliability": """
+            WITH agg AS (
+                SELECT l_suppkey, COUNT(*) AS n,
+                       CAST(SUM(CAST(
+                           date_diff('day', o_orderdate, l_shipdate) <= 30
+                           AS BIGINT)) AS BIGINT) AS on_time
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY l_suppkey),
+            sc AS (
+                SELECT l_suppkey, n, on_time,
+                       on_time * 1.0 / n AS p,
+                       1.959963984540054 AS z
+                FROM agg)
+            SELECT l_suppkey, n, on_time,
+                   ROUND(p, 6) AS rate,
+                   ROUND((p + z*z/(2*n)
+                          - z * SQRT((p*(1-p) + z*z/(4*n)) / n))
+                         / (1 + z*z/n), 6) AS wilson_lb
+            FROM sc
+            ORDER BY wilson_lb DESC, l_suppkey LIMIT 20
         """,
         "cross_source_dups": """
             WITH m AS (
