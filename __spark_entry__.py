@@ -3577,6 +3577,27 @@ def q_supplier_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level windowing: revenue aggregated to months, then
+    month-over-month and year-over-year deltas via lag(1)/lag(12) over
+    the AGGREGATED series — the window runs over the month-cardinality
+    table (hundreds of rows), never the fact scan."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")),
+                      "yyyy-MM-dd").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 6).alias("rev"))
+    w = Window.orderBy("month")
+    return (
+        monthly.select(
+            "month", "rev",
+            F.round(F.col("rev") - F.lag("rev", 1).over(w), 6).alias("mom"),
+            F.round(F.col("rev") - F.lag("rev", 12).over(w), 6).alias("yoy"),
+        )
+        .orderBy("month")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_multi_join(spark, "/root/testdata/sf0.001")
@@ -3641,6 +3662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_coherence": q_label_coherence,
         "cross_source_dups": q_cross_source_dups,
         "supplier_reliability": q_supplier_reliability,
+        "monthly_trend": q_monthly_trend,
         "event_sliding_window": q_event_sliding_window,
         "map_fns": q_map_fns,
         "approx_distinct": q_approx_distinct,
@@ -4808,6 +4830,18 @@ def oracle_sql() -> dict[str, str]:
                    ok_words AND ok_mean_len AND ok_symbol AND ok_bullet
                        AND ok_ellipsis AND ok_alpha AND ok_stop AS passes
             FROM rules ORDER BY doc_id
+        """,
+        # lag over the aggregated month series, never the fact scan
+        "monthly_trend": """
+            WITH monthly AS (
+                SELECT strftime(date_trunc('month', o_orderdate),
+                                '%Y-%m-%d') AS month,
+                       ROUND(SUM(o_totalprice), 6) AS rev
+                FROM orders GROUP BY 1)
+            SELECT month, rev,
+                   ROUND(rev - LAG(rev, 1) OVER (ORDER BY month), 6) AS mom,
+                   ROUND(rev - LAG(rev, 12) OVER (ORDER BY month), 6) AS yoy
+            FROM monthly ORDER BY month
         """,
         # identical closed-form Wilson bound, same z constant
         "supplier_reliability": """
