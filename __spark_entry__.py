@@ -3598,6 +3598,60 @@ def q_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, cumulative
+    share cut at 80% (A) / 95% (B) / rest (C) — the Pareto workhorse.
+    Cumsum window runs over the PART-aggregated series (part
+    cardinality, not lineitem); per-class rollup keeps output tiny."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .alias("rev")
+    )
+    w = Window.orderBy(F.col("rev").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot_df = per_part.agg(F.sum("rev").alias("tot"))
+    ranked = per_part.crossJoin(F.broadcast(tot_df)).select(
+        "rev",
+        (F.sum("rev").over(w) / F.col("tot")).alias("cum_share"),
+    )
+    cls = (
+        F.when(F.col("cum_share") <= 0.80, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.groupBy(cls.alias("abc"))
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.sum("rev"), 6).alias("class_rev"),
+        )
+        .orderBy("abc")
+    )
+
+
+def q_repeat_purchase_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase curve: average order value by the customer's
+    order SEQUENCE number (1st, 2nd, ... order) — the LTV-shape input.
+    One row_number window per customer + one hash agg; capped at the
+    first 10 orders for a bounded, skew-free output."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        F.row_number().over(w).cast("long").alias("order_seq"),
+        "o_totalprice",
+    ).where(F.col("order_seq") <= 10)
+    return (
+        seq.groupBy("order_seq")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_value"),
+        )
+        .orderBy("order_seq")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_multi_join(spark, "/root/testdata/sf0.001")
@@ -3663,6 +3717,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_dups": q_cross_source_dups,
         "supplier_reliability": q_supplier_reliability,
         "monthly_trend": q_monthly_trend,
+        "abc_classes": q_abc_classes,
+        "repeat_purchase_curve": q_repeat_purchase_curve,
         "event_sliding_window": q_event_sliding_window,
         "map_fns": q_map_fns,
         "approx_distinct": q_approx_distinct,
@@ -4830,6 +4886,39 @@ def oracle_sql() -> dict[str, str]:
                    ok_words AND ok_mean_len AND ok_symbol AND ok_bullet
                        AND ok_ellipsis AND ok_alpha AND ok_stop AS passes
             FROM rules ORDER BY doc_id
+        """,
+        # same cumsum over the part-aggregated series, same cuts
+        "abc_classes": """
+            WITH per_part AS (
+                SELECT l_partkey,
+                       SUM(l_extendedprice * (1 - l_discount)) AS rev
+                FROM lineitem GROUP BY l_partkey),
+            ranked AS (
+                SELECT rev,
+                       SUM(rev) OVER (
+                           ORDER BY rev DESC, l_partkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       / (SELECT SUM(rev) FROM per_part) AS cum_share
+                FROM per_part)
+            SELECT CASE WHEN cum_share <= 0.80 THEN 'A'
+                        WHEN cum_share <= 0.95 THEN 'B'
+                        ELSE 'C' END AS abc,
+                   COUNT(*) AS n_parts,
+                   ROUND(SUM(rev), 6) AS class_rev
+            FROM ranked GROUP BY 1 ORDER BY 1
+        """,
+        "repeat_purchase_curve": """
+            WITH seq AS (
+                SELECT CAST(ROW_NUMBER() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+                           AS order_seq,
+                       o_totalprice
+                FROM orders)
+            SELECT order_seq, COUNT(*) AS n_orders,
+                   ROUND(AVG(o_totalprice), 6) AS avg_value
+            FROM seq WHERE order_seq <= 10
+            GROUP BY order_seq ORDER BY order_seq
         """,
         # lag over the aggregated month series, never the fact scan
         "monthly_trend": """
