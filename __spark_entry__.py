@@ -3652,6 +3652,83 @@ def q_repeat_purchase_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday x hour activity heatmap over the event stream (the ops
+    dashboard staple): one hash agg on two extracted date parts.
+    Spark dayofweek is 1=Sunday; emitted as 0-based to match DuckDB's
+    0=Sunday convention."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hr"),
+        )
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 6).alias("v"))
+        .orderBy("dow", "hr")
+    )
+
+
+def q_chi_square_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test for order priority x status: observed
+    crosstab, expected = row_tot * col_tot / N, chi2 = sum((O-E)^2/E) —
+    one crosstab agg plus broadcast marginal joins, closed-form math.
+    Emits the statistic and degrees of freedom; the dependence-screening
+    primitive for categorical features."""
+    o = _t(spark, sf_dir, "orders")
+    obs = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("obs")
+    )
+    row_t = obs.groupBy("o_orderpriority").agg(F.sum("obs").alias("rt"))
+    col_t = obs.groupBy("o_orderstatus").agg(F.sum("obs").alias("ct"))
+    n_df = obs.agg(F.sum("obs").alias("nn"))
+    j = (
+        obs.join(F.broadcast(row_t), "o_orderpriority")
+        .join(F.broadcast(col_t), "o_orderstatus")
+        .crossJoin(F.broadcast(n_df))
+    )
+    e = F.col("rt") * F.col("ct") / F.col("nn")
+    cells = j.select(((F.col("obs") - e) ** 2 / e).alias("cell"))
+    r = F.lit(5)  # priorities
+    c = F.lit(3)  # statuses
+    return cells.agg(
+        F.round(F.sum("cell"), 6).alias("chi2"),
+        ((r - 1) * (c - 1)).cast("long").alias("dof"),
+    )
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution — the
+    lexical-diversity quality signal (low entropy = repetitive spam).
+    Pure higher-order array expressions over distinct tokens: no
+    explode, no shuffle beyond the output sort."""
+    from keystone_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    distinct = F.array_distinct(toks)
+    probs = F.transform(
+        distinct,
+        lambda t: F.size(F.filter(toks, lambda x: x == t))
+        / n.cast("double"),
+    )
+    ent = -F.aggregate(
+        F.transform(probs, lambda p: p * F.log2(p)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        d.select(
+            "doc_id",
+            n.cast("long").alias("n_tokens"),
+            F.round(ent, 6).alias("entropy"),
+        )
+        .where(F.col("n_tokens") > 0)
+        .orderBy("doc_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_multi_join(spark, "/root/testdata/sf0.001")
@@ -3719,6 +3796,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_trend": q_monthly_trend,
         "abc_classes": q_abc_classes,
         "repeat_purchase_curve": q_repeat_purchase_curve,
+        "activity_heatmap": q_activity_heatmap,
+        "chi_square_test": q_chi_square_test,
+        "token_entropy": q_token_entropy,
         "event_sliding_window": q_event_sliding_window,
         "map_fns": q_map_fns,
         "approx_distinct": q_approx_distinct,
@@ -4886,6 +4966,52 @@ def oracle_sql() -> dict[str, str]:
                    ok_words AND ok_mean_len AND ok_symbol AND ok_bullet
                        AND ok_ellipsis AND ok_alpha AND ok_stop AS passes
             FROM rules ORDER BY doc_id
+        """,
+        "activity_heatmap": """
+            SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+                   CAST(hour(ts) AS BIGINT) AS hr,
+                   COUNT(*) AS n, ROUND(SUM(value), 6) AS v
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # same crosstab + marginals + closed-form statistic
+        "chi_square_test": """
+            WITH obs AS (
+                SELECT o_orderpriority, o_orderstatus, COUNT(*) AS obs
+                FROM orders GROUP BY 1, 2),
+            rt AS (SELECT o_orderpriority, SUM(obs) AS rt
+                   FROM obs GROUP BY 1),
+            ct AS (SELECT o_orderstatus, SUM(obs) AS ct
+                   FROM obs GROUP BY 1),
+            nn AS (SELECT SUM(obs) AS nn FROM obs),
+            cells AS (
+                SELECT POWER(obs - rt.rt * ct.ct / nn.nn, 2)
+                       / (rt.rt * ct.ct / nn.nn) AS cell
+                FROM obs
+                JOIN rt USING (o_orderpriority)
+                JOIN ct USING (o_orderstatus)
+                CROSS JOIN nn)
+            SELECT ROUND(SUM(cell), 6) AS chi2,
+                   CAST(8 AS BIGINT) AS dof
+            FROM cells
+        """,
+        # same p*log2(p) fold over distinct tokens
+        "token_entropy": """
+            WITH toks AS (
+                SELECT doc_id, list_filter(
+                    string_split_regex(lower(trim(text)), '[^\\p{L}\\p{N}'']+'),
+                    x -> x <> '') AS t
+                FROM documents),
+            e AS (
+                SELECT doc_id, len(t) AS n_tokens,
+                       -list_sum(list_transform(list_distinct(t),
+                           u -> (len(list_filter(t, x -> x = u)) * 1.0
+                                 / len(t))
+                                * log2(len(list_filter(t, x -> x = u)) * 1.0
+                                       / len(t)))) AS ent
+                FROM toks WHERE len(t) > 0)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   ROUND(ent, 6) AS entropy
+            FROM e ORDER BY doc_id
         """,
         # same cumsum over the part-aggregated series, same cuts
         "abc_classes": """
