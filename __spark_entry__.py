@@ -3729,6 +3729,90 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer recency (days since last order,
+    vs corpus max date), frequency, monetary; each scored into NTILE(5)
+    quintiles and combined into the classic 3-digit segment code; output
+    is the segment size histogram. All windows run over the
+    customer-cardinality aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_d"),
+        F.count("*").alias("freq"),
+        F.sum("o_totalprice").alias("money"),
+    )
+    maxd = per.agg(F.max("last_d").alias("maxd"))
+    per = per.crossJoin(F.broadcast(maxd)).withColumn(
+        "recency", F.datediff("maxd", "last_d")
+    )
+    r = F.ntile(5).over(Window.orderBy(F.col("recency").asc(),
+                                       F.col("o_custkey")))
+    f = F.ntile(5).over(Window.orderBy(F.col("freq").desc(),
+                                       F.col("o_custkey")))
+    m = F.ntile(5).over(Window.orderBy(F.col("money").desc(),
+                                       F.col("o_custkey")))
+    seg = per.select(
+        (r * 100 + f * 10 + m).cast("long").alias("segment")
+    )
+    return (
+        seg.groupBy("segment")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("segment")
+    )
+
+
+def q_brand_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration (Herfindahl-Hirschman) index per part type
+    prefix: sum of squared brand revenue shares — the concentration
+    screen. Revenue agg on the fact side; shares and HHI over the
+    (type, brand)-bounded table."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", F.substring("p_type", 1, 8).alias("ptype"), "p_brand"
+    )
+    rev = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("ptype", "p_brand")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("rev"))
+    )
+    tot = Window.partitionBy("ptype")
+    share = rev.select(
+        "ptype", (F.col("rev") / F.sum("rev").over(tot)).alias("s")
+    )
+    return (
+        share.groupBy("ptype")
+        .agg(
+            F.count("*").alias("n_brands"),
+            F.round(F.sum(F.col("s") * F.col("s")), 6).alias("hhi"),
+        )
+        .orderBy("ptype")
+    )
+
+
+def q_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode: most frequent l_quantity per returnflag
+    (count + rank, deterministic tie-break on the value) — the
+    categorical summary statistic mode() hides a two-level agg behind."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("n").desc(), F.col("l_quantity")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            F.round("l_quantity", 6).alias("mode_qty"),
+            "n",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_multi_join(spark, "/root/testdata/sf0.001")
@@ -3799,6 +3883,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_heatmap": q_activity_heatmap,
         "chi_square_test": q_chi_square_test,
         "token_entropy": q_token_entropy,
+        "rfm_segments": q_rfm_segments,
+        "brand_hhi": q_brand_hhi,
+        "group_mode": q_group_mode,
         "event_sliding_window": q_event_sliding_window,
         "map_fns": q_map_fns,
         "approx_distinct": q_approx_distinct,
@@ -4966,6 +5053,54 @@ def oracle_sql() -> dict[str, str]:
                    ok_words AND ok_mean_len AND ok_symbol AND ok_bullet
                        AND ok_ellipsis AND ok_alpha AND ok_stop AS passes
             FROM rules ORDER BY doc_id
+        """,
+        # same quintile codes, same deterministic tie-breaks
+        "rfm_segments": """
+            WITH per AS (
+                SELECT o_custkey, MAX(o_orderdate) AS last_d,
+                       COUNT(*) AS freq, SUM(o_totalprice) AS money
+                FROM orders GROUP BY o_custkey),
+            rec AS (
+                SELECT o_custkey, freq, money,
+                       date_diff('day', last_d,
+                                 (SELECT MAX(last_d) FROM per)) AS recency
+                FROM per),
+            scored AS (
+                SELECT CAST(
+                       NTILE(5) OVER (ORDER BY recency ASC, o_custkey) * 100
+                       + NTILE(5) OVER (ORDER BY freq DESC, o_custkey) * 10
+                       + NTILE(5) OVER (ORDER BY money DESC, o_custkey)
+                       AS BIGINT) AS segment
+                FROM rec)
+            SELECT segment, COUNT(*) AS n_customers
+            FROM scored GROUP BY segment ORDER BY segment
+        """,
+        "brand_hhi": """
+            WITH rev AS (
+                SELECT substr(p_type, 1, 8) AS ptype, p_brand,
+                       SUM(l_extendedprice * (1 - l_discount)) AS rev
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                GROUP BY 1, 2),
+            share AS (
+                SELECT ptype,
+                       rev / SUM(rev) OVER (PARTITION BY ptype) AS s
+                FROM rev)
+            SELECT ptype, COUNT(*) AS n_brands,
+                   ROUND(SUM(s * s), 6) AS hhi
+            FROM share GROUP BY ptype ORDER BY ptype
+        """,
+        "group_mode": """
+            WITH counts AS (
+                SELECT l_returnflag, l_quantity, COUNT(*) AS n
+                FROM lineitem GROUP BY 1, 2),
+            ranked AS (
+                SELECT l_returnflag, l_quantity, n,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY l_returnflag
+                           ORDER BY n DESC, l_quantity) AS rk
+                FROM counts)
+            SELECT l_returnflag, ROUND(l_quantity, 6) AS mode_qty, n
+            FROM ranked WHERE rk = 1 ORDER BY l_returnflag
         """,
         "activity_heatmap": """
             SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
