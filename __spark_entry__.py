@@ -3813,6 +3813,30 @@ def q_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap distribution per event_type (arrival-process
+    characterization: burstiness, rate drift): one lag window for the
+    gaps, one hash agg for count/mean/std/exact-p90. Single event_type
+    shuffle."""
+    e = _t(spark, sf_dir, "events")
+    t = F.unix_timestamp("ts")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        e.select("event_type", (t - F.lag(t).over(w)).alias("gap"))
+        .where(F.col("gap").isNotNull())
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.round(F.avg("gap"), 6).alias("mean_s"),
+            F.round(F.stddev_samp("gap"), 6).alias("std_s"),
+            F.round(F.percentile("gap", F.lit(0.9)), 6).alias("p90_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_multi_join(spark, "/root/testdata/sf0.001")
@@ -3886,6 +3910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": q_rfm_segments,
         "brand_hhi": q_brand_hhi,
         "group_mode": q_group_mode,
+        "interarrival_stats": q_interarrival_stats,
         "event_sliding_window": q_event_sliding_window,
         "map_fns": q_map_fns,
         "approx_distinct": q_approx_distinct,
@@ -5053,6 +5078,21 @@ def oracle_sql() -> dict[str, str]:
                    ok_words AND ok_mean_len AND ok_symbol AND ok_bullet
                        AND ok_ellipsis AND ok_alpha AND ok_stop AS passes
             FROM rules ORDER BY doc_id
+        """,
+        "interarrival_stats": """
+            WITH g AS (
+                SELECT event_type,
+                       CAST(FLOOR(epoch(ts)) AS BIGINT)
+                       - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (
+                           PARTITION BY event_type ORDER BY ts, event_id
+                       ) AS gap
+                FROM events)
+            SELECT event_type, COUNT(*) AS n_gaps,
+                   ROUND(AVG(gap), 6) AS mean_s,
+                   ROUND(STDDEV_SAMP(gap), 6) AS std_s,
+                   ROUND(quantile_cont(gap, 0.9), 6) AS p90_s
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY event_type ORDER BY event_type
         """,
         # same quintile codes, same deterministic tie-breaks
         "rfm_segments": """
