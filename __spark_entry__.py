@@ -3837,6 +3837,60 @@ def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_twoway_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way effects decomposition (ANOVA-style) of extendedprice over
+    returnflag x linestatus: each cell mean split into grand mean + row
+    effect + column effect + interaction residual. One crosstab agg plus
+    broadcast marginal-mean joins — the factor-screening summary."""
+    li = _t(spark, sf_dir, "lineitem")
+    cell = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.avg("l_extendedprice").alias("cm"), F.count("*").alias("n")
+    )
+    row_m = li.groupBy("l_returnflag").agg(
+        F.avg("l_extendedprice").alias("rm")
+    )
+    col_m = li.groupBy("l_linestatus").agg(
+        F.avg("l_extendedprice").alias("colm")
+    )
+    grand = li.agg(F.avg("l_extendedprice").alias("gm"))
+    j = (
+        cell.join(F.broadcast(row_m), "l_returnflag")
+        .join(F.broadcast(col_m), "l_linestatus")
+        .crossJoin(F.broadcast(grand))
+    )
+    return (
+        j.select(
+            "l_returnflag", "l_linestatus", "n",
+            F.round("cm", 6).alias("cell_mean"),
+            F.round(F.col("rm") - F.col("gm"), 6).alias("row_effect"),
+            F.round(F.col("colm") - F.col("gm"), 6).alias("col_effect"),
+            F.round(
+                F.col("cm") - F.col("rm") - F.col("colm") + F.col("gm"), 6
+            ).alias("interaction"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_value_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of event values per type (memory in the
+    process: near 0 = independent arrivals, high = trending): one lag
+    window then corr() — single event_type shuffle."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    pairs = e.select(
+        "event_type", "value", F.lag("value").over(w).alias("prev")
+    ).where(F.col("prev").isNotNull())
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.corr("value", "prev"), 6).alias("acf1"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_multi_join(spark, "/root/testdata/sf0.001")
@@ -3911,6 +3965,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_hhi": q_brand_hhi,
         "group_mode": q_group_mode,
         "interarrival_stats": q_interarrival_stats,
+        "twoway_effects": q_twoway_effects,
+        "value_autocorr": q_value_autocorr,
         "event_sliding_window": q_event_sliding_window,
         "map_fns": q_map_fns,
         "approx_distinct": q_approx_distinct,
@@ -5078,6 +5134,39 @@ def oracle_sql() -> dict[str, str]:
                    ok_words AND ok_mean_len AND ok_symbol AND ok_bullet
                        AND ok_ellipsis AND ok_alpha AND ok_stop AS passes
             FROM rules ORDER BY doc_id
+        """,
+        "twoway_effects": """
+            WITH cell AS (
+                SELECT l_returnflag, l_linestatus,
+                       AVG(l_extendedprice) AS cm, COUNT(*) AS n
+                FROM lineitem GROUP BY 1, 2),
+            rm AS (SELECT l_returnflag, AVG(l_extendedprice) AS rm
+                   FROM lineitem GROUP BY 1),
+            colm AS (SELECT l_linestatus, AVG(l_extendedprice) AS colm
+                     FROM lineitem GROUP BY 1),
+            gm AS (SELECT AVG(l_extendedprice) AS gm FROM lineitem)
+            SELECT l_returnflag, l_linestatus, n,
+                   ROUND(cm, 6) AS cell_mean,
+                   ROUND(rm.rm - gm.gm, 6) AS row_effect,
+                   ROUND(colm.colm - gm.gm, 6) AS col_effect,
+                   ROUND(cm - rm.rm - colm.colm + gm.gm, 6) AS interaction
+            FROM cell
+            JOIN rm USING (l_returnflag)
+            JOIN colm USING (l_linestatus)
+            CROSS JOIN gm
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "value_autocorr": """
+            WITH p AS (
+                SELECT event_type, value,
+                       LAG(value) OVER (
+                           PARTITION BY event_type ORDER BY ts, event_id
+                       ) AS prev
+                FROM events)
+            SELECT event_type, COUNT(*) AS n,
+                   ROUND(corr(value, prev), 6) AS acf1
+            FROM p WHERE prev IS NOT NULL
+            GROUP BY event_type ORDER BY event_type
         """,
         "interarrival_stats": """
             WITH g AS (
