@@ -3891,6 +3891,67 @@ def q_value_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change detection per event_type: running sum of deviations
+    from the type mean; the maximum |CUSUM| and where it peaks locate
+    the strongest level shift. Type mean broadcast back (no
+    empty-partition window); running sum + argmax per type — the
+    classic drift screen."""
+    e = _t(spark, sf_dir, "events")
+    means = e.groupBy("event_type").agg(F.avg("value").alias("mu"))
+    j = e.join(F.broadcast(means), "event_type")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cus = F.sum(F.col("value") - F.col("mu")).over(w)
+    scored = j.select(
+        "event_type", "event_id",
+        F.abs(cus).alias("abs_cusum"),
+    )
+    top = Window.partitionBy("event_type").orderBy(
+        F.col("abs_cusum").desc(), F.col("event_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(top))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.round("abs_cusum", 6).alias("max_abs_cusum"),
+            F.col("event_id").alias("at_event"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: distinct vocabulary size after the
+    first N documents, for a ladder of N — computed WITHOUT any
+    cumulative distinct: each token reduces to its FIRST document
+    (min doc_id, one hash agg), then each threshold counts tokens whose
+    first occurrence is within it (tiny threshold table cross join).
+    The corpus-statistics curve that sizes tokenizer vocabularies."""
+    from keystone_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    first = (
+        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    thresholds = spark.range(1, 6).select(
+        (F.col("id") * 100).alias("n_docs")
+    )
+    return (
+        first.crossJoin(F.broadcast(thresholds))
+        .where(F.col("first_doc") < F.col("n_docs"))
+        .groupBy("n_docs")
+        .agg(F.count("*").alias("vocab"))
+        .orderBy("n_docs")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_multi_join(spark, "/root/testdata/sf0.001")
@@ -3967,6 +4028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interarrival_stats": q_interarrival_stats,
         "twoway_effects": q_twoway_effects,
         "value_autocorr": q_value_autocorr,
+        "cusum_drift": q_cusum_drift,
+        "vocab_growth": q_vocab_growth,
         "event_sliding_window": q_event_sliding_window,
         "map_fns": q_map_fns,
         "approx_distinct": q_approx_distinct,
@@ -5134,6 +5197,44 @@ def oracle_sql() -> dict[str, str]:
                    ok_words AND ok_mean_len AND ok_symbol AND ok_bullet
                        AND ok_ellipsis AND ok_alpha AND ok_stop AS passes
             FROM rules ORDER BY doc_id
+        """,
+        "cusum_drift": """
+            WITH m AS (
+                SELECT event_type, AVG(value) AS mu
+                FROM events GROUP BY event_type),
+            c AS (
+                SELECT e.event_type, e.event_id,
+                       ABS(SUM(e.value - m.mu) OVER (
+                           PARTITION BY e.event_type
+                           ORDER BY e.ts, e.event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       )) AS abs_cusum
+                FROM events e JOIN m USING (event_type)),
+            r AS (
+                SELECT event_type, event_id, abs_cusum,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type
+                           ORDER BY abs_cusum DESC, event_id) AS rk
+                FROM c)
+            SELECT event_type, ROUND(abs_cusum, 6) AS max_abs_cusum,
+                   event_id AS at_event
+            FROM r WHERE rk = 1 ORDER BY event_type
+        """,
+        # first-occurrence reduction replaces cumulative distinct
+        "vocab_growth": """
+            WITH toks AS (
+                SELECT doc_id, UNNEST(list_filter(
+                    string_split_regex(lower(trim(text)), '[^\\p{L}\\p{N}'']+'),
+                    x -> x <> '')) AS tok
+                FROM documents),
+            first AS (
+                SELECT tok, MIN(doc_id) AS first_doc
+                FROM toks GROUP BY tok),
+            th AS (SELECT i * 100 AS n_docs FROM range(1, 6) t(i))
+            SELECT n_docs, COUNT(*) AS vocab
+            FROM first CROSS JOIN th
+            WHERE first_doc < n_docs
+            GROUP BY n_docs ORDER BY n_docs
         """,
         "twoway_effects": """
             WITH cell AS (
