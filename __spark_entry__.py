@@ -3952,6 +3952,34 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zipf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency diagnostics: log-log regression slope and R²
+    over the top-100 token frequencies (natural text ~ -1; synthetic or
+    templated corpora deviate — a corpus-health fingerprint). Token
+    counts are one hash agg; the rank window and regression run over the
+    100-row top slice only."""
+    from keystone_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("f"))
+        .orderBy(F.col("f").desc(), "tok")
+        .limit(100)
+    )
+    w = Window.orderBy(F.col("f").desc(), "tok")
+    ranked = freq.select(
+        F.log(F.row_number().over(w).cast("double")).alias("lr"),
+        F.log(F.col("f").cast("double")).alias("lf"),
+    )
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.round(F.regr_slope("lf", "lr"), 6).alias("slope"),
+        F.round(F.regr_r2("lf", "lr"), 6).alias("r2"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_multi_join(spark, "/root/testdata/sf0.001")
@@ -4030,6 +4058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_autocorr": q_value_autocorr,
         "cusum_drift": q_cusum_drift,
         "vocab_growth": q_vocab_growth,
+        "zipf_curve": q_zipf_curve,
         "event_sliding_window": q_event_sliding_window,
         "map_fns": q_map_fns,
         "approx_distinct": q_approx_distinct,
@@ -5197,6 +5226,25 @@ def oracle_sql() -> dict[str, str]:
                    ok_words AND ok_mean_len AND ok_symbol AND ok_bullet
                        AND ok_ellipsis AND ok_alpha AND ok_stop AS passes
             FROM rules ORDER BY doc_id
+        """,
+        "zipf_curve": """
+            WITH freq AS (
+                SELECT tok, COUNT(*) AS f FROM (
+                    SELECT UNNEST(list_filter(
+                        string_split_regex(lower(trim(text)),
+                                           '[^\\p{L}\\p{N}'']+'),
+                        x -> x <> '')) AS tok
+                    FROM documents)
+                GROUP BY tok ORDER BY f DESC, tok LIMIT 100),
+            ranked AS (
+                SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY f DESC, tok)
+                               AS DOUBLE)) AS lr,
+                       ln(CAST(f AS DOUBLE)) AS lf
+                FROM freq)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+                   ROUND(regr_slope(lf, lr), 6) AS slope,
+                   ROUND(regr_r2(lf, lr), 6) AS r2
+            FROM ranked
         """,
         "cusum_drift": """
             WITH m AS (
