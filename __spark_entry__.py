@@ -3980,6 +3980,58 @@ def q_zipf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-order cadence (the churn-model input): days between a
+    customer's consecutive orders, summarized to count/mean/exact-median
+    — one lag window over per-customer order sequences + one agg."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.select(
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+            ).alias("gap")
+        )
+        .where(F.col("gap").isNotNull())
+    )
+    return gaps.agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.avg("gap"), 6).alias("mean_days"),
+        F.round(F.percentile("gap", F.lit(0.5)), 6).alias("median_days"),
+    )
+
+
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication pressure per source: share of docs whose winnowing
+    fingerprint (min md5 over 8-token shingles — the doc_fingerprint
+    kernel) collides with another doc anywhere in the corpus. The
+    dedup-ordering signal: high-dup sources get deduped first. One
+    fingerprint agg + per-fingerprint count broadcast back."""
+    from keystone_spark.functions.text import tokens, word_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    grams = word_ngrams(toks, 8)
+    fp = F.when(
+        F.size(grams) > 0,
+        F.array_min(F.transform(grams, lambda g: F.md5(F.encode(g, "UTF-8")))),
+    ).otherwise(F.md5(F.encode(F.concat_ws(" ", toks), "UTF-8")))
+    with_fp = d.select("doc_id", "source", fp.alias("fp"))
+    fp_n = with_fp.groupBy("fp").agg(F.count("*").alias("nfp"))
+    j = with_fp.join(F.broadcast(fp_n), "fp")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("nfp") > 1).cast("long")).alias("n_dup"),
+            F.round(
+                F.sum((F.col("nfp") > 1).cast("long")) / F.count("*"), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_multi_join(spark, "/root/testdata/sf0.001")
@@ -4059,6 +4111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_drift": q_cusum_drift,
         "vocab_growth": q_vocab_growth,
         "zipf_curve": q_zipf_curve,
+        "order_gaps": q_order_gaps,
+        "dup_rate_by_source": q_dup_rate_by_source,
         "event_sliding_window": q_event_sliding_window,
         "map_fns": q_map_fns,
         "approx_distinct": q_approx_distinct,
@@ -5226,6 +5280,41 @@ def oracle_sql() -> dict[str, str]:
                    ok_words AND ok_mean_len AND ok_symbol AND ok_bullet
                        AND ok_ellipsis AND ok_alpha AND ok_stop AS passes
             FROM rules ORDER BY doc_id
+        """,
+        "order_gaps": """
+            WITH g AS (
+                SELECT date_diff('day',
+                                 LAG(o_orderdate) OVER (
+                                     PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey),
+                                 o_orderdate) AS gap
+                FROM orders)
+            SELECT COUNT(*) AS n_gaps,
+                   ROUND(AVG(gap), 6) AS mean_days,
+                   ROUND(quantile_cont(gap, 0.5), 6) AS median_days
+            FROM g WHERE gap IS NOT NULL
+        """,
+        # same winnowing fingerprint as doc_fingerprint, per-source rollup
+        "dup_rate_by_source": """
+            WITH toks AS (
+                SELECT doc_id, source, list_filter(
+                    string_split_regex(lower(trim(text)), '[^\\p{L}\\p{N}'']+'),
+                    x -> x <> '') AS t
+                FROM documents),
+            fps AS (
+                SELECT doc_id, source,
+                    CASE WHEN len(t) >= 8 THEN
+                        list_min([md5(array_to_string(t[i:i+7], ' '))
+                                  for i in range(1, len(t) - 6)])
+                    ELSE md5(array_to_string(t, ' ')) END AS fp
+                FROM toks),
+            fpn AS (SELECT fp, COUNT(*) AS nfp FROM fps GROUP BY fp)
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(CAST(nfp > 1 AS BIGINT)) AS BIGINT) AS n_dup,
+                   ROUND(SUM(CAST(nfp > 1 AS BIGINT)) * 1.0 / COUNT(*), 6)
+                       AS dup_rate
+            FROM fps JOIN fpn USING (fp)
+            GROUP BY source ORDER BY source
         """,
         "zipf_curve": """
             WITH freq AS (
