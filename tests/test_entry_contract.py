@@ -23,3 +23,24 @@ def test_all_queries_run(spark, sf_dir):
         df = fn(spark, sf_dir)
         assert df.columns, name
         df.limit(5).collect()
+
+
+def test_registry_hygiene_full_surface():
+    """Every declared query has an oracle, every oracle has a query, all
+    oracle strings are non-trivial SQL, and the never-driver-sampled
+    rotation set stays at the head of the registry (the CORRECTNESS
+    window contract)."""
+    import __spark_entry__ as m
+
+    q = m.queries()
+    o = m.oracle_sql()
+    assert set(q) == set(o)
+    assert len(q) >= 167
+    for name, sql in o.items():
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+    head = list(q)[:9]
+    assert head == [
+        "gap_fill", "udtf_sentences", "nation_trade", "nation_profit",
+        "late_shipments", "order_distribution", "waiting_suppliers",
+        "window_nav", "collect_agg",
+    ]
