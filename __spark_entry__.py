@@ -5202,10 +5202,15 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN c2 ON c2.w1 = doc_bi.w1 AND c2.w2 = doc_bi.w2
                 LEFT JOIN c1 c1a ON c1a.w = doc_bi.w1
                 LEFT JOIN c1 c1b ON c1b.w = doc_bi.w2
-                CROSS JOIN n)
-            SELECT doc_id, COUNT(*) AS n_bigrams,
-                   ROUND(AVG(lp), 6) AS lm_score
-            FROM scored GROUP BY doc_id ORDER BY doc_id
+                CROSS JOIN n),
+            agg AS (
+                SELECT doc_id, COUNT(*) AS n_bigrams,
+                       ROUND(AVG(lp), 6) AS lm_score
+                FROM scored GROUP BY doc_id)
+            SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+                   a.lm_score
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id
         """,
         # same injections; every rule and the conjunction re-derived
         "gopher_rules": """

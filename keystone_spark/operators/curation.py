@@ -409,8 +409,13 @@ def diff_snapshots(
         .when(F.col("n.__n").isNull(), F.lit("D"))
         .when(changed, F.lit("U"))
     )
+    # pick values by ROW presence, not value nullness: an update that
+    # sets a column to NULL must carry the new NULL, not the old value
+    # (coalesce would resurrect it and break the apply∘diff == new law)
     out_vals = [
-        F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c)
+        F.when(F.col("n.__n").isNotNull(), F.col(f"n.{c}"))
+        .otherwise(F.col(f"o.{c}"))
+        .alias(c)
         for c in val_cols
     ]
     return (

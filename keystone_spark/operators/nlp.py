@@ -392,9 +392,18 @@ def bigram_logprob_score(
             ).alias("__lp"),
         )
     )
-    return scored.groupBy(id_col).agg(
+    agg = scored.groupBy(id_col).agg(
         F.count("*").alias("n_bigrams"),
         F.avg("__lp").alias("lm_score"),
+    )
+    # every doc is scored: docs with <2 tokens produce no bigram rows, so
+    # left-join the aggregate back onto the doc-id spine and emit
+    # n_bigrams=0 / NULL lm_score instead of silently dropping them
+    spine = docs.select(id_col)
+    return spine.join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.col("lm_score"),
     )
 
 

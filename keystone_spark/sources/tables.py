@@ -221,7 +221,11 @@ def compact_files(
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
     out.write.mode("overwrite").parquet(dst_path)
-    parts_after = _glob.glob(_os.path.join(dst_path, "*.parquet"))
+    # recursive, mirroring the before-count: partitioned/nested output
+    # directories must report their real file count, not 0
+    parts_after = _glob.glob(
+        _os.path.join(dst_path, "**", "*.parquet"), recursive=True
+    )
     return {
         "files_before": len(parts_before),
         "files_after": len(parts_after),

@@ -306,9 +306,11 @@ def test_apply_changes_matches_dict_fold(spark, base, changes):
 
 @SETTINGS
 @given(
-    old=st.dictionaries(st.integers(0, 7), st.integers(0, 3),
+    old=st.dictionaries(st.integers(0, 7),
+                        st.one_of(st.none(), st.integers(0, 3)),
                         min_size=0, max_size=6),
-    new=st.dictionaries(st.integers(0, 7), st.integers(0, 3),
+    new=st.dictionaries(st.integers(0, 7),
+                        st.one_of(st.none(), st.integers(0, 3)),
                         min_size=0, max_size=6),
 )
 def test_diff_apply_roundtrip_property(spark, old, new):
