@@ -3401,23 +3401,29 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue concentration (Pareto report): customers ranked by spend,
     cumulative revenue share at each decile — 'the top 10% of customers
-    drive X% of revenue'. One spend agg + one global rank window over
-    the CUSTOMER-cardinality table (dimension-sized, not fact-sized —
-    the fact scan stays a hash agg)."""
+    drive X% of revenue'. Scale shape: the fact scan stays a hash agg;
+    the decile comes from operators/stats.ranked_series (two-phase
+    distributed global rank — range repartition + broadcast prefix
+    offsets, NO single-partition window) + ntile_from_rank integer math,
+    exactly equal to NTILE(10) OVER (ORDER BY ...) but parallel at any
+    customer cardinality."""
+    from keystone_spark.operators.stats import ntile_from_rank, ranked_series
+
     o = _t(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("s"))
-    w = Window.orderBy(F.col("s").desc(), F.col("o_custkey"))
-    tot_df = spend.agg(F.sum("s").alias("tot"))
-    ranked = spend.crossJoin(F.broadcast(tot_df)).select(
-        "s",
-        F.ntile(10).over(w).cast("long").alias("decile"),
-        "tot",
+    ranked, n, tots = ranked_series(
+        spend,
+        [F.col("s").desc(), F.col("o_custkey")],
+        cumsum={"s": "__cum"},
+        rank_col="__r",
     )
     return (
-        ranked.groupBy("decile")
+        ranked.select("s", ntile_from_rank("__r", n, 10).alias("decile"))
+        .groupBy("decile")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("s") / F.first("tot"), 6).alias("rev_share"),
+            F.round(F.sum("s") / F.lit(float(tots["s"])), 6)
+            .alias("rev_share"),
         )
         .orderBy("decile")
     )
@@ -3601,20 +3607,28 @@ def q_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC inventory classification: parts ranked by revenue, cumulative
     share cut at 80% (A) / 95% (B) / rest (C) — the Pareto workhorse.
-    Cumsum window runs over the PART-aggregated series (part
-    cardinality, not lineitem); per-class rollup keeps output tiny."""
+    Scale shape: the cumulative share comes from operators/stats
+    .ranked_series (two-phase distributed cumsum — range repartition +
+    broadcast per-partition prefix offsets, NO single-partition window),
+    so the part series parallelizes at any cardinality. Offset addition
+    reassociates the double sum (~1e-15 relative vs a sequential fold);
+    the 0.80/0.95 cuts tolerate that unless a part sits knife-edge on a
+    boundary."""
+    from keystone_spark.operators.stats import ranked_series
+
     li = _t(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
         .alias("rev")
     )
-    w = Window.orderBy(F.col("rev").desc(), F.col("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, 0
+    rk, _n, tots = ranked_series(
+        per_part,
+        [F.col("rev").desc(), F.col("l_partkey")],
+        cumsum={"rev": "__cum"},
+        rank_col="__r",
     )
-    tot_df = per_part.agg(F.sum("rev").alias("tot"))
-    ranked = per_part.crossJoin(F.broadcast(tot_df)).select(
-        "rev",
-        (F.sum("rev").over(w) / F.col("tot")).alias("cum_share"),
+    ranked = rk.select(
+        "rev", (F.col("__cum") / F.lit(float(tots["rev"]))).alias("cum_share")
     )
     cls = (
         F.when(F.col("cum_share") <= 0.80, "A")
@@ -3733,8 +3747,13 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per customer recency (days since last order,
     vs corpus max date), frequency, monetary; each scored into NTILE(5)
     quintiles and combined into the classic 3-digit segment code; output
-    is the segment size histogram. All windows run over the
-    customer-cardinality aggregate."""
+    is the segment size histogram. Scale shape: each quintile comes from
+    operators/stats.ranked_series + ntile_from_rank (two-phase
+    distributed rank, NO single-partition window) — three parallel range
+    shuffles over the customer series instead of three global-sort
+    funnels; results equal NTILE(5) OVER (ORDER BY ...) exactly."""
+    from keystone_spark.operators.stats import ntile_from_rank, ranked_series
+
     o = _t(spark, sf_dir, "orders")
     per = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_d"),
@@ -3745,14 +3764,20 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = per.crossJoin(F.broadcast(maxd)).withColumn(
         "recency", F.datediff("maxd", "last_d")
     )
-    r = F.ntile(5).over(Window.orderBy(F.col("recency").asc(),
-                                       F.col("o_custkey")))
-    f = F.ntile(5).over(Window.orderBy(F.col("freq").desc(),
-                                       F.col("o_custkey")))
-    m = F.ntile(5).over(Window.orderBy(F.col("money").desc(),
-                                       F.col("o_custkey")))
+    n = None
+    for key, order in [
+        ("r", [F.col("recency").asc(), F.col("o_custkey")]),
+        ("f", [F.col("freq").desc(), F.col("o_custkey")]),
+        ("m", [F.col("money").desc(), F.col("o_custkey")]),
+    ]:
+        per, n, _ = ranked_series(per, order, rank_col="__rk")
+        per = per.withColumn(
+            f"__q_{key}", ntile_from_rank("__rk", n, 5)
+        ).drop("__rk")
     seg = per.select(
-        (r * 100 + f * 10 + m).cast("long").alias("segment")
+        (F.col("__q_r") * 100 + F.col("__q_f") * 10 + F.col("__q_m"))
+        .cast("long")
+        .alias("segment")
     )
     return (
         seg.groupBy("segment")
@@ -4039,12 +4064,31 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's CORRECTNESS check samples the FIRST 50
-    # entries. Rounds 1-3 have cumulatively driver-verified 100/109
-    # queries; round 4 rotates the 9 never-driver-sampled queries
-    # (gap_fill..collect_agg) into positions 1-9 so a green window makes
-    # driver coverage 109/109 (the full set stays CI-gated via
-    # tests/test_oracle_full.py and tools/verify_oracle.py either way).
+    # entries. Rounds 1-4 have cumulatively driver-verified 150/167
+    # queries; round 5 rotates the 17 never-driver-sampled statistics
+    # queries (monthly_trend..dup_rate_by_source, added after r4's window
+    # closed) into positions 1-17 so a green window makes driver coverage
+    # 167/167 (the full set stays CI-gated via tests/test_oracle_full.py
+    # and tools/verify_oracle.py either way).
     return {
+        "monthly_trend": q_monthly_trend,
+        "abc_classes": q_abc_classes,
+        "repeat_purchase_curve": q_repeat_purchase_curve,
+        "activity_heatmap": q_activity_heatmap,
+        "chi_square_test": q_chi_square_test,
+        "token_entropy": q_token_entropy,
+        "rfm_segments": q_rfm_segments,
+        "brand_hhi": q_brand_hhi,
+        "group_mode": q_group_mode,
+        "interarrival_stats": q_interarrival_stats,
+        "twoway_effects": q_twoway_effects,
+        "value_autocorr": q_value_autocorr,
+        "cusum_drift": q_cusum_drift,
+        "vocab_growth": q_vocab_growth,
+        "zipf_curve": q_zipf_curve,
+        "order_gaps": q_order_gaps,
+        "dup_rate_by_source": q_dup_rate_by_source,
+        # --- driver-verified in earlier rounds ---
         "gap_fill": q_gap_fill,
         "udtf_sentences": q_udtf_sentences,
         "nation_trade": q_nation_trade,
@@ -4096,23 +4140,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_coherence": q_label_coherence,
         "cross_source_dups": q_cross_source_dups,
         "supplier_reliability": q_supplier_reliability,
-        "monthly_trend": q_monthly_trend,
-        "abc_classes": q_abc_classes,
-        "repeat_purchase_curve": q_repeat_purchase_curve,
-        "activity_heatmap": q_activity_heatmap,
-        "chi_square_test": q_chi_square_test,
-        "token_entropy": q_token_entropy,
-        "rfm_segments": q_rfm_segments,
-        "brand_hhi": q_brand_hhi,
-        "group_mode": q_group_mode,
-        "interarrival_stats": q_interarrival_stats,
-        "twoway_effects": q_twoway_effects,
-        "value_autocorr": q_value_autocorr,
-        "cusum_drift": q_cusum_drift,
-        "vocab_growth": q_vocab_growth,
-        "zipf_curve": q_zipf_curve,
-        "order_gaps": q_order_gaps,
-        "dup_rate_by_source": q_dup_rate_by_source,
         "event_sliding_window": q_event_sliding_window,
         "map_fns": q_map_fns,
         "approx_distinct": q_approx_distinct,

@@ -442,3 +442,98 @@ def approx_equidepth_hist(
         )
         .orderBy("bucket")
     )
+
+
+def ranked_series(
+    df: DataFrame,
+    order_by: list[Column],
+    cumsum: dict[str, str] | None = None,
+    n_parts: int | None = None,
+    rank_col: str = "rank",
+) -> tuple[DataFrame, int, dict[str, float]]:
+    """EXACT global rank (and optional running totals) without the
+    single-partition sort that ``Window.orderBy(...)`` with no
+    partitionBy forces: the classic two-phase distributed ranking.
+
+    1. ``repartitionByRange`` on the order keys — partition id order ==
+       sort order, every partition sorts locally in parallel;
+    2. one bounded aggregate (ONE ROW PER PARTITION) of per-partition
+       row counts and partial sums, collected to the driver;
+    3. exclusive prefix offsets broadcast back and added to a
+       partition-LOCAL ``row_number`` / running-sum window.
+
+    Row-for-row identical to ``row_number()/sum() OVER (ORDER BY ...)``
+    (the shuffle files of step 1 are reused by step 3, so the range
+    boundaries are computed once), but at 10⁸+ rows the sort is spread
+    over ``n_parts`` tasks instead of funneled through one. Driver-side
+    data is one row per partition — never the series. Running totals
+    accumulate partition partials, so cumulative doubles can differ from
+    a strictly sequential fold by ~1e-15 relative (document thresholds
+    accordingly).
+
+    ``order_by`` must define a TOTAL order (include a tiebreaker).
+    ``cumsum`` maps source column -> output running-total column.
+    Returns ``(df_out, n_total, grand_totals)`` — the grand totals come
+    free from the same bounded aggregate (no extra job).
+    """
+    from pyspark.sql import Window
+
+    cumsum = cumsum or {}
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    part = df.repartitionByRange(int(n_parts), *order_by).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    aggs = [F.count("*").alias("__n")] + [
+        F.sum(c).alias(f"__s_{c}") for c in cumsum
+    ]
+    stats = sorted(
+        part.groupBy("__pid").agg(*aggs).collect(), key=lambda r: r["__pid"]
+    )
+    offs, run_n = [], 0
+    run_s = {c: 0.0 for c in cumsum}
+    for r in stats:
+        offs.append(
+            (int(r["__pid"]), run_n, *[float(run_s[c]) for c in cumsum])
+        )
+        run_n += r["__n"]
+        for c in cumsum:
+            run_s[c] += float(r[f"__s_{c}"] or 0.0)
+    schema = "__pid int, __rank_off long" + "".join(
+        f", __off_{c} double" for c in cumsum
+    )
+    off_df = spark.createDataFrame(offs or [(0, 0, *[0.0] * len(cumsum))],
+                                   schema)
+    out = part.join(F.broadcast(off_df), "__pid")
+    w = Window.partitionBy("__pid").orderBy(*order_by)
+    out = out.withColumn(
+        rank_col, F.row_number().over(w) + F.col("__rank_off")
+    )
+    drop = ["__pid", "__rank_off"]
+    for c, name in cumsum.items():
+        out = out.withColumn(
+            name,
+            F.sum(c).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            + F.col(f"__off_{c}"),
+        )
+        drop.append(f"__off_{c}")
+    return out.drop(*drop), run_n, dict(run_s)
+
+
+def ntile_from_rank(rank_col: str, n_total: int, k: int) -> Column:
+    """NTILE(k) recomputed from an exact global rank and the known total
+    count — pure integer arithmetic, no window at all. Matches Spark /
+    ANSI NTILE semantics exactly: the first ``n_total mod k`` buckets get
+    ``ceil(n/k)`` rows, the rest ``floor(n/k)``. Pair with
+    ``ranked_series`` to replace ``ntile(k).over(Window.orderBy(...))``
+    scale-safely."""
+    base, rem = divmod(int(n_total), int(k))
+    r = F.col(rank_col)
+    if base == 0:
+        return r
+    cut = rem * (base + 1)
+    return (
+        F.when(r <= cut, F.floor((r - 1) / (base + 1)) + 1)
+        .otherwise(F.lit(rem) + F.floor((r - cut - 1) / base) + 1)
+    ).cast("long")

@@ -38,9 +38,11 @@ def test_registry_hygiene_full_surface():
     assert len(q) >= 167
     for name, sql in o.items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
-    head = list(q)[:9]
+    head = list(q)[:17]
     assert head == [
-        "gap_fill", "udtf_sentences", "nation_trade", "nation_profit",
-        "late_shipments", "order_distribution", "waiting_suppliers",
-        "window_nav", "collect_agg",
+        "monthly_trend", "abc_classes", "repeat_purchase_curve",
+        "activity_heatmap", "chi_square_test", "token_entropy",
+        "rfm_segments", "brand_hhi", "group_mode", "interarrival_stats",
+        "twoway_effects", "value_autocorr", "cusum_drift", "vocab_growth",
+        "zipf_curve", "order_gaps", "dup_rate_by_source",
     ]
