@@ -3612,8 +3612,9 @@ def q_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast per-partition prefix offsets, NO single-partition window),
     so the part series parallelizes at any cardinality. Offset addition
     reassociates the double sum (~1e-15 relative vs a sequential fold);
-    the 0.80/0.95 cuts tolerate that unless a part sits knife-edge on a
-    boundary."""
+    both sides therefore quantize cum_share to 9 decimals before the
+    0.80/0.95 cuts, so a knife-edge part classifies identically here
+    and in the oracle (ADVICE r5)."""
     from keystone_spark.operators.stats import ranked_series
 
     li = _t(spark, sf_dir, "lineitem")
@@ -3628,7 +3629,9 @@ def q_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="__r",
     )
     ranked = rk.select(
-        "rev", (F.col("__cum") / F.lit(float(tots["rev"]))).alias("cum_share")
+        "rev",
+        F.round(F.col("__cum") / F.lit(float(tots["rev"])), 9)
+        .alias("cum_share"),
     )
     cls = (
         F.when(F.col("cum_share") <= 0.80, "A")
@@ -5555,10 +5558,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM lineitem GROUP BY l_partkey),
             ranked AS (
                 SELECT rev,
-                       SUM(rev) OVER (
+                       ROUND(SUM(rev) OVER (
                            ORDER BY rev DESC, l_partkey
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       / (SELECT SUM(rev) FROM per_part) AS cum_share
+                       / (SELECT SUM(rev) FROM per_part), 9) AS cum_share
                 FROM per_part)
             SELECT CASE WHEN cum_share <= 0.80 THEN 'A'
                         WHEN cum_share <= 0.95 THEN 'B'

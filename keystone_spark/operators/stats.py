@@ -462,17 +462,31 @@ def ranked_series(
     3. exclusive prefix offsets broadcast back and added to a
        partition-LOCAL ``row_number`` / running-sum window.
 
-    Row-for-row identical to ``row_number()/sum() OVER (ORDER BY ...)``
-    (the shuffle files of step 1 are reused by step 3, so the range
-    boundaries are computed once), but at 10⁸+ rows the sort is spread
-    over ``n_parts`` tasks instead of funneled through one. Driver-side
-    data is one row per partition — never the series. Running totals
-    accumulate partition partials, so cumulative doubles can differ from
-    a strictly sequential fold by ~1e-15 relative (document thresholds
-    accordingly).
+    Row-for-row identical to ``row_number()/sum() OVER (ORDER BY ...)``,
+    but at 10⁸+ rows the sort is spread over ``n_parts`` tasks instead
+    of funneled through one. Driver-side data is one row per partition —
+    never the series. Running totals accumulate partition partials, so
+    cumulative doubles can differ from a strictly sequential fold by
+    ~1e-15 relative (document thresholds accordingly).
+
+    The range-partitioned intermediate is pinned with an EAGER
+    ``localCheckpoint`` before the stats collect: ``repartitionByRange``
+    samples its boundaries with an RDD-id-derived seed, so two separate
+    actions (the stats job here, the caller's output job later) could
+    otherwise land on DIFFERENT boundaries whenever boundary sampling is
+    a strict subset of the data — exactly the large-input regime this
+    function exists for — silently mismatching the collected offsets.
+    The checkpoint freezes one physical partitioning that both jobs
+    read; its blocks are released by the ContextCleaner once the caller
+    drops the returned DataFrame.
 
     ``order_by`` must define a TOTAL order (include a tiebreaker).
     ``cumsum`` maps source column -> output running-total column.
+    Cumsum columns should be non-null numerics; offsets are carried as
+    doubles (inexact above 2^53 for integer inputs), and NULL entries
+    are treated as 0 within a partition's prefix (``coalesce``) so a
+    leading all-NULL run yields the carried offset rather than NULL —
+    a strict global window would yield NULL until the first non-null.
     Returns ``(df_out, n_total, grand_totals)`` — the grand totals come
     free from the same bounded aggregate (no extra job).
     """
@@ -482,8 +496,10 @@ def ranked_series(
     spark = df.sparkSession
     if n_parts is None:
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    part = df.repartitionByRange(int(n_parts), *order_by).withColumn(
-        "__pid", F.spark_partition_id()
+    part = (
+        df.repartitionByRange(int(n_parts), *order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     aggs = [F.count("*").alias("__n")] + [
         F.sum(c).alias(f"__s_{c}") for c in cumsum
@@ -514,7 +530,10 @@ def ranked_series(
     for c, name in cumsum.items():
         out = out.withColumn(
             name,
-            F.sum(c).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            F.coalesce(
+                F.sum(c).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+                F.lit(0.0),
+            )
             + F.col(f"__off_{c}"),
         )
         drop.append(f"__off_{c}")

@@ -171,3 +171,111 @@ def test_approx_equidepth_matches_exact_buckets(spark, sf_dir):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan and "ntile" not in plan.lower()
     assert plan.lower().count("rangepartitioning") <= 1
+
+
+def test_ranked_series_matches_global_window(spark):
+    """ranked_series must equal row_number()/sum() OVER (ORDER BY ...)
+    row-for-row — duplicate keys, NULL cumsum entries, and n_parts far
+    above the distinct-key count included (ADVICE r5)."""
+    from pyspark.sql import Window
+
+    from keystone_spark.operators.stats import ranked_series
+
+    rows = [(i % 7, float(i % 5), i) for i in range(200)]
+    rows += [(3, None, 1000), (3, None, 1001)]  # NULL cumsum entries
+    df = spark.createDataFrame(rows, "k int, v double, id int")
+    order = [F.col("k").asc(), F.col("id").asc()]
+    out, n, tots = ranked_series(
+        df, order, cumsum={"v": "cum_v"}, n_parts=16, rank_col="r"
+    )
+    assert n == 202
+    assert abs(tots["v"] - sum(r[1] for r in rows if r[1] is not None)) < 1e-9
+    w = Window.orderBy(*order)
+    exp = df.select(
+        "id",
+        F.row_number().over(w).cast("long").alias("r"),
+        F.sum("v").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum_v"),
+    )
+    got = {r["id"]: (r["r"], r["cum_v"]) for r in out.collect()}
+    for e in exp.collect():
+        gr, gc = got[e["id"]]
+        assert gr == e["r"], (e["id"], gr, e["r"])
+        # NULL-prefix rows: global window yields NULL until first
+        # non-null; ranked_series documents coalesce-to-offset there
+        if e["cum_v"] is None:
+            continue
+        assert abs(gc - e["cum_v"]) < 1e-9, (e["id"], gc, e["cum_v"])
+
+
+def test_ranked_series_edge_cases(spark):
+    from keystone_spark.operators.stats import ntile_from_rank, ranked_series
+
+    # empty input
+    df = spark.createDataFrame([], "k int, id int")
+    out, n, _ = ranked_series(df, [F.col("k"), F.col("id")], n_parts=4)
+    assert n == 0 and out.count() == 0
+    # n_parts > rows (many empty partitions)
+    df = spark.createDataFrame([(5, 0), (1, 1), (3, 2)], "k int, id int")
+    out, n, _ = ranked_series(df, [F.col("k"), F.col("id")], n_parts=8)
+    assert n == 3
+    assert {(r.k, r["rank"]) for r in out.collect()} == {(1, 1), (3, 2), (5, 3)}
+
+
+def test_ntile_from_rank_matches_spark_ntile(spark):
+    """ntile_from_rank == F.ntile(k) over the same order, including
+    n_total < k and non-divisible n_total (ADVICE r5)."""
+    from pyspark.sql import Window
+
+    for n_total, k in [(7, 3), (10, 4), (2, 5), (12, 12), (1, 1), (9, 2)]:
+        from keystone_spark.operators.stats import ntile_from_rank
+
+        df = spark.createDataFrame(
+            [(i,) for i in range(1, n_total + 1)], "r long"
+        )
+        w = Window.orderBy("r")
+        exp = df.select(
+            "r", F.ntile(k).over(w).cast("long").alias("t")
+        ).collect()
+        got = df.select(
+            "r", ntile_from_rank("r", n_total, k).alias("t")
+        ).collect()
+        assert {(x.r, x.t) for x in got} == {(x.r, x.t) for x in exp}, (
+            n_total, k)
+
+
+def test_ranked_series_determinism_across_jobs(spark, sf_dir):
+    """VERDICT r5 #8: the two-job structure (stats collect, then output
+    materialization) must see ONE physical range partitioning.  Run
+    revenue_concentration twice in a session and on a repartitioned
+    input; all runs must be identical."""
+    import __spark_entry__ as entry
+
+    q = entry.queries()["revenue_concentration"]
+    a = sorted(map(tuple, q(spark, sf_dir).collect()))
+    b = sorted(map(tuple, q(spark, sf_dir).collect()))
+    assert a == b
+    # same computation on a deliberately re-sharded source
+    from keystone_spark.operators.stats import ntile_from_rank, ranked_series
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(13)
+    spend = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("s"))
+    ranked, n, tots = ranked_series(
+        spend, [F.col("s").desc(), F.col("o_custkey")],
+        cumsum={"s": "__cum"}, rank_col="__r",
+    )
+    c = sorted(
+        map(
+            tuple,
+            ranked.select("s", ntile_from_rank("__r", n, 10).alias("decile"))
+            .groupBy("decile")
+            .agg(
+                F.count("*").alias("n_customers"),
+                F.round(F.sum("s") / F.lit(float(tots["s"])), 6)
+                .alias("rev_share"),
+            )
+            .collect(),
+        )
+    )
+    assert c == a
