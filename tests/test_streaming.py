@@ -712,3 +712,39 @@ def test_stateful_ewma_stream_equals_batch(spark, tmp_path):
     assert got == want
     # hand value: user1 = .3*30 + .7*(.3*20 + .7*10) = 18.1
     assert abs(got[1][0] - 18.1) < 1e-6 and got[1][1] == 3
+
+
+def test_streaming_funnel_never_mutates_session_conf(spark, events, sf_dir):
+    """VERDICT r5 #5: building a funnel plan must leave session conf
+    untouched, and scoped_state_store_provider must restore the provider
+    conf (including unset -> unset) even on exception — the old
+    in-operator conf.set silently flipped every later query on the
+    session to the alternate provider."""
+    from keystone_spark.streaming.windows import (
+        scoped_state_store_provider,
+        streaming_funnel,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key, None)
+    stream_in = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    streaming_funnel(stream_in)          # stream plan
+    streaming_funnel(events)             # batch twin
+    assert spark.conf.get(key, None) == before
+    rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    with scoped_state_store_provider(spark, rocks):
+        assert spark.conf.get(key) == rocks
+    assert spark.conf.get(key, None) == before
+    # restore must survive an exception in the body
+    try:
+        with scoped_state_store_provider(spark, rocks):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get(key, None) == before
+    # nested: inner restores to outer's provider, not to unset
+    with scoped_state_store_provider(spark, rocks):
+        with scoped_state_store_provider(spark, "other.Provider"):
+            assert spark.conf.get(key) == "other.Provider"
+        assert spark.conf.get(key) == rocks
+    assert spark.conf.get(key, None) == before
