@@ -3054,18 +3054,27 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth (quantile) histogram of order totalprice via NTILE:
-    every bucket holds the same row count, bucket edges adapt to the
-    distribution — the histogram a cost-based optimizer keeps. The
-    global NTILE is the exact, oracle-checkable fixture form (one
-    partition — fine at this scale); the 100 TB path replaces it with
-    approx percentile boundaries + a map-side bucket assignment, same
-    output schema (see winsorized_stats for the fence pattern)."""
+    """Equi-depth (quantile) histogram of order totalprice: every
+    bucket holds the same row count, bucket edges adapt to the
+    distribution — the histogram a cost-based optimizer keeps. Exact
+    NTILE(10) semantics WITHOUT the single-partition global sort
+    (VERDICT r5 #6): operators/stats.ranked_series produces the exact
+    global rank via two-phase distributed ranking (range repartition +
+    broadcast prefix offsets), and ntile_from_rank recovers ANSI NTILE
+    in pure integer math — row-for-row equal to
+    NTILE(10) OVER (ORDER BY ...), parallel at any cardinality. The
+    sketch-boundary twin (operators/stats.approx_equidepth_hist) stays
+    the cheaper one-pass option when ~0.1% bucket-mass error is fine."""
+    from keystone_spark.operators.stats import ntile_from_rank, ranked_series
+
     o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked, n, _ = ranked_series(
+        o.select(F.col("o_totalprice").alias("p"), "o_orderkey"),
+        [F.col("p").asc(), F.col("o_orderkey").asc()],
+        rank_col="__r",
+    )
     return (
-        o.select(F.col("o_totalprice").alias("p"),
-                 F.ntile(10).over(w).cast("long").alias("bucket"))
+        ranked.select("p", ntile_from_rank("__r", n, 10).alias("bucket"))
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n"),
