@@ -2440,19 +2440,25 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals
     (functions/text.repetition_signals): distinct-token ratio + most
-    frequent bigram share per document, all array-lambda codegen (the
-    bigram mode is computed without any per-doc shuffle — at 100 TB this
-    stays one map-only scan feeding a curation filter)."""
+    frequent bigram share per document. The signal struct is
+    materialized ONCE in its own projection and fields are extracted
+    from the COLUMN — higher-order expressions re-evaluate per
+    reference, so calling the signal per output field multiplies the
+    whole bigram pass by four (the bench_registry catch). Still one
+    map-only scan at 100 TB; no per-doc shuffle."""
     from keystone_spark.functions.text import repetition_signals
 
     d = _t(spark, sf_dir, "documents")
-    sig = repetition_signals(F.split(F.col("text"), " "))
-    return d.select(
+    sig = d.select(
         "doc_id",
-        sig["n_tokens"].alias("n_tokens"),
-        F.round(sig["distinct_ratio"], 6).alias("distinct_ratio"),
-        sig["top_bigram_count"].alias("top_bigram_count"),
-        F.round(sig["top_bigram_frac"], 6).alias("top_bigram_frac"),
+        repetition_signals(F.split(F.col("text"), " ")).alias("__sig"),
+    )
+    return sig.select(
+        "doc_id",
+        F.col("__sig.n_tokens").alias("n_tokens"),
+        F.round(F.col("__sig.distinct_ratio"), 6).alias("distinct_ratio"),
+        F.col("__sig.top_bigram_count").alias("top_bigram_count"),
+        F.round(F.col("__sig.top_bigram_frac"), 6).alias("top_bigram_frac"),
     ).orderBy("doc_id")
 
 
@@ -2850,6 +2856,96 @@ def q_pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_nodes"),
         (F.abs(F.sum("rank") - 1.0) < 1e-9).alias("sum_ok"),
         (F.min("rank") > 0.0).alias("all_pos"),
+    )
+
+
+def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup dedup via perceptual hash (VERDICT r5 #4): the
+    LAION-style multimodal pipeline — operators/multimodal.phash64
+    (grayscale -> 32² area resize -> 2-D DCT -> median-bit signature)
+    feeding operators/dedup.hash64_candidates (banded 64-bit LSH: a pair
+    within Hamming n_bands-1 must share an exact band, so the all-pairs
+    product becomes a band equi-join + bit_count verify).
+
+    Fixture: one deterministic 16x16 synthetic grayscale image per
+    doc_id < 40 (pixel k = ((id*2654435761 + k*40503) mod 256) / 255 —
+    pure codegen expressions, no binary payloads), plus a PLANTED 2x
+    nearest-neighbor upscale twin (img_id = id + 10000) for every even
+    id. pHash's scale-aligned center sampling maps the 2x copy onto the
+    same source pixels, so each planted pair hashes identically
+    (Hamming 0) and the banded join must recover ALL of them — the
+    banded-recovery invariant the oracle pins (the pagerank_ranks
+    pattern: the DCT itself is not SQL-expressible, the recovery
+    contract is). Pixel-exact pHash values are pinned in
+    tests/test_multimodal.py."""
+    from keystone_spark.operators.dedup import hash64_candidates
+    from keystone_spark.operators.multimodal import phash64
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40).select(
+        "doc_id"
+    )
+
+    def val(idc, kc):
+        return ((idc * F.lit(2654435761) + kc * F.lit(40503)) % 256) / 255.0
+
+    def img(h, w, data):
+        return F.struct(
+            F.lit(h).alias("height"),
+            F.lit(w).alias("width"),
+            F.lit(1).alias("n_channels"),
+            data.alias("data"),
+        )
+
+    base = d.select(
+        F.col("doc_id").alias("img_id"),
+        img(
+            16, 16,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(255)),
+                lambda k: val(F.col("doc_id"), k).cast("float"),
+            ),
+        ).alias("image"),
+    )
+    # 2x upscale: target (y, x) reads source (y//2, x//2)
+    twin = d.where(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 10000).alias("img_id"),
+        img(
+            32, 32,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(1023)),
+                lambda k: val(
+                    F.col("doc_id"),
+                    F.floor(F.floor(k / 32) / 2) * 16
+                    + F.floor((k % 32) / 2),
+                ).cast("float"),
+            ),
+        ).alias("image"),
+    )
+    hashed = phash64(
+        base.unionByName(twin), image_col="image", out_col="phash"
+    )
+    cands = hash64_candidates(
+        hashed, "img_id", "phash", n_bands=4, max_hamming=3
+    )
+    planted = cands.where(F.col("j") == F.col("i") + 10000)
+    n_img = hashed.agg(F.count("*").cast("long").alias("n_images"))
+    expected = d.where(F.col("doc_id") % 2 == 0).agg(
+        F.count("*").cast("long").alias("n_planted")
+    )
+    rec = planted.agg(
+        F.count("*").cast("long").alias("n_recovered"),
+        F.coalesce(F.max("hamming"), F.lit(-1)).cast("long").alias("__mh"),
+    )
+    return (
+        n_img.crossJoin(F.broadcast(expected))
+        .crossJoin(F.broadcast(rec))
+        .select(
+            "n_images",
+            "n_planted",
+            "n_recovered",
+            (F.col("n_recovered") == F.col("n_planted")).alias("recovered_ok"),
+            (F.col("__mh") == 0).alias("planted_exact"),
+        )
     )
 
 
@@ -3726,24 +3822,44 @@ def q_chi_square_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Shannon entropy of the token distribution — the
     lexical-diversity quality signal (low entropy = repetitive spam).
-    Pure higher-order array expressions over distinct tokens: no
-    explode, no shuffle beyond the output sort."""
+    Computed from run lengths over the SORTED token array in one O(n)
+    aggregate pass (H = log2(n) - (1/n) * sum(run * log2(run)); each
+    step adds the incremental delta (r+1)log2(r+1) - r*log2(r), so no
+    per-run finalization is needed). The naive per-distinct-token
+    count (transform(distinct, t -> size(filter(toks, ...)))) is
+    O(distinct * n) interpreted per doc — quadratic on boilerplate
+    docs (the bench_registry catch, same class as repetition_signals).
+    No explode, no shuffle beyond the output sort."""
     from keystone_spark.functions.text import tokens
 
     d = _t(spark, sf_dir, "documents")
     toks = tokens("text")
     n = F.size(toks)
-    distinct = F.array_distinct(toks)
-    probs = F.transform(
-        distinct,
-        lambda t: F.size(F.filter(toks, lambda x: x == t))
-        / n.cast("double"),
+    srt = F.array_sort(toks)
+    run_sum = F.aggregate(
+        srt,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0.0).alias("s"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            (
+                acc["s"]
+                + F.when(
+                    x == acc["prev"],
+                    (acc["run"] + 1) * F.log2(acc["run"] + 1)
+                    - acc["run"] * F.log2(acc["run"]),
+                ).otherwise(F.lit(0.0))
+            ).alias("s"),
+        ),
+        lambda acc: acc["s"],
     )
-    ent = -F.aggregate(
-        F.transform(probs, lambda p: p * F.log2(p)),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
+    ent = F.log2(n.cast("double")) - run_sum / n.cast("double")
     return (
         d.select(
             "doc_id",
@@ -4127,6 +4243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_interpolate": q_gap_interpolate,
         "pagerank_ranks": q_pagerank_ranks,
         "assoc_rules": q_assoc_rules,
+        "phash_neardup": q_phash_neardup,
         "binned_range": q_binned_range,
         "hll_union": q_hll_union,
         "dq_checks": q_dq_checks,
@@ -6074,6 +6191,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
                    TRUE AS sum_ok, TRUE AS all_pos
             FROM embeddings WHERE vec_id < 200
+        """,
+        # banded-recovery invariant (pagerank pattern): the DCT is not
+        # SQL-expressible; the contract — every planted 2x-upscale twin
+        # hashes identically and MUST be recovered by the band join —
+        # is, via the fixture's data-derived counts
+        "phash_neardup": """
+            WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+                 ev AS (SELECT CAST(COUNT(*) AS BIGINT) AS ne
+                        FROM ids WHERE doc_id % 2 = 0)
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ids) + ne
+                       AS n_images,
+                   ne AS n_planted, ne AS n_recovered,
+                   TRUE AS recovered_ok, TRUE AS planted_exact
+            FROM ev
         """,
         # same grid as gap_fill; linear blend of nearest observed points
         "gap_interpolate": """

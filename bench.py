@@ -45,6 +45,12 @@ BENCH_QUERIES = [
     ("b12_sessionization", "sessionization"),
 ]
 
+# Data-bound LLM-curation slot (VERDICT r5 #2): line_dedup + minhash_dedup
+# back-to-back over the replicated documents table. Runs at the SCALED
+# points only (sf1 embedded below; sf5 opt-in) — b1-b12 and the primary
+# metric stay fixed for BASELINE.md comparability.
+CURATION_SLOT = ("b13_line_dedup_minhash", ("line_dedup", "minhash_dedup"))
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -58,15 +64,19 @@ def main() -> None:
         # noop datasource: full plan incl. every output column, zero sink IO
         df.write.format("noop").mode("overwrite").save()
 
-    def run_suite(d: str) -> dict[str, float]:
+    def run_suite(d: str, curation: bool = False) -> dict[str, float]:
+        slots = [(n, (k,)) for n, k in BENCH_QUERIES]
+        if curation:
+            slots.append(CURATION_SLOT)
         timings: dict[str, float] = {}
-        for name, key in BENCH_QUERIES:
-            fn = qs[key]
-            run(fn(spark, d))  # warmup (plan + codegen + file listing)
+        for name, keys in slots:
+            for k in keys:  # warmup (plan + codegen + file listing)
+                run(qs[k](spark, d))
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
-                run(fn(spark, d))
+                for k in keys:
+                    run(qs[k](spark, d))
                 best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 4)
         return timings
@@ -81,12 +91,21 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
-    sf1_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           ".localdata", "sf1")
+    here = os.path.dirname(os.path.abspath(__file__))
+    sf1_dir = os.path.join(here, ".localdata", "sf1")
     if os.path.isdir(sf1_dir) and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
-        sf1 = run_suite(sf1_dir)
+        sf1 = run_suite(sf1_dir, curation=True)
         result["sf1_value"] = round(sum(sf1.values()), 4)
         result["sf1_queries"] = sf1
+    # sf5 (x50) scale point: opt-in — it adds minutes per run, so it is
+    # exercised deliberately (curve recorded in BASELINE.md), not on
+    # every driver round. Build: tools/make_scaled_data.py --k 50
+    # --dst .localdata/sf5; run: SPARK_GRAFT_INCLUDE_SF5=1 python bench.py
+    sf5_dir = os.path.join(here, ".localdata", "sf5")
+    if os.path.isdir(sf5_dir) and os.environ.get("SPARK_GRAFT_INCLUDE_SF5"):
+        sf5 = run_suite(sf5_dir, curation=True)
+        result["sf5_value"] = round(sum(sf5.values()), 4)
+        result["sf5_queries"] = sf5
     print(json.dumps(result))
 
 

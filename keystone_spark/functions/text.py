@@ -218,35 +218,88 @@ def pii_count(text: Column | str) -> Column:
     return total
 
 
+def max_run_count(sorted_arr: Column) -> Column:
+    """Most-frequent element's count in a SORTED array — one O(n)
+    run-length pass via ``aggregate`` (acc = last element, current run,
+    best run). The naive mode (``transform(distinct, x ->
+    size(filter(arr, y == x)))``) is O(distinct * n) per row and, being
+    a higher-order expression, evaluates INTERPRETED — on a long
+    boilerplate doc that's minutes of one core (caught live by
+    tools/bench_registry.py at sf0.1). Sort + scan is O(n log n) and
+    turns the same answer into a map-only expression."""
+    return F.aggregate(
+        sorted_arr,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.cast("string").alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
 def repetition_signals(toks: Column | str) -> Column:
     """Gopher-style repetition quality signals from a token array:
     struct(n_tokens, distinct_ratio, top_bigram_count, top_bigram_frac).
 
     ``top_bigram_*`` is the most frequent 2-gram's share — high values
-    flag boilerplate/spam documents. The mode is computed with
-    array-lambda expressions (O(distinct * n) per doc, pure codegen):
-    at 100 TB this stays a map-only scan; no per-doc shuffle ever."""
+    flag boilerplate/spam documents. EVERYTHING comes out of ONE
+    run-length ``aggregate`` over the sorted bigram array (O(n log n)
+    per doc, map-only; the final struct is built in the finish lambda):
+    higher-order expressions evaluate interpreted and are re-evaluated
+    PER REFERENCE, so the bigram array must be referenced exactly once
+    — the earlier shape (mode referenced by count and frac, g2 by
+    three expressions) multiplied a quadratic mode into minutes of one
+    core per sf0.1 partition (caught by tools/bench_registry.py).
+    Callers should likewise materialize this struct in its own
+    projection and extract fields from the column, not re-call it per
+    field. At 100 TB: one map-only scan, no per-doc shuffle ever."""
     t = _c(toks)
     g2 = word_ngrams(t, 2)
-    top = F.when(
-        F.size(g2) > 0,
-        F.array_max(
-            F.transform(
-                F.array_distinct(g2),
-                lambda x: F.size(F.filter(g2, lambda y: y == x)),
-            )
-        ),
-    ).otherwise(F.lit(0))
     n = F.size(t)
-    return F.struct(
-        n.cast("long").alias("n_tokens"),
+    dr = (
         F.when(n > 0, F.size(F.array_distinct(t)).cast("double") / n)
         .otherwise(F.lit(None).cast("double"))
-        .alias("distinct_ratio"),
-        top.cast("long").alias("top_bigram_count"),
-        F.when(F.size(g2) > 0, top.cast("double") / F.size(g2))
-        .otherwise(F.lit(None).cast("double"))
-        .alias("top_bigram_frac"),
+    )
+    return F.aggregate(
+        F.array_sort(g2),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+            F.lit(0).alias("cnt"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+            (acc["cnt"] + 1).alias("cnt"),
+        ),
+        lambda acc: F.struct(
+            n.cast("long").alias("n_tokens"),
+            dr.alias("distinct_ratio"),
+            acc["best"].cast("long").alias("top_bigram_count"),
+            F.when(
+                acc["cnt"] > 0, acc["best"].cast("double") / acc["cnt"]
+            )
+            .otherwise(F.lit(None).cast("double"))
+            .alias("top_bigram_frac"),
+        ),
     )
 
 
@@ -364,7 +417,10 @@ def hashed_tf(toks: Column | str, dim: int) -> Column:
     """Feature-hashed term-frequency map: tokens -> map<bucket, count>
     (the sparse HashingTF row, collision semantics included). Pure
     higher-order expressions: buckets via hash_bucket, counts via
-    aggregate over the distinct buckets — no explode, no shuffle."""
+    a per-distinct-bucket filter — O(min(dim, distinct) * n) integer
+    compares per row, so this form is for SMALL dims (hundreds); at
+    large dims use the explode + groupBy form (q_hashed_tf) or a
+    sorted run-length pass (see max_run_count)."""
     t = _c(toks)
     buckets = F.transform(t, lambda x: hash_bucket(x, dim))
     return F.map_from_arrays(

@@ -1,0 +1,59 @@
+"""Per-query performance gate over the FULL declared registry.
+
+bench.py wall-time-gates only the 12 headline b-slots; this gate times
+EVERY ``queries()`` entry at sf0.1 (tools/bench_registry.py: noop sink,
+warmup + best-of-2, own JVM at the bench session shape) and fails any
+query slower than max(2x, +0.75s) of the committed reference snapshot
+(tools/registry_snapshot.json) — so a plan regression anywhere in the
+registry is loud even when correctness stays green (VERDICT r5 #1).
+
+When a deliberate change legitimately shifts a query's cost (or adds a
+query), regenerate the snapshot and commit the diff:
+
+    python tools/bench_registry.py --snapshot tools/registry_snapshot.json
+
+Marked ``slow`` (~10 min): deselect with ``-m "not slow"`` when
+iterating; the default run includes it.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SNAPSHOT = os.path.join(REPO, "tools", "registry_snapshot.json")
+
+
+@pytest.mark.slow
+def test_registry_snapshot_covers_every_declared_query():
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entry_mod
+
+    with open(SNAPSHOT) as f:
+        snap = json.load(f)
+    missing = set(entry_mod.queries()) - set(snap)
+    assert not missing, (
+        f"queries missing from registry_snapshot.json: {sorted(missing)} — "
+        "regenerate with tools/bench_registry.py --snapshot"
+    )
+
+
+@pytest.mark.slow
+def test_no_query_regressed_vs_snapshot():
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "bench_registry.py"),
+         "--check", SNAPSHOT],
+        cwd=REPO,
+        env={**os.environ,
+             "SPARK_GRAFT_CPUS": os.environ.get("SPARK_GRAFT_CPUS", "32")},
+        capture_output=True,
+        text=True,
+        timeout=2400,
+    )
+    assert proc.returncode == 0, (
+        f"registry perf regressions:\n{proc.stderr[-3000:]}\n"
+        f"{proc.stdout[-500:]}"
+    )

@@ -46,3 +46,24 @@ def test_registry_hygiene_full_surface():
         "twoway_effects", "value_autocorr", "cusum_drift", "vocab_growth",
         "zipf_curve", "order_gaps", "dup_rate_by_source",
     ]
+
+
+def test_plan_audit_covers_every_declared_query():
+    """PLAN_AUDIT.md regenerates with the registry (VERDICT r5 #7): one
+    audit row per declared query, so the committed audit can't silently
+    go stale when queries are added or rewired."""
+    import os
+    import re
+
+    import __spark_entry__ as entry_mod
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "PLAN_AUDIT.md")) as f:
+        text = f.read()
+    rows = set(re.findall(r"^\| (\w+) \|", text, flags=re.M)) - {"query"}
+    declared = set(entry_mod.queries())
+    assert rows == declared, (
+        f"PLAN_AUDIT.md stale: missing {sorted(declared - rows)}, "
+        f"extra {sorted(rows - declared)} — regenerate with "
+        "`python tools/plan_audit.py > PLAN_AUDIT.md`"
+    )

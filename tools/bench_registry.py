@@ -1,0 +1,119 @@
+"""Per-query wall-time over the FULL declared registry (VERDICT r5 #1).
+
+bench.py gates only the 12 headline b-slots; every other declared query
+could regress 10x with every gate staying green. This tool times EVERY
+``__spark_entry__.queries()`` entry (noop sink — full plan, every output
+column, no driver transfer; one warmup then best-of-2) and prints ONE
+JSON line. Modes:
+
+  python tools/bench_registry.py                      # measure + print
+  python tools/bench_registry.py --snapshot FILE      # measure + write FILE
+  python tools/bench_registry.py --check FILE         # measure, compare vs
+                                                      # FILE, exit 1 on any
+                                                      # query > max(2x snap,
+                                                      # snap + floor)
+
+The committed reference snapshot lives at tools/registry_snapshot.json
+(regenerate deliberately when a plan change legitimately shifts cost:
+rerun with --snapshot and commit the diff). The regression predicate
+uses BOTH a ratio (2x) and an absolute floor so sub-100ms queries don't
+flap on machine-load noise.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_SNAPSHOT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "registry_snapshot.json")
+ABS_FLOOR_SEC = 0.75  # noise floor: never flag below snapshot + this
+
+
+def run_registry(spark, sf_dir: str, keys=None, repeats: int = 2) -> dict:
+    """Best-of-``repeats`` wall seconds per declared query (one warmup
+    pass first). Queries are built fresh per run so eager fit stages
+    (ranked_series offsets, similarity probes) are timed too — they are
+    part of the operator's cost."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    keys = list(keys) if keys else list(qs)
+    out: dict[str, float] = {}
+    for name in keys:
+        fn = qs[name]
+
+        def once() -> float:
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
+
+        once()  # warmup: file listing, codegen, broadcast build
+        out[name] = round(min(once() for _ in range(repeats)), 4)
+    return out
+
+
+def compare(current: dict, snapshot: dict) -> list[str]:
+    """Regressions: queries slower than max(2x snapshot, snapshot +
+    ABS_FLOOR_SEC). Queries missing from the snapshot are reported as
+    'unsnapshotted' (regenerate the snapshot when adding queries)."""
+    problems = []
+    for name, now in sorted(current.items()):
+        snap = snapshot.get(name)
+        if snap is None:
+            problems.append(f"unsnapshotted: {name} ({now:.2f}s)")
+            continue
+        limit = max(2.0 * snap, snap + ABS_FLOOR_SEC)
+        if now > limit:
+            problems.append(
+                f"regressed: {name} {now:.2f}s vs snapshot {snap:.2f}s "
+                f"(limit {limit:.2f}s)"
+            )
+    return problems
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir",
+                    default=os.environ.get("SPARK_GRAFT_SF_DIR",
+                                           "/root/testdata/sf0.1"))
+    ap.add_argument("--snapshot", help="write results to this file")
+    ap.add_argument("--check", nargs="?", const=DEFAULT_SNAPSHOT,
+                    help="compare against snapshot file; exit 1 on regression")
+    ap.add_argument("--only", nargs="*", help="subset of query keys")
+    args = ap.parse_args()
+
+    from keystone_spark import get_session
+
+    spark = get_session("bench_registry")
+    t0 = time.perf_counter()
+    timings = run_registry(spark, args.sf_dir, keys=args.only)
+    result = {
+        "metric": "registry_bench",
+        "sf_dir": args.sf_dir,
+        "n_queries": len(timings),
+        "total_sec": round(sum(timings.values()), 4),
+        "wall_sec": round(time.perf_counter() - t0, 4),
+        "queries": timings,
+    }
+    print(json.dumps(result))
+    if args.snapshot:
+        with open(args.snapshot, "w") as f:
+            json.dump(timings, f, indent=1, sort_keys=True)
+    if args.check:
+        with open(args.check) as f:
+            snap = json.load(f)
+        problems = compare(timings, snap)
+        for p in problems:
+            print(p, file=sys.stderr)
+        return 1 if problems else 0
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

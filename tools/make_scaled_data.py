@@ -13,6 +13,9 @@ the scans, shuffles and aggregations still process K times the bytes).
 
 Usage: python tools/make_scaled_data.py [--k 10] [--src /root/testdata/sf0.1]
        [--dst .localdata/sf1]
+Scale points in use: --k 10 --dst .localdata/sf1 (bench.py's embedded
+second point) and --k 50 --dst .localdata/sf5 (the opt-in
+SPARK_GRAFT_INCLUDE_SF5 point; curve recorded in BASELINE.md).
 """
 
 from __future__ import annotations
