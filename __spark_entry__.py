@@ -1023,10 +1023,13 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle (shift-invariant content fingerprint; functions/text
     .rolling_fingerprint is the xxhash64 production form — md5 here so the
     DuckDB oracle can reproduce the exact values). Dedup view: each doc
-    mapped to its fingerprint-group representative."""
+    mapped to its fingerprint-group representative. The per-gram md5
+    pass is the heavy kernel — re-spread a single-split fixture scan so
+    it parallelizes (no-op on real multi-split corpora)."""
     from keystone_spark.functions.text import tokens, word_ngrams
+    from keystone_spark.sources import ensure_parallelism
 
-    d = _t(spark, sf_dir, "documents")
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
     toks = tokens("text")
     grams = word_ngrams(toks, 8)
     fp = F.when(
@@ -2445,10 +2448,13 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the COLUMN — higher-order expressions re-evaluate per
     reference, so calling the signal per output field multiplies the
     whole bigram pass by four (the bench_registry catch). Still one
-    map-only scan at 100 TB; no per-doc shuffle."""
+    map-only scan at 100 TB; no per-doc shuffle (the one exchange
+    below re-spreads a single-split fixture scan; no-op on real
+    multi-split corpora)."""
     from keystone_spark.functions.text import repetition_signals
+    from keystone_spark.sources import ensure_parallelism
 
-    d = _t(spark, sf_dir, "documents")
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
     sig = d.select(
         "doc_id",
         repetition_signals(F.split(F.col("text"), " ")).alias("__sig"),
@@ -4158,11 +4164,17 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplication pressure per source: share of docs whose winnowing
     fingerprint (min md5 over 8-token shingles — the doc_fingerprint
     kernel) collides with another doc anywhere in the corpus. The
-    dedup-ordering signal: high-dup sources get deduped first. One
-    fingerprint agg + per-fingerprint count broadcast back."""
+    dedup-ordering signal: high-dup sources get deduped first. The
+    per-gram md5 fingerprint kernel is the cost: the fixture's
+    single-split scan is re-spread first (no-op on multi-split
+    corpora), and the per-fingerprint count comes from a WINDOW over
+    fp — a groupBy + join-back would evaluate the whole kernel once
+    per join side (expressions re-evaluate per reference), doubling
+    the scan."""
     from keystone_spark.functions.text import tokens, word_ngrams
+    from keystone_spark.sources import ensure_parallelism
 
-    d = _t(spark, sf_dir, "documents")
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
     toks = tokens("text")
     grams = word_ngrams(toks, 8)
     fp = F.when(
@@ -4170,8 +4182,9 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(F.transform(grams, lambda g: F.md5(F.encode(g, "UTF-8")))),
     ).otherwise(F.md5(F.encode(F.concat_ws(" ", toks), "UTF-8")))
     with_fp = d.select("doc_id", "source", fp.alias("fp"))
-    fp_n = with_fp.groupBy("fp").agg(F.count("*").alias("nfp"))
-    j = with_fp.join(F.broadcast(fp_n), "fp")
+    j = with_fp.withColumn(
+        "nfp", F.count("*").over(Window.partitionBy("fp"))
+    )
     return (
         j.groupBy("source")
         .agg(

@@ -150,9 +150,12 @@ def pagerank(
 
     Scale shape: ranks is a (node, rank) table partitioned like the edge
     src column; contribs = edges ⋈ ranks is the only data-sized join and
-    reuses that partitioning every iteration; the per-iteration driver
-    fetch is ONE scalar (dangling mass). At 1000 executors this is the
-    standard Pregel-free DataFrame PageRank.
+    reuses that partitioning every iteration. The dangling mass stays a
+    1-row aggregate CROSS-JOINED (broadcast) into the rank update — no
+    per-iteration driver fetch at all, so each iteration is exactly ONE
+    action (the lineage-truncating eager checkpoint; previously the
+    scalar collect made it two, doubling job-scheduling overhead). At
+    1000 executors this is the standard Pregel-free DataFrame PageRank.
     """
     e = edges.select(
         F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
@@ -172,14 +175,20 @@ def pagerank(
     )
     ranks = verts.withColumn(rank_col, F.lit(1.0 / n))
     base = (1.0 - damping) / n
-    for _ in range(max_iter):
+    # With no per-iteration driver fetch the loop is fully lazy, so the
+    # lineage-truncating eager checkpoint only needs to land every few
+    # iterations: plan depth stays bounded at checkpoint_every joins
+    # while the job count drops from max_iter to max_iter/checkpoint_every
+    # (at fixture scale each job is overhead-dominated; at cluster scale
+    # fewer barriers means fewer scheduling waves).
+    checkpoint_every = 4
+    for it in range(max_iter):
         with_deg = ranks.join(
             out_deg, ranks[node_col] == out_deg["s"], "left"
         )
-        dangling = (
+        dang = (
             with_deg.where(F.col("deg").isNull())
-            .agg(F.coalesce(F.sum(rank_col), F.lit(0.0)))
-            .first()[0]
+            .agg(F.coalesce(F.sum(rank_col), F.lit(0.0)).alias("__dang"))
         )
         contribs = (
             e.join(with_deg.where(F.col("deg").isNotNull()),
@@ -191,15 +200,17 @@ def pagerank(
         )
         ranks = (
             verts.join(contribs, node_col, "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 node_col,
                 (
                     F.lit(base)
                     + F.lit(damping)
                     * (F.coalesce(F.col("c"), F.lit(0.0))
-                       + F.lit(dangling / n))
+                       + F.col("__dang") / n)
                 ).alias(rank_col),
             )
-            .localCheckpoint(eager=True)
         )
+        if it % checkpoint_every == checkpoint_every - 1 or it == max_iter - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks

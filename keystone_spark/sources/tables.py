@@ -84,6 +84,26 @@ def load_tables(
     return {n: load_table(spark, n, sf_dir) for n in names}
 
 
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition IFF the plan currently has fewer
+    partitions than the session's default parallelism.
+
+    A heavy per-row kernel (shingling, per-gram hashing, signature
+    construction) downstream of a small scan serializes on however many
+    splits the FILES give it — a 600 KB single-file fixture is one
+    split, so one core does all the work while 31 idle. At production
+    scale the scan has thousands of file splits and this is a NO-OP
+    (the partition check short-circuits; no shuffle is ever added to an
+    already-parallel input) — it exists to re-spread pathologically few
+    splits, which is exactly the cheap case (the shuffle moves only the
+    tiny input)."""
+    sc = df.sparkSession.sparkContext
+    n = int(min_parts or sc.defaultParallelism)
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def register_views(
     spark: SparkSession, sf_dir: str | None = None, names: tuple[str, ...] = TABLES
 ) -> None:

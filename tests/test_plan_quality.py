@@ -385,7 +385,9 @@ def test_pii_and_repetition_stay_codegen(spark, sf_dir, qs):
         plan = plan_of(qs[name](spark, sf_dir))
         assert "EvalPython" not in plan, name
     rep = plan_of(qs["repetition_signals"](spark, sf_dir))
-    assert rep.count("Exchange") <= 2  # rangepartition for orderBy only
+    # orderBy's range partition + the ensure_parallelism round-robin
+    # re-spread of the single-split fixture scan (no-op at scale)
+    assert rep.count("Exchange") <= 3
 
 
 def test_line_dedup_broadcast_anti_and_partial_agg(spark, sf_dir, qs):
