@@ -384,10 +384,13 @@ def test_pii_and_repetition_stay_codegen(spark, sf_dir, qs):
     for name in ("pii_redact", "repetition_signals"):
         plan = plan_of(qs[name](spark, sf_dir))
         assert "EvalPython" not in plan, name
+    import re
+
     rep = plan_of(qs["repetition_signals"](spark, sf_dir))
+    # unique plan-node ids (formatted explain prints nodes twice):
     # orderBy's range partition + the ensure_parallelism round-robin
     # re-spread of the single-split fixture scan (no-op at scale)
-    assert rep.count("Exchange") <= 3
+    assert len(set(re.findall(r"\((\d+)\) Exchange", rep))) <= 2, rep[:1200]
 
 
 def test_line_dedup_broadcast_anti_and_partial_agg(spark, sf_dir, qs):
