@@ -4212,6 +4212,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 167/167 (the full set stays CI-gated via tests/test_oracle_full.py
     # and tools/verify_oracle.py either way).
     return {
+        # --- r6 head rotation: queries REWIRED this round whose prior
+        # driver verification predates the change (equidepth_hist ->
+        # ranked_series; revenue_concentration cum_share quantization
+        # context; doc_fingerprint re-spread; the three dedup queries ride
+        # the new filter-before-distinct candidates + size-prefiltered
+        # jaccard_verify). Sampling them in the r6 window re-verifies the
+        # changed code paths; everything stays CI-gated at full width via
+        # tests/test_oracle_full.py regardless of order. ---
+        "equidepth_hist": q_equidepth_hist,
+        "revenue_concentration": q_revenue_concentration,
+        "doc_fingerprint": q_doc_fingerprint,
+        "minhash_dedup": q_minhash_dedup,
+        "dedup_clusters": q_dedup_clusters,
+        "simhash_pairs": q_simhash_pairs,
         "monthly_trend": q_monthly_trend,
         "abc_classes": q_abc_classes,
         "repeat_purchase_curve": q_repeat_purchase_curve,
@@ -4262,7 +4276,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_checks": q_dq_checks,
         "scd2_lookup": q_scd2_lookup,
         "triangle_count": q_triangle_count,
-        "equidepth_hist": q_equidepth_hist,
         "hashed_tf": q_hashed_tf,
         "weighted_sample": q_weighted_sample,
         "jaccard_prefix_pairs": q_jaccard_prefix_pairs,
@@ -4276,7 +4289,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twap_hourly": q_twap_hourly,
         "table_profile": q_table_profile,
         "funnel_latency": q_funnel_latency,
-        "revenue_concentration": q_revenue_concentration,
         "event_transitions": q_event_transitions,
         "session_stats": q_session_stats,
         "label_coherence": q_label_coherence,
@@ -4288,7 +4300,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "binary_metrics": q_binary_metrics,
         "embedding_neardup": q_embedding_neardup,
-        "doc_fingerprint": q_doc_fingerprint,
         "augmented_eval": q_augmented_eval,
         "ivf_topk": q_ivf_topk,
         "ivf_index_topk": q_ivf_index_topk,
@@ -4365,9 +4376,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window": q_session_window,
         "standard_scaler": q_standard_scaler,
         "linear_mapper": q_linear_mapper,
-        "minhash_dedup": q_minhash_dedup,
-        "dedup_clusters": q_dedup_clusters,
-        "simhash_pairs": q_simhash_pairs,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "kmeans_clusters": q_kmeans_clusters,
         "multimodal_features": q_multimodal_features,

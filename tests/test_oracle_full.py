@@ -1,10 +1,10 @@
 """CI gate over the FULL oracle set.
 
 The driver's CORRECTNESS check only samples the first 50 ``queries()``
-entries, and round 3 rotated the registry so previously-unchecked queries
-lead — this test keeps ALL 98 queries hash-gated regardless of registry
-order by running the same Spark-vs-DuckDB compare the driver uses
-(tools/verify_oracle.py) over the whole set at sf0.01.
+entries — this test keeps the WHOLE registry (168 queries as of r6)
+hash-gated regardless of registry order by running the same
+Spark-vs-DuckDB compare the driver uses (tools/verify_oracle.py) over
+the full set at sf0.01.
 
 Marked ``slow`` (~3 min, own JVM): deselect with ``-m "not slow"`` when
 iterating; the default run includes it.
