@@ -70,18 +70,50 @@ class TermFrequency(Transformer):
             "log1p": lambda c: F.log1p(c.cast("double")),
         }[weight]
 
+        def build(srt):
+            # srt is a LAMBDA VARIABLE (bound to the already-evaluated
+            # sorted array), so every element_at below is an O(1) array
+            # access — referencing the array_sort EXPRESSION here instead
+            # would re-sort the whole array once per element (higher-order
+            # expressions re-evaluate per reference; measured 30x SLOWER
+            # than even the quadratic fold this replaces).
+            n = F.size(srt)
+            idx = F.sequence(F.lit(1), n)  # 1-based for element_at
+            starts = F.filter(
+                idx,
+                lambda i: (i == 1)
+                | (F.element_at(srt, i) != F.element_at(srt, i - 1)),
+            )
+            keys = F.transform(starts, lambda i: F.element_at(srt, i))
+            ends = F.concat(
+                F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+                F.array(n + 1),
+            )
+            counts = F.zip_with(
+                starts, ends, lambda s, e: wfn((e - s).cast("double"))
+            )
+            return F.map_from_arrays(keys, counts)
+
         def apply(df: DataFrame) -> DataFrame:
-            counted = F.aggregate(
-                F.col(in_col),
-                F.create_map().cast("map<string,double>"),
-                lambda acc, t: F.map_concat(
-                    F.map_filter(acc, lambda k, v: k != t),
-                    F.create_map(t, F.coalesce(F.element_at(acc, t), F.lit(0.0)) + 1.0),
-                ),
+            # Linear run-length construction over the SORTED token array:
+            # run starts -> keys, next-start deltas -> counts; the sort
+            # is evaluated exactly once via the 1-element-array lambda
+            # binding. The aggregate/map_concat fold this replaces
+            # rebuilt the whole accumulator map once PER TOKEN —
+            # O(n * distinct) interpreted map copies per document
+            # (same quadratic family as the repetition_signals mode;
+            # caught by tools/bench_registry.py).
+            t = F.col(in_col)
+            counted = F.element_at(
+                F.transform(F.array(F.array_sort(t)), build), 1
             )
-            weighted = F.map_filter(
-                F.transform_values(counted, lambda k, v: wfn(v)), lambda k, v: v > 0
+            weighted = (
+                F.when(t.isNull(), F.lit(None).cast("map<string,double>"))
+                .when(F.size(t) == 0,
+                      F.create_map().cast("map<string,double>"))
+                .otherwise(counted)
             )
+            weighted = F.map_filter(weighted, lambda k, v: v > 0)
             return df.withColumn(out_col, weighted)
 
         super().__init__(apply, f"term_frequency({weight})")

@@ -480,3 +480,54 @@ def test_prefix_jaccard_equals_brute_force_and_prunes(spark):
         if jac >= thr:
             want[(i, j)] = round(jac, 6)
     assert got == want and (0, 1) in got and (3, 4) in got
+
+
+def test_jaccard_verify_size_prefilter_is_lossless(spark):
+    """The min/max size-ratio prefilter added in r6 must be invisible in
+    results: J(A,B) <= min(|A|,|B|)/max(|A|,|B|) makes it a necessary
+    condition, so verify output over ALL pairs must equal a naive
+    no-filter twin at every threshold — including pairs exactly at the
+    ratio boundary (sizes 4 vs 5 at t=0.8)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from keystone_spark.operators.dedup import jaccard_verify
+
+    docs = [
+        (1, "abcdefgh"),          # 4 5-shingles
+        (2, "abcdefghi"),         # 5 — sizes 4v5, ratio 0.8 boundary
+        (3, "abcdefgh"),          # exact dup of 1
+        (4, "zyxwvuts"),          # disjoint
+        (5, "abcdefgX"),          # near 1
+        (6, "a"),                 # shorter than k -> single shingle
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(i, j) for i, j in itertools.combinations([x[0] for x in docs], 2)],
+        "i long, j long",
+    )
+    from keystone_spark.functions.text import char_shingles
+
+    sh = {
+        r["doc_id"]: set(r["s"])
+        for r in d.select(
+            "doc_id", char_shingles(F.col("text"), 5).alias("s")
+        ).collect()
+    }
+
+    def naive(t):
+        out = set()
+        for i, j in itertools.combinations(sorted(sh), 2):
+            a, b = sh[i], sh[j]
+            jac = len(a & b) / len(a | b)
+            if jac >= t:
+                out.add((i, j))
+        return out
+
+    for t in (0.5, 0.8, 1.0):
+        got = {
+            (r["i"], r["j"])
+            for r in jaccard_verify(pairs, d, threshold=t).collect()
+        }
+        assert got == naive(t), t
