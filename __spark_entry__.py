@@ -2522,6 +2522,39 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(aug, max_docs=4).orderBy("doc_id")
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span profile (operators/curation.duplicate_spans
+    — ExactSubstr dedup, Lee et al. 2022, as a bucketed hash join
+    instead of a suffix array): every 8-token span shared verbatim by
+    >= 2 distinct docs, rolled up per doc as boilerplate counts and
+    fraction. Spans dedupe in-array (no distinct shuffle), travel as
+    52-bit md5 longs the oracle replays exactly, and the whole corpus
+    profile is two map-side-combinable aggs + one co-partitioned semi
+    join — nothing all-pairs, full doc spine preserved."""
+    from keystone_spark.operators.curation import duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_spans(d, span_tokens=8, min_docs=2).orderBy("doc_id")
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling weights (operators/curation.
+    dsir_logweights — Xie et al. 2023): score every English doc by its
+    log importance ratio toward the non-English "target domain" under
+    hashed-unigram bag models (256 md5 buckets, add-1 smoothing). Both
+    corpora reduce to <= 256 bucket-count rows, the smoothed log-ratio
+    table broadcasts onto the exploded raw tokens, and the per-doc sum
+    is map-side-combinable — two scans of the corpus, nothing else
+    scales with it. The data-selection primitive for curating a 100-TB
+    crawl toward a quality domain."""
+    from keystone_spark.operators.curation import dsir_logweights
+
+    d = _t(spark, sf_dir, "documents")
+    raw = d.where(F.col("lang") == "en")
+    tgt = d.where(F.col("lang") != "en")
+    return dsir_logweights(raw, tgt, dim=256).orderBy("doc_id")
+
+
 def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC MERGE (operators/curation.apply_changes — Delta/Iceberg MERGE
     INTO semantics on raw parquet): a synthesized changelog of updates
@@ -4219,7 +4252,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the new filter-before-distinct candidates + size-prefiltered
         # jaccard_verify). Sampling them in the r6 window re-verifies the
         # changed code paths; everything stays CI-gated at full width via
-        # tests/test_oracle_full.py regardless of order. ---
+        # tests/test_oracle_full.py regardless of order. The two NEW
+        # r6 queries (ExactSubstr span dedup, DSIR importance weights)
+        # lead so the next driver window samples them first. ---
+        "duplicate_spans": q_duplicate_spans,
+        "dsir_weights": q_dsir_weights,
         "equidepth_hist": q_equidepth_hist,
         "revenue_concentration": q_revenue_concentration,
         "doc_fingerprint": q_doc_fingerprint,
@@ -5282,6 +5319,77 @@ def oracle_sql() -> dict[str, str]:
             b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
             SELECT DISTINCT g.doc_id FROM g JOIN b USING (gram)
             WHERE g.doc_id % 97 <> 0 ORDER BY doc_id
+        """,
+        # same tokenization + md5 span keys; count(*) over the per-doc
+        # DISTINCT span list = distinct-doc count, as on the Spark side
+        "duplicate_spans": """
+            WITH toks AS (
+                SELECT doc_id, list_filter(
+                    string_split_regex(lower(trim(text)),
+                                       '[^\\p{L}\\p{N}'']+'),
+                    x -> x <> '') AS t
+                FROM documents),
+            keyed AS (
+                SELECT doc_id, list_distinct(
+                    CASE WHEN len(t) >= 8 THEN
+                        list_transform(range(1, len(t) - 8 + 2),
+                            i -> CAST(('0x' || substr(md5(
+                                array_to_string(list_slice(t, i, i + 7), ' ')
+                            ), 1, 13)) AS BIGINT))
+                    ELSE [] END) AS ks
+                FROM toks),
+            spans AS (SELECT doc_id, UNNEST(ks) AS span FROM keyed),
+            shared AS (
+                SELECT span FROM spans GROUP BY span HAVING COUNT(*) >= 2),
+            dupc AS (
+                SELECT doc_id, COUNT(*) AS n_dup
+                FROM spans WHERE span IN (SELECT span FROM shared)
+                GROUP BY doc_id),
+            spine AS (SELECT doc_id, len(ks) AS n_spans FROM keyed)
+            SELECT s.doc_id, CAST(s.n_spans AS BIGINT) AS n_spans,
+                   CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_spans,
+                   CASE WHEN s.n_spans > 0
+                        THEN CAST(COALESCE(d.n_dup, 0) AS DOUBLE)
+                             / s.n_spans END AS dup_frac
+            FROM spine s LEFT JOIN dupc d USING (doc_id)
+            ORDER BY s.doc_id
+        """,
+        # same md5 hash buckets, add-1 smoothing, ln ratio sum per doc
+        "dsir_weights": """
+            WITH rawd AS (
+                SELECT doc_id, text FROM documents WHERE lang = 'en'),
+            tgtd AS (
+                SELECT doc_id, text FROM documents WHERE lang <> 'en'),
+            rtok AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(UNNEST(list_filter(
+                           string_split_regex(lower(trim(text)),
+                                              '[^\\p{L}\\p{N}'']+'),
+                           x -> x <> ''))), 1, 13)) AS BIGINT) % 256 AS b
+                FROM rawd),
+            ttok AS (
+                SELECT CAST(('0x' || substr(md5(UNNEST(list_filter(
+                           string_split_regex(lower(trim(text)),
+                                              '[^\\p{L}\\p{N}'']+'),
+                           x -> x <> ''))), 1, 13)) AS BIGINT) % 256 AS b
+                FROM tgtd),
+            tc AS (SELECT b, COUNT(*) AS tc FROM ttok GROUP BY b),
+            sc AS (SELECT b, COUNT(*) AS sc FROM rtok GROUP BY b),
+            counts AS (
+                SELECT COALESCE(tc.b, sc.b) AS b,
+                       COALESCE(tc, 0) AS tc, COALESCE(sc, 0) AS sc
+                FROM tc FULL OUTER JOIN sc ON tc.b = sc.b),
+            tot AS (SELECT SUM(tc) AS tt, SUM(sc) AS st FROM counts),
+            ratio AS (
+                SELECT b, ln((tc + 1) / (tt + 256.0))
+                          - ln((sc + 1) / (st + 256.0)) AS lr
+                FROM counts CROSS JOIN tot),
+            per_doc AS (
+                SELECT doc_id, SUM(lr) AS logw
+                FROM rtok JOIN ratio USING (b) GROUP BY doc_id)
+            SELECT r.doc_id, COALESCE(p.logw, 0.0) AS logw
+            FROM rawd r LEFT JOIN per_doc p USING (doc_id)
+            ORDER BY r.doc_id
         """,
         # same boilerplate injection; lines in > 4 distinct docs removed
         "line_dedup": """

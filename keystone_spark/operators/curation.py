@@ -422,3 +422,142 @@ def diff_snapshots(
         j.select(*key_cols, *out_vals, status.alias(op_col))
         .where(F.col(op_col).isNotNull())
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    span_tokens: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_expr=None,
+) -> DataFrame:
+    """Exact duplicated-span profile per document — the distributed
+    formulation of ExactSubstr dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): find fixed-length
+    token spans that occur verbatim in >= ``min_docs`` DISTINCT
+    documents and report, per document, how much of it is made of such
+    cross-corpus boilerplate.
+
+    Upstream keystone has no corpus-dedup surface; this extends the
+    n-gram machinery (``nodes/nlp/NGramsFeaturizer.scala``) to the
+    LLM-curation use case, replacing the paper's suffix array with a
+    bucketed hash join — the construction that actually distributes:
+
+    - spans are deduped WITHIN the doc in-array (``array_distinct``
+      before ``explode``), so the per-doc distinct costs no shuffle;
+    - spans shuffle as 52-bit md5-derived longs (fixed 8 bytes instead
+      of multi-hundred-byte strings; the exact assignment replays in
+      any engine: ``CAST('0x' || substr(md5(s),1,13) AS BIGINT)``).
+      Collisions at 52 bits only ever OVERcount sharing and need ~1e7
+      colliding spans to expect one; swap in ``xxhash64`` when
+      cross-engine replay is not required;
+    - the shared-span table is one map-side-combinable count agg; the
+      per-doc dup count is a LEFT SEMI join co-partitioned with it.
+      Nothing is all-pairs and no stage holds a whole doc's text after
+      the first projection.
+
+    Returns one row PER INPUT DOC (spine preserved — a doc shorter than
+    ``span_tokens`` reports ``n_spans = 0`` and NULL ``dup_frac``):
+    ``(id_col, n_spans, n_dup_spans, dup_frac)`` where ``n_spans``
+    counts distinct spans in the doc and ``dup_frac = n_dup_spans /
+    n_spans``.
+    """
+    from keystone_spark.functions.text import tokens, word_ngrams
+
+    toks = token_expr if token_expr is not None else tokens(F.col(text_col))
+    span_keys = F.transform(
+        F.array_distinct(word_ngrams(toks, span_tokens)),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 13), 16, 10).cast("long"),
+    )
+    doc_spans = docs.select(id_col, F.explode(span_keys).alias("__span"))
+    # each (doc, span) appears once after the in-array distinct, so a
+    # plain count(*) IS the distinct-doc count — no count_distinct blowup
+    dup_span_ids = (
+        doc_spans.groupBy("__span")
+        .agg(F.count("*").alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__span")
+    )
+    dup_counts = (
+        doc_spans.join(dup_span_ids, "__span", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("__ndup"))
+    )
+    spine = docs.select(id_col, F.size(span_keys).alias("n_spans"))
+    n_dup = F.coalesce(F.col("__ndup"), F.lit(0)).cast("long")
+    return spine.join(dup_counts, id_col, "left").select(
+        id_col,
+        F.col("n_spans").cast("long").alias("n_spans"),
+        n_dup.alias("n_dup_spans"),
+        F.when(F.col("n_spans") > 0, n_dup / F.col("n_spans"))
+        .alias("dup_frac"),
+    )
+
+
+def dsir_logweights(
+    raw: DataFrame,
+    target: DataFrame,
+    dim: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_expr=None,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR; Xie et al. 2023):
+    score every raw-corpus document by how much it resembles a target
+    domain, as the log importance ratio under hashed-unigram bag models
+
+        logw(x) = sum_{tok in x} [ log p_target(bucket(tok))
+                                   - log p_raw(bucket(tok)) ]
+
+    with add-1 smoothing over a fixed ``dim``-bucket feature-hash space
+    (buckets via ``functions.text.hash_bucket`` — md5-derived so the
+    exact assignment replays in the SQL oracle). Resampling is then
+    top-k / Gumbel over ``logw`` — composed downstream (e.g. with
+    ``weighted_sample_per_key``) rather than baked in here.
+
+    Scale shape: both corpora reduce to <= ``dim`` bucket-count rows
+    (map-side-combinable aggs), the smoothed log-ratio table is <= dim
+    rows and BROADCAST onto the exploded raw tokens, and the per-doc
+    score is one more map-side-combinable sum — the corpus is scanned
+    twice, nothing else grows with corpus size. Docs with zero tokens
+    stay on the spine with ``logw = 0.0`` (the empty product).
+
+    Returns ``(id_col, logw)`` with one row per raw doc.
+    """
+    from keystone_spark.functions.text import hash_bucket, tokens
+
+    toks = token_expr if token_expr is not None else tokens(F.col(text_col))
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        return df.select(
+            id_col, F.explode(toks).alias("__tok")
+        ).select(id_col, hash_bucket("__tok", dim).alias("__b"))
+
+    tgt = bucketed(target).groupBy("__b").agg(F.count("*").alias("__tc"))
+    src = bucketed(raw).groupBy("__b").agg(F.count("*").alias("__sc"))
+    counts = tgt.join(src, "__b", "full_outer").select(
+        "__b",
+        F.coalesce("__tc", F.lit(0)).alias("__tc"),
+        F.coalesce("__sc", F.lit(0)).alias("__sc"),
+    )
+    totals = counts.agg(
+        F.sum("__tc").alias("__tt"), F.sum("__sc").alias("__st")
+    )
+    ratio = counts.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        (
+            F.log((F.col("__tc") + 1) / (F.col("__tt") + F.lit(dim)))
+            - F.log((F.col("__sc") + 1) / (F.col("__st") + F.lit(dim)))
+        ).alias("__lr"),
+    )
+    per_doc = (
+        bucketed(raw)
+        .join(F.broadcast(ratio), "__b")
+        .groupBy(id_col)
+        .agg(F.sum("__lr").alias("__logw"))
+    )
+    return raw.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("__logw", F.lit(0.0)).alias("logw"),
+    )

@@ -304,3 +304,77 @@ def test_line_dedup_crlf_and_empty_lines(spark):
            for r in line_dedup(docs, max_docs=3, sep="\r\n").collect()}
     # COMMON (6 docs) and the empty line (6 docs) both removed
     assert out[2] == "unique 2\r\nalso 2"
+
+
+def test_duplicate_spans_synthetic(spark):
+    """Planted 8-token boilerplate shared by docs 0/1; doc 2 is unique;
+    doc 3 is shorter than the span; doc 4 repeats a span INTERNALLY
+    (must count once, so it is NOT cross-doc duplicated)."""
+    from keystone_spark.operators.curation import duplicate_spans
+
+    boiler = "the quick brown fox jumps over the lazy"
+    rows = [
+        (0, boiler + " dog one two three"),
+        (1, "intro words here " + boiler + " tail"),
+        (2, "completely unique text with eight tokens minimum for spans ok"),
+        (3, "too short"),
+        (4, "x1 x2 x3 x4 x5 x6 x7 x8 x1 x2 x3 x4 x5 x6 x7 x8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in duplicate_spans(df, span_tokens=8).collect()}
+    assert len(out) == 5  # spine preserved
+    # doc 0: tokens=12 -> 5 distinct spans; shared boiler span is dup
+    assert out[0].n_spans == 5 and out[0].n_dup_spans == 1
+    assert out[1].n_dup_spans == 1
+    assert out[2].n_dup_spans == 0
+    assert out[3].n_spans == 0 and out[3].n_dup_spans == 0
+    assert out[3].dup_frac is None
+    # doc 4: 16 tokens -> 9 windows but only 8 DISTINCT spans (window 1
+    # == window 9), none shared with another doc
+    assert out[4].n_spans == 8 and out[4].n_dup_spans == 0
+    assert abs(out[0].dup_frac - 1 / 5) < 1e-12
+
+
+def test_dsir_logweights_matches_local_model(spark):
+    """dsir_logweights == the pure-python add-1 smoothed bag-model log
+    ratio, including the zero-token spine row."""
+    import math
+
+    from keystone_spark.functions.text import TOKEN_SPLIT_RE  # noqa: F401
+    from keystone_spark.operators.curation import dsir_logweights
+
+    raw_rows = [(0, "aa bb aa"), (1, "cc cc"), (2, "")]
+    tgt_rows = [(10, "aa aa aa bb")]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+    dim = 16
+
+    def bucket(tok):
+        import hashlib
+
+        return int(hashlib.md5(tok.encode()).hexdigest()[:13], 16) % dim
+
+    tc, sc = {}, {}
+    for _, t in tgt_rows:
+        for tok in t.split():
+            tc[bucket(tok)] = tc.get(bucket(tok), 0) + 1
+    for _, t in raw_rows:
+        for tok in t.split():
+            sc[bucket(tok)] = sc.get(bucket(tok), 0) + 1
+    tt, st = sum(tc.values()), sum(sc.values())
+
+    def lr(b):
+        return math.log((tc.get(b, 0) + 1) / (tt + dim)) - math.log(
+            (sc.get(b, 0) + 1) / (st + dim)
+        )
+
+    expect = {
+        i: sum(lr(bucket(tok)) for tok in t.split()) for i, t in raw_rows
+    }
+    got = {r.doc_id: r.logw for r in dsir_logweights(raw, tgt, dim=dim).collect()}
+    assert set(got) == {0, 1, 2}
+    for i in (0, 1, 2):
+        assert abs(got[i] - expect[i]) < 1e-9, (i, got[i], expect[i])
+    assert got[2] == 0.0  # empty doc stays on the spine
+    # doc 0 shares its vocabulary with the target, doc 1 does not
+    assert got[0] > got[1]

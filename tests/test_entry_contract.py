@@ -37,11 +37,14 @@ def test_registry_hygiene_full_surface():
     q = m.queries()
     o = m.oracle_sql()
     assert set(q) == set(o)
-    assert len(q) >= 168
+    assert len(q) >= 170
     for name, sql in o.items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
-    head = list(q)[:23]
+    head = list(q)[:25]
     assert head == [
+        # r6 NEW queries (ExactSubstr span dedup, DSIR importance
+        # weights) lead so the next driver window samples them first
+        "duplicate_spans", "dsir_weights",
         # r6 rotation: rewired this round (ranked_series / dedup
         # candidate+verify path changes)
         "equidepth_hist", "revenue_concentration", "doc_fingerprint",
