@@ -2530,10 +2530,13 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction. Spans dedupe in-array (no distinct shuffle), travel as
     52-bit md5 longs the oracle replays exactly, and the whole corpus
     profile is two map-side-combinable aggs + one co-partitioned semi
-    join — nothing all-pairs, full doc spine preserved."""
+    join — nothing all-pairs, full doc spine preserved. The fixture
+    scan is re-spread (single-file split) so the span kernel
+    parallelizes; no-op on a real multi-split corpus."""
     from keystone_spark.operators.curation import duplicate_spans
+    from keystone_spark.sources import ensure_parallelism
 
-    d = _t(spark, sf_dir, "documents")
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
     return duplicate_spans(d, span_tokens=8, min_docs=2).orderBy("doc_id")
 
 
@@ -2548,8 +2551,9 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales with it. The data-selection primitive for curating a 100-TB
     crawl toward a quality domain."""
     from keystone_spark.operators.curation import dsir_logweights
+    from keystone_spark.sources import ensure_parallelism
 
-    d = _t(spark, sf_dir, "documents")
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
     raw = d.where(F.col("lang") == "en")
     tgt = d.where(F.col("lang") != "en")
     return dsir_logweights(raw, tgt, dim=256).orderBy("doc_id")

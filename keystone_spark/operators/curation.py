@@ -452,10 +452,11 @@ def duplicate_spans(
       Collisions at 52 bits only ever OVERcount sharing and need ~1e7
       colliding spans to expect one; swap in ``xxhash64`` when
       cross-engine replay is not required;
-    - the shared-span table is one map-side-combinable count agg; the
-      per-doc dup count is a LEFT SEMI join co-partitioned with it.
-      Nothing is all-pairs and no stage holds a whole doc's text after
-      the first projection.
+    - the shared-span table is one map-side-combinable count agg; both
+      per-doc counts come out of ONE groupBy(id) after a left join back
+      onto the exploded spans (co-partitioned on the span key with that
+      agg). Nothing is all-pairs and no stage holds a whole doc's text
+      after the first projection.
 
     Returns one row PER INPUT DOC (spine preserved — a doc shorter than
     ``span_tokens`` reports ``n_spans = 0`` and NULL ``dup_frac``):
@@ -470,28 +471,34 @@ def duplicate_spans(
         F.array_distinct(word_ngrams(toks, span_tokens)),
         lambda s: F.conv(F.substring(F.md5(s), 1, 13), 16, 10).cast("long"),
     )
+    # the tokenize+ngram+md5 kernel is the expensive part: evaluate it
+    # exactly ONCE (this explode); the spine below is an id-only pruned
+    # scan and both counts come out of one groupBy(id) after the span
+    # join (whose build side reuses this explode's exchange under AQE)
     doc_spans = docs.select(id_col, F.explode(span_keys).alias("__span"))
     # each (doc, span) appears once after the in-array distinct, so a
     # plain count(*) IS the distinct-doc count — no count_distinct blowup
-    dup_span_ids = (
+    dup_spans = (
         doc_spans.groupBy("__span")
         .agg(F.count("*").alias("__nd"))
         .where(F.col("__nd") >= min_docs)
-        .select("__span")
+        .select("__span", F.lit(1).alias("__dup"))
     )
-    dup_counts = (
-        doc_spans.join(dup_span_ids, "__span", "left_semi")
+    per_doc = (
+        doc_spans.join(dup_spans, "__span", "left")
         .groupBy(id_col)
-        .agg(F.count("*").alias("__ndup"))
+        .agg(
+            F.count("*").alias("__ns"),
+            F.sum(F.coalesce("__dup", F.lit(0))).alias("__ndup"),
+        )
     )
-    spine = docs.select(id_col, F.size(span_keys).alias("n_spans"))
+    n_spans = F.coalesce(F.col("__ns"), F.lit(0)).cast("long")
     n_dup = F.coalesce(F.col("__ndup"), F.lit(0)).cast("long")
-    return spine.join(dup_counts, id_col, "left").select(
+    return docs.select(id_col).join(per_doc, id_col, "left").select(
         id_col,
-        F.col("n_spans").cast("long").alias("n_spans"),
+        n_spans.alias("n_spans"),
         n_dup.alias("n_dup_spans"),
-        F.when(F.col("n_spans") > 0, n_dup / F.col("n_spans"))
-        .alias("dup_frac"),
+        F.when(n_spans > 0, n_dup / n_spans).alias("dup_frac"),
     )
 
 

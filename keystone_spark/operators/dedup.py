@@ -32,6 +32,21 @@ from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 DEFAULT_BUCKET_CAP = 2000
 
 
+def _first_zero_band(xor, n_bands: int, seg: int):
+    """Index of the first band (lowest band number) where two 64-bit
+    signatures agree, given their XOR — the deterministic tiebreak for
+    exact-once LSH pair emission. Only evaluated on joined rows, where
+    at least one agreeing band exists by construction."""
+    mask = (1 << seg) - 1
+    expr = F.lit(n_bands - 1)
+    for b in range(n_bands - 2, -1, -1):
+        expr = F.when(
+            F.shiftrightunsigned(xor, b * seg).bitwiseAND(F.lit(mask)) == 0,
+            F.lit(b),
+        ).otherwise(expr)
+    return expr
+
+
 def _drop_oversized_buckets(
     banded: DataFrame, keys: list[str], bucket_cap: int | None
 ) -> DataFrame:
@@ -43,7 +58,12 @@ def _drop_oversized_buckets(
     window over the giant bucket, so the guard itself cannot skew).
     Exact-dedup-first (see ``minhash_dedup``) absorbs the identical-doc
     case before banding; what a dropped oversized bucket loses is only
-    near-dup detection *among* >cap boilerplate variants."""
+    near-dup detection *among* >cap boilerplate variants. (Under the
+    exact-once first-agreeing-band emission in the 64-bit kernels, a
+    pair whose FIRST agreeing band sits in a capped bucket is also
+    skipped even if a later band survives — the same boilerplate-family
+    population the cap already sacrifices, traded for deleting the
+    candidate-distinct shuffle.)"""
     if bucket_cap is None:
         return banded
     big = (
@@ -231,6 +251,7 @@ def jaccard_verify(
     shingle_k: int = 5,
     threshold: float = 0.8,
     caches: list | None = None,
+    n_hist: int | None = 64,
 ) -> DataFrame:
     """Exact shingle-set Jaccard on candidate pairs only; keeps pairs with
     jac >= threshold. Join-back of shingle arrays + JVM set ops.
@@ -239,15 +260,35 @@ def jaccard_verify(
     (semi-join first): candidates are a tiny fraction of the corpus, so
     this avoids re-shingling 100 TB to verify a few thousand pairs.
 
-    A LOSSLESS size-ratio prefilter runs before the array intersection:
-    J(A,B) <= |A∩B|/max(|A|,|B|) <= min(|A|,|B|)/max(|A|,|B|), so any
-    pair whose shingle-set sizes differ by more than the threshold
-    ratio cannot verify. The sizes join as scalars and the ratio test
-    drops the pair before the O(|A|+|B|) intersect — on
-    boilerplate-heavy corpora SimHash bands emit millions of
+    TWO LOSSLESS prefilters run before the array intersection, cheapest
+    first:
+
+    1. size ratio: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so a pair whose
+       shingle-set sizes differ by more than the threshold ratio cannot
+       verify — two ints per pair.
+    2. bucket-count histograms (``n_hist`` buckets by shingle hash,
+       computed once per candidate doc): every shared shingle lands in
+       the SAME bucket on both sides, so |A∩B| <= sum_b min(cA_b, cB_b)
+       — an O(n_hist) zip_with that upper-bounds the Jaccard;
+       pairs whose bound is below threshold skip the O(|A|+|B|)
+       intersect. Unlike a MinHash-estimate cut this is a counting
+       argument, not probabilistic: zero recall loss, so the exact
+       oracle stays exact. The bound only bites when ``n_hist`` is
+       comparable to the shingle-set size (same-size random sets have
+       near-equal COARSE histograms): at ~300-600 shingles/doc,
+       n_hist=16 leaves ~40% of size-survivors, n_hist=64 leaves
+       essentially only the true pairs (measured at sf0.1:
+       498k -> 256). Pass ``n_hist=None`` to skip the histogram
+       altogether — right when the caller already pruned candidates
+       probabilistically (``minhash_estimate_filter``), where the
+       leftover pairs are near-certain verifies and the bound is pure
+       overhead.
+
+    On boilerplate-heavy corpora SimHash bands emit millions of
     hamming-close but jaccard-far candidates (template skeleton
-    identical, content different), and the size filter kills most of
-    them for pennies (simhash_pairs verify at sf0.1: 22s -> seconds).
+    identical, content different); the size filter kills the
+    length-skewed ones for pennies and the histogram bound kills most
+    of the rest (simhash_pairs verify at sf0.1: 22s -> seconds).
 
     The shingle table is persisted (consumed by both the i- and j-side
     joins); pass ``caches`` to receive the persisted DataFrame so you can
@@ -259,23 +300,61 @@ def jaccard_verify(
     )
     # persisted: consumed by both the i-side and j-side joins below —
     # without it the semi-join + shingling runs twice.
+    shing = char_shingles(F.col(text_col), shingle_k)
     sh = df.join(cand_ids, id_col, "left_semi").select(
-        F.col(id_col), char_shingles(F.col(text_col), shingle_k).alias("__sh")
-    ).persist()
+        F.col(id_col), shing.alias("__sh")
+    )
+    use_hist = n_hist is not None and n_hist > 1
+    if use_hist:
+        sh = sh.withColumn(
+            "__h",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_hist - 1)),
+                lambda b: F.size(
+                    F.filter(
+                        "__sh",
+                        lambda s: F.pmod(F.xxhash64(s), F.lit(n_hist)) == b,
+                    )
+                ),
+            ),
+        )
+    sh = sh.persist()
     if caches is not None:
         caches.append(sh)
+    side_cols = ["__sh"] + (["__h"] if use_hist else [])
+
+    def side(name: str, suffix: str):
+        return sh.select(
+            F.col(id_col).alias(name),
+            *[F.col(c).alias(c + suffix) for c in side_cols],
+        )
+
     out = (
-        pairs.join(sh.select(F.col(id_col).alias("i"), F.col("__sh").alias("__si")), "i")
-        .join(sh.select(F.col(id_col).alias("j"), F.col("__sh").alias("__sj")), "j")
-        .withColumn("__ni", F.size("__si"))
-        .withColumn("__nj", F.size("__sj"))
+        pairs.join(side("i", "i"), "i")
+        .join(side("j", "j"), "j")
+        .withColumn("__ni", F.size("__shi"))
+        .withColumn("__nj", F.size("__shj"))
         # lossless size filter: min/max >= threshold is NECESSARY for
         # jac >= threshold; evaluated on two ints, prunes before intersect
         .where(
             F.least("__ni", "__nj")
             >= F.lit(threshold) * F.greatest("__ni", "__nj")
         )
-        .withColumn("__inter", F.size(F.array_intersect("__si", "__sj")))
+    )
+    if use_hist:
+        # sum_b min(cA_b, cB_b) — lossless intersection upper bound;
+        # J <= ub/(ni+nj-ub), so require ub*(1+t) >= t*(ni+nj)
+        inter_ub = F.aggregate(
+            F.zip_with("__hi", "__hj", lambda a, b: F.least(a, b)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        out = out.withColumn("__ub", inter_ub).where(
+            F.col("__ub") * F.lit(1.0 + threshold)
+            >= F.lit(threshold) * (F.col("__ni") + F.col("__nj"))
+        )
+    out = (
+        out.withColumn("__inter", F.size(F.array_intersect("__shi", "__shj")))
         .withColumn(
             "jac",
             F.col("__inter")
@@ -371,7 +450,8 @@ def minhash_dedup(
     sigs.unpersist()
     caches: list = []
     dups = jaccard_verify(
-        likely, survivors, id_col, text_col, shingle_k, threshold, caches=caches
+        likely, survivors, id_col, text_col, shingle_k, threshold,
+        caches=caches, n_hist=None,  # estimate filter already pruned
     )
     drop = dups.select(F.col("j").alias(id_col)).distinct().persist()
     drop.count()
@@ -435,7 +515,8 @@ def dedup_clusters(
     sigs.unpersist()
     caches: list = []
     near = jaccard_verify(
-        likely, survivors, id_col, text_col, shingle_k, threshold, caches=caches
+        likely, survivors, id_col, text_col, shingle_k, threshold,
+        caches=caches, n_hist=None,  # estimate filter already pruned
     ).select("i", "j")
     edges = exact_edges.unionByName(near)
     labels = connected_components(
@@ -593,6 +674,7 @@ def simhash_candidates(
     ).select(id_col, "__sh", "bb.band", "bb.bucket")
     banded = _drop_oversized_buckets(banded, ["band", "bucket"], bucket_cap)
     a, b = banded.alias("a"), banded.alias("b")
+    xor = F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))
     pairs = (
         a.join(
             b,
@@ -600,18 +682,23 @@ def simhash_candidates(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
+        # exact-once emission (the standard LSH dedup trick): a pair
+        # sharing k bands appears k times in the join; keep only the row
+        # whose band is the FIRST band both signatures agree on — a pure
+        # function of the two signatures, so no distinct is needed and
+        # the multi-million-row dedup shuffle disappears (the join
+        # output shrinks map-side to one row per pair)
+        .where(F.col("a.band") == _first_zero_band(xor, n_bands, seg))
         .select(
             F.col(f"a.{id_col}").alias("i"),
             F.col(f"b.{id_col}").alias("j"),
-            F.bit_count(F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))).alias("hamming"),
+            F.bit_count(xor).alias("hamming"),
         )
-        # filter BEFORE distinct: hamming is a pure function of the pair,
-        # and with coarse bands (e.g. 16 x 4-bit) the band join emits
-        # millions of candidate rows — the bit_count predicate drops them
-        # map-side for pennies, while distinct-first shuffles them all
-        # (measured 29s -> ~2s at sf0.1)
+        # hamming is a pure function of the pair: filter map-side, with
+        # coarse bands (e.g. 16 x 4-bit) the band join emits millions of
+        # candidate rows and the bit_count predicate drops them for
+        # pennies before anything shuffles
         .where(F.col("hamming") <= max_hamming)
-        .distinct()
     )
     return pairs
 
@@ -698,6 +785,7 @@ def hash64_candidates(
     ).select(id_col, "__sh", "bb.band", "bb.bucket")
     banded = _drop_oversized_buckets(banded, ["band", "bucket"], bucket_cap)
     a, b = banded.alias("a"), banded.alias("b")
+    xor = F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))
     return (
         a.join(
             b,
@@ -705,15 +793,15 @@ def hash64_candidates(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
+        # exact-once first-agreeing-band emission; no distinct shuffle —
+        # same reasoning as simhash_candidates
+        .where(F.col("a.band") == _first_zero_band(xor, n_bands, seg))
         .select(
             F.col(f"a.{id_col}").alias("i"),
             F.col(f"b.{id_col}").alias("j"),
-            F.bit_count(F.col("a.__sh").bitwiseXOR(F.col("b.__sh")))
-            .alias("hamming"),
+            F.bit_count(xor).alias("hamming"),
         )
-        # filter before distinct — same reasoning as simhash_candidates
         .where(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 

@@ -531,3 +531,33 @@ def test_jaccard_verify_size_prefilter_is_lossless(spark):
             for r in jaccard_verify(pairs, d, threshold=t).collect()
         }
         assert got == naive(t), t
+
+
+def test_jaccard_verify_histogram_filter_lossless(spark):
+    """The n_hist bucket-count prefilter is a counting bound, never a
+    heuristic: across a corpus engineered with near-dups straddling the
+    threshold, the filtered result equals the n_hist=1 path (where the
+    bound degenerates to the size filter) pair for pair."""
+    import itertools
+
+    from keystone_spark.operators.dedup import jaccard_verify
+
+    base = "abcdefghij klmnopqrst uvwxyz0123 4567890abc defghijklm "
+    docs = [
+        (0, base * 4),
+        (1, base * 4),                           # identical to 0
+        (2, base * 4 + "one extra tail bit"),    # near-dup of 0/1
+        (3, base * 2 + "completely different middle section " + base),
+        (4, "unrelated content entirely " * 8),
+        (5, base[::-1] * 4),                     # same chars, diff shingles
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(i, j) for i, j in itertools.combinations(range(6), 2)], "i long, j long"
+    )
+    got = {(r.i, r.j): r.jac
+           for r in jaccard_verify(pairs, df, threshold=0.5, n_hist=16).collect()}
+    ref = {(r.i, r.j): r.jac
+           for r in jaccard_verify(pairs, df, threshold=0.5, n_hist=1).collect()}
+    assert got == ref
+    assert (0, 1) in got and got[(0, 1)] == 1.0
