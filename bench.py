@@ -63,6 +63,10 @@ def main() -> None:
     def run(df) -> None:
         # noop datasource: full plan incl. every output column, zero sink IO
         df.write.format("noop").mode("overwrite").save()
+        # honor the release(out) persist contract (e.g. minhash_dedup in
+        # b13) so repeated slots don't accumulate persisted blocks
+        for c in getattr(df, "_keystone_caches", []):
+            c.unpersist()
 
     def run_suite(d: str, curation: bool = False) -> dict[str, float]:
         slots = [(n, (k,)) for n, k in BENCH_QUERIES]

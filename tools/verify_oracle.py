@@ -89,7 +89,15 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            out = fn(spark, sf_dir)
+            sdf = out.toPandas()
+            # honor the release(out) persist contract per query, then
+            # sweep strays — 170 queries in one JVM otherwise accumulate
+            # persisted blocks (same leak bench_registry.run_registry
+            # releases; harmless for correctness, bad for memory)
+            for c in getattr(out, "_keystone_caches", []):
+                c.unpersist()
+            spark.catalog.clearCache()
         except Exception as e:
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
             n_fail += 1
