@@ -148,14 +148,16 @@ def pagerank(
     sum to 1 — the invariant the tests and the declared query pin.
     Deterministic: pure floating-point iteration, no sampling.
 
-    Scale shape: ranks is a (node, rank) table partitioned like the edge
-    src column; contribs = edges ⋈ ranks is the only data-sized join and
-    reuses that partitioning every iteration. The dangling mass stays a
-    1-row aggregate CROSS-JOINED (broadcast) into the rank update — no
-    per-iteration driver fetch at all, so each iteration is exactly ONE
-    action (the lineage-truncating eager checkpoint; previously the
-    scalar collect made it two, doubling job-scheduling overhead). At
-    1000 executors this is the standard Pregel-free DataFrame PageRank.
+    Scale shape: the loop state is a (node, deg, rank) table — the
+    STATIC out-degree is folded into the vertex table once before the
+    loop, so the per-iteration ranks ⋈ out_deg join (two shuffles per
+    step) does not exist; contribs = edges ⋈ ranks is the only
+    data-sized join. The dangling mass stays a 1-row aggregate
+    CROSS-JOINED (broadcast) into the rank update — no per-iteration
+    driver fetch at all, so each iteration is exactly ONE action (the
+    lineage-truncating eager checkpoint; previously the scalar collect
+    made it two, doubling job-scheduling overhead). At 1000 executors
+    this is the standard Pregel-free DataFrame PageRank.
     """
     e = edges.select(
         F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
@@ -170,10 +172,17 @@ def pagerank(
         )
     verts = ends.distinct().localCheckpoint(eager=True)
     n = verts.count()
-    out_deg = e.groupBy("s").agg(F.count("*").alias("deg")).localCheckpoint(
-        eager=True
+    out_deg = e.groupBy("s").agg(F.count("*").alias("deg"))
+    # fold the STATIC out-degree into the vertex table once: the
+    # per-iteration state is (node, deg, rank), so the ranks ⋈ out_deg
+    # join — two shuffles per iteration — leaves the loop entirely
+    # (deg is NULL exactly for dangling nodes, which is the mass test)
+    vstate = (
+        verts.join(out_deg, verts[node_col] == out_deg["s"], "left")
+        .select(node_col, "deg")
+        .localCheckpoint(eager=True)
     )
-    ranks = verts.withColumn(rank_col, F.lit(1.0 / n))
+    ranks = vstate.withColumn(rank_col, F.lit(1.0 / n))
     base = (1.0 - damping) / n
     # With no per-iteration driver fetch the loop is fully lazy, so the
     # lineage-truncating eager checkpoint only needs to land every few
@@ -183,15 +192,12 @@ def pagerank(
     # fewer barriers means fewer scheduling waves).
     checkpoint_every = 4
     for it in range(max_iter):
-        with_deg = ranks.join(
-            out_deg, ranks[node_col] == out_deg["s"], "left"
-        )
         dang = (
-            with_deg.where(F.col("deg").isNull())
+            ranks.where(F.col("deg").isNull())
             .agg(F.coalesce(F.sum(rank_col), F.lit(0.0)).alias("__dang"))
         )
         contribs = (
-            e.join(with_deg.where(F.col("deg").isNotNull()),
+            e.join(ranks.where(F.col("deg").isNotNull()),
                    e["s"] == F.col(node_col))
             .select(F.col("d").alias(node_col),
                     (F.col(rank_col) / F.col("deg")).alias("c"))
@@ -199,10 +205,11 @@ def pagerank(
             .agg(F.sum("c").alias("c"))
         )
         ranks = (
-            verts.join(contribs, node_col, "left")
+            vstate.join(contribs, node_col, "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 node_col,
+                "deg",
                 (
                     F.lit(base)
                     + F.lit(damping)
@@ -213,4 +220,4 @@ def pagerank(
         )
         if it % checkpoint_every == checkpoint_every - 1 or it == max_iter - 1:
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+    return ranks.select(node_col, rank_col)
