@@ -3,7 +3,7 @@
 bench.py wall-time-gates only the 12 headline b-slots; this gate times
 EVERY ``queries()`` entry at sf0.1 (tools/bench_registry.py: noop sink,
 warmup + best-of-2, own JVM at the bench session shape) and fails any
-query slower than max(2x, +0.75s) of the committed reference snapshot
+query slower than max(2.5x, +0.75s) of the committed reference snapshot
 (tools/registry_snapshot.json) — so a plan regression anywhere in the
 registry is loud even when correctness stays green (VERDICT r5 #1).
 

@@ -10,14 +10,14 @@ JSON line. Modes:
   python tools/bench_registry.py --snapshot FILE      # measure + write FILE
   python tools/bench_registry.py --check FILE         # measure, compare vs
                                                       # FILE, exit 1 on any
-                                                      # query > max(2x snap,
+                                                      # query > max(2.5x snap,
                                                       # snap + floor)
 
 The committed reference snapshot lives at tools/registry_snapshot.json
 (regenerate deliberately when a plan change legitimately shifts cost:
 rerun with --snapshot and commit the diff). The regression predicate
-uses BOTH a ratio (2x) and an absolute floor so sub-100ms queries don't
-flap on machine-load noise.
+uses BOTH a ratio (RATIO) and an absolute floor so sub-100ms queries
+don't flap on machine-load noise.
 """
 
 from __future__ import annotations
@@ -33,6 +33,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 DEFAULT_SNAPSHOT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "registry_snapshot.json")
 ABS_FLOOR_SEC = 0.75  # noise floor: never flag below snapshot + this
+# Regression ratio: 2.0x proved exactly borderline — JIT/GC run-to-run
+# variance across a 170-query single-JVM sweep measures up to 2x on
+# ~1.5s queries (bm25_search grazed its limit at 1.9995x with no code
+# change), while the real regression classes this gate has caught
+# (interpreted quadratic array expressions, double-evaluated kernels,
+# missing pushdown) land at 5-30x. 2.5x keeps those loud and stops
+# the false trips.
+RATIO = 2.5
 
 
 def run_registry(spark, sf_dir: str, keys=None, repeats: int = 2) -> dict:
@@ -69,7 +77,7 @@ def run_registry(spark, sf_dir: str, keys=None, repeats: int = 2) -> dict:
 
 
 def compare(current: dict, snapshot: dict) -> list[str]:
-    """Regressions: queries slower than max(2x snapshot, snapshot +
+    """Regressions: queries slower than max(RATIO x snapshot, snapshot +
     ABS_FLOOR_SEC). Queries missing from the snapshot are reported as
     'unsnapshotted' (regenerate the snapshot when adding queries)."""
     problems = []
@@ -78,7 +86,7 @@ def compare(current: dict, snapshot: dict) -> list[str]:
         if snap is None:
             problems.append(f"unsnapshotted: {name} ({now:.2f}s)")
             continue
-        limit = max(2.0 * snap, snap + ABS_FLOOR_SEC)
+        limit = max(RATIO * snap, snap + ABS_FLOOR_SEC)
         if now > limit:
             problems.append(
                 f"regressed: {name} {now:.2f}s vs snapshot {snap:.2f}s "
