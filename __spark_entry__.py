@@ -2559,6 +2559,66 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_logweights(raw, tgt, dim=256).orderBy("doc_id")
 
 
+def q_top_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operational output of span dedup: WHICH verbatim 8-token
+    spans to strip — top 20 by distinct-doc count (ties broken on the
+    span text). Same in-array-distinct explode as duplicate_spans but
+    grouping the raw span STRING (the remediation list must be
+    human-readable); one map-side-combinable count agg + a bounded
+    top-k sort. The 100-TB form caps the agg with the same bucket-cap
+    reasoning as the LSH joins — here the output IS the oversized
+    buckets, so no cap is wanted."""
+    from keystone_spark.functions.text import tokens, word_ngrams
+    from keystone_spark.sources import ensure_parallelism
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    spans = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_ngrams(tokens(F.col("text")), 8))
+        ).alias("span"),
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), "span")
+        .limit(20)
+    )
+
+
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESAMPLING step DSIR exists for: per-source top-5 English
+    docs by importance weight toward the non-English target domain
+    (deterministic top-k per key — the Gumbel-noise variant swaps the
+    order column; ties broken on doc_id). dsir_logweights' broadcast
+    ratio join feeds one per-source window that prunes map-side
+    (WindowGroupLimit) — selection shuffles each doc once. Ranking
+    orders on round(logw, 6): exact-duplicate docs have float-identical
+    weights whose cross-engine summation-order spread (~1e-16) would
+    otherwise flip the doc_id tiebreak."""
+    from keystone_spark.operators.curation import dsir_logweights
+    from keystone_spark.sources import ensure_parallelism
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    raw = d.where(F.col("lang") == "en")
+    tgt = d.where(F.col("lang") != "en")
+    w = dsir_logweights(raw, tgt, dim=256)
+    joined = raw.select("doc_id", "source").join(w, "doc_id")
+    win = Window.partitionBy("source").orderBy(
+        F.round("logw", 6).desc(), F.col("doc_id")
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(win))
+        .where(F.col("rk") <= 5)
+        .select("source", "rk", "doc_id", "logw")
+        .orderBy("source", "rk")
+    )
+
+
 def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC MERGE (operators/curation.apply_changes — Delta/Iceberg MERGE
     INTO semantics on raw parquet): a synthesized changelog of updates
@@ -4261,6 +4321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lead so the next driver window samples them first. ---
         "duplicate_spans": q_duplicate_spans,
         "dsir_weights": q_dsir_weights,
+        "top_boilerplate_spans": q_top_boilerplate_spans,
+        "dsir_resample": q_dsir_resample,
         "equidepth_hist": q_equidepth_hist,
         "revenue_concentration": q_revenue_concentration,
         "doc_fingerprint": q_doc_fingerprint,
@@ -5357,6 +5419,73 @@ def oracle_sql() -> dict[str, str]:
                              / s.n_spans END AS dup_frac
             FROM spine s LEFT JOIN dupc d USING (doc_id)
             ORDER BY s.doc_id
+        """,
+        # raw span strings this time (the remediation list), same
+        # tokenization + per-doc distinct; top-20 by doc count
+        "top_boilerplate_spans": """
+            WITH toks AS (
+                SELECT doc_id, list_filter(
+                    string_split_regex(lower(trim(text)),
+                                       '[^\\p{L}\\p{N}'']+'),
+                    x -> x <> '') AS t
+                FROM documents),
+            spans AS (
+                SELECT doc_id, UNNEST(list_distinct(
+                    CASE WHEN len(t) >= 8 THEN
+                        list_transform(range(1, len(t) - 8 + 2),
+                            i -> array_to_string(list_slice(t, i, i + 7), ' '))
+                    ELSE [] END)) AS span
+                FROM toks)
+            SELECT span, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+            FROM spans GROUP BY span HAVING COUNT(*) >= 2
+            ORDER BY n_docs DESC, span LIMIT 20
+        """,
+        # dsir_weights' ratio model + per-source row_number top-5
+        "dsir_resample": """
+            WITH rawd AS (
+                SELECT doc_id, source, text FROM documents
+                WHERE lang = 'en'),
+            tgtd AS (
+                SELECT doc_id, text FROM documents WHERE lang <> 'en'),
+            rtok AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(UNNEST(list_filter(
+                           string_split_regex(lower(trim(text)),
+                                              '[^\\p{L}\\p{N}'']+'),
+                           x -> x <> ''))), 1, 13)) AS BIGINT) % 256 AS b
+                FROM rawd),
+            ttok AS (
+                SELECT CAST(('0x' || substr(md5(UNNEST(list_filter(
+                           string_split_regex(lower(trim(text)),
+                                              '[^\\p{L}\\p{N}'']+'),
+                           x -> x <> ''))), 1, 13)) AS BIGINT) % 256 AS b
+                FROM tgtd),
+            tc AS (SELECT b, COUNT(*) AS tc FROM ttok GROUP BY b),
+            sc AS (SELECT b, COUNT(*) AS sc FROM rtok GROUP BY b),
+            counts AS (
+                SELECT COALESCE(tc.b, sc.b) AS b,
+                       COALESCE(tc, 0) AS tc, COALESCE(sc, 0) AS sc
+                FROM tc FULL OUTER JOIN sc ON tc.b = sc.b),
+            tot AS (SELECT SUM(tc) AS tt, SUM(sc) AS st FROM counts),
+            ratio AS (
+                SELECT b, ln((tc + 1) / (tt + 256.0))
+                          - ln((sc + 1) / (st + 256.0)) AS lr
+                FROM counts CROSS JOIN tot),
+            per_doc AS (
+                SELECT doc_id, SUM(lr) AS logw
+                FROM rtok JOIN ratio USING (b) GROUP BY doc_id),
+            scored AS (
+                SELECT r.source, r.doc_id,
+                       COALESCE(p.logw, 0.0) AS logw
+                FROM rawd r LEFT JOIN per_doc p USING (doc_id)),
+            ranked AS (
+                SELECT source, doc_id, logw,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY round(logw, 6) DESC, doc_id) AS rk
+                FROM scored)
+            SELECT source, CAST(rk AS INT) AS rk, doc_id, logw
+            FROM ranked WHERE rk <= 5 ORDER BY source, rk
         """,
         # same md5 hash buckets, add-1 smoothing, ln ratio sum per doc
         "dsir_weights": """
