@@ -644,7 +644,19 @@ def simhash_candidates(
     impl='arrow' (default) vectorizes signature computation per batch;
     impl='codegen' keeps everything JVM-side. Buckets larger than
     ``bucket_cap`` are excluded before the self-join (skew guard — see
-    ``_drop_oversized_buckets``); pass None to disable."""
+    ``_drop_oversized_buckets``); pass None to disable.
+
+    SCALE CEILING (measured, BASELINE.md sf5 row): with small segments
+    the band key space is tiny (16 x 4-bit bands = 16 values/band), so
+    bucket occupancy grows LINEARLY with the corpus and the band
+    self-join QUADRATICALLY — sublinear to ~1e4 docs, superlinear past
+    ~1e4 at these defaults, and past ~bucket_cap docs/bucket the skew
+    guard starts dropping whole buckets. Small-segment SimHash banding
+    is a moderate-scale exact-Hamming search; for corpus-scale near-dup
+    use ``minhash_dedup`` (band keys hash into 2^64 values, so
+    occupancy tracks true duplicate families, not corpus size) or this
+    kernel with >= 8-bit segments and a correspondingly lower
+    guaranteed Hamming radius."""
     assert 64 % n_bands == 0
     seg = 64 // n_bands
     if impl == "arrow":
