@@ -2619,6 +2619,35 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr REMOVAL (operators/curation.strip_duplicate_spans —
+    the second half of Lee et al. 2022; duplicate_spans detects, this
+    deletes): an 8-token boilerplate header is injected per doc
+    (doc_id % 3 picks one of three, so the strip is non-vacuous at any
+    SF), every token covered by a span shared across >= 2 docs is
+    removed, and docs reassemble from surviving tokens in order. The
+    full cleaned text hash-checks against the oracle — reassembly
+    exactness, not just counts."""
+    from keystone_spark.operators.curation import strip_duplicate_spans
+    from keystone_spark.sources import ensure_parallelism
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    header = F.element_at(
+        F.array(
+            F.lit("please subscribe to our newsletter for daily updates"),
+            F.lit("copyright notice all rights reserved by example corp"),
+            F.lit("click here to accept all cookies and continue"),
+        ),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    aug = d.select(
+        "doc_id", F.concat_ws(" ", header, F.col("text")).alias("text")
+    )
+    return strip_duplicate_spans(aug, span_tokens=8, min_docs=2).orderBy(
+        "doc_id"
+    )
+
+
 def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC MERGE (operators/curation.apply_changes — Delta/Iceberg MERGE
     INTO semantics on raw parquet): a synthesized changelog of updates
@@ -4323,6 +4352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "top_boilerplate_spans": q_top_boilerplate_spans,
         "dsir_resample": q_dsir_resample,
+        "strip_spans": q_strip_spans,
         "equidepth_hist": q_equidepth_hist,
         "revenue_concentration": q_revenue_concentration,
         "doc_fingerprint": q_doc_fingerprint,
@@ -5486,6 +5516,66 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored)
             SELECT source, CAST(rk AS INT) AS rk, doc_id, logw
             FROM ranked WHERE rk <= 5 ORDER BY source, rk
+        """,
+        # same header injection + tokenization + md5 span keys; covered
+        # positions anti-joined, text reassembled by ordered string_agg
+        "strip_spans": """
+            WITH aug AS (
+                SELECT doc_id,
+                    ['please subscribe to our newsletter for daily updates',
+                     'copyright notice all rights reserved by example corp',
+                     'click here to accept all cookies and continue']
+                        [CAST(doc_id % 3 AS INT) + 1]
+                    || ' ' || text AS text
+                FROM documents),
+            toks AS (
+                SELECT doc_id, list_filter(
+                    string_split_regex(lower(trim(text)),
+                                       '[^\\p{L}\\p{N}'']+'),
+                    x -> x <> '') AS t
+                FROM aug),
+            pos0 AS (
+                SELECT doc_id, UNNEST(range(1, len(t) + 1)) AS i, t
+                FROM toks),
+            pos AS (
+                SELECT doc_id, i - 1 AS p, t[i] AS tok FROM pos0),
+            sp0 AS (
+                SELECT doc_id,
+                       UNNEST(CASE WHEN len(t) >= 8
+                              THEN range(1, len(t) - 8 + 2)
+                              ELSE [] END) AS i,
+                       t
+                FROM toks),
+            spans AS (
+                SELECT doc_id, i - 1 AS p,
+                       CAST(('0x' || substr(md5(
+                           array_to_string(list_slice(t, i, i + 7), ' ')
+                       ), 1, 13)) AS BIGINT) AS k
+                FROM sp0),
+            shared AS (
+                SELECT k FROM (SELECT DISTINCT doc_id, k FROM spans)
+                GROUP BY k HAVING COUNT(*) >= 2),
+            cov0 AS (
+                SELECT doc_id, UNNEST(range(p, p + 8)) AS cp
+                FROM spans WHERE k IN (SELECT k FROM shared)),
+            covered AS (SELECT DISTINCT doc_id, cp FROM cov0),
+            kept AS (
+                SELECT pos.doc_id, pos.p, pos.tok
+                FROM pos LEFT JOIN covered
+                  ON pos.doc_id = covered.doc_id AND pos.p = covered.cp
+                WHERE covered.cp IS NULL),
+            reb AS (
+                SELECT doc_id,
+                       string_agg(tok, ' ' ORDER BY p) AS clean_text,
+                       COUNT(*) AS nkept
+                FROM kept GROUP BY doc_id),
+            spine AS (SELECT doc_id, len(t) AS ntok FROM toks)
+            SELECT s.doc_id,
+                   COALESCE(r.clean_text, '') AS clean_text,
+                   CAST(s.ntok - COALESCE(r.nkept, 0) AS BIGINT)
+                       AS n_tokens_removed
+            FROM spine s LEFT JOIN reb r USING (doc_id)
+            ORDER BY s.doc_id
         """,
         # same md5 hash buckets, add-1 smoothing, ln ratio sum per doc
         "dsir_weights": """

@@ -568,3 +568,105 @@ def dsir_logweights(
         id_col,
         F.coalesce("__logw", F.lit(0.0)).alias("logw"),
     )
+
+
+def strip_duplicate_spans(
+    docs: DataFrame,
+    span_tokens: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_expr=None,
+) -> DataFrame:
+    """ExactSubstr REMOVAL (the second half of Lee et al. 2022 —
+    ``duplicate_spans`` detects, this strips): delete every token
+    covered by a fixed-length span that occurs verbatim in >=
+    ``min_docs`` distinct documents, and reassemble each document from
+    its surviving tokens in order.
+
+    Distributed shape, all positional:
+
+    - tokens explode WITH position (posexplode) — one linear pass;
+    - spans keep their start position and hash to the same 52-bit md5
+      keys as ``duplicate_spans`` (oracle-replayable); the shared-key
+      table is a distinct (doc, key) count agg;
+    - covered positions = shared spans exploded to ``sequence(p,
+      p+span_tokens-1)``, deduped per doc — proportional to the
+      duplicated text, not the corpus;
+    - surviving tokens anti-join covered positions on (doc, pos) and
+      reassemble via array_sort(collect_list(struct(pos, tok))) — the
+      per-doc list is bounded by doc length, never corpus-sized.
+
+    Returns one row per input doc: ``(id_col, clean_text,
+    n_tokens_removed)`` — a doc with no tokens (or shorter than the
+    span) survives unchanged with 0 removed; a doc that is ENTIRELY
+    boilerplate comes back as the empty string, which is the
+    downstream length-filter's job to drop.
+    """
+    from keystone_spark.functions.text import tokens
+
+    toks_arr = token_expr if token_expr is not None else tokens(F.col(text_col))
+    base = docs.select(id_col, toks_arr.alias("__t"))
+    pos_toks = base.select(
+        id_col, F.posexplode("__t").alias("__p", "__tok")
+    )
+    # spans at start position p (0-based), hashed like duplicate_spans
+    spans = base.where(F.size("__t") >= span_tokens).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__t") - span_tokens + 1),
+                lambda i: F.struct(
+                    (i - 1).alias("p"),
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws(" ", F.slice("__t", i, span_tokens))),
+                            1,
+                            13,
+                        ),
+                        16,
+                        10,
+                    ).cast("long").alias("k"),
+                ),
+            )
+        ).alias("__s"),
+    ).select(id_col, "__s.p", "__s.k")
+    shared = (
+        spans.select(id_col, "k").distinct()
+        .groupBy("k")
+        .agg(F.count("*").alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("k")
+    )
+    covered = (
+        spans.join(shared, "k", "left_semi")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("p"), F.col("p") + span_tokens - 1)
+            ).alias("__p"),
+        )
+        .distinct()
+    )
+    kept = pos_toks.join(covered, [id_col, "__p"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__p", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("__nkept"),
+    )
+    spine = base.select(
+        id_col,
+        F.coalesce(F.size("__t"), F.lit(0)).alias("__ntok"),
+    )
+    return spine.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        (
+            F.col("__ntok") - F.coalesce("__nkept", F.lit(0))
+        ).cast("long").alias("n_tokens_removed"),
+    )

@@ -378,3 +378,28 @@ def test_dsir_logweights_matches_local_model(spark):
     assert got[2] == 0.0  # empty doc stays on the spine
     # doc 0 shares its vocabulary with the target, doc 1 does not
     assert got[0] > got[1]
+
+
+def test_strip_duplicate_spans_removal_semantics(spark):
+    """Shared spans are deleted positionally; unique text survives
+    in order; an all-boilerplate doc collapses to the empty string;
+    short docs pass through untouched."""
+    from keystone_spark.operators.curation import strip_duplicate_spans
+
+    boiler = "the quick brown fox jumps over the lazy"
+    rows = [
+        (0, boiler + " dog one two three"),
+        (1, "intro words here " + boiler + " tail"),
+        (2, "unique text entirely different from anything else here today"),
+        (3, "too short"),
+        (4, boiler),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in strip_duplicate_spans(df, span_tokens=8).collect()}
+    assert len(out) == 5
+    assert out[0].clean_text == "dog one two three" and out[0].n_tokens_removed == 8
+    # doc 1's shared span sits mid-document: both flanks survive in order
+    assert out[1].clean_text == "intro words here tail"
+    assert out[2].n_tokens_removed == 0
+    assert out[3].clean_text == "too short" and out[3].n_tokens_removed == 0
+    assert out[4].clean_text == "" and out[4].n_tokens_removed == 8

@@ -37,16 +37,16 @@ def test_registry_hygiene_full_surface():
     q = m.queries()
     o = m.oracle_sql()
     assert set(q) == set(o)
-    assert len(q) >= 172
+    assert len(q) >= 173
     for name, sql in o.items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
-    head = list(q)[:27]
+    head = list(q)[:28]
     assert head == [
-        # r6 NEW queries (ExactSubstr span dedup, DSIR importance
-        # weights + their operational compositions) lead so the next
-        # driver window samples them first
+        # r6 NEW queries (ExactSubstr span dedup + removal, DSIR
+        # importance weights + their operational compositions) lead so
+        # the next driver window samples them first
         "duplicate_spans", "dsir_weights",
-        "top_boilerplate_spans", "dsir_resample",
+        "top_boilerplate_spans", "dsir_resample", "strip_spans",
         # r6 rotation: rewired this round (ranked_series / dedup
         # candidate+verify path changes)
         "equidepth_hist", "revenue_concentration", "doc_fingerprint",
