@@ -403,3 +403,39 @@ def test_strip_duplicate_spans_removal_semantics(spark):
     assert out[2].n_tokens_removed == 0
     assert out[3].clean_text == "too short" and out[3].n_tokens_removed == 0
     assert out[4].clean_text == "" and out[4].n_tokens_removed == 8
+
+
+def test_dsir_rank_ties_break_on_doc_id(spark):
+    """Exact-duplicate docs have float-identical DSIR weights (up to
+    summation order); per-source ranking must order them by doc_id —
+    the cross-engine tie contract q_dsir_resample's round(logw, 6)
+    ordering exists for."""
+    from pyspark.sql import Window
+
+    from keystone_spark.operators.curation import dsir_logweights
+
+    raw = spark.createDataFrame(
+        [(1, "s", "aa bb cc dd"), (2, "s", "aa bb cc dd"),
+         (3, "s", "zz yy xx ww"), (4, "s", "aa aa aa aa")],
+        "doc_id long, source string, text string",
+    )
+    tgt = spark.createDataFrame([(9, "aa bb")], "doc_id long, text string")
+    w = dsir_logweights(raw, tgt, dim=32)
+    win = Window.partitionBy("source").orderBy(
+        F.round("logw", 6).desc(), F.col("doc_id")
+    )
+    ranked = (
+        raw.select("doc_id", "source").join(w, "doc_id")
+        .withColumn("rk", F.row_number().over(win))
+        .orderBy("rk")
+        .collect()
+    )
+    by_doc = {r.doc_id: r for r in ranked}
+    # docs 1 and 2 are identical -> identical weight -> doc_id breaks
+    # the tie and the ranks are CONSECUTIVE (no other doc interleaves
+    # two equal-weight rows)
+    assert by_doc[1].logw == by_doc[2].logw
+    assert by_doc[2].rk == by_doc[1].rk + 1
+    # (note doc 3, disjoint from the target, can still outrank 1/2:
+    # the importance RATIO penalizes tokens common in the raw corpus —
+    # that is DSIR working as designed, not a defect)
