@@ -218,36 +218,6 @@ def pii_count(text: Column | str) -> Column:
     return total
 
 
-def max_run_count(sorted_arr: Column) -> Column:
-    """Most-frequent element's count in a SORTED array — one O(n)
-    run-length pass via ``aggregate`` (acc = last element, current run,
-    best run). The naive mode (``transform(distinct, x ->
-    size(filter(arr, y == x)))``) is O(distinct * n) per row and, being
-    a higher-order expression, evaluates INTERPRETED — on a long
-    boilerplate doc that's minutes of one core (caught live by
-    tools/bench_registry.py at sf0.1). Sort + scan is O(n log n) and
-    turns the same answer into a map-only expression."""
-    return F.aggregate(
-        sorted_arr,
-        F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0).alias("run"),
-            F.lit(0).alias("best"),
-        ),
-        lambda acc, x: F.struct(
-            x.cast("string").alias("prev"),
-            F.when(x == acc["prev"], acc["run"] + 1)
-            .otherwise(F.lit(1))
-            .alias("run"),
-            F.greatest(
-                acc["best"],
-                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
-            ).alias("best"),
-        ),
-        lambda acc: acc["best"],
-    )
-
-
 def repetition_signals(toks: Column | str) -> Column:
     """Gopher-style repetition quality signals from a token array:
     struct(n_tokens, distinct_ratio, top_bigram_count, top_bigram_frac).
@@ -420,7 +390,7 @@ def hashed_tf(toks: Column | str, dim: int) -> Column:
     a per-distinct-bucket filter — O(min(dim, distinct) * n) integer
     compares per row, so this form is for SMALL dims (hundreds); at
     large dims use the explode + groupBy form (q_hashed_tf) or a
-    sorted run-length pass (see max_run_count)."""
+    sorted run-length pass (the ``repetition_signals`` aggregate)."""
     t = _c(toks)
     buckets = F.transform(t, lambda x: hash_bucket(x, dim))
     return F.map_from_arrays(

@@ -599,9 +599,11 @@ def strip_duplicate_spans(
 
     Returns one row per input doc: ``(id_col, clean_text,
     n_tokens_removed)`` — a doc with no tokens (or shorter than the
-    span) survives unchanged with 0 removed; a doc that is ENTIRELY
-    boilerplate comes back as the empty string, which is the
-    downstream length-filter's job to drop.
+    span) survives unchanged with 0 removed; a NULL text passes
+    through as NULL with 0 removed (ADVICE r6: with ANSI off,
+    ``size(NULL)`` is -1, so the token count must be guarded
+    explicitly); a doc that is ENTIRELY boilerplate comes back as the
+    empty string, which is the downstream length-filter's job to drop.
     """
     from keystone_spark.functions.text import tokens
 
@@ -661,11 +663,16 @@ def strip_duplicate_spans(
     )
     spine = base.select(
         id_col,
-        F.coalesce(F.size("__t"), F.lit(0)).alias("__ntok"),
+        # size(NULL) = -1 with ANSI off, so coalesce alone never fires
+        F.when(F.col("__t").isNull(), F.lit(0))
+        .otherwise(F.size("__t")).alias("__ntok"),
+        F.col("__t").isNull().alias("__null_text"),
     )
     return spine.join(rebuilt, id_col, "left").select(
         id_col,
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.when(F.col("__null_text"), F.lit(None).cast("string"))
+        .otherwise(F.coalesce("clean_text", F.lit("")))
+        .alias("clean_text"),
         (
             F.col("__ntok") - F.coalesce("__nkept", F.lit(0))
         ).cast("long").alias("n_tokens_removed"),

@@ -47,6 +47,93 @@ def _first_zero_band(xor, n_bands: int, seg: int):
     return expr
 
 
+def _first_surviving_zero_band(xor, surv_mask, n_bands: int, seg: int):
+    """Index of the first band where two signatures agree AND whose
+    bucket survived the skew cap (bit set in ``surv_mask``) — the
+    capping-aware twin of ``_first_zero_band``. Only evaluated on
+    joined rows, where at least one surviving agreeing band exists by
+    construction (the join itself only matches on surviving buckets)."""
+    mask = (1 << seg) - 1
+    expr = F.lit(n_bands - 1)
+    for b in range(n_bands - 2, -1, -1):
+        agree = (
+            F.shiftrightunsigned(xor, b * seg).bitwiseAND(F.lit(mask)) == 0
+        )
+        alive = (
+            F.shiftrightunsigned(surv_mask, b).bitwiseAND(F.lit(1)) == 1
+        )
+        expr = F.when(agree & alive, F.lit(b)).otherwise(expr)
+    return expr
+
+
+def _emit_banded_pairs(
+    banded: DataFrame,
+    id_col: str,
+    n_bands: int,
+    seg: int,
+    max_hamming: int,
+    bucket_cap: int | None,
+) -> DataFrame:
+    """Shared pair-emission tail of the 64-bit banded kernels
+    (``simhash_candidates`` / ``hash64_candidates``): band-bucket
+    self-join + map-side Hamming verify, with EXACT-ONCE pair emission
+    and no pair-level dedup shuffle in either mode.
+
+    - ``bucket_cap is None`` — every agreeing band is present in the
+      join, so "first band where the signatures agree" is a pure
+      function of the two signatures: filtering on it emits each pair
+      exactly once (the classic exact-once LSH trick).
+    - ``bucket_cap`` active — a pair's first agreeing band may sit in a
+      capped bucket while a later band survives; the pure-signature
+      filter would silently drop that pair (ADVICE r6). Fix WITHOUT a
+      candidate-volume dedup (at sf0.1 a verified-pair dropDuplicates
+      measured 4.5x the whole query): attach each id a bitmask of its
+      SURVIVING bands (one corpus-keyed window over the 16N banded
+      rows — map-side trivial next to the band join itself) and emit
+      the row whose band is the first surviving agreeing band. On an
+      agreeing band both sides share the bucket, so survival is
+      identical for both ids and a's mask decides for the pair: still
+      a row-local predicate inside the join, still exactly-once, and
+      lossless — any pair with >= 1 surviving band is kept.
+    """
+    banded = _drop_oversized_buckets(banded, ["band", "bucket"], bucket_cap)
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        banded = banded.withColumn(
+            "__sm",
+            F.sum(
+                # shiftleft's numBits arg must be a literal in the
+                # python API; go through SQL for a column shift amount
+                F.expr("shiftleft(CAST(1 AS BIGINT), band)")
+            ).over(Window.partitionBy(id_col)),
+        )
+    a, b = banded.alias("a"), banded.alias("b")
+    xor = F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))
+    joined = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    if bucket_cap is None:
+        joined = joined.where(
+            F.col("a.band") == _first_zero_band(xor, n_bands, seg)
+        )
+    else:
+        joined = joined.where(
+            F.col("a.band")
+            == _first_surviving_zero_band(
+                xor, F.col("a.__sm"), n_bands, seg
+            )
+        )
+    return joined.select(
+        F.col(f"a.{id_col}").alias("i"),
+        F.col(f"b.{id_col}").alias("j"),
+        F.bit_count(xor).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)
+
+
 def _drop_oversized_buckets(
     banded: DataFrame, keys: list[str], bucket_cap: int | None
 ) -> DataFrame:
@@ -58,12 +145,11 @@ def _drop_oversized_buckets(
     window over the giant bucket, so the guard itself cannot skew).
     Exact-dedup-first (see ``minhash_dedup``) absorbs the identical-doc
     case before banding; what a dropped oversized bucket loses is only
-    near-dup detection *among* >cap boilerplate variants. (Under the
-    exact-once first-agreeing-band emission in the 64-bit kernels, a
-    pair whose FIRST agreeing band sits in a capped bucket is also
-    skipped even if a later band survives — the same boilerplate-family
-    population the cap already sacrifices, traded for deleting the
-    candidate-distinct shuffle.)"""
+    near-dup detection *among* >cap boilerplate variants. A pair whose
+    first agreeing band is capped but whose LATER band survives is
+    still emitted — see ``_emit_banded_pairs``, which switches from the
+    exact-once pure filter to a verified-pair dedup whenever this guard
+    is live."""
     if bucket_cap is None:
         return banded
     big = (
@@ -684,35 +770,9 @@ def simhash_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "__sh", "bb.band", "bb.bucket")
-    banded = _drop_oversized_buckets(banded, ["band", "bucket"], bucket_cap)
-    a, b = banded.alias("a"), banded.alias("b")
-    xor = F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        # exact-once emission (the standard LSH dedup trick): a pair
-        # sharing k bands appears k times in the join; keep only the row
-        # whose band is the FIRST band both signatures agree on — a pure
-        # function of the two signatures, so no distinct is needed and
-        # the multi-million-row dedup shuffle disappears (the join
-        # output shrinks map-side to one row per pair)
-        .where(F.col("a.band") == _first_zero_band(xor, n_bands, seg))
-        .select(
-            F.col(f"a.{id_col}").alias("i"),
-            F.col(f"b.{id_col}").alias("j"),
-            F.bit_count(xor).alias("hamming"),
-        )
-        # hamming is a pure function of the pair: filter map-side, with
-        # coarse bands (e.g. 16 x 4-bit) the band join emits millions of
-        # candidate rows and the bit_count predicate drops them for
-        # pennies before anything shuffles
-        .where(F.col("hamming") <= max_hamming)
+    return _emit_banded_pairs(
+        banded, id_col, n_bands, seg, max_hamming, bucket_cap
     )
-    return pairs
 
 
 def semantic_clusters(
@@ -795,25 +855,8 @@ def hash64_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "__sh", "bb.band", "bb.bucket")
-    banded = _drop_oversized_buckets(banded, ["band", "bucket"], bucket_cap)
-    a, b = banded.alias("a"), banded.alias("b")
-    xor = F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        # exact-once first-agreeing-band emission; no distinct shuffle —
-        # same reasoning as simhash_candidates
-        .where(F.col("a.band") == _first_zero_band(xor, n_bands, seg))
-        .select(
-            F.col(f"a.{id_col}").alias("i"),
-            F.col(f"b.{id_col}").alias("j"),
-            F.bit_count(xor).alias("hamming"),
-        )
-        .where(F.col("hamming") <= max_hamming)
+    return _emit_banded_pairs(
+        banded, id_col, n_bands, seg, max_hamming, bucket_cap
     )
 
 

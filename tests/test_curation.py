@@ -405,6 +405,27 @@ def test_strip_duplicate_spans_removal_semantics(spark):
     assert out[4].clean_text == "" and out[4].n_tokens_removed == 8
 
 
+def test_strip_duplicate_spans_null_text_passthrough(spark):
+    """NULL text is in-domain for the dedup family (minhash_dedup guards
+    it); it must pass through as NULL with 0 removed (ADVICE r6: with
+    ANSI off, size(NULL) = -1, so the old coalesce(size, 0) reported
+    n_tokens_removed = -1 and coerced clean_text to '')."""
+    from keystone_spark.operators.curation import strip_duplicate_spans
+
+    boiler = "the quick brown fox jumps over the lazy"
+    rows = [
+        (0, boiler + " dog one"),
+        (1, boiler + " cat two"),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in strip_duplicate_spans(df, span_tokens=8).collect()}
+    assert len(out) == 3
+    assert out[2].clean_text is None and out[2].n_tokens_removed == 0
+    # the shared 8-token span still strips from the non-NULL docs
+    assert out[0].clean_text == "dog one" and out[0].n_tokens_removed == 8
+
+
 def test_dsir_rank_ties_break_on_doc_id(spark):
     """Exact-duplicate docs have float-identical DSIR weights (up to
     summation order); per-source ranking must order them by doc_id —

@@ -290,6 +290,46 @@ def test_lsh_bucket_cap_bounds_candidates(spark):
     assert kept == [0, 1000]  # boilerplate -> keep-first; near-pair -> keep 1000
 
 
+def test_banded_pair_survives_capped_first_band(spark):
+    """A pair whose FIRST agreeing band sits in a capped bucket but whose
+    LATER agreeing band survives must still be emitted exactly once
+    (ADVICE r6: the pure first-agreeing-band filter silently dropped it;
+    with the skew guard live, emission now dedups VERIFIED pairs
+    instead). With bucket_cap=None the exact-once pure filter still
+    emits the pair exactly once with no dedup shuffle."""
+    from keystone_spark.operators.dedup import hash64_candidates
+
+    # 4 bands x 16 bits. X and Y agree in bands 0 AND 1 (band 0 is their
+    # first agreeing band); 50 fillers share X's band-0 bucket (capping
+    # it) but are unique everywhere else.
+    def sig(b0, b1, b2, b3):
+        return (b3 << 48) | (b2 << 32) | (b1 << 16) | b0
+
+    x = sig(0x1111, 0x2222, 0x3333, 0x4444)
+    y = sig(0x1111, 0x2222, 0x3335, 0x4446)  # hamming(x, y) = 3
+    rows = [(0, x), (1, y)]
+    rows += [
+        (10 + i, sig(0x1111, 0x5000 + i, 0x6000 + i, 0x7000 + i))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "img_id long, h long")
+
+    capped = hash64_candidates(
+        df, "img_id", "h", n_bands=4, max_hamming=3, bucket_cap=10
+    ).collect()
+    assert [(r.i, r.j, r.hamming) for r in capped] == [(0, 1, 3)]
+
+    # uncapped: the pure exact-once filter emits every pair (including
+    # filler-filler near-pairs that the capped run sacrifices with the
+    # bucket) EXACTLY once, with no dedup shuffle
+    uncapped = hash64_candidates(
+        df, "img_id", "h", n_bands=4, max_hamming=3, bucket_cap=None
+    ).collect()
+    emitted = [(r.i, r.j) for r in uncapped]
+    assert (0, 1) in emitted
+    assert len(emitted) == len(set(emitted))
+
+
 def test_minhash_dedup_cache_hygiene(spark):
     """After minhash_dedup returns, only the small drop-id set may remain
     persisted; release() clears that too (VERDICT r1 #6)."""
