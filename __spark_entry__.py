@@ -585,8 +585,16 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from keystone_spark.operators.dedup import jaccard_verify, simhash_candidates
 
     d = _t(spark, sf_dir, "documents")
-    cand = simhash_candidates(d, n_bands=16, max_hamming=12)
-    return jaccard_verify(cand.select("i", "j"), d, threshold=0.8).orderBy("i", "j")
+    # persist candidates: jaccard_verify consumes them four times
+    # (i-id union, j-id union, i-side join, j-side join) and the banded
+    # self-join is the expensive subtree — without the cache the whole
+    # band join re-runs per consumer (caught by bench_registry r7)
+    raw = simhash_candidates(d, n_bands=16, max_hamming=12)
+    cand = raw.select("i", "j").persist()
+    caches: list = list(getattr(raw, "_keystone_caches", []))
+    out = jaccard_verify(cand, d, threshold=0.8, caches=caches).orderBy("i", "j")
+    out._keystone_caches = [cand] + caches
+    return out
 
 
 def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4324,6 +4332,129 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# round 7: incremental near-dedup, RAG chunking, URL canonicalization,
+# clickstream path mining, mixture weights, skew profiling, robust outliers
+# ---------------------------------------------------------------------------
+
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup: new-batch docs (doc_id % 4 == 0) matched
+    against the existing corpus (the rest) through the banded MinHash
+    index — the production shape where 100 TB of history is signed once
+    and each nightly increment joins the stored band buckets instead of
+    re-deduping the world (operators/dedup.neardup_against_corpus;
+    the parquet-index variant build_minhash_index/match_minhash_index is
+    pytest-covered with a band-partition-pruning plan pin).
+
+    Exact oracle: LSH only generates candidates; the answer is decided
+    by exact shingle Jaccard >= 0.8, and fixture cross-pairs sit at
+    >= 0.97 vs next-closest < 0.35 (measured), so banded recall is
+    deterministically 1.0 at this config — same argument as
+    minhash_dedup."""
+    from keystone_spark.operators.dedup import neardup_against_corpus
+    from keystone_spark.sources import ensure_parallelism
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    corpus = d.where(F.col("doc_id") % 4 != 0)
+    batch = d.where(F.col("doc_id") % 4 == 0)
+    out = neardup_against_corpus(
+        corpus, batch, n_hashes=64, n_bands=16, threshold=0.8
+    )
+    return out.orderBy("doc_id")
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking: 64-token windows, stride 48 (16-token overlap),
+    redundant tails dropped (operators/curation.chunk_documents). A
+    map-only codegen scan — the feeder stage for embedding a 100-TB
+    corpus, where chunk explosion must not shuffle."""
+    from keystone_spark.operators.curation import chunk_documents
+    from keystone_spark.sources import ensure_parallelism
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return chunk_documents(d, chunk_tokens=64, stride=48).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup (functions/text.canonicalize_url):
+    deterministic noisy variants per doc (host case, tracking params,
+    trailing slash, fragments) collapse to one canonical URL; keep the
+    lowest doc_id per canonical key. The oracle constructs the expected
+    canonical form DIRECTLY (independent twin), so it checks the
+    regexp chain's semantics, not its implementation."""
+    from keystone_spark.functions.text import canonicalize_url
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.Example.COM"))
+        .otherwise(F.lit("www.example.com")),
+        F.lit("/"), F.col("lang"), F.lit("/page-"), F.col("doc_id") % 40,
+        F.when(F.col("doc_id") % 4 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?q="), F.col("doc_id") % 3,
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("&utm_source=s"), F.col("doc_id") % 7),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return (
+        d.select("doc_id", canonicalize_url(url).alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count("*").cast("long").alias("n_variants"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .orderBy("canon_url")
+    )
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus-mixing weights (operators/curation.
+    source_mixture_weights, DoReMi-lite): weight ∝ sqrt(token mass) x
+    quality rate, normalized. One agg to |sources| rows + a single-row
+    total broadcast — nothing after the scan scales with the corpus."""
+    from keystone_spark.operators.curation import source_mixture_weights
+    from keystone_spark.sources import ensure_parallelism
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return source_mixture_weights(d).orderBy("source")
+
+
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics on events.user_id (operators/observe.
+    key_skew_profile): top-10 heaviest keys with share / cumulative
+    share / skew-vs-mean — the profiling pass that decides salting or
+    AQE skew-split before a 100-TB join."""
+    from keystone_spark.operators.observe import key_skew_profile
+
+    e = _t(spark, sf_dir, "events")
+    return key_skew_profile(e, "user_id", top_k=10).orderBy("rank")
+
+
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 session paths (operators/relational.session_paths):
+    30-min gap sessionization, each session rendered as its ordered
+    event-type string (first 20 events), ranked by session count. The
+    path-count agg is map-side combinable; top-k is a bounded sort."""
+    from keystone_spark.operators.relational import session_paths
+
+    e = _t(spark, sf_dir, "events")
+    return session_paths(e).orderBy("rank")
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier profile on events.value (operators/
+    stats.mad_outlier_stats): MAD-scaled fences (k=3 robust z), exact
+    interpolated medians, group tables broadcast back onto the scan."""
+    from keystone_spark.operators.stats import mad_outlier_stats
+
+    e = _t(spark, sf_dir, "events")
+    return mad_outlier_stats(e, "event_type", "value").orderBy("event_type")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_multi_join(spark, "/root/testdata/sf0.001")
@@ -4348,6 +4479,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_oracle_full.py regardless of order. The two NEW
         # r6 queries (ExactSubstr span dedup, DSIR importance weights)
         # lead so the next driver window samples them first. ---
+        # --- r7 head rotation: the seven NEW round-7 queries lead so the
+        # driver's 50-query window samples them first; the r6 block after
+        # them was verified in the r6 window and stays CI-gated at full
+        # width via tests/test_oracle_full.py. ---
+        "incremental_neardup": q_incremental_neardup,
+        "doc_chunks": q_doc_chunks,
+        "url_dedup": q_url_dedup,
+        "mixture_weights": q_mixture_weights,
+        "key_skew_profile": q_key_skew_profile,
+        "top_paths": q_top_paths,
+        "mad_outliers": q_mad_outliers,
         "duplicate_spans": q_duplicate_spans,
         "dsir_weights": q_dsir_weights,
         "top_boilerplate_spans": q_top_boilerplate_spans,
@@ -4529,6 +4671,156 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # --- round 7 ---
+        "incremental_neardup": """
+            WITH sh AS (
+                SELECT doc_id, CASE WHEN length(lower(trim(text))) >= 5
+                    THEN list_distinct([substr(lower(trim(text)), i, 5)
+                                        FOR i IN range(1, length(lower(trim(text))) - 3)])
+                    ELSE [lower(trim(text))] END AS s
+                FROM documents WHERE text IS NOT NULL),
+            ex AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+            sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+            inter AS (
+                SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+                FROM ex a JOIN ex b
+                ON a.g = b.g AND a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0
+                GROUP BY 1, 2),
+            jac AS (
+                SELECT i, j, ROUND(c * 1.0 / (na.n + nb.n - c), 6) AS jac
+                FROM inter
+                JOIN sizes na ON na.doc_id = i
+                JOIN sizes nb ON nb.doc_id = j
+                WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8),
+            best AS (
+                SELECT i AS doc_id, j AS dup_of, jac,
+                       ROW_NUMBER() OVER (PARTITION BY i
+                                          ORDER BY jac DESC, j) AS rn
+                FROM jac)
+            SELECT doc_id, dup_of, jac FROM best WHERE rn = 1
+            ORDER BY doc_id
+        """,
+        "doc_chunks": """
+            WITH tok AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(text)),
+                                   '[^\\p{L}\\p{N}'']+'), x -> x <> '') AS t
+                FROM documents WHERE text IS NOT NULL),
+            base AS (SELECT doc_id, t, len(t) AS n FROM tok WHERE len(t) > 0),
+            starts AS (
+                SELECT doc_id, t, n, UNNEST(range(0, n, 48)) AS s FROM base),
+            keep AS (SELECT * FROM starts WHERE s = 0 OR s - 48 + 64 < n)
+            SELECT doc_id,
+                   CAST(s // 48 AS BIGINT) AS chunk_id,
+                   CAST(LEAST(64, n - s) AS BIGINT) AS n_tokens,
+                   array_to_string(t[CAST(s + 1 AS BIGINT):CAST(s + 64 AS BIGINT)], ' ') AS chunk_text
+            FROM keep ORDER BY doc_id, chunk_id
+        """,
+        # independent twin: the oracle CONSTRUCTS the canonical form the
+        # regexp chain is specified to produce (lowercased host, no
+        # tracking params / fragment / trailing slash), so it checks the
+        # chain's semantics end-to-end rather than replaying it.
+        "url_dedup": """
+            SELECT canon_url, COUNT(*) AS n_variants,
+                   MIN(doc_id) AS keeper
+            FROM (
+                SELECT doc_id,
+                       'https://www.example.com/' || lang || '/page-'
+                       || (doc_id % 40) || '?q=' || (doc_id % 3) AS canon_url
+                FROM documents)
+            GROUP BY canon_url ORDER BY canon_url
+        """,
+        "mixture_weights": """
+            WITH tok AS (
+                SELECT source,
+                       CASE WHEN text IS NULL THEN NULL
+                            ELSE list_filter(string_split_regex(lower(trim(text)),
+                                 '[^\\p{L}\\p{N}'']+'), x -> x <> '') END AS t
+                FROM documents),
+            feats AS (
+                SELECT source,
+                       CASE WHEN t IS NULL THEN 0 ELSE len(t) END AS n,
+                       CASE WHEN t IS NULL OR len(t) = 0 THEN 0.0
+                            ELSE len(list_distinct(t)) * 1.0 / len(t) END AS dr
+                FROM tok),
+            per AS (
+                SELECT source, COUNT(*) AS n_docs,
+                       CAST(SUM(n) AS BIGINT) AS n_tokens,
+                       AVG(CASE WHEN n BETWEEN 10 AND 5000 AND dr >= 0.3
+                                THEN 1 ELSE 0 END) AS qr
+                FROM feats GROUP BY source),
+            tot AS (SELECT SUM(pow(n_tokens, 0.5) * qr) AS t FROM per)
+            SELECT source, n_docs, n_tokens,
+                   ROUND(qr, 6) AS quality_rate,
+                   ROUND(pow(n_tokens, 0.5) * qr / t, 6) AS weight
+            FROM per CROSS JOIN tot ORDER BY source
+        """,
+        "key_skew_profile": """
+            WITH c AS (
+                SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS cnt
+                FROM events GROUP BY 1),
+            t AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total,
+                         COUNT(*) AS nkeys FROM c),
+            r AS (
+                SELECT key, cnt,
+                       ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rank,
+                       CAST(SUM(cnt) OVER (ORDER BY cnt DESC, key
+                            ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum
+                FROM c)
+            SELECT rank, key, cnt,
+                   ROUND(cnt / total, 6) AS share,
+                   ROUND(cum / total, 6) AS cum_share,
+                   ROUND(cnt / (total / nkeys), 6) AS skew
+            FROM r CROSS JOIN t WHERE rank <= 10 ORDER BY rank
+        """,
+        "top_paths": """
+            WITH g AS (
+                SELECT user_id, event_id, ts, event_type,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+                SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+                FROM g),
+            p AS (
+                SELECT user_id, sid,
+                       array_to_string(
+                           (list(event_type ORDER BY ts, event_id))[1:20],
+                           '>') AS path
+                FROM s GROUP BY user_id, sid),
+            c AS (SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY path),
+            r AS (
+                SELECT path, n_sessions,
+                       ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS rank
+                FROM c)
+            SELECT rank, path, n_sessions FROM r WHERE rank <= 15
+            ORDER BY rank
+        """,
+        "mad_outliers": """
+            WITH med AS (
+                SELECT event_type, median(value) AS med
+                FROM events GROUP BY event_type),
+            dev AS (
+                SELECT e.event_type, e.value, m.med,
+                       abs(e.value - m.med) AS adev
+                FROM events e JOIN med m ON e.event_type = m.event_type),
+            mad AS (
+                SELECT event_type, median(adev) AS mad
+                FROM dev GROUP BY event_type)
+            SELECT d.event_type,
+                   CAST(COUNT(d.value) AS BIGINT) AS n,
+                   ROUND(ANY_VALUE(d.med), 6) AS med,
+                   ROUND(ANY_VALUE(m.mad), 6) AS mad,
+                   CAST(SUM(CASE WHEN d.adev > 3.0 * 1.4826 * m.mad
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                   ROUND(AVG(CASE WHEN d.adev > 3.0 * 1.4826 * m.mad
+                                  THEN 1 ELSE 0 END), 6) AS outlier_frac
+            FROM dev d JOIN mad m ON d.event_type = m.event_type
+            GROUP BY d.event_type ORDER BY d.event_type
+        """,
         "filter_project": """
             SELECT l_orderkey, l_linenumber,
                    ROUND(l_extendedprice * (1 - l_discount), 6) AS net

@@ -400,3 +400,34 @@ def hashed_tf(toks: Column | str, dim: int) -> Column:
             lambda b: F.size(F.filter(buckets, lambda y: y == b)),
         ),
     )
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Canonical form of a URL for web-crawl dedup: drop the fragment,
+    lowercase the scheme://host prefix, strip tracking query params
+    (utm_*, ref, fbclid, gclid), normalize leftover separators, and trim
+    a trailing slash from the path. A pure regexp_replace chain —
+    codegen map-only, zero Python — because at crawl scale URL dedup
+    runs before anything else touches the payload.
+
+    The param patterns are RE2-compatible (no backrefs/lookarounds) so
+    engine twins (DuckDB oracle) reproduce them byte-for-byte."""
+    u = _c(url)
+    # 1. fragment off
+    u = F.regexp_replace(u, r"#.*$", "")
+    # 2. lowercase scheme://host (authority = everything before /?# ends)
+    head = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1))
+    tail = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    u = F.concat(head, tail)
+    # 3. tracking params out (value runs to next & or end)
+    u = F.regexp_replace(u, r"(utm_[a-z]+|ref|fbclid|gclid)=[^&#]*", "")
+    # 4. separator cleanup: collapse && runs, then dangling ?& / ?&-end
+    u = F.regexp_replace(u, r"&&+", "&")
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"[?&]$", "")
+    # 5. trailing slash off the path end ("/x/" == "/x", "host/" ==
+    # "host") and off the path-query boundary ("/x/?q" == "/x?q") — a
+    # URL has one "?", so "/?" occurs only there
+    u = F.regexp_replace(u, r"/$", "")
+    u = F.regexp_replace(u, r"/\?", "?")
+    return u

@@ -677,3 +677,114 @@ def strip_duplicate_spans(
             F.col("__ntok") - F.coalesce("__nkept", F.lit(0))
         ).cast("long").alias("n_tokens_removed"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """RAG-style document chunking: fixed-size token windows with
+    overlap (``stride`` < ``chunk_tokens`` overlaps consecutive chunks
+    by ``chunk_tokens - stride`` tokens). Returns one row per chunk:
+    ``(id_col, chunk_id, n_tokens, chunk_text)``.
+
+    Entirely codegen — tokenize, build the start-offset sequence
+    (0, stride, 2*stride, ...), drop redundant tails (a start whose
+    PREVIOUS chunk already covered the end of the doc adds no new
+    tokens: keep s iff s == 0 or s - stride + chunk_tokens < n), then
+    one explode + a column-start ``slice``. No Python, no shuffle — a
+    map-only scan whose output is ~n/stride rows per doc, which is the
+    shape you want feeding a 100-TB corpus into an embedding stage.
+    Docs with no tokens (or NULL text) produce no chunks."""
+    from keystone_spark.functions.text import tokens
+
+    if stride <= 0 or chunk_tokens <= 0 or stride > chunk_tokens:
+        raise ValueError("need 0 < stride <= chunk_tokens")
+    base = df.select(
+        id_col, tokens(F.col(text_col)).alias("__t")
+    ).withColumn(
+        "__n",
+        F.when(F.col("__t").isNull(), F.lit(0)).otherwise(F.size("__t")),
+    ).where(F.col("__n") > 0)
+    starts = F.filter(
+        F.sequence(
+            F.lit(0), F.greatest(F.col("__n") - 1, F.lit(0)), F.lit(stride)
+        ),
+        lambda s: (s == 0)
+        | (s - F.lit(stride) + F.lit(chunk_tokens) < F.col("__n")),
+    )
+    return (
+        base.select(id_col, "__t", "__n", F.explode(starts).alias("__s"))
+        .select(
+            id_col,
+            (F.col("__s") / F.lit(stride)).cast("long").alias("chunk_id"),
+            F.least(F.lit(chunk_tokens), F.col("__n") - F.col("__s"))
+            .cast("long")
+            .alias("n_tokens"),
+            F.concat_ws(
+                " ", F.slice("__t", F.col("__s") + 1, F.lit(chunk_tokens))
+            ).alias("chunk_text"),
+        )
+    )
+
+
+def source_mixture_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    min_tokens: int = 10,
+    max_tokens: int = 5000,
+    min_distinct_ratio: float = 0.3,
+) -> DataFrame:
+    """Per-source sampling weights for corpus mixing (the DoReMi-lite
+    heuristic): weight ∝ (token mass)^alpha x quality rate, normalized
+    to sum 1. ``alpha < 1`` tempers the head (a web-scale source should
+    not drown curated sources in proportion to raw size); the quality
+    rate (share of docs inside the token band with a healthy
+    distinct-token ratio) downweights boilerplate-heavy sources.
+
+    Returns one row per source: ``(source_col, n_docs, n_tokens,
+    quality_rate, weight)``. One map-side-combinable agg over the corpus
+    to a |sources|-row table, then a single-row total broadcast back —
+    nothing downstream of the scan scales with the corpus."""
+    from keystone_spark.functions.text import tokens
+
+    t = tokens(F.col(text_col))
+    ntok = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(F.size(t))
+    dratio = F.when(
+        ntok > 0, F.size(F.array_distinct(t)) / ntok
+    ).otherwise(F.lit(0.0))
+    per = (
+        df.select(
+            F.col(source_col),
+            ntok.alias("__n"),
+            (
+                ntok.between(min_tokens, max_tokens)
+                & (dratio >= min_distinct_ratio)
+            ).cast("int").alias("__ok"),
+        )
+        .groupBy(source_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__n").cast("long").alias("n_tokens"),
+            F.avg("__ok").alias("__qr"),
+        )
+        .withColumn(
+            "__raw", F.pow(F.col("n_tokens"), F.lit(alpha)) * F.col("__qr")
+        )
+    )
+    total = per.agg(F.sum("__raw").alias("__tot"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            F.round("__qr", 6).alias("quality_rate"),
+            F.round(F.col("__raw") / F.col("__tot"), 6).alias("weight"),
+        )
+    )

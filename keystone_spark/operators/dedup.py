@@ -67,48 +67,105 @@ def _first_surviving_zero_band(xor, surv_mask, n_bands: int, seg: int):
 
 
 def _emit_banded_pairs(
-    banded: DataFrame,
+    sh: DataFrame,
     id_col: str,
     n_bands: int,
     seg: int,
     max_hamming: int,
     bucket_cap: int | None,
 ) -> DataFrame:
-    """Shared pair-emission tail of the 64-bit banded kernels
-    (``simhash_candidates`` / ``hash64_candidates``): band-bucket
-    self-join + map-side Hamming verify, with EXACT-ONCE pair emission
-    and no pair-level dedup shuffle in either mode.
+    """Shared banding + pair-emission tail of the 64-bit kernels
+    (``simhash_candidates`` / ``hash64_candidates``): takes the
+    ``(id, __sh)`` signature table, PERSISTS it (the signature kernel
+    may be an Arrow stage — phash, simhash — and the self-join reads it
+    from two sides plus the skew probe; without the cache the kernel
+    re-runs per consumer, measured 2x-3x on simhash_pairs), explodes
+    band-bucket keys, then band self-join + map-side Hamming verify
+    with EXACT-ONCE pair emission and no pair-level dedup shuffle.
+    The persisted inputs ride the returned DataFrame's
+    ``_keystone_caches`` (release via ``release(pairs)``).
 
     - ``bucket_cap is None`` — every agreeing band is present in the
       join, so "first band where the signatures agree" is a pure
       function of the two signatures: filtering on it emits each pair
       exactly once (the classic exact-once LSH trick).
-    - ``bucket_cap`` active — a pair's first agreeing band may sit in a
-      capped bucket while a later band survives; the pure-signature
-      filter would silently drop that pair (ADVICE r6). Fix WITHOUT a
-      candidate-volume dedup (at sf0.1 a verified-pair dropDuplicates
-      measured 4.5x the whole query): attach each id a bitmask of its
-      SURVIVING bands (one corpus-keyed window over the 16N banded
-      rows — map-side trivial next to the band join itself) and emit
-      the row whose band is the first surviving agreeing band. On an
-      agreeing band both sides share the bucket, so survival is
-      identical for both ids and a's mask decides for the pair: still
-      a row-local predicate inside the join, still exactly-once, and
-      lossless — any pair with >= 1 surviving band is kept.
+    - ``bucket_cap`` set — an adaptive probe (one map-side-combinable
+      count agg, persisted because the anti-join re-reads it) first
+      checks whether ANY bucket actually exceeds the cap; when none
+      does (the common corpus), the guard collapses to the pure path
+      above with no anti-join and no mask. When skew exists, a pair's
+      first agreeing band may sit in a capped bucket while a later band
+      survives; the pure-signature filter would silently drop that pair
+      (ADVICE r6). Fix WITHOUT a candidate-volume dedup (at sf0.1 a
+      verified-pair dropDuplicates measured 4.5x the whole query):
+      attach each id a bitmask of its SURVIVING bands (one corpus-keyed
+      window over the 16N banded rows) and emit the row whose band is
+      the first surviving agreeing band. On an agreeing band both sides
+      share the bucket, so survival is identical for both ids and a's
+      mask decides for the pair: still a row-local predicate inside the
+      join, still exactly-once, and lossless — any pair with >= 1
+      surviving band is kept.
     """
-    banded = _drop_oversized_buckets(banded, ["band", "bucket"], bucket_cap)
+    sh = sh.persist()
+    mask = (1 << seg) - 1
+    banded = sh.select(
+        id_col,
+        "__sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("__sh"), b * seg)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "__sh", "bb.band", "bb.bucket")
+    caches = [sh]
+    capped = False
     if bucket_cap is not None:
-        from pyspark.sql import Window
-
-        banded = banded.withColumn(
+        # Adaptive skew probe (the AQE idea, one level up): ONE
+        # map-side-combinable count-agg decides whether any bucket
+        # actually exceeds the cap. The common corpus has none — then
+        # the anti-join AND the mask window are both skipped and the
+        # pure exact-once filter runs at full speed (the always-on mask
+        # measured +30% on simhash_pairs with zero buckets capped).
+        big = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("__n"))
+            .where(F.col("__n") > bucket_cap)
+            .select("band", "bucket")
+        ).persist()
+        capped = not big.isEmpty()
+        if capped:
+            banded = banded.join(F.broadcast(big), ["band", "bucket"],
+                                 "left_anti")
+            caches.append(big)
+        else:
+            big.unpersist()
+    if capped:
+        # Mask ONLY side a: on an agreeing band both sides share the
+        # bucket, so a's survival mask decides for the pair (docstring
+        # above) and b stays a plain projection — keeping b narrow lets
+        # Catalyst broadcast it at moderate scale instead of forcing a
+        # sort-merge join over the skewed (band, bucket) key space
+        # (measured 25x on simhash_pairs when BOTH sides carried the
+        # window).
+        a = banded.withColumn(
             "__sm",
             F.sum(
                 # shiftleft's numBits arg must be a literal in the
                 # python API; go through SQL for a column shift amount
                 F.expr("shiftleft(CAST(1 AS BIGINT), band)")
             ).over(Window.partitionBy(id_col)),
-        )
-    a, b = banded.alias("a"), banded.alias("b")
+        ).alias("a")
+    else:
+        a = banded.alias("a")
+    b = banded.alias("b")
     xor = F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))
     joined = a.join(
         b,
@@ -116,22 +173,24 @@ def _emit_banded_pairs(
         & (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     )
-    if bucket_cap is None:
-        joined = joined.where(
-            F.col("a.band") == _first_zero_band(xor, n_bands, seg)
-        )
-    else:
+    if capped:
         joined = joined.where(
             F.col("a.band")
             == _first_surviving_zero_band(
                 xor, F.col("a.__sm"), n_bands, seg
             )
         )
-    return joined.select(
+    else:
+        joined = joined.where(
+            F.col("a.band") == _first_zero_band(xor, n_bands, seg)
+        )
+    pairs = joined.select(
         F.col(f"a.{id_col}").alias("i"),
         F.col(f"b.{id_col}").alias("j"),
         F.bit_count(xor).alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)
+    pairs._keystone_caches = caches
+    return pairs
 
 
 def _drop_oversized_buckets(
@@ -277,22 +336,22 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
+def minhash_banded(
     sigs: DataFrame,
     id_col: str = "doc_id",
     n_bands: int = 16,
     n_hashes: int = 128,
-    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
-    """Banded LSH: split each signature into n_bands rows keyed by
-    (band, xxhash64(band slice)); docs sharing any band bucket are
-    candidate pairs (i < j). Equi-join on the bucket key — shuffle, not
-    broadcast, so it scales with corpus size. Buckets larger than
-    ``bucket_cap`` are excluded before the self-join (see
-    ``_drop_oversized_buckets``); pass None to disable."""
+    """(id, band, bucket) band-key rows: each signature split into
+    ``n_bands`` slices, each slice collapsed to one xxhash64 bucket key.
+    Shared by the self-join candidate path (``minhash_lsh_candidates``)
+    and the incremental corpus-index path (``build_minhash_index`` /
+    ``neardup_against_corpus``) — the banding MUST be byte-identical
+    between an index built yesterday and a batch signed today, so it
+    lives in exactly one place."""
     assert n_hashes % n_bands == 0
     rpb = n_hashes // n_bands
-    banded = sigs.select(
+    return sigs.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -314,6 +373,22 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = 16,
+    n_hashes: int = 128,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """Banded LSH: split each signature into n_bands rows keyed by
+    (band, xxhash64(band slice)); docs sharing any band bucket are
+    candidate pairs (i < j). Equi-join on the bucket key — shuffle, not
+    broadcast, so it scales with corpus size. Buckets larger than
+    ``bucket_cap`` are excluded before the self-join (see
+    ``_drop_oversized_buckets``); pass None to disable."""
+    banded = minhash_banded(sigs, id_col, n_bands, n_hashes)
     banded = _drop_oversized_buckets(banded, ["band", "bucket"], bucket_cap)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -751,27 +826,8 @@ def simhash_candidates(
         sh = df.select(
             F.col(id_col), simhash64(tokens(F.col(text_col))).alias("__sh")
         )
-    # band key = bits [b*seg, (b+1)*seg) extracted via shift+mask
-    mask = (1 << seg) - 1
-    banded = sh.select(
-        id_col,
-        "__sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("__sh"), b * seg)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bucket"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "__sh", "bb.band", "bb.bucket")
     return _emit_banded_pairs(
-        banded, id_col, n_bands, seg, max_hamming, bucket_cap
+        sh, id_col, n_bands, seg, max_hamming, bucket_cap
     )
 
 
@@ -838,25 +894,8 @@ def hash64_candidates(
     seg = 64 // n_bands
     mask = (1 << seg) - 1
     sh = df.select(F.col(id_col), F.col(hash_col).alias("__sh"))
-    banded = sh.select(
-        id_col,
-        "__sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("__sh"), b * seg)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bucket"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "__sh", "bb.band", "bb.bucket")
     return _emit_banded_pairs(
-        banded, id_col, n_bands, seg, max_hamming, bucket_cap
+        sh, id_col, n_bands, seg, max_hamming, bucket_cap
     )
 
 
@@ -928,4 +967,187 @@ def prefix_jaccard_pairs(
             F.round(inter / union, 6).alias("jac"),
         )
         .where(F.col("jac") >= threshold)
+    )
+
+
+def build_minhash_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 128,
+    n_bands: int = 16,
+    shingle_k: int = 5,
+    seed: int = 42,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+) -> dict:
+    """Persist the corpus side of incremental near-dedup as a parquet
+    index: ``{path}/bands`` = (id, bucket) partitioned by ``band`` and
+    ``{path}/sigs`` = (id, sig). Matching a new batch then touches only
+    the band partitions the batch actually hashes into (partition
+    pruning on the band directory key) — the 100-TB pattern where the
+    corpus is signed ONCE and every nightly batch joins against the
+    stored buckets instead of re-signing history.
+
+    Oversized buckets (> ``bucket_cap`` members) are dropped at BUILD
+    time, the same skew guard as the self-join path — an incoming doc
+    matching a boilerplate mega-bucket would otherwise fan out to
+    thousands of verify pairs per batch row. Returns an observability
+    dict (corpus rows, band rows kept/dropped)."""
+    corpus = corpus.where(F.col(text_col).isNotNull())  # no-shingle docs
+    sigs = minhash_signatures(
+        corpus, id_col, text_col, n_hashes, shingle_k, seed
+    ).persist()
+    banded = minhash_banded(sigs, id_col, n_bands, n_hashes)
+    kept = _drop_oversized_buckets(banded, ["band", "bucket"], bucket_cap)
+    kept.write.mode("overwrite").partitionBy("band").parquet(f"{path}/bands")
+    sigs.write.mode("overwrite").parquet(f"{path}/sigs")
+    n_sigs = sigs.count()
+    sigs.unpersist()
+    spark = corpus.sparkSession
+    n_bands_rows = spark.read.parquet(f"{path}/bands").count()
+    return {
+        "corpus_docs": n_sigs,
+        "band_rows": n_bands_rows,
+        "band_rows_dropped": n_sigs * n_bands - n_bands_rows,
+    }
+
+
+def neardup_against_corpus(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 128,
+    n_bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    seed: int = 42,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+    corpus_index: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Incremental near-dedup: flag each NEW-batch doc that is a verified
+    near-duplicate (exact shingle Jaccard >= ``threshold``) of some
+    existing corpus doc. Returns one row per flagged batch doc:
+    ``(id_col, dup_of, jac)`` with ``dup_of`` = the best-matching corpus
+    doc (max Jaccard, ties to the lowest corpus id).
+
+    This is the production shape of dedup at 100 TB: the corpus is never
+    re-deduped; each incoming batch is signed, its band keys are joined
+    against the (stored) corpus buckets, and only candidate texts are
+    re-shingled for the exact verify. The batch side is typically orders
+    of magnitude smaller than the corpus, so every per-batch stage is
+    bounded by batch size x bucket occupancy, not corpus size.
+
+    ``corpus_index`` short-circuits corpus signing with a prebuilt
+    (bands, sigs) pair from ``build_minhash_index`` — when it is given,
+    ``corpus`` is only consulted for candidate texts (semi-join inside
+    the verify), so a stored index turns the corpus scan into a pruned
+    candidate fetch. Ids must be globally unique across corpus and batch
+    (they name pair sides in the output).
+
+    The skew cap applies to the CORPUS side only (at index build, or
+    here when signing in-line): a batch doc landing in a dropped
+    boilerplate bucket simply finds no candidates through that band —
+    same recall trade as the self-join path. Batch-side banding is never
+    capped (a batch is one increment; its buckets are small by
+    construction)."""
+    # null text never near-matches (no shingles; mirrors minhash_dedup
+    # and the SQL oracle's NULL semantics) — drop it before signing so
+    # two null docs can't meet through the shared sentinel signature
+    corpus = corpus.where(F.col(text_col).isNotNull())
+    batch = batch.where(F.col(text_col).isNotNull())
+    if corpus_index is not None:
+        bands_c, sigs_c = corpus_index
+    else:
+        sigs_c = minhash_signatures(
+            corpus, id_col, text_col, n_hashes, shingle_k, seed
+        )
+        bands_c = _drop_oversized_buckets(
+            minhash_banded(sigs_c, id_col, n_bands, n_hashes),
+            ["band", "bucket"],
+            bucket_cap,
+        )
+    sigs_b = minhash_signatures(
+        batch, id_col, text_col, n_hashes, shingle_k, seed
+    ).persist()
+    bands_b = minhash_banded(sigs_b, id_col, n_bands, n_hashes)
+    # batch ids -> i, corpus ids -> j; a pair can agree in several bands,
+    # so dedup candidates before the estimate/verify joins (candidate
+    # volume is batch-bounded, so unlike the self-join path the distinct
+    # here is cheap)
+    cand = (
+        bands_b.alias("b")
+        .join(
+            bands_c.alias("c"),
+            (F.col("b.band") == F.col("c.band"))
+            & (F.col("b.bucket") == F.col("c.bucket")),
+        )
+        .select(
+            F.col(f"b.{id_col}").alias("i"), F.col(f"c.{id_col}").alias("j")
+        )
+        .distinct()
+    )
+    sigs_all = sigs_b.unionByName(sigs_c)
+    likely = minhash_estimate_filter(
+        cand, sigs_all, id_col, n_hashes, threshold
+    ).persist()
+    likely.count()
+    sigs_b.unpersist()
+    texts = batch.select(id_col, text_col).unionByName(
+        corpus.select(id_col, text_col)
+    )
+    caches: list = []
+    verified = jaccard_verify(
+        likely, texts, id_col, text_col, shingle_k, threshold,
+        caches=caches, n_hist=None,  # estimate filter already pruned
+    )
+    best = Window.partitionBy("i").orderBy(F.desc("jac"), F.asc("j"))
+    out = (
+        verified.withColumn("__rn", F.row_number().over(best))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col("i").alias(id_col),
+            F.col("j").alias("dup_of"),
+            "jac",
+        )
+    )
+    out._keystone_caches = [likely] + caches  # released via release(out)
+    return out
+
+
+def match_minhash_index(
+    spark,
+    path: str,
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 128,
+    n_bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Match a new batch against a stored ``build_minhash_index`` at
+    ``path``. ``corpus`` supplies candidate texts for the exact verify
+    (semi-joined down to candidates only — pass the same table the index
+    was built from). Band partition pruning: the join key includes the
+    ``band`` directory column, so a batch that only hashes into a subset
+    of buckets reads a subset of the index files."""
+    bands_c = spark.read.parquet(f"{path}/bands").select(
+        id_col, F.col("band").cast("int").alias("band"), "bucket"
+    )
+    sigs_c = spark.read.parquet(f"{path}/sigs")
+    return neardup_against_corpus(
+        corpus,
+        batch,
+        id_col,
+        text_col,
+        n_hashes,
+        n_bands,
+        shingle_k,
+        threshold,
+        seed,
+        corpus_index=(bands_c, sigs_c),
     )

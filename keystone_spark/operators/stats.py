@@ -556,3 +556,47 @@ def ntile_from_rank(rank_col: str, n_total: int, k: int) -> Column:
         F.when(r <= cut, F.floor((r - 1) / (base + 1)) + 1)
         .otherwise(F.lit(rem) + F.floor((r - cut - 1) / base) + 1)
     ).cast("long")
+
+
+def mad_outlier_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier profile via MAD (median absolute
+    deviation): ``med = median(value)``, ``mad = median(|value - med|)``,
+    outlier iff ``|value - med| > k * 1.4826 * mad`` (1.4826 scales MAD
+    to sigma under normality, so ``k`` reads as a robust z-score —
+    unlike mean/std fences, a contaminated tail cannot drag the fence
+    toward itself). Returns one row per group: ``(group_col, n, med,
+    mad, n_outliers, outlier_frac)``.
+
+    Three key-partitioned aggregations over a low-cardinality group
+    domain (each partial+final, medians exact interpolated percentiles)
+    with the tiny per-group tables broadcast back onto the scan — the
+    corpus is read twice, nothing else scales with it. For a
+    high-cardinality group column swap the exact median for
+    ``percentile_approx`` (Greenwald-Khanna) and keep the same shape."""
+    med = df.groupBy(group_col).agg(
+        F.median(value_col).alias("__med")
+    )
+    dev = df.join(F.broadcast(med), group_col).withColumn(
+        "__adev", F.abs(F.col(value_col) - F.col("__med"))
+    )
+    mad = dev.groupBy(group_col).agg(F.median("__adev").alias("__mad"))
+    flagged = dev.join(F.broadcast(mad), group_col).withColumn(
+        "__out",
+        (F.col("__adev") > F.lit(k) * F.lit(1.4826) * F.col("__mad"))
+        .cast("int"),
+    )
+    return flagged.groupBy(group_col).agg(
+        # count the VALUE column, not *: med/mad/avg all ignore NULL
+        # values, so n must use the same population for outlier_frac
+        # to read as n_outliers / n
+        F.count(F.col(value_col)).cast("long").alias("n"),
+        F.round(F.first("__med"), 6).alias("med"),
+        F.round(F.first("__mad"), 6).alias("mad"),
+        F.sum("__out").cast("long").alias("n_outliers"),
+        F.round(F.avg("__out"), 6).alias("outlier_frac"),
+    )

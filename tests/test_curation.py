@@ -460,3 +460,52 @@ def test_dsir_rank_ties_break_on_doc_id(spark):
     # (note doc 3, disjoint from the target, can still outrank 1/2:
     # the importance RATIO penalizes tokens common in the raw corpus —
     # that is DSIR working as designed, not a defect)
+
+
+def test_chunk_documents_overlap_and_tails(spark):
+    """Chunk boundaries: stride overlap, redundant-tail suppression,
+    short docs produce exactly one chunk, empty/NULL docs none."""
+    from keystone_spark.operators.curation import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(20))  # 20 tokens
+    rows = [
+        (0, words),          # chunk 8 / stride 6 -> starts 0,6,12 (18 dropped)
+        (1, "one two"),      # short: single chunk of 2
+        (2, ""),             # no tokens -> no rows
+        (3, None),           # NULL -> no rows
+        (4, " ".join(f"w{i}" for i in range(8))),  # exactly chunk-size
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=8, stride=6)
+    got = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+    assert sorted(k[0] for k in got) == [0, 0, 0, 1, 4]
+    # doc 0: starts 0, 6, 12; start 18 is redundant (12 + 8 >= 20)
+    assert got[(0, 0)].chunk_text.split() == [f"w{i}" for i in range(8)]
+    assert got[(0, 1)].chunk_text.split() == [f"w{i}" for i in range(6, 14)]
+    assert got[(0, 2)].chunk_text.split() == [f"w{i}" for i in range(12, 20)]
+    assert got[(0, 2)].n_tokens == 8
+    assert got[(1, 0)].n_tokens == 2 and got[(1, 0)].chunk_text == "one two"
+    assert got[(4, 0)].n_tokens == 8
+    # consecutive chunks overlap by chunk - stride tokens
+    assert got[(0, 0)].chunk_text.split()[6:] == got[(0, 1)].chunk_text.split()[:2]
+
+
+def test_source_mixture_weights_normalize_and_quality(spark):
+    """Weights sum to 1; a boilerplate source (repeated token) is
+    downweighted by its quality rate, not just its token mass."""
+    from keystone_spark.operators.curation import source_mixture_weights
+
+    good = " ".join(f"tok{i}" for i in range(100))
+    boiler = " ".join(["spam"] * 100)  # distinct ratio 0.01 < 0.3
+    rows = (
+        [("a", good)] * 4
+        + [("b", boiler)] * 4          # same token mass as a, quality 0
+        + [("c", good)] * 2            # half a's mass
+    )
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r.source: r for r in source_mixture_weights(df).collect()}
+    assert abs(sum(r.weight for r in out.values()) - 1.0) < 1e-6
+    assert out["b"].quality_rate == 0.0 and out["b"].weight == 0.0
+    assert out["a"].n_tokens == 400 and out["c"].n_tokens == 200
+    # same quality, sqrt tempering: a/c weight ratio = sqrt(400/200)
+    assert abs(out["a"].weight / out["c"].weight - 2 ** 0.5) < 1e-5

@@ -601,3 +601,64 @@ def test_jaccard_verify_histogram_filter_lossless(spark):
            for r in jaccard_verify(pairs, df, threshold=0.5, n_hist=1).collect()}
     assert got == ref
     assert (0, 1) in got and got[(0, 1)] == 1.0
+
+
+def test_neardup_against_corpus_flags_batch_dups(spark):
+    """Incremental near-dedup: a batch doc near-identical to a corpus doc
+    is flagged with the right dup_of and jac; unrelated batch docs are
+    not; ties resolve to the max-jac then lowest corpus id."""
+    from keystone_spark.operators.dedup import neardup_against_corpus, release
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "in spain falls mainly on the plain and the band plays on"
+    )
+    corpus = [
+        (100, base),
+        (101, base + " encore"),          # also near base
+        (102, "completely different content about gardening and soil"),
+        (103, None),
+    ]
+    batch = [
+        (1, base + "!"),                  # near-dup of 100 AND 101
+        (2, "unrelated text on deep sea creatures and their habitats"),
+        (3, None),
+    ]
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    bdf = spark.createDataFrame(batch, "doc_id long, text string")
+    out = neardup_against_corpus(cdf, bdf, n_hashes=64, n_bands=16,
+                                 threshold=0.8)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1}
+    # best match: doc 100 (identical prefix beats the ' encore' variant)
+    assert rows[1].dup_of == 100 and rows[1].jac > 0.95
+    release(out)
+
+
+def test_minhash_index_roundtrip_matches_inline(spark, tmp_path):
+    """build_minhash_index -> match_minhash_index equals the in-memory
+    neardup_against_corpus on the same split (the stored index is just a
+    materialization of the same banding)."""
+    from keystone_spark.operators.dedup import (
+        build_minhash_index, match_minhash_index, neardup_against_corpus,
+        release,
+    )
+    from keystone_spark.sources import load_table
+
+    d = load_table(spark, "documents", "/root/testdata/sf0.001")
+    corpus = d.where(F.col("doc_id") % 4 != 0)
+    batch = d.where(F.col("doc_id") % 4 == 0)
+    inline = neardup_against_corpus(corpus, batch, n_hashes=64, n_bands=16,
+                                    threshold=0.8)
+    want = sorted((r.doc_id, r.dup_of, r.jac) for r in inline.collect())
+    release(inline)
+
+    path = str(tmp_path / "mh_index")
+    stats = build_minhash_index(corpus, path, n_hashes=64, n_bands=16)
+    assert stats["corpus_docs"] > 0
+    assert stats["band_rows"] == stats["corpus_docs"] * 16 - stats["band_rows_dropped"]
+    via_index = match_minhash_index(spark, path, batch, corpus,
+                                    n_hashes=64, n_bands=16, threshold=0.8)
+    got = sorted((r.doc_id, r.dup_of, r.jac) for r in via_index.collect())
+    release(via_index)
+    assert got == want and len(got) > 0

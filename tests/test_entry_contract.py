@@ -37,14 +37,19 @@ def test_registry_hygiene_full_surface():
     q = m.queries()
     o = m.oracle_sql()
     assert set(q) == set(o)
-    assert len(q) >= 173
+    assert len(q) >= 180
     for name, sql in o.items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
-    head = list(q)[:28]
+    head = list(q)[:35]
     assert head == [
+        # r7 NEW queries lead so the next driver window samples them
+        # first
+        "incremental_neardup", "doc_chunks", "url_dedup",
+        "mixture_weights", "key_skew_profile", "top_paths",
+        "mad_outliers",
         # r6 NEW queries (ExactSubstr span dedup + removal, DSIR
-        # importance weights + their operational compositions) lead so
-        # the next driver window samples them first
+        # importance weights + their operational compositions), verified
+        # in the r6 driver window, still inside the 50-query window
         "duplicate_spans", "dsir_weights",
         "top_boilerplate_spans", "dsir_resample", "strip_spans",
         # r6 rotation: rewired this round (ranked_series / dedup

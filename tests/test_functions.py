@@ -213,3 +213,29 @@ def test_hashed_tf_map_matches_exploded_counts(spark):
     want = Counter(r.b for r in per_tok)
     assert m == dict(want)
     assert all(0 <= b < 16 for b in m)
+
+
+def test_canonicalize_url_variants(spark):
+    """Every noisy variant of the same logical URL canonicalizes to one
+    string; distinct logical URLs stay distinct (r7 web-dedup op)."""
+    from keystone_spark.functions.text import canonicalize_url
+
+    cases = [
+        # (input, expected canonical)
+        ("https://WWW.Example.COM/a/b?q=1", "https://www.example.com/a/b?q=1"),
+        ("https://www.example.com/a/b/?q=1", "https://www.example.com/a/b?q=1"),
+        ("https://www.example.com/a/b?q=1#frag", "https://www.example.com/a/b?q=1"),
+        ("https://www.example.com/a/b?q=1&utm_source=x", "https://www.example.com/a/b?q=1"),
+        ("https://www.example.com/a/b?utm_campaign=y&q=1", "https://www.example.com/a/b?q=1"),
+        ("https://www.example.com/a/b?utm_source=x&utm_medium=z", "https://www.example.com/a/b"),
+        ("https://www.example.com/a/b?ref=abc&fbclid=123", "https://www.example.com/a/b"),
+        ("HTTPS://Host.Org/Path/", "https://host.org/Path"),  # path case KEPT
+        ("https://host.org/", "https://host.org"),
+        ("https://host.org/x?gclid=9&q=2&ref=r", "https://host.org/x?q=2"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               ["i", "url"])
+    got = {r.i: r.c for r in
+           df.select("i", canonicalize_url("url").alias("c")).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, f"{u!r}: {got[i]!r} != {want!r}"

@@ -101,3 +101,21 @@ def test_constraint_checks_clean_table_all_zero(spark):
     out = constraint_checks(df, not_null=["v"], unique=[["k"]],
                             ranges={"v": (0.0, 10.0)})
     assert all(r.violations == 0 for r in out.collect())
+
+
+def test_key_skew_profile_hand_case(spark):
+    """Exact counts/shares/skew on a hand-built skewed key column."""
+    from keystone_spark.operators.observe import key_skew_profile
+
+    # key 'a' x 6, 'b' x 3, 'c' x 1 -> total 10, 3 keys, mean group 10/3
+    rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, ["k"])
+    out = key_skew_profile(df, "k", top_k=2).orderBy("rank").collect()
+    assert [(r.rank, r.key, r.cnt) for r in out] == [(1, "a", 6), (2, "b", 3)]
+    assert out[0].share == 0.6 and out[1].share == 0.3
+    assert out[0].cum_share == 0.6 and out[1].cum_share == 0.9
+    assert out[0].skew == round(6 / (10 / 3), 6)
+    # ties rank deterministically by key string
+    df2 = spark.createDataFrame([("x",), ("y",), ("x",), ("y",)], ["k"])
+    out2 = key_skew_profile(df2, "k", top_k=2).orderBy("rank").collect()
+    assert [(r.rank, r.key) for r in out2] == [(1, "x"), (2, "y")]

@@ -485,6 +485,9 @@ GLOBAL_WINDOW_ALLOWLIST = {
     # operators/nlp.py:284), broadcast afterwards — never the corpus;
     # appears twice in the plan because the prefix side is self-joined
     "jaccard_prefix_pairs": "doc-frequency rank over the bounded vocab",
+    # r7: rank/cumsum windows sit ABOVE limit(top_k) — 10/15-row slices
+    "key_skew_profile": "rank+running-share over the top-10 key slice",
+    "top_paths": "rank over the top-15 path slice after limit",
 }
 
 

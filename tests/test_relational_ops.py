@@ -251,3 +251,42 @@ def test_binned_range_join_equals_naive(spark):
         got = {(r.pid, r.iid) for r in binned_range_join(
             pts, iv, "p", "lo", "hi", bin_size).collect()}
         assert got == naive, bin_size
+
+
+def test_session_paths_hand_case(spark):
+    """Gap sessionization + ordered path strings + frequency ranking on a
+    hand-built stream (r7 clickstream mining)."""
+    from datetime import datetime, timedelta
+
+    from keystone_spark.operators.relational import session_paths
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    # user 1: two sessions split by a 40-min gap: A>B then C
+    rows += [(1, 1, t0, "A"), (2, 1, t0 + timedelta(minutes=5), "B"),
+             (3, 1, t0 + timedelta(minutes=45), "C")]
+    # user 2: one session A>B (same path as user 1's first)
+    rows += [(4, 2, t0, "A"), (5, 2, t0 + timedelta(minutes=1), "B")]
+    # user 3: same-timestamp tie broken by event_id: A(6) then B(7)
+    rows += [(7, 3, t0, "B"), (6, 3, t0, "A")]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = session_paths(df, gap_minutes=30, max_events=20, top_k=10).collect()
+    got = [(r.rank, r.path, r.n_sessions) for r in sorted(out)]
+    assert got == [(1, "A>B", 3), (2, "C", 1)]
+
+
+def test_session_paths_caps_path_length(spark):
+    """max_events truncates the PATH, not the session membership."""
+    from datetime import datetime, timedelta
+
+    from keystone_spark.operators.relational import session_paths
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(i, 1, t0 + timedelta(minutes=i), f"E{i}") for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = session_paths(df, gap_minutes=30, max_events=3, top_k=5).collect()
+    assert [(r.path, r.n_sessions) for r in out] == [("E0>E1>E2", 1)]

@@ -279,3 +279,29 @@ def test_ranked_series_determinism_across_jobs(spark, sf_dir):
         )
     )
     assert c == a
+
+
+def test_mad_outlier_stats_vs_numpy(spark):
+    """Exact med/mad/fence agreement with a numpy replay, including an
+    injected far outlier that a mean/std fence would absorb."""
+    import numpy as np
+
+    from keystone_spark.operators.stats import mad_outlier_stats
+
+    rng = np.random.default_rng(7)
+    vals_a = rng.normal(10.0, 2.0, size=101).tolist() + [1e6]
+    vals_b = rng.normal(-5.0, 0.5, size=50).tolist()
+    rows = [("a", float(v)) for v in vals_a] + [("b", float(v)) for v in vals_b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.g: r for r in mad_outlier_stats(df, "g", "v", k=3.0).collect()}
+
+    for g, vals in (("a", vals_a), ("b", vals_b)):
+        arr = np.array(vals)
+        med = np.median(arr)
+        mad = np.median(np.abs(arr - med))
+        n_out = int((np.abs(arr - med) > 3.0 * 1.4826 * mad).sum())
+        assert out[g].n == len(vals)
+        assert abs(out[g].med - round(float(med), 6)) < 1e-9
+        assert abs(out[g].mad - round(float(mad), 6)) < 1e-9
+        assert out[g].n_outliers == n_out
+    assert out["a"].n_outliers >= 1  # the planted 1e6 spike is caught
