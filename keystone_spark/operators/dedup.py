@@ -995,6 +995,16 @@ def build_minhash_index(
     thousands of verify pairs per batch row. Returns an observability
     dict (corpus rows, band rows kept/dropped)."""
     corpus = corpus.where(F.col(text_col).isNotNull())  # no-shingle docs
+    # min-id-per-content collapse, mirroring neardup_against_corpus's
+    # inline path (see its docstring for the result-identity argument):
+    # the index stores one representative per distinct content
+    crep = (
+        corpus.select(F.col(id_col), F.xxhash64(text_col).alias("__ck"))
+        .groupBy("__ck")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    corpus = corpus.join(crep, id_col, "left_semi")
     sigs = minhash_signatures(
         corpus, id_col, text_col, n_hashes, shingle_k, seed
     ).persist()
@@ -1057,19 +1067,47 @@ def neardup_against_corpus(
     # two null docs can't meet through the shared sentinel signature
     corpus = corpus.where(F.col(text_col).isNotNull())
     batch = batch.where(F.col(text_col).isNotNull())
+    # exact-content collapse on BOTH sides (minhash_dedup's exact-first
+    # phase, adapted to the two-table shape): identical text => identical
+    # shingle set => identical Jaccard against everything, so matching
+    # one representative per distinct content and fanning the result
+    # back out over the copies is RESULT-IDENTICAL — dup_of picks
+    # (max jac, then min corpus id) and the min-id rep of an identical
+    # corpus family is exactly that tie-break winner. Work then scales
+    # with DISTINCT content, not corpus size; on a crawl whose batches
+    # are mostly re-crawls this is the difference between signing 500k
+    # distinct pages and 250M copies (and it is what kept the sf5
+    # replicated fixture from OOMing the local JVM).
+    bmap = batch.select(
+        F.col(id_col), F.xxhash64(text_col).alias("__ck")
+    )
+    brep = bmap.groupBy("__ck").agg(F.min(id_col).alias("__rep"))
+    batch_reps = batch.join(
+        brep.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
+    )
     if corpus_index is not None:
+        # index built by build_minhash_index, which applies the same
+        # min-id-per-content collapse at build time
         bands_c, sigs_c = corpus_index
+        corpus_reps = corpus
     else:
-        sigs_c = minhash_signatures(
-            corpus, id_col, text_col, n_hashes, shingle_k, seed
+        crep = (
+            corpus.select(F.col(id_col), F.xxhash64(text_col).alias("__ck"))
+            .groupBy("__ck")
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col)
         )
+        corpus_reps = corpus.join(crep, id_col, "left_semi")
+        sigs_c = minhash_signatures(
+            corpus_reps, id_col, text_col, n_hashes, shingle_k, seed
+        ).persist()
         bands_c = _drop_oversized_buckets(
             minhash_banded(sigs_c, id_col, n_bands, n_hashes),
             ["band", "bucket"],
             bucket_cap,
         )
     sigs_b = minhash_signatures(
-        batch, id_col, text_col, n_hashes, shingle_k, seed
+        batch_reps, id_col, text_col, n_hashes, shingle_k, seed
     ).persist()
     bands_b = minhash_banded(sigs_b, id_col, n_bands, n_hashes)
     # batch ids -> i, corpus ids -> j; a pair can agree in several bands,
@@ -1094,8 +1132,8 @@ def neardup_against_corpus(
     ).persist()
     likely.count()
     sigs_b.unpersist()
-    texts = batch.select(id_col, text_col).unionByName(
-        corpus.select(id_col, text_col)
+    texts = batch_reps.select(id_col, text_col).unionByName(
+        corpus_reps.select(id_col, text_col)
     )
     caches: list = []
     verified = jaccard_verify(
@@ -1103,16 +1141,20 @@ def neardup_against_corpus(
         caches=caches, n_hist=None,  # estimate filter already pruned
     )
     best = Window.partitionBy("i").orderBy(F.desc("jac"), F.asc("j"))
-    out = (
+    rep_out = (
         verified.withColumn("__rn", F.row_number().over(best))
         .where(F.col("__rn") == 1)
-        .select(
-            F.col("i").alias(id_col),
-            F.col("j").alias("dup_of"),
-            "jac",
-        )
+        .select(F.col("i").alias("__rep"), F.col("j").alias("dup_of"), "jac")
+    )
+    # fan the rep's verdict back out over every copy in the batch
+    out = (
+        bmap.join(brep, "__ck")
+        .join(rep_out, "__rep")
+        .select(F.col(id_col), "dup_of", "jac")
     )
     out._keystone_caches = [likely] + caches  # released via release(out)
+    if corpus_index is None:
+        out._keystone_caches.append(sigs_c)
     return out
 
 
