@@ -4455,6 +4455,47 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outlier_stats(e, "event_type", "value").orderBy("event_type")
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift monitor (operators/observe.
+    psi_drift) between the even- and odd-event_id halves of each
+    event_type's value distribution: exact reference-decile edges,
+    codegen bin assignment, map-side-combinable histograms, eps-floored
+    log terms. The production guard that pages before a shifted feature
+    burns a training run."""
+    from keystone_spark.operators.observe import psi_drift
+
+    e = _t(spark, sf_dir, "events")
+    ref = e.where(F.col("event_id") % 2 == 0)
+    cur = e.where(F.col("event_id") % 2 == 1)
+    return psi_drift(ref, cur, "event_type", "value").orderBy("event_type")
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fit health (operators/curation.oov_rate): vocabulary =
+    top-500 tokens of the English docs; per-source out-of-vocabulary
+    occurrence share over the whole corpus. High-OOV sources are where
+    a tokenizer trained on the reference mix will shatter text into
+    bytes."""
+    from keystone_spark.operators.curation import oov_rate
+    from keystone_spark.sources import ensure_parallelism
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return oov_rate(
+        d.where(F.col("lang") == "en"), d, vocab_k=500
+    ).orderBy("source")
+
+
+def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-dedup savings accounting (operators/curation.
+    dedup_savings): docs/tokens removable by keep-lowest-id content
+    dedup — the report a curation run publishes next to its output."""
+    from keystone_spark.operators.curation import dedup_savings
+    from keystone_spark.sources import ensure_parallelism
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return dedup_savings(d).orderBy("source")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_multi_join(spark, "/root/testdata/sf0.001")
@@ -4484,6 +4525,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # them was verified in the r6 window and stays CI-gated at full
         # width via tests/test_oracle_full.py. ---
         "incremental_neardup": q_incremental_neardup,
+        "psi_drift": q_psi_drift,
+        "oov_rate": q_oov_rate,
+        "dedup_savings": q_dedup_savings,
         "doc_chunks": q_doc_chunks,
         "url_dedup": q_url_dedup,
         "mixture_weights": q_mixture_weights,
@@ -4672,6 +4716,108 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         # --- round 7 ---
+        "psi_drift": """
+            WITH ref AS (SELECT event_type, value FROM events
+                         WHERE event_id % 2 = 0),
+            cur AS (SELECT event_type, value FROM events
+                    WHERE event_id % 2 = 1),
+            edges AS (
+                SELECT event_type,
+                       quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                             0.6, 0.7, 0.8, 0.9]) AS bs
+                FROM ref GROUP BY event_type),
+            rbin AS (
+                SELECT r.event_type,
+                       len(list_filter(e.bs, b -> r.value > b)) AS bin,
+                       COUNT(*) AS nr
+                FROM ref r JOIN edges e ON r.event_type = e.event_type
+                GROUP BY 1, 2),
+            cbin AS (
+                SELECT c.event_type,
+                       len(list_filter(e.bs, b -> c.value > b)) AS bin,
+                       COUNT(*) AS nc
+                FROM cur c JOIN edges e ON c.event_type = e.event_type
+                GROUP BY 1, 2),
+            dense AS (
+                SELECT e.event_type, UNNEST(range(0, 10)) AS bin
+                FROM edges e),
+            hist AS (
+                SELECT d.event_type, d.bin,
+                       COALESCE(nr, 0) AS nr, COALESCE(nc, 0) AS nc
+                FROM dense d
+                LEFT JOIN rbin r ON d.event_type = r.event_type AND d.bin = r.bin
+                LEFT JOIN cbin c ON d.event_type = c.event_type AND d.bin = c.bin),
+            tot AS (
+                SELECT event_type,
+                       CAST(SUM(nr) AS BIGINT) AS n_ref,
+                       CAST(SUM(nc) AS BIGINT) AS n_cur
+                FROM hist GROUP BY event_type)
+            SELECT h.event_type, ANY_VALUE(t.n_ref) AS n_ref,
+                   ANY_VALUE(t.n_cur) AS n_cur,
+                   ROUND(SUM(
+                       (GREATEST(nc * 1.0 / t.n_cur, 1e-6)
+                        - GREATEST(nr * 1.0 / t.n_ref, 1e-6))
+                       * (ln(GREATEST(nc * 1.0 / t.n_cur, 1e-6))
+                          - ln(GREATEST(nr * 1.0 / t.n_ref, 1e-6)))
+                   ), 6) AS psi,
+                   ROUND(SUM(
+                       (GREATEST(nc * 1.0 / t.n_cur, 1e-6)
+                        - GREATEST(nr * 1.0 / t.n_ref, 1e-6))
+                       * (ln(GREATEST(nc * 1.0 / t.n_cur, 1e-6))
+                          - ln(GREATEST(nr * 1.0 / t.n_ref, 1e-6)))
+                   ), 6) > 0.1 AS drifted
+            FROM hist h JOIN tot t ON h.event_type = t.event_type
+            GROUP BY h.event_type ORDER BY h.event_type
+        """,
+        "oov_rate": """
+            WITH tok AS (
+                SELECT source, UNNEST(list_filter(string_split_regex(
+                           lower(trim(text)), '[^\\p{L}\\p{N}'']+'),
+                       x -> x <> '')) AS tok
+                FROM documents WHERE text IS NOT NULL),
+            rtok AS (
+                SELECT UNNEST(list_filter(string_split_regex(
+                           lower(trim(text)), '[^\\p{L}\\p{N}'']+'),
+                       x -> x <> '')) AS tok
+                FROM documents WHERE text IS NOT NULL AND lang = 'en'),
+            vocab AS (
+                SELECT tok FROM (
+                    SELECT tok, COUNT(*) AS n,
+                           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rk
+                    FROM rtok GROUP BY tok)
+                WHERE rk <= 500)
+            SELECT t.source,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+                   ROUND(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0
+                         / COUNT(*), 6) AS oov_rate
+            FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+            GROUP BY t.source ORDER BY t.source
+        """,
+        "dedup_savings": """
+            WITH base AS (
+                SELECT source, doc_id, hash(text) AS ck, text IS NULL AS isn,
+                       CASE WHEN text IS NULL THEN 0
+                            ELSE len(list_filter(string_split_regex(
+                                 lower(trim(text)), '[^\\p{L}\\p{N}'']+'),
+                                 x -> x <> '')) END AS ntok,
+                       CASE WHEN text IS NULL THEN NULL
+                            ELSE MIN(doc_id) OVER (PARTITION BY
+                                 CASE WHEN text IS NULL THEN NULL ELSE text END)
+                       END AS keeper
+                FROM documents)
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN NOT isn AND doc_id <> keeper
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+                   CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN NOT isn AND doc_id <> keeper
+                            THEN ntok ELSE 0 END) AS BIGINT) AS n_dup_tokens,
+                   ROUND(SUM(CASE WHEN NOT isn AND doc_id <> keeper
+                             THEN ntok ELSE 0 END) * 1.0
+                         / GREATEST(SUM(ntok), 1), 6) AS savings_rate
+            FROM base GROUP BY source ORDER BY source
+        """,
         "incremental_neardup": """
             WITH sh AS (
                 SELECT doc_id, CASE WHEN length(lower(trim(text))) >= 5

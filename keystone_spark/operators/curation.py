@@ -788,3 +788,105 @@ def source_mixture_weights(
             F.round(F.col("__raw") / F.col("__tot"), 6).alias("weight"),
         )
     )
+
+
+def oov_rate(
+    ref: DataFrame,
+    new: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    vocab_k: int = 500,
+) -> DataFrame:
+    """Tokenizer-fit health check: build the top-``vocab_k`` token
+    vocabulary from the REFERENCE corpus (count desc, token asc
+    tie-break), then measure each new-corpus source's out-of-vocabulary
+    occurrence share. A tokenizer trained on ``ref`` will shatter
+    exactly the OOV mass into bytes/unknowns — this is the signal that
+    decides retraining before a mixture shift burns a training run.
+
+    Returns one row per source: ``(source_col, n_tokens, n_oov,
+    oov_rate)``. Shapes: token-count agg (map-side combinable) ->
+    bounded top-k (TakeOrdered) -> broadcast vocab joined onto the
+    exploded new corpus -> per-source conditional agg. Nothing but the
+    two corpus scans touches data volume."""
+    from keystone_spark.functions.text import tokens
+
+    vocab = (
+        ref.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("__n"))
+        .orderBy(F.desc("__n"), F.asc("tok"))
+        .limit(vocab_k)
+        .select("tok", F.lit(1).alias("__in_vocab"))
+    )
+    exploded = new.select(
+        F.col(source_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    return (
+        exploded.join(F.broadcast(vocab), "tok", "left")
+        .groupBy(source_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.col("__in_vocab").isNull().cast("long"))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate", F.round(F.col("n_oov") / F.col("n_tokens"), 6)
+        )
+    )
+
+
+def dedup_savings(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-dup savings report per source: how many docs/tokens exact
+    dedup (keep-lowest-id per content hash) would remove — the
+    before/after accounting a curation run publishes next to its output.
+    Returns ``(source_col, n_docs, n_dup_docs, n_tokens, n_dup_tokens,
+    savings_rate)`` where savings_rate = dup tokens / all tokens.
+
+    One content-hash keeper agg (map-side combinable) joined back onto
+    the scan, then a per-source conditional agg — two shuffles total,
+    both on bounded key spaces (content hashes shrink to distinct
+    content; sources are few). NULL text counts as a doc with 0 tokens
+    and is never a duplicate (mirrors the dedup family's NULL rule)."""
+    from keystone_spark.functions.text import tokens
+
+    base = df.select(
+        F.col(source_col),
+        F.col(id_col),
+        F.xxhash64(F.col(text_col)).alias("__ck"),
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(F.size(tokens(F.col(text_col))))
+        .alias("__ntok"),
+        F.col(text_col).isNull().alias("__is_null"),
+    )
+    keep = (
+        base.where(~F.col("__is_null"))
+        .groupBy("__ck")
+        .agg(F.min(id_col).alias("__keeper"))
+    )
+    flagged = base.join(keep, "__ck", "left").withColumn(
+        "__dup",
+        (~F.col("__is_null")) & (F.col(id_col) != F.col("__keeper")),
+    )
+    return (
+        flagged.groupBy(source_col)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("__dup").cast("long")).cast("long").alias("n_dup_docs"),
+            F.sum("__ntok").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("__dup"), F.col("__ntok")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_tokens"),
+            F.round(
+                F.sum(F.when(F.col("__dup"), F.col("__ntok")).otherwise(0))
+                / F.greatest(F.sum("__ntok"), F.lit(1)),
+                6,
+            ).alias("savings_rate"),
+        )
+    )

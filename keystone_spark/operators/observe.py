@@ -204,3 +204,72 @@ def key_skew_profile(
             ).alias("skew"),
         )
     )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index per group between a reference and a
+    current sample — the standard model/data-drift monitor
+    (PSI = sum_bins (p_cur - p_ref) * ln(p_cur / p_ref), bins = the
+    REFERENCE distribution's exact ``n_bins``-quantile edges; > 0.1 is
+    the conventional "investigate" line, > 0.25 "shifted"). Returns one
+    row per group: ``(group_col, n_ref, n_cur, psi, drifted)``.
+
+    Scale shape: quantile edges are one exact-percentile agg over ref
+    (swap to percentile_approx for extreme group counts), broadcast back
+    as a tiny per-group array; bin assignment is a codegen array-filter
+    count; the bin histograms are map-side-combinable count aggs over a
+    |groups| x n_bins key space. Zero-count bins are floored at ``eps``
+    inside the log so PSI stays finite — the floor is part of the
+    metric's definition here and mirrored by the oracle."""
+    pcts = [i / n_bins for i in range(1, n_bins)]
+    edges = ref.groupBy(group_col).agg(
+        F.percentile(F.col(value_col), pcts).alias("__bs")
+    )
+
+    def binned(df: DataFrame, name: str) -> DataFrame:
+        b = df.join(F.broadcast(edges), group_col).withColumn(
+            "__bin",
+            F.size(F.filter("__bs", lambda e: F.col(value_col) > e)),
+        )
+        return b.groupBy(group_col, "__bin").agg(
+            F.count("*").alias(f"__n_{name}")
+        )
+
+    bins = (
+        edges.select(
+            group_col,
+            F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("__bin"),
+        )
+        .join(binned(ref, "ref"), [group_col, "__bin"], "left")
+        .join(binned(cur, "cur"), [group_col, "__bin"], "left")
+        .select(
+            group_col,
+            F.coalesce("__n_ref", F.lit(0)).alias("__r"),
+            F.coalesce("__n_cur", F.lit(0)).alias("__c"),
+        )
+    )
+    totals = bins.groupBy(group_col).agg(
+        F.sum("__r").cast("long").alias("n_ref"),
+        F.sum("__c").cast("long").alias("n_cur"),
+    )
+    pr = F.greatest(F.col("__r") / F.col("n_ref"), F.lit(eps))
+    pc = F.greatest(F.col("__c") / F.col("n_cur"), F.lit(eps))
+    out = (
+        bins.join(F.broadcast(totals), group_col)
+        .withColumn("__term", (pc - pr) * (F.log(pc) - F.log(pr)))
+        .groupBy(group_col)
+        .agg(
+            F.first("n_ref").alias("n_ref"),
+            F.first("n_cur").alias("n_cur"),
+            F.round(F.sum("__term"), 6).alias("psi"),
+        )
+        .withColumn("drifted", F.col("psi") > 0.1)
+    )
+    return out

@@ -759,3 +759,44 @@ def stateful_ewma(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_neardup_against_index(
+    stream_docs: DataFrame,
+    index_path: str,
+    corpus: DataFrame,
+    sink_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 128,
+    n_bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> None:
+    """Streaming incremental near-dedup: a stream of new documents is
+    matched per micro-batch against the STORED MinHash band index
+    (``operators.dedup.build_minhash_index``) and verified dup flags
+    ``(id, dup_of, jac)`` append to ``sink_path`` as parquet.
+
+    The match pipeline (band join -> estimate filter -> exact verify ->
+    per-doc argmax) mixes joins, distinct, and a ranking window — not
+    executable inside a single streaming plan — so this is the
+    ``foreachBatch`` production shape: each micro-batch becomes a plain
+    DataFrame and runs the exact BATCH operator, which makes
+    stream-vs-batch equivalence structural (per-doc verdicts are
+    independent, so the union over micro-batches equals one batch run —
+    pinned by test_streaming). Blocks until drained (AvailableNow)."""
+    from keystone_spark.operators.dedup import match_minhash_index, release
+
+    spark = stream_docs.sparkSession
+
+    def fold(bdf: DataFrame, epoch_id: int) -> None:
+        out = match_minhash_index(
+            spark, index_path, bdf, corpus,
+            id_col, text_col, n_hashes, n_bands, shingle_k, threshold, seed,
+        )
+        out.write.mode("append").parquet(sink_path)
+        release(out)
+
+    run_foreach_batch(stream_docs, fold, output_mode="append")

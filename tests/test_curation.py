@@ -509,3 +509,47 @@ def test_source_mixture_weights_normalize_and_quality(spark):
     assert out["a"].n_tokens == 400 and out["c"].n_tokens == 200
     # same quality, sqrt tempering: a/c weight ratio = sqrt(400/200)
     assert abs(out["a"].weight / out["c"].weight - 2 ** 0.5) < 1e-5
+
+
+def test_oov_rate_hand_case(spark):
+    """Vocabulary = ref top-k; OOV share counts occurrences, not types."""
+    from keystone_spark.operators.curation import oov_rate
+
+    ref = spark.createDataFrame(
+        [("r", "alpha beta gamma alpha beta alpha")],
+        "source string, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            ("a", "alpha beta alpha novel"),     # 1 OOV of 4
+            ("b", "unseen tokens only here"),    # 4 OOV of 4
+        ],
+        "source string, text string",
+    )
+    out = {r.source: r for r in
+           oov_rate(ref, new, vocab_k=2).collect()}  # vocab = alpha, beta
+    assert out["a"].n_tokens == 4 and out["a"].n_oov == 1
+    assert out["b"].oov_rate == 1.0
+    # vocab_k=3 admits gamma -> still 1 OOV for a ("novel")
+    out3 = {r.source: r for r in oov_rate(ref, new, vocab_k=3).collect()}
+    assert out3["a"].n_oov == 1
+
+
+def test_dedup_savings_hand_case(spark):
+    """Dup = content hash shared with a LOWER doc_id anywhere (cross-
+    source); NULL text is never a dup and counts 0 tokens."""
+    from keystone_spark.operators.curation import dedup_savings
+
+    rows = [
+        ("s1", 1, "one two three"),
+        ("s2", 2, "one two three"),     # dup of 1, other source
+        ("s1", 3, "unique text here"),
+        ("s1", 4, None),
+        ("s2", 5, "one two three"),     # dup of 1
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    out = {r.source: r for r in dedup_savings(df).collect()}
+    assert out["s1"].n_docs == 3 and out["s1"].n_dup_docs == 0
+    assert out["s1"].n_tokens == 6 and out["s1"].n_dup_tokens == 0
+    assert out["s2"].n_dup_docs == 2 and out["s2"].n_dup_tokens == 6
+    assert out["s2"].savings_rate == 1.0

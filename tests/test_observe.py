@@ -119,3 +119,23 @@ def test_key_skew_profile_hand_case(spark):
     df2 = spark.createDataFrame([("x",), ("y",), ("x",), ("y",)], ["k"])
     out2 = key_skew_profile(df2, "k", top_k=2).orderBy("rank").collect()
     assert [(r.rank, r.key) for r in out2] == [(1, "x"), (2, "y")]
+
+
+def test_psi_drift_detects_shift(spark):
+    """A mean-shifted group drifts (psi >> 0.1); an identically
+    distributed group does not; bins come from the REFERENCE deciles."""
+    import numpy as np
+
+    from keystone_spark.operators.observe import psi_drift
+
+    rng = np.random.default_rng(3)
+    stable_ref = [("stable", float(v)) for v in rng.normal(0, 1, 400)]
+    stable_cur = [("stable", float(v)) for v in rng.normal(0, 1, 400)]
+    shift_ref = [("shift", float(v)) for v in rng.normal(0, 1, 400)]
+    shift_cur = [("shift", float(v)) for v in rng.normal(3, 1, 400)]
+    ref = spark.createDataFrame(stable_ref + shift_ref, "g string, v double")
+    cur = spark.createDataFrame(stable_cur + shift_cur, "g string, v double")
+    out = {r.g: r for r in psi_drift(ref, cur, "g", "v").collect()}
+    assert out["shift"].drifted and out["shift"].psi > 1.0
+    assert not out["stable"].drifted and out["stable"].psi < 0.1
+    assert out["shift"].n_ref == 400 and out["shift"].n_cur == 400

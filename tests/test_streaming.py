@@ -748,3 +748,53 @@ def test_streaming_funnel_never_mutates_session_conf(spark, events, sf_dir):
             assert spark.conf.get(key) == "other.Provider"
         assert spark.conf.get(key) == rocks
     assert spark.conf.get(key, None) == before
+
+
+def test_stream_neardup_matches_batch(spark, tmp_path):
+    """Streaming incremental near-dedup (foreachBatch over the stored
+    band index) equals the batch operator on the same docs, regardless
+    of micro-batch boundaries (per-doc verdicts are independent)."""
+    from keystone_spark.operators.dedup import (
+        build_minhash_index, neardup_against_corpus, release,
+    )
+    from pyspark.sql import functions as F
+
+    from keystone_spark.sources import load_table
+    from keystone_spark.streaming.windows import stream_neardup_against_index
+
+    d = load_table(spark, "documents", "/root/testdata/sf0.001")
+    corpus = d.where(F.col("doc_id") % 4 != 0)
+    batch = d.where(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+
+    want_df = neardup_against_corpus(
+        corpus, batch, n_hashes=64, n_bands=16, threshold=0.8
+    )
+    want = sorted((r.doc_id, r.dup_of, r.jac) for r in want_df.collect())
+    release(want_df)
+    assert want, "fixture must contain cross-split near-dups"
+
+    idx = str(tmp_path / "idx")
+    build_minhash_index(corpus, idx, n_hashes=64, n_bands=16)
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    src = tmp_path / "incoming"
+    src.mkdir()
+    rows = batch.collect()
+    half = len(rows) // 2
+    for i, chunk in enumerate([rows[:half], rows[half:]]):
+        spark.createDataFrame(chunk, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(src / f"b{i}"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    sink = str(tmp_path / "flags")
+    stream_neardup_against_index(
+        stream, idx, corpus, sink, n_hashes=64, n_bands=16, threshold=0.8
+    )
+    got = sorted(
+        (r.doc_id, r.dup_of, r.jac)
+        for r in spark.read.parquet(sink).collect()
+    )
+    assert got == want
