@@ -4496,6 +4496,32 @@ def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_savings(d).orderBy("source")
 
 
+def q_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered 3-step funnel view -> click -> purchase
+    (operators/relational.ordered_funnel): each step must occur strictly
+    after the user's previous-step completion. k user-keyed conditional
+    min-aggs; the report rows are single-row aggregates cross-joined, so
+    nothing data-sized is windowed or sorted."""
+    from keystone_spark.operators.relational import ordered_funnel
+
+    e = _t(spark, sf_dir, "events")
+    return ordered_funnel(e, ["view", "click", "purchase"]).orderBy("step_idx")
+
+
+def q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-distribution cosine over top-2000 unigram
+    probabilities (operators/curation.source_unigram_similarity) — the
+    mixing diagnostic for which sources duplicate each other at the
+    distribution level."""
+    from keystone_spark.operators.curation import source_unigram_similarity
+    from keystone_spark.sources import ensure_parallelism
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return source_unigram_similarity(d, vocab_k=2000).orderBy(
+        "source_a", "source_b"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_multi_join(spark, "/root/testdata/sf0.001")
@@ -4525,6 +4551,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # them was verified in the r6 window and stays CI-gated at full
         # width via tests/test_oracle_full.py. ---
         "incremental_neardup": q_incremental_neardup,
+        "ordered_funnel": q_ordered_funnel,
+        "source_similarity": q_source_similarity,
         "psi_drift": q_psi_drift,
         "oov_rate": q_oov_rate,
         "dedup_savings": q_dedup_savings,
@@ -4716,6 +4744,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         # --- round 7 ---
+        "ordered_funnel": """
+            WITH s0 AS (
+                SELECT user_id,
+                       MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS prev
+                FROM events WHERE event_type = 'view' GROUP BY user_id),
+            s1 AS (
+                SELECT e.user_id,
+                       MIN(CAST(FLOOR(epoch(e.ts)) AS BIGINT)) AS prev
+                FROM events e JOIN s0 USING (user_id)
+                WHERE e.event_type = 'click'
+                  AND CAST(FLOOR(epoch(e.ts)) AS BIGINT) > s0.prev
+                GROUP BY e.user_id),
+            s2 AS (
+                SELECT e.user_id,
+                       MIN(CAST(FLOOR(epoch(e.ts)) AS BIGINT)) AS prev
+                FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'purchase'
+                  AND CAST(FLOOR(epoch(e.ts)) AS BIGINT) > s1.prev
+                GROUP BY e.user_id),
+            c0 AS (SELECT COUNT(*) AS n FROM s0),
+            c1 AS (SELECT COUNT(*) AS n FROM s1),
+            c2 AS (SELECT COUNT(*) AS n FROM s2)
+            SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
+                   CAST(n AS BIGINT) AS n_users, 1.0 AS conv_rate FROM c0
+            UNION ALL
+            SELECT CAST(1 AS BIGINT), 'click', CAST(c1.n AS BIGINT),
+                   ROUND(c1.n * 1.0 / GREATEST(c0.n, 1), 6)
+            FROM c1 CROSS JOIN c0
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), 'purchase', CAST(c2.n AS BIGINT),
+                   ROUND(c2.n * 1.0 / GREATEST(c1.n, 1), 6)
+            FROM c2 CROSS JOIN c1
+            ORDER BY step_idx
+        """,
+        "source_similarity": """
+            WITH tok AS (
+                SELECT source AS src,
+                       UNNEST(list_filter(string_split_regex(
+                           lower(trim(text)), '[^\\p{L}\\p{N}'']+'),
+                       x -> x <> '')) AS tok
+                FROM documents WHERE text IS NOT NULL),
+            counts AS (
+                SELECT src, tok, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+            vocab AS (
+                SELECT tok FROM (
+                    SELECT tok, SUM(n) AS g,
+                           ROW_NUMBER() OVER (ORDER BY SUM(n) DESC, tok) AS rk
+                    FROM counts GROUP BY tok)
+                WHERE rk <= 2000),
+            sub AS (SELECT c.* FROM counts c JOIN vocab USING (tok)),
+            totals AS (SELECT src, SUM(n) AS tot FROM sub GROUP BY src),
+            probs AS (
+                SELECT s.src, s.tok, s.n * 1.0 / t.tot AS p
+                FROM sub s JOIN totals t USING (src)),
+            norms AS (
+                SELECT src, sqrt(SUM(p * p)) AS nrm FROM probs GROUP BY src),
+            dots AS (
+                SELECT a.src AS source_a, b.src AS source_b,
+                       SUM(a.p * b.p) AS dot
+                FROM probs a JOIN probs b
+                ON a.tok = b.tok AND a.src < b.src
+                GROUP BY 1, 2)
+            SELECT d.source_a, d.source_b,
+                   ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+            FROM dots d
+            JOIN norms na ON na.src = d.source_a
+            JOIN norms nb ON nb.src = d.source_b
+            ORDER BY d.source_a, d.source_b
+        """,
         "psi_drift": """
             WITH ref AS (SELECT event_type, value FROM events
                          WHERE event_id % 2 = 0),

@@ -50,6 +50,10 @@ BENCH_QUERIES = [
 # points only (sf1 embedded below; sf5 opt-in) — b1-b12 and the primary
 # metric stay fixed for BASELINE.md comparability.
 CURATION_SLOT = ("b13_line_dedup_minhash", ("line_dedup", "minhash_dedup"))
+# Incremental-dedup slot (r7): the production "new batch vs corpus" shape —
+# content-rep collapse + band join against the corpus signatures. Scaled
+# points only, same reasoning as b13.
+INCREMENTAL_SLOT = ("b14_incremental_neardup", ("incremental_neardup",))
 
 
 def main() -> None:
@@ -72,6 +76,7 @@ def main() -> None:
         slots = [(n, (k,)) for n, k in BENCH_QUERIES]
         if curation:
             slots.append(CURATION_SLOT)
+            slots.append(INCREMENTAL_SLOT)
         timings: dict[str, float] = {}
         for name, keys in slots:
             for k in keys:  # warmup (plan + codegen + file listing)

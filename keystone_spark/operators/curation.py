@@ -890,3 +890,70 @@ def dedup_savings(
             ).alias("savings_rate"),
         )
     )
+
+
+def source_unigram_similarity(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    vocab_k: int = 2000,
+) -> DataFrame:
+    """Pairwise corpus similarity between sources: cosine of their
+    unigram probability vectors restricted to the global top-``vocab_k``
+    tokens — the mixing diagnostic that says which sources are
+    near-duplicates of each other at the DISTRIBUTION level (a pair at
+    cosine ~1 adds diversity only in proportion to its tail). Returns
+    ``(source_a, source_b, cosine)`` for a < b.
+
+    A pair with NO shared vocab token (cosine exactly 0) emits no row —
+    the token-keyed join never materializes all-pairs, which is the
+    point; left-complete output would need a |sources|^2 spine.
+
+    Shapes: one token-count agg -> bounded global top-k vocabulary
+    (TakeOrdered) broadcast back -> per-(source, token) probabilities ->
+    token-keyed pair join + sum agg. The pair join is keyed on the
+    BOUNDED vocab, so its size is |vocab| x |sources|^2 at worst —
+    independent of corpus volume."""
+    from keystone_spark.functions.text import tokens
+
+    tok = df.select(
+        F.col(source_col).alias("src"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    counts = tok.groupBy("src", "tok").agg(F.count("*").alias("n"))
+    vocab = (
+        counts.groupBy("tok")
+        .agg(F.sum("n").alias("__g"))
+        .orderBy(F.desc("__g"), F.asc("tok"))
+        .limit(vocab_k)
+        .select("tok")
+    )
+    sub = counts.join(F.broadcast(vocab), "tok")
+    totals = sub.groupBy("src").agg(F.sum("n").alias("__tot"))
+    probs = sub.join(F.broadcast(totals), "src").select(
+        "src", "tok", (F.col("n") / F.col("__tot")).alias("p")
+    )
+    norms = probs.groupBy("src").agg(
+        F.sqrt(F.sum(F.col("p") * F.col("p"))).alias("__norm")
+    )
+    a, b = probs.alias("a"), probs.alias("b")
+    dots = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok"))
+               & (F.col("a.src") < F.col("b.src")))
+        .groupBy(F.col("a.src").alias("source_a"),
+                 F.col("b.src").alias("source_b"))
+        .agg(F.sum(F.col("a.p") * F.col("b.p")).alias("__dot"))
+    )
+    na = norms.select(F.col("src").alias("source_a"),
+                      F.col("__norm").alias("__na"))
+    nb = norms.select(F.col("src").alias("source_b"),
+                      F.col("__norm").alias("__nb"))
+    return (
+        dots.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a", "source_b",
+            F.round(F.col("__dot") / (F.col("__na") * F.col("__nb")), 6)
+            .alias("cosine"),
+        )
+    )

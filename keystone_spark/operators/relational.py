@@ -358,3 +358,68 @@ def session_paths(
         "path",
         "n_sessions",
     )
+
+
+def ordered_funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Strictly-ordered funnel: a user completes step k only with an
+    event of that type STRICTLY AFTER their step-(k-1) completion time
+    (the sequential definition — min-ts-per-step alone would count a
+    purchase that preceded the click). Returns one row per step:
+    ``(step_idx, step, n_users, conv_rate)``; conv_rate is vs the
+    previous step (1.0 for step 0).
+
+    Plan shape: one user-keyed conditional min-agg per step over the
+    step-filtered scan, each carrying the previous completion time
+    through an equi-join on the (shrinking) converted-user set — k aggs
+    + k joins, all on ``user_col``; the per-step counts are single-row
+    aggregates cross-joined into the k-row report, so no window touches
+    data. Second-precision timestamps (unix_timestamp) keep the strict
+    ordering engine-portable."""
+    t = F.unix_timestamp(F.col(ts_col))
+    base = events.where(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col).alias("__u"), t.alias("__t"), F.col(type_col).alias("__e")
+    )
+    stages = []
+    cur = (
+        base.where(F.col("__e") == steps[0])
+        .groupBy("__u")
+        .agg(F.min("__t").alias("__prev"))
+    )
+    stages.append(cur)
+    for s in steps[1:]:
+        cur = (
+            base.where(F.col("__e") == s)
+            .join(cur.select("__u", "__prev"), "__u")
+            .where(F.col("__t") > F.col("__prev"))
+            .groupBy("__u")
+            .agg(F.min("__t").alias("__prev"))
+        )
+        stages.append(cur)
+    counts = [st.agg(F.count("*").alias("__n")) for st in stages]
+    rows = None
+    for i, (s, cnt) in enumerate(zip(steps, counts)):
+        if i == 0:
+            row = cnt.select(
+                F.lit(i).cast("long").alias("step_idx"),
+                F.lit(s).alias("step"),
+                F.col("__n").cast("long").alias("n_users"),
+                F.lit(1.0).alias("conv_rate"),
+            )
+        else:
+            prev = counts[i - 1].select(F.col("__n").alias("__p"))
+            row = cnt.crossJoin(prev).select(
+                F.lit(i).cast("long").alias("step_idx"),
+                F.lit(s).alias("step"),
+                F.col("__n").cast("long").alias("n_users"),
+                F.round(
+                    F.col("__n") / F.greatest("__p", F.lit(1)), 6
+                ).alias("conv_rate"),
+            )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows

@@ -553,3 +553,23 @@ def test_dedup_savings_hand_case(spark):
     assert out["s1"].n_tokens == 6 and out["s1"].n_dup_tokens == 0
     assert out["s2"].n_dup_docs == 2 and out["s2"].n_dup_tokens == 6
     assert out["s2"].savings_rate == 1.0
+
+
+def test_source_unigram_similarity_orders_pairs(spark):
+    """Identical-distribution sources hit cosine 1.0; disjoint vocab
+    sources hit 0; mixed pairs land strictly between."""
+    from keystone_spark.operators.curation import source_unigram_similarity
+
+    rows = [
+        ("a", "cat dog cat dog"),
+        ("b", "cat dog dog cat"),        # same distribution as a
+        ("c", "quark lepton boson"),     # disjoint from a/b
+        ("d", "cat quark"),              # half-overlap
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {(r.source_a, r.source_b): r.cosine
+           for r in source_unigram_similarity(df, vocab_k=100).collect()}
+    assert out[("a", "b")] == 1.0
+    # disjoint pair: no shared token survives the join -> pair absent
+    assert ("a", "c") not in out
+    assert 0.0 < out[("a", "d")] < 1.0

@@ -37,14 +37,15 @@ def test_registry_hygiene_full_surface():
     q = m.queries()
     o = m.oracle_sql()
     assert set(q) == set(o)
-    assert len(q) >= 183
+    assert len(q) >= 185
     for name, sql in o.items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
-    head = list(q)[:38]
+    head = list(q)[:40]
     assert head == [
         # r7 NEW queries lead so the next driver window samples them
         # first
-        "incremental_neardup", "psi_drift", "oov_rate", "dedup_savings",
+        "incremental_neardup", "ordered_funnel", "source_similarity",
+        "psi_drift", "oov_rate", "dedup_savings",
         "doc_chunks", "url_dedup",
         "mixture_weights", "key_skew_profile", "top_paths",
         "mad_outliers",

@@ -290,3 +290,31 @@ def test_session_paths_caps_path_length(spark):
     )
     out = session_paths(df, gap_minutes=30, max_events=3, top_k=5).collect()
     assert [(r.path, r.n_sessions) for r in out] == [("E0>E1>E2", 1)]
+
+
+def test_ordered_funnel_strict_ordering(spark):
+    """A user whose purchase precedes the click does NOT complete the
+    funnel; step counts and conversion rates are exact."""
+    from datetime import datetime, timedelta
+
+    from keystone_spark.operators.relational import ordered_funnel
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    m = timedelta(minutes=1)
+    rows = []
+    # u1: full ordered funnel
+    rows += [(1, t0, "view"), (1, t0 + m, "click"), (1, t0 + 2 * m, "purchase")]
+    # u2: purchase BEFORE click -> stops at click
+    rows += [(2, t0, "view"), (2, t0 + 2 * m, "click"), (2, t0 + m, "purchase")]
+    # u3: view only
+    rows += [(3, t0, "view")]
+    # u4: click/purchase but never viewed -> not even step 0
+    rows += [(4, t0, "click"), (4, t0 + m, "purchase")]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    out = {r.step_idx: r for r in
+           ordered_funnel(df, ["view", "click", "purchase"]).collect()}
+    assert out[0].n_users == 3 and out[0].conv_rate == 1.0
+    assert out[1].n_users == 2 and out[1].conv_rate == round(2 / 3, 6)
+    assert out[2].n_users == 1 and out[2].conv_rate == 0.5
