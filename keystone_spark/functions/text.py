@@ -419,8 +419,13 @@ def canonicalize_url(url: Column | str) -> Column:
     head = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1))
     tail = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
     u = F.concat(head, tail)
-    # 3. tracking params out (value runs to next & or end)
-    u = F.regexp_replace(u, r"(utm_[a-z]+|ref|fbclid|gclid)=[^&#]*", "")
+    # 3. tracking params out (value runs to next & or end). The name is
+    # anchored to a ?/& separator, kept via $1 — unanchored, "?href=abc"
+    # would lose its tail ("ref=abc" is a substring match) and distinct
+    # URLs would collide (ADVICE r7)
+    u = F.regexp_replace(
+        u, r"([?&])(utm_[a-z]+|ref|fbclid|gclid)=[^&#]*", "$1"
+    )
     # 4. separator cleanup: collapse && runs, then dangling ?& / ?&-end
     u = F.regexp_replace(u, r"&&+", "&")
     u = F.regexp_replace(u, r"\?&", "?")

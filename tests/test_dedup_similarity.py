@@ -662,3 +662,14 @@ def test_minhash_index_roundtrip_matches_inline(spark, tmp_path):
     got = sorted((r.doc_id, r.dup_of, r.jac) for r in via_index.collect())
     release(via_index)
     assert got == want and len(got) > 0
+
+    # params manifest (ADVICE r7): mismatched build/match parameters must
+    # raise, not silently return empty/wrong matches (different bucket
+    # keys; unequal signature lengths null out the estimate filter)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n_hashes=128 vs stored 64"):
+        match_minhash_index(spark, path, batch, corpus,
+                            n_hashes=128, n_bands=16, threshold=0.8)
+    with _pytest.raises(ValueError, match="shingle_k"):
+        match_minhash_index(spark, path, batch, corpus, n_hashes=64,
+                            n_bands=16, shingle_k=7, threshold=0.8)

@@ -232,6 +232,11 @@ def test_canonicalize_url_variants(spark):
         ("HTTPS://Host.Org/Path/", "https://host.org/Path"),  # path case KEPT
         ("https://host.org/", "https://host.org"),
         ("https://host.org/x?gclid=9&q=2&ref=r", "https://host.org/x?q=2"),
+        # ADVICE r7: param-name match must anchor to a ?/& separator —
+        # "href"/"pref" contain "ref" but are NOT tracking params
+        ("https://host.org/x?href=abc", "https://host.org/x?href=abc"),
+        ("https://host.org/x?a=1&pref=keep&ref=drop",
+         "https://host.org/x?a=1&pref=keep"),
     ]
     df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
                                ["i", "url"])
