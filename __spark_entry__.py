@@ -579,14 +579,20 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, exact-verified (VERDICT r1 #1).
 
-    SimHash bands (16 x 4-bit segments) generate candidates; by pigeonhole
-    any pair within Hamming distance 15 shares a band, and fixture near-dups
-    measure hamming <= 9, so candidate recall over true pairs is structural
-    (hamming prefilter at 12 keeps 3 units of margin), not probabilistic.
-    Survivors are decided by exact shingle Jaccard >= 0.8 (same verify
-    kernel as minhash_dedup), which DuckDB reproduces exactly — the
-    signature itself never decides membership, so the xxhash64 bit voting
-    needs no SQL twin."""
+    Candidates come from clique-combined SimHash banding (r8, VERDICT r7
+    #6): 16 4-bit segments, band keys = within-clique segment PAIRS (3
+    cliques -> 35 bands of 8-bit keys, operators/dedup.
+    clique_band_segments). Pigeonhole: a pair within Hamming 12 has >= 4
+    fully-agreeing segments, two of which share a clique, so recall
+    through the hamming<=12 prefilter is STRUCTURAL — identical output
+    to the old single-segment layout (both are recall-complete at 12 and
+    the prefilter cuts everything above) while each band's key space is
+    256 values instead of 16, which removes the corpus-linear bucket
+    occupancy that made the old layout superlinear at sf5. Fixture
+    near-dups measure hamming <= 12 at sf0.1. Survivors are decided by
+    exact shingle Jaccard >= 0.8 (same verify kernel as minhash_dedup),
+    which DuckDB reproduces exactly — the signature itself never decides
+    membership, so the xxhash64 bit voting needs no SQL twin."""
     from keystone_spark.operators.dedup import jaccard_verify, simhash_candidates
 
     d = _t(spark, sf_dir, "documents")
@@ -594,7 +600,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (i-id union, j-id union, i-side join, j-side join) and the banded
     # self-join is the expensive subtree — without the cache the whole
     # band join re-runs per consumer (caught by bench_registry r7)
-    raw = simhash_candidates(d, n_bands=16, max_hamming=12)
+    raw = simhash_candidates(d, n_bands=16, max_hamming=12, band_cliques=3)
     cand = raw.select("i", "j").persist()
     caches: list = list(getattr(raw, "_keystone_caches", []))
     out = jaccard_verify(cand, d, threshold=0.8, caches=caches).orderBy("i", "j")

@@ -59,9 +59,13 @@ INCREMENTAL_SLOT = ("b14_incremental_neardup", ("incremental_neardup",))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entry_mod
-    from keystone_spark import get_session
+    from keystone_spark import get_session, warm_python_workers
 
     spark = get_session("keystone_spark_bench")
+    # pre-warm the Python worker pool so the first Arrow-kernel slot
+    # (b13's signature stage) is timed warm, like every later one —
+    # cold workers measured 3.6x the warm kernel cost (VERDICT r7 #1)
+    warm_python_workers(spark)
     qs = entry_mod.queries()
 
     def run(df) -> None:

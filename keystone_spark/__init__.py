@@ -8,8 +8,9 @@ numeric kernels are Arrow-batched pandas UDFs, pipelines lower to
 DataFrame -> DataFrame functions so Catalyst/AQE optimize the whole plan.
 """
 
-from keystone_spark.session import get_session, configure_session
+from keystone_spark.session import (configure_session, get_session,
+                                    warm_python_workers)
 
-__all__ = ["get_session", "configure_session"]
+__all__ = ["get_session", "configure_session", "warm_python_workers"]
 
 __version__ = "0.1.0"

@@ -48,44 +48,86 @@ def _persist_once(df: DataFrame) -> DataFrame:
     return df
 
 
-def _first_zero_band(xor, n_bands: int, seg: int):
-    """Index of the first band (lowest band number) where two 64-bit
-    signatures agree, given their XOR — the deterministic tiebreak for
-    exact-once LSH pair emission. Only evaluated on joined rows, where
-    at least one agreeing band exists by construction."""
-    mask = (1 << seg) - 1
-    expr = F.lit(n_bands - 1)
-    for b in range(n_bands - 2, -1, -1):
-        expr = F.when(
-            F.shiftrightunsigned(xor, b * seg).bitwiseAND(F.lit(mask)) == 0,
-            F.lit(b),
-        ).otherwise(expr)
-    return expr
+def clique_band_segments(n_seg: int, n_cliques: int) -> list[tuple[int, int]]:
+    """Segment-PAIR band layout for combined-key Hamming banding (the
+    multi-index-hashing idea, specialized to an LSH self-join).
+
+    Partition the ``n_seg`` signature segments into ``n_cliques``
+    near-equal groups and emit one band per within-group pair. Pigeonhole
+    twice: a pair within Hamming distance ``(n_seg - n_cliques - 1)*1``
+    segment-errors has >= n_cliques+1 fully-agreeing segments, so two of
+    them land in one group and that band's COMBINED key matches exactly.
+
+    Why combine at all: a single s-bit segment offers only 2^s bucket
+    values, so bucket occupancy grows linearly with the corpus and the
+    band self-join quadratically — the r6/r7 SimHash scale ceiling. A
+    two-segment key has 2^(2s) values (16x fewer collisions at s=4) while
+    the clique layout keeps the band count at sum of C(|g|,2) — 35 for
+    (16 segments, 3 cliques) vs 120 for all pairs — so the structural
+    guarantee costs 2.2x the banded rows, not 7.5x, and the quadratic
+    collision term drops ~7x. Minimal by Turan's theorem: independence
+    number <= n_cliques needs the complement K_{n_cliques+1}-free, and
+    disjoint near-equal cliques meet that bound with the fewest edges."""
+    groups: list[list[int]] = [[] for _ in range(n_cliques)]
+    for s in range(n_seg):
+        groups[s % n_cliques].append(s)
+    return [
+        (g[i], g[j])
+        for g in groups
+        for i in range(len(g))
+        for j in range(i + 1, len(g))
+    ]
 
 
-def _first_surviving_zero_band(xor, surv_mask, n_bands: int, seg: int):
-    """Index of the first band where two signatures agree AND whose
-    bucket survived the skew cap (bit set in ``surv_mask``) — the
-    capping-aware twin of ``_first_zero_band``. Only evaluated on
-    joined rows, where at least one surviving agreeing band exists by
-    construction (the join itself only matches on surviving buckets)."""
+def _band_agrees(xor, segs: tuple[int, ...], seg: int):
+    """Predicate: every segment of this band is zero in the pair's XOR —
+    i.e. the two signatures share this band's combined key exactly."""
     mask = (1 << seg) - 1
-    expr = F.lit(n_bands - 1)
-    for b in range(n_bands - 2, -1, -1):
-        agree = (
-            F.shiftrightunsigned(xor, b * seg).bitwiseAND(F.lit(mask)) == 0
-        )
-        alive = (
-            F.shiftrightunsigned(surv_mask, b).bitwiseAND(F.lit(1)) == 1
-        )
-        expr = F.when(agree & alive, F.lit(b)).otherwise(expr)
-    return expr
+    pred = None
+    for s in segs:
+        p = F.shiftrightunsigned(xor, s * seg).bitwiseAND(F.lit(mask)) == 0
+        pred = p if pred is None else (pred & p)
+    return pred
+
+
+def _band_agree_mask(xor, bands: list[tuple[int, ...]], seg: int):
+    """Bitmask over bands: bit b set iff the two signatures agree on
+    band b's combined key, as one FLAT sum of per-band terms.
+
+    Shape matters more than op count here: the pre-r8 form was a nested
+    first-agreeing-band WHEN chain, and at 35 bands the ~70-deep
+    conditional fell out of whole-stage codegen into interpreted
+    evaluation — measured 96 s vs 2.3 s for the same 35M-row collision
+    scan. A flat sum splits cleanly across generated methods, stays in
+    codegen at any band count, and the lowest-set-bit trick below turns
+    it back into the first-agreeing-band index."""
+    out = None
+    for b, segs in enumerate(bands):
+        term = F.when(
+            _band_agrees(xor, bands[b], seg), F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        out = term if out is None else (out + term)
+    return out
+
+
+def _is_first_band(band_col, xor, bands: list[tuple[int, ...]], seg: int):
+    """Exact-once emission predicate (uncapped single-segment layouts):
+    this joined row's ``band`` is the FIRST (lowest-index) band where the
+    pair's signatures agree. The first such band is the lowest set bit of
+    the agreement mask, isolated with m & -m; joined rows always have
+    m != 0 (they matched on an agreeing bucket by construction)."""
+    m = _band_agree_mask(xor, bands, seg)
+    # shiftleft needs a literal shift in the Python API; SQL takes a column
+    band_bit = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), {band_col})"
+    )
+    return band_bit == m.bitwiseAND(-m)
 
 
 def _emit_banded_pairs(
     sh: DataFrame,
     id_col: str,
-    n_bands: int,
+    bands: list[tuple[int, ...]],
     seg: int,
     max_hamming: int,
     bucket_cap: int | None,
@@ -95,15 +137,12 @@ def _emit_banded_pairs(
     ``(id, __sh)`` signature table, explodes band-bucket keys, and
     PERSISTS the banded table (the signature kernel may be an Arrow
     stage — phash, simhash — and the banded rows are read by the skew
-    probe, the survival-mask window, and BOTH self-join sides; without
-    the cache the kernel re-runs per consumer, measured 2x-3x on
-    simhash_pairs; r8 moved the persist from the signature table to the
-    banded table so the probe and the join read the SAME materialization
-    instead of re-running the explode per consumer), then band
-    self-join + map-side Hamming verify with EXACT-ONCE pair emission
-    and no pair-level dedup shuffle. The persisted inputs ride the
-    returned DataFrame's ``_keystone_caches`` (release via
-    ``release(pairs)``).
+    probe and BOTH self-join sides; without the cache the kernel re-runs
+    per consumer, measured 2x-3x on simhash_pairs; r8 moved the persist
+    from the signature table to the banded table so the probe and the
+    join read the SAME materialization), then band self-join + map-side
+    Hamming verify. The persisted inputs ride the returned DataFrame's
+    ``_keystone_caches`` (release via ``release(pairs)``).
 
     EAGER when ``bucket_cap`` is set (ADVICE r7): the adaptive skew
     probe below runs one Spark job (signature kernel + banding + count
@@ -112,28 +151,39 @@ def _emit_banded_pairs(
     execute it still pay the kernel once; pass ``bucket_cap=None`` for
     a fully lazy (but unguarded) plan.
 
-    - ``bucket_cap is None`` — every agreeing band is present in the
-      join, so "first band where the signatures agree" is a pure
-      function of the two signatures: filtering on it emits each pair
-      exactly once (the classic exact-once LSH trick).
-    - ``bucket_cap`` set — an adaptive probe (one map-side-combinable
-      count agg, persisted because the anti-join re-reads it) first
-      checks whether ANY bucket actually exceeds the cap; when none
-      does (the common corpus), the guard collapses to the pure path
-      above with no anti-join and no mask. When skew exists, a pair's
-      first agreeing band may sit in a capped bucket while a later band
-      survives; the pure-signature filter would silently drop that pair
-      (ADVICE r6). Fix WITHOUT a candidate-volume dedup (at sf0.1 a
-      verified-pair dropDuplicates measured 4.5x the whole query):
-      attach each id a bitmask of its SURVIVING bands (one corpus-keyed
-      window over the 16N banded rows) and emit the row whose band is
-      the first surviving agreeing band. On an agreeing band both sides
-      share the bucket, so survival is identical for both ids and a's
-      mask decides for the pair: still a row-local predicate inside the
-      join, still exactly-once, and lossless — any pair with >= 1
-      surviving band is kept.
+    Pair multiplicity (a pair joins once per agreeing band) is resolved
+    by one of two row-local strategies:
+
+    - EXACT-ONCE FILTER — uncapped single-segment layouts: "this row's
+      band is the first agreeing band" is a pure function of the two
+      signatures, so a filter emits each pair exactly once with ZERO
+      extra shuffle. Kept for small layouts only: the agreement-mask
+      expression grows with the band count, and past ~16 bands the
+      generated join-condition method fell out of JIT (r8: clique35
+      measured 96 s vs 3.8 s for the same collision volume).
+    - HAMMING-FILTER + GROUP-BY — capped or clique layouts: the cheap
+      ``bit_count(xor) <= max_hamming`` predicate runs INSIDE the join
+      (tiny, JIT-safe), so only true near-pairs reach the groupBy(i, j)
+      dedup — a shuffle of output-scale rows, not collision-scale. This
+      also makes bucket capping LOSSLESS with no extra machinery (r7's
+      survival-mask window is gone): a pair survives iff at least one
+      of its agreeing buckets survived the cap, which is exactly the
+      rows the capped join produces; the groupBy collapses whatever
+      multiplicity remains.
     """
     mask = (1 << seg) - 1
+
+    def bucket_expr(segs: tuple[int, ...]):
+        # combined key: concatenate the segment values into one long —
+        # 2^(len(segs)*seg) distinct buckets per band
+        expr = None
+        for s in segs:
+            v = F.shiftrightunsigned(F.col("__sh"), s * seg).bitwiseAND(
+                F.lit(mask)
+            )
+            expr = v if expr is None else F.shiftleft(expr, seg).bitwiseOR(v)
+        return expr
+
     banded = _persist_once(
         sh.select(
             id_col,
@@ -143,11 +193,9 @@ def _emit_banded_pairs(
                     *[
                         F.struct(
                             F.lit(b).alias("band"),
-                            F.shiftrightunsigned(F.col("__sh"), b * seg)
-                            .bitwiseAND(F.lit(mask))
-                            .alias("bucket"),
+                            bucket_expr(segs).alias("bucket"),
                         )
-                        for b in range(n_bands)
+                        for b, segs in enumerate(bands)
                     ]
                 )
             ).alias("bb"),
@@ -159,11 +207,9 @@ def _emit_banded_pairs(
         # Adaptive skew probe (the AQE idea, one level up): ONE
         # map-side-combinable count-agg decides whether any bucket
         # actually exceeds the cap. The common corpus has none — then
-        # the anti-join AND the mask window are both skipped and the
-        # pure exact-once filter runs at full speed (the always-on mask
-        # measured +30% on simhash_pairs with zero buckets capped).
-        # The agg reads the banded cache just materialized above, so
-        # the probe costs one cached scan, not a kernel re-run.
+        # the anti-join is skipped and the exact-once fast path stays
+        # available. The agg reads the banded cache just materialized
+        # above, so the probe costs one cached scan, not a kernel re-run.
         big = (
             banded.groupBy("band", "bucket")
             .agg(F.count("*").alias("__n"))
@@ -178,24 +224,7 @@ def _emit_banded_pairs(
             caches.append(big)
         else:
             big.unpersist()
-    if capped:
-        # Mask ONLY side a: on an agreeing band both sides share the
-        # bucket, so a's survival mask decides for the pair (docstring
-        # above) and b stays a plain projection — keeping b narrow lets
-        # Catalyst broadcast it at moderate scale instead of forcing a
-        # sort-merge join over the skewed (band, bucket) key space
-        # (measured 25x on simhash_pairs when BOTH sides carried the
-        # window).
-        a = banded.withColumn(
-            "__sm",
-            F.sum(
-                # shiftleft's numBits arg must be a literal in the
-                # python API; go through SQL for a column shift amount
-                F.expr("shiftleft(CAST(1 AS BIGINT), band)")
-            ).over(Window.partitionBy(id_col)),
-        ).alias("a")
-    else:
-        a = banded.alias("a")
+    a = banded.alias("a")
     b = banded.alias("b")
     xor = F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))
     joined = a.join(
@@ -204,22 +233,26 @@ def _emit_banded_pairs(
         & (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     )
-    if capped:
-        joined = joined.where(
-            F.col("a.band")
-            == _first_surviving_zero_band(
-                xor, F.col("a.__sm"), n_bands, seg
-            )
-        )
+    exact_once = not capped and all(len(s) == 1 for s in bands) and len(bands) <= 16
+    if exact_once:
+        joined = joined.where(_is_first_band("a.band", xor, bands, seg))
+        pairs = joined.select(
+            F.col(f"a.{id_col}").alias("i"),
+            F.col(f"b.{id_col}").alias("j"),
+            F.bit_count(xor).alias("hamming"),
+        ).where(F.col("hamming") <= max_hamming)
     else:
-        joined = joined.where(
-            F.col("a.band") == _first_zero_band(xor, n_bands, seg)
+        pairs = (
+            joined.where(F.bit_count(xor) <= max_hamming)
+            .select(
+                F.col(f"a.{id_col}").alias("i"),
+                F.col(f"b.{id_col}").alias("j"),
+                F.bit_count(xor).alias("hamming"),
+            )
+            # hamming is a pure function of the pair: min == the value
+            .groupBy("i", "j")
+            .agg(F.min("hamming").alias("hamming"))
         )
-    pairs = joined.select(
-        F.col(f"a.{id_col}").alias("i"),
-        F.col(f"b.{id_col}").alias("j"),
-        F.bit_count(xor).alias("hamming"),
-    ).where(F.col("hamming") <= max_hamming)
     pairs._keystone_caches = caches
     return pairs
 
@@ -865,6 +898,7 @@ def simhash_candidates(
     max_hamming: int = 3,
     impl: str = "arrow",
     bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+    band_cliques: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup candidates: 64-bit signature banded into
     n_bands segments (a pair within Hamming distance n_bands-1 shares at
@@ -872,19 +906,26 @@ def simhash_candidates(
     impl='arrow' (default) vectorizes signature computation per batch;
     impl='codegen' keeps everything JVM-side. Buckets larger than
     ``bucket_cap`` are excluded before the self-join (skew guard — see
-    ``_drop_oversized_buckets``); pass None to disable.
+    ``_drop_oversized_buckets``); pass None to disable. EAGER when
+    ``bucket_cap`` is set: the adaptive skew probe runs one Spark job at
+    construction time (see ``_emit_banded_pairs``).
 
-    SCALE CEILING (measured, BASELINE.md sf5 row): with small segments
-    the band key space is tiny (16 x 4-bit bands = 16 values/band), so
-    bucket occupancy grows LINEARLY with the corpus and the band
-    self-join QUADRATICALLY — sublinear to ~1e4 docs, superlinear past
-    ~1e4 at these defaults, and past ~bucket_cap docs/bucket the skew
-    guard starts dropping whole buckets. Small-segment SimHash banding
-    is a moderate-scale exact-Hamming search; for corpus-scale near-dup
-    use ``minhash_dedup`` (band keys hash into 2^64 values, so
-    occupancy tracks true duplicate families, not corpus size) or this
-    kernel with >= 8-bit segments and a correspondingly lower
-    guaranteed Hamming radius."""
+    SCALE CEILING of plain single-segment banding (measured, BASELINE.md
+    sf5 row through r7): with small segments the band key space is tiny
+    (16 x 4-bit bands = 16 values/band), so bucket occupancy grows
+    LINEARLY with the corpus and the band self-join QUADRATICALLY.
+    ``band_cliques`` (r8) is the scale path that KEEPS the structural
+    guarantee: band keys become within-clique PAIRS of segments
+    (``clique_band_segments``) — 2^(2*seg) values per band, so the
+    collision rate drops by 2^seg while pigeonhole still guarantees any
+    pair with >= band_cliques+1 agreeing segments (Hamming <=
+    n_bands - band_cliques - 1 segment errors) shares a band. For
+    (n_bands=16, band_cliques=3): 35 bands of 8-bit keys, guaranteed
+    recall through Hamming 12 — ~7x less quadratic collision work for
+    2.2x the banded rows. For corpus-scale near-dup beyond Hamming
+    search, ``minhash_dedup`` remains the declared path (band keys hash
+    into 2^64 values, so occupancy tracks true duplicate families, not
+    corpus size)."""
     assert 64 % n_bands == 0
     seg = 64 // n_bands
     if impl == "arrow":
@@ -893,8 +934,16 @@ def simhash_candidates(
         sh = df.select(
             F.col(id_col), simhash64(tokens(F.col(text_col))).alias("__sh")
         )
+    # recall guarantee: single-segment banding covers Hamming <=
+    # n_bands-1; clique banding covers <= n_bands-band_cliques-1 (each
+    # bit error corrupts at most one segment). Above the guarantee,
+    # candidate recall is best-effort in BOTH schemes.
+    if band_cliques is not None:
+        bands = clique_band_segments(n_bands, band_cliques)
+    else:
+        bands = [(b,) for b in range(n_bands)]
     return _emit_banded_pairs(
-        sh, id_col, n_bands, seg, max_hamming, bucket_cap
+        sh, id_col, bands, seg, max_hamming, bucket_cap
     )
 
 
@@ -949,6 +998,7 @@ def hash64_candidates(
     n_bands: int = 4,
     max_hamming: int = 3,
     bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+    band_cliques: int | None = None,
 ) -> DataFrame:
     """Banded near-dup candidates over ANY 64-bit signature column (the
     simhash_candidates kernel generalized): pigeonhole guarantees a pair
@@ -956,13 +1006,20 @@ def hash64_candidates(
     equi-join replaces the all-pairs product, bit_count verifies. Use
     with text simhash, image phash (multimodal.phash64), audio
     fingerprints — anything that emits a LongType signature.
+    ``band_cliques`` switches to within-clique segment-PAIR band keys
+    (guaranteed through Hamming n_bands-band_cliques-1, collision rate
+    /2^seg — see ``simhash_candidates``/``clique_band_segments``).
+    EAGER when ``bucket_cap`` is set (see ``_emit_banded_pairs``).
     """
     assert 64 % n_bands == 0
     seg = 64 // n_bands
-    mask = (1 << seg) - 1
     sh = df.select(F.col(id_col), F.col(hash_col).alias("__sh"))
+    if band_cliques is not None:
+        bands = clique_band_segments(n_bands, band_cliques)
+    else:
+        bands = [(b,) for b in range(n_bands)]
     return _emit_banded_pairs(
-        sh, id_col, n_bands, seg, max_hamming, bucket_cap
+        sh, id_col, bands, seg, max_hamming, bucket_cap
     )
 
 

@@ -38,6 +38,11 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for all Python<->JVM columnar crossings.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Pin the Arrow batch size explicitly (the engine's mapInPandas
+    # kernels — minhash/simhash signatures, codecs — are sized against
+    # it: ~10k docs x ~500 shingle hashes stays well inside an executor
+    # task's memory while amortizing the per-batch numpy dispatch).
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     # runtime bloom-filter join pruning: when a selective filter sits on
     # one side of a shuffle join, inject its bloom filter into the other
     # side's scan — at 100 TB this drops most of the probe side's rows
@@ -84,6 +89,12 @@ def get_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Reuse Python workers across Arrow stages (static conf; true by
+        # default, pinned explicitly — a fresh worker per stage re-pays
+        # interpreter fork + numpy/pandas import for every signature
+        # kernel, the dominant term of the cold/warm 14s-vs-4s variance
+        # VERDICT r7 measured on the dedup family).
+        .config("spark.python.worker.reuse", "true")
     )
     for k, v in RUNTIME_CONFS.items():
         b = b.config(k, v)
@@ -91,3 +102,30 @@ def get_session(
         b = b.config(k, v)
     spark = b.getOrCreate()
     return configure_session(spark)
+
+
+def warm_python_workers(spark: SparkSession, partitions: int | None = None) -> None:
+    """Force-start the Python worker pool: one trivial Arrow stage with a
+    task per core, so every worker exists, has imported numpy/pandas, and
+    sits warm in the reuse pool before anything is timed.
+
+    A COLD worker pays interpreter start + numpy/pandas import per core;
+    VERDICT r7 measured the minhash signature kernel at 14.2 s cold vs
+    3.9 s warm — a 3.6x swing that made perf snapshots unreproducible.
+    Timing harnesses (tools/bench_registry.py, bench.py) call this once
+    after session creation; with ``spark.python.worker.reuse`` pinned
+    true, every later mapInPandas/pandas_udf stage reuses the pool."""
+    import pandas as pd  # local import: keep module import light
+
+    n = partitions or spark.sparkContext.defaultParallelism
+
+    def _touch(batches):
+        import numpy as np  # noqa: F401 — imported for the side effect
+        for b in batches:
+            yield pd.DataFrame({"id": b["id"]})
+
+    (
+        spark.range(n * 4, numPartitions=n)
+        .mapInPandas(_touch, "id long")
+        .write.format("noop").mode("overwrite").save()
+    )

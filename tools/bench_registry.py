@@ -3,8 +3,9 @@
 bench.py gates only the 12 headline b-slots; every other declared query
 could regress 10x with every gate staying green. This tool times EVERY
 ``__spark_entry__.queries()`` entry (noop sink — full plan, every output
-column, no driver transfer; one warmup then best-of-2) and prints ONE
-JSON line. Modes:
+column, no driver transfer; Python worker pool pre-warmed, one
+warmup/query, then best-of-2 in check mode / median-of-3 in snapshot
+mode — see ``run_registry``) and prints ONE JSON line. Modes:
 
   python tools/bench_registry.py                      # measure + print
   python tools/bench_registry.py --snapshot FILE      # measure + write FILE
@@ -43,15 +44,30 @@ ABS_FLOOR_SEC = 0.75  # noise floor: never flag below snapshot + this
 RATIO = 2.5
 
 
-def run_registry(spark, sf_dir: str, keys=None, repeats: int = 2) -> dict:
-    """Best-of-``repeats`` wall seconds per declared query (one warmup
-    pass first). Queries are built fresh per run so eager fit stages
-    (ranked_series offsets, similarity probes) are timed too — they are
-    part of the operator's cost."""
+def run_registry(spark, sf_dir: str, keys=None, repeats: int = 2,
+                 agg: str = "best") -> dict:
+    """Wall seconds per declared query (one warmup pass first), reduced
+    over ``repeats`` timed runs with ``agg``:
+
+    - ``best`` (check mode): min of the timed runs — a lower bound, so a
+      reading over the limit is a real regression, not a noise spike.
+    - ``median`` (snapshot mode): middle of the timed runs — robust to
+      the one-off warm-state outliers that made the r7 snapshot
+      unrepresentative (minhash_dedup committed at 5.31 s best-of-2 but
+      measured 12-30 s across clean reruns; VERDICT r7 #1). Comparing a
+      best-of-2 check reading against a median-of-3 snapshot gives the
+      gate one-sided slack in exactly the direction noise pushes.
+
+    Queries are built fresh per run so eager fit stages (ranked_series
+    offsets, similarity probes) are timed too — they are part of the
+    operator's cost."""
+    import statistics
+
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
     keys = list(keys) if keys else list(qs)
+    reduce = {"best": min, "median": statistics.median}[agg]
     out: dict[str, float] = {}
     for name in keys:
         fn = qs[name]
@@ -71,7 +87,7 @@ def run_registry(spark, sf_dir: str, keys=None, repeats: int = 2) -> dict:
             return dt
 
         once()  # warmup: file listing, codegen, broadcast build
-        out[name] = round(min(once() for _ in range(repeats)), 4)
+        out[name] = round(reduce([once() for _ in range(repeats)]), 4)
         spark.catalog.clearCache()  # drop anything a query leaked anyway
     return out
 
@@ -82,6 +98,8 @@ def compare(current: dict, snapshot: dict) -> list[str]:
     'unsnapshotted' (regenerate the snapshot when adding queries)."""
     problems = []
     for name, now in sorted(current.items()):
+        if name.startswith("__"):
+            continue  # snapshot metadata (__protocol__), not a query
         snap = snapshot.get(name)
         if snap is None:
             problems.append(f"unsnapshotted: {name} ({now:.2f}s)")
@@ -104,13 +122,24 @@ def main() -> int:
     ap.add_argument("--check", nargs="?", const=DEFAULT_SNAPSHOT,
                     help="compare against snapshot file; exit 1 on regression")
     ap.add_argument("--only", nargs="*", help="subset of query keys")
+    ap.add_argument("--repeats", type=int, default=None,
+                    help="timed runs per query (default: 2 check / 3 snapshot)")
     args = ap.parse_args()
 
-    from keystone_spark import get_session
+    from keystone_spark import get_session, warm_python_workers
 
     spark = get_session("bench_registry")
+    # Warm the Python worker pool BEFORE timing anything: cold workers
+    # (interpreter start + numpy/pandas import per core) dominated the
+    # first Arrow-kernel query's reading and made the r7 snapshot
+    # unreproducible (VERDICT r7 #1).
+    warm_python_workers(spark)
+    snapshot_mode = bool(args.snapshot)
+    repeats = args.repeats or (3 if snapshot_mode else 2)
+    agg = "median" if snapshot_mode else "best"
     t0 = time.perf_counter()
-    timings = run_registry(spark, args.sf_dir, keys=args.only)
+    timings = run_registry(spark, args.sf_dir, keys=args.only,
+                           repeats=repeats, agg=agg)
     result = {
         "metric": "registry_bench",
         "sf_dir": args.sf_dir,
@@ -122,7 +151,23 @@ def main() -> int:
     print(json.dumps(result))
     if args.snapshot:
         with open(args.snapshot, "w") as f:
-            json.dump(timings, f, indent=1, sort_keys=True)
+            json.dump(
+                {
+                    "__protocol__": {
+                        "agg": agg,
+                        "repeats": repeats,
+                        "warmup": "1 pass/query + Python worker pool "
+                                  "pre-warm (warm_python_workers)",
+                        "sf_dir": args.sf_dir,
+                        "note": "snapshot = median-of-%d on an idle "
+                                "machine; check = best-of-2 vs max(%.1fx,"
+                                " +%.2fs) of these values"
+                                % (repeats, RATIO, ABS_FLOOR_SEC),
+                    },
+                    **timings,
+                },
+                f, indent=1, sort_keys=True,
+            )
     if args.check:
         with open(args.check) as f:
             snap = json.load(f)
