@@ -31,9 +31,21 @@ from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 DEFAULT_BUCKET_CAP = 2000
 
+# 64-bit Hamming banding (simhash/phash) has a CONSTANT band-key space
+# (<= 2^8-2^9 under any structural-recall layout at hamming ~ 12 — see
+# _emit_banded_pairs), so bucket occupancy grows with the corpus and the
+# self-join cost with its square. Buckets over this cap TRUNCATE to their
+# lowest-id members, bounding per-bucket join work at cap^2 (256^2 = 65k
+# comparisons) — total collision volume is then linear in banded rows.
+# MinHash banding keeps the higher DEFAULT_BUCKET_CAP: its 2^64 key space
+# means an oversized bucket signals a true duplicate family, not corpus
+# growth.
+HAMMING_BUCKET_CAP = 256
 
-def _persist_once(df: DataFrame) -> DataFrame:
-    """``persist()`` only when this plan is not already cached.
+
+def _persist_once(df: DataFrame, caches: list | None = None) -> DataFrame:
+    """``persist()`` only when this plan is not already cached, and
+    register the cache for release ONLY when this call created it.
 
     The dedup operators build deterministic plans, and callers (bench
     warmup+timed loops, the verify harness) rebuild the SAME plan several
@@ -41,10 +53,20 @@ def _persist_once(df: DataFrame) -> DataFrame:
     the CacheManager entry of the previous run ("Asked to cache already
     cached data" WARN) and on a shared cluster churns the block manager
     (VERDICT r7 "What's wrong" #3). The storage-level probe is a metadata
-    lookup (CacheManager map), not a job."""
+    lookup (CacheManager map), not a job.
+
+    Ownership (ADVICE r8): Spark's CacheManager unpersists by PLAN
+    equality, so an invocation that skipped the persist (plan already
+    cached by an earlier caller) must NOT later unpersist it — that
+    would yank the cache out from under the original owner. Callers
+    therefore never call ``.unpersist()`` on a ``_persist_once`` result
+    directly; they pass ``caches`` and release only what lands in it
+    (which is exactly the caches this invocation created)."""
     lvl = df.storageLevel
     if not (lvl.useMemory or lvl.useDisk or lvl.useOffHeap):
-        return df.persist()
+        df.persist()
+        if caches is not None:
+            caches.append(df)
     return df
 
 
@@ -68,6 +90,16 @@ def clique_band_segments(n_seg: int, n_cliques: int) -> list[tuple[int, int]]:
     collision term drops ~7x. Minimal by Turan's theorem: independence
     number <= n_cliques needs the complement K_{n_cliques+1}-free, and
     disjoint near-equal cliques meet that bound with the fewest edges."""
+    if not (1 <= n_cliques <= n_seg // 2):
+        # n_cliques > n_seg//2 leaves every group with < 2 members ->
+        # ZERO bands, which downstream silently produces zero candidates
+        # or crashes obscurely in the agreement mask (ADVICE r8)
+        raise ValueError(
+            f"clique_band_segments(n_seg={n_seg}, n_cliques={n_cliques}): "
+            f"need 1 <= n_cliques <= n_seg//2 = {n_seg // 2} so every "
+            "clique has >= 2 segments (otherwise no segment-pair bands "
+            "exist and the layout has no recall at all)"
+        )
     groups: list[list[int]] = [[] for _ in range(n_cliques)]
     for s in range(n_seg):
         groups[s % n_cliques].append(s)
@@ -164,12 +196,26 @@ def _emit_banded_pairs(
     - HAMMING-FILTER + GROUP-BY — capped or clique layouts: the cheap
       ``bit_count(xor) <= max_hamming`` predicate runs INSIDE the join
       (tiny, JIT-safe), so only true near-pairs reach the groupBy(i, j)
-      dedup — a shuffle of output-scale rows, not collision-scale. This
-      also makes bucket capping LOSSLESS with no extra machinery (r7's
-      survival-mask window is gone): a pair survives iff at least one
-      of its agreeing buckets survived the cap, which is exactly the
-      rows the capped join produces; the groupBy collapses whatever
+      dedup — a shuffle of output-scale rows, not collision-scale. A
+      pair survives iff at least one of its agreeing buckets kept both
+      members under the cap; the groupBy collapses whatever
       multiplicity remains.
+
+    SCALE CEILING (measured, VERDICT r8 #3): a 64-bit signature at
+    ``max_hamming`` ~ 12 admits only <= ~8-9 bit band keys under any
+    structural-recall layout (pigeonhole needs >= 13 agreeing chances),
+    so the band key space is CONSTANT and uncapped bucket occupancy
+    grows linearly with the corpus — the band self-join quadratically
+    (r8's uncapped clique config: 758 s at sf5). The cap TRUNCATES each
+    oversized bucket to its ``bucket_cap`` lowest-id members (one
+    WindowGroupLimit pass), bounding total collision volume at
+    n_banded_rows x cap — linear — at the documented recall cost that
+    pairs straddling the truncation boundary of EVERY their shared
+    bucket are missed. Size ``bucket_cap`` so the declared scale
+    point's occupancy stays under it when full recall is required;
+    for corpus-scale near-dup, ``minhash_dedup``'s 2^64 key space
+    (occupancy tracks duplicate families, not corpus size) is the
+    declared path.
     """
     mask = (1 << seg) - 1
 
@@ -184,6 +230,7 @@ def _emit_banded_pairs(
             expr = v if expr is None else F.shiftleft(expr, seg).bitwiseOR(v)
         return expr
 
+    caches: list = []
     banded = _persist_once(
         sh.select(
             id_col,
@@ -199,31 +246,46 @@ def _emit_banded_pairs(
                     ]
                 )
             ).alias("bb"),
-        ).select(id_col, "__sh", "bb.band", "bb.bucket")
+        ).select(id_col, "__sh", "bb.band", "bb.bucket"),
+        caches,
     )
-    caches = [banded]
     capped = False
     if bucket_cap is not None:
         # Adaptive skew probe (the AQE idea, one level up): ONE
         # map-side-combinable count-agg decides whether any bucket
         # actually exceeds the cap. The common corpus has none — then
-        # the anti-join is skipped and the exact-once fast path stays
-        # available. The agg reads the banded cache just materialized
-        # above, so the probe costs one cached scan, not a kernel re-run.
-        big = (
+        # the truncation window is skipped and the exact-once fast path
+        # stays available. The agg reads the banded cache just
+        # materialized above, so the probe costs one cached scan, not a
+        # kernel re-run.
+        big_own: list = []
+        big = _persist_once(
             banded.groupBy("band", "bucket")
             .agg(F.count("*").alias("__n"))
             .where(F.col("__n") > bucket_cap)
-            .select("band", "bucket")
+            .select("band", "bucket"),
+            big_own,
         )
-        big = _persist_once(big)
         capped = not big.isEmpty()
         if capped:
-            banded = banded.join(F.broadcast(big), ["band", "bucket"],
-                                 "left_anti")
-            caches.append(big)
-        else:
-            big.unpersist()
+            # TRUNCATE oversized buckets to their ``bucket_cap``
+            # lowest-id members instead of dropping them wholesale
+            # (r9, VERDICT r8 #3): per-bucket join work is then bounded
+            # by cap^2 BY DESIGN — total collision volume <=
+            # n_banded_rows * cap, LINEAR in the corpus — while each
+            # boilerplate family still yields pairs among its first
+            # ``cap`` members (the r7/r8 anti-join lost the whole
+            # family). row_number <= cap compiles to WindowGroupLimit
+            # (rank-limit pushed map-side before the window shuffle),
+            # so the guard costs one bounded shuffle of banded rows.
+            w = Window.partitionBy("band", "bucket").orderBy(id_col)
+            banded = (
+                banded.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") <= bucket_cap)
+                .drop("__rn")
+            )
+        for c in big_own:
+            c.unpersist()
     a = banded.alias("a")
     b = banded.alias("b")
     xor = F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))
@@ -458,18 +520,21 @@ def minhash_lsh_candidates(
     both self-join sides); Catalyst does not share common DataFrame
     subtrees, so without a cache the band-key hashing (16 xxhash64s over
     stringified signature slices per doc) runs three times — measured as
-    the dominant non-kernel cost of b13 at sf1 (VERDICT r7 #2). Pass
-    ``caches`` to receive the persisted banded DataFrame and unpersist it
-    once candidates are materialized (``minhash_dedup`` does)."""
+    the dominant non-kernel cost of b13 at sf1 (VERDICT r7 #2). The
+    persisted banded DataFrame rides the result's ``_keystone_caches``
+    (release via ``release(result)`` once candidates are materialized —
+    ADVICE r8: the old optional ``caches`` out-param leaked the persist
+    for direct public-API callers using default args); ``caches`` is
+    still honored for callers that manage release inline
+    (``minhash_dedup`` does)."""
+    own: list = []
     banded = minhash_banded(sigs, id_col, n_bands, n_hashes)
     if bucket_cap is not None:
-        banded = _persist_once(banded)
-        if caches is not None:
-            caches.append(banded)
+        banded = _persist_once(banded, own)
     banded = _drop_oversized_buckets(banded, ["band", "bucket"], bucket_cap)
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -479,6 +544,12 @@ def minhash_lsh_candidates(
         .select(F.col(f"a.{id_col}").alias("i"), F.col(f"b.{id_col}").alias("j"))
         .distinct()
     )
+    if caches is not None:
+        caches.extend(own)
+        out._keystone_caches = []
+    else:
+        out._keystone_caches = own
+    return out
 
 
 def jaccard_verify(
@@ -556,9 +627,7 @@ def jaccard_verify(
                 ),
             ),
         )
-    sh = _persist_once(sh)
-    if caches is not None:
-        caches.append(sh)
+    sh = _persist_once(sh, caches)
     side_cols = ["__sh"] + (["__h"] if use_hist else [])
 
     def side(name: str, suffix: str):
@@ -693,16 +762,18 @@ def minhash_dedup(
     # signatures are consumed twice (band join + estimate filter);
     # persist + materialize so the Arrow stage runs exactly once
     # (AutoCacheRule R2: reuse count >= 2 -> cache)
+    band_caches: list = []
     sigs = _persist_once(minhash_signatures(
         survivors, id_col, text_col, n_hashes, shingle_k, seed
-    ))
-    band_caches: list = []
+    ), band_caches)
     cand = minhash_lsh_candidates(sigs, id_col, n_bands, n_hashes, bucket_cap,
                                   caches=band_caches)
-    likely = minhash_estimate_filter(cand, sigs, id_col, n_hashes, threshold)
-    likely = _persist_once(likely)
+    likely_own: list = []
+    likely = _persist_once(
+        minhash_estimate_filter(cand, sigs, id_col, n_hashes, threshold),
+        likely_own,
+    )
     likely.count()
-    sigs.unpersist()
     for c in band_caches:
         c.unpersist()
     caches: list = []
@@ -710,13 +781,15 @@ def minhash_dedup(
         likely, survivors, id_col, text_col, shingle_k, threshold,
         caches=caches, n_hist=None,  # estimate filter already pruned
     )
-    drop = _persist_once(dups.select(F.col("j").alias(id_col)).distinct())
+    drop_own: list = []
+    drop = _persist_once(
+        dups.select(F.col("j").alias(id_col)).distinct(), drop_own
+    )
     drop.count()
-    likely.unpersist()
-    for c in caches:
+    for c in likely_own + caches:
         c.unpersist()
     out = survivors.join(drop, id_col, "left_anti")
-    out._keystone_caches = [drop]  # released via release(out)
+    out._keystone_caches = drop_own  # released via release(out)
     return out
 
 
@@ -761,17 +834,17 @@ def dedup_clusters(
         id_col,
         "left_semi",
     )
+    band_caches: list = []
     sigs = _persist_once(minhash_signatures(
         survivors, id_col, text_col, n_hashes, shingle_k, seed
-    ))
-    band_caches: list = []
+    ), band_caches)
     cand = minhash_lsh_candidates(sigs, id_col, n_bands, n_hashes, bucket_cap,
                                   caches=band_caches)
+    likely_own: list = []
     likely = _persist_once(minhash_estimate_filter(
         cand, sigs, id_col, n_hashes, threshold
-    ))
+    ), likely_own)
     likely.count()
-    sigs.unpersist()
     for c in band_caches:
         c.unpersist()
     caches: list = []
@@ -783,8 +856,7 @@ def dedup_clusters(
     labels = connected_components(
         edges, "i", "j", node_col=id_col, comp_col="cluster_id"
     )
-    likely.unpersist()
-    for c in caches:
+    for c in likely_own + caches:
         c.unpersist()
     return labels
 
@@ -897,7 +969,7 @@ def simhash_candidates(
     n_bands: int = 4,
     max_hamming: int = 3,
     impl: str = "arrow",
-    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+    bucket_cap: int | None = HAMMING_BUCKET_CAP,
     band_cliques: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup candidates: 64-bit signature banded into
@@ -910,22 +982,30 @@ def simhash_candidates(
     ``bucket_cap`` is set: the adaptive skew probe runs one Spark job at
     construction time (see ``_emit_banded_pairs``).
 
-    SCALE CEILING of plain single-segment banding (measured, BASELINE.md
-    sf5 row through r7): with small segments the band key space is tiny
-    (16 x 4-bit bands = 16 values/band), so bucket occupancy grows
-    LINEARLY with the corpus and the band self-join QUADRATICALLY.
-    ``band_cliques`` (r8) is the scale path that KEEPS the structural
-    guarantee: band keys become within-clique PAIRS of segments
-    (``clique_band_segments``) — 2^(2*seg) values per band, so the
-    collision rate drops by 2^seg while pigeonhole still guarantees any
-    pair with >= band_cliques+1 agreeing segments (Hamming <=
-    n_bands - band_cliques - 1 segment errors) shares a band. For
-    (n_bands=16, band_cliques=3): 35 bands of 8-bit keys, guaranteed
-    recall through Hamming 12 — ~7x less quadratic collision work for
-    2.2x the banded rows. For corpus-scale near-dup beyond Hamming
-    search, ``minhash_dedup`` remains the declared path (band keys hash
-    into 2^64 values, so occupancy tracks true duplicate families, not
-    corpus size)."""
+    SCALE CEILING (measured; VERDICT r8 #3 corrected the r8 overclaim):
+    EVERY structural-recall banding of a 64-bit signature at
+    max_hamming ~ 12 has a constant band-key space — single segments
+    give 16 values/band, ``band_cliques`` segment-PAIR keys
+    (``clique_band_segments``; (16, 3) -> 35 bands of 8-bit keys) give
+    256 — so uncapped bucket occupancy grows LINEARLY with the corpus
+    and the band self-join QUADRATICALLY in both layouts. The clique
+    layout divides the quadratic constant by ~7 per banded-row-doubling
+    and keeps the pigeonhole guarantee (any pair with >=
+    band_cliques+1 agreeing segments — Hamming <= n_bands -
+    band_cliques - 1 segment errors — shares a band); it does NOT
+    change the exponent: uncapped at sf5 (250k docs, ~977 docs/bucket)
+    the clique join measured 758 s vs the capped r7 layout's 71 s.
+    ``bucket_cap`` (default ``HAMMING_BUCKET_CAP``) is therefore the
+    load-bearing control: oversized buckets truncate to their cap
+    lowest-id members (see ``_emit_banded_pairs``), bounding total
+    collision work at banded_rows x cap — linear — at a documented,
+    deliberate recall cost inside over-cap boilerplate families
+    (r9 measured at cap=256: the declared simhash_pairs query fell
+    758 s -> 234 s warm / 351 s cold at sf5).
+    SimHash-64 at hamming <= 12 is a MODERATE-SCALE operator by
+    construction; for corpus-scale near-dup, ``minhash_dedup`` is the
+    declared path (band keys hash into 2^64 values, so occupancy
+    tracks true duplicate families, not corpus size)."""
     assert 64 % n_bands == 0
     seg = 64 // n_bands
     if impl == "arrow":
@@ -997,7 +1077,7 @@ def hash64_candidates(
     hash_col: str,
     n_bands: int = 4,
     max_hamming: int = 3,
-    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+    bucket_cap: int | None = HAMMING_BUCKET_CAP,
     band_cliques: int | None = None,
 ) -> DataFrame:
     """Banded near-dup candidates over ANY 64-bit signature column (the
@@ -1134,15 +1214,17 @@ def build_minhash_index(
         .select(id_col)
     )
     corpus = corpus.join(crep, id_col, "left_semi")
+    sigs_own: list = []
     sigs = _persist_once(minhash_signatures(
         corpus, id_col, text_col, n_hashes, shingle_k, seed
-    ))
+    ), sigs_own)
     banded = minhash_banded(sigs, id_col, n_bands, n_hashes)
     kept = _drop_oversized_buckets(banded, ["band", "bucket"], bucket_cap)
     kept.write.mode("overwrite").partitionBy("band").parquet(f"{path}/bands")
     sigs.write.mode("overwrite").parquet(f"{path}/sigs")
     n_sigs = sigs.count()
-    sigs.unpersist()
+    for c in sigs_own:
+        c.unpersist()
     spark = corpus.sparkSession
     # params manifest: one-row parquet (FS-agnostic — rides the same
     # Hadoop filesystem as the index itself, not the driver's local disk)
@@ -1229,6 +1311,7 @@ def neardup_against_corpus(
     batch_reps = batch.join(
         brep.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
     )
+    result_caches: list = []
     if corpus_index is not None:
         # index built by build_minhash_index, which applies the same
         # min-id-per-content collapse at build time
@@ -1244,15 +1327,16 @@ def neardup_against_corpus(
         corpus_reps = corpus.join(crep, id_col, "left_semi")
         sigs_c = _persist_once(minhash_signatures(
             corpus_reps, id_col, text_col, n_hashes, shingle_k, seed
-        ))
+        ), result_caches)
         bands_c = _drop_oversized_buckets(
             minhash_banded(sigs_c, id_col, n_bands, n_hashes),
             ["band", "bucket"],
             bucket_cap,
         )
+    sigs_b_own: list = []
     sigs_b = _persist_once(minhash_signatures(
         batch_reps, id_col, text_col, n_hashes, shingle_k, seed
-    ))
+    ), sigs_b_own)
     bands_b = minhash_banded(sigs_b, id_col, n_bands, n_hashes)
     # batch ids -> i, corpus ids -> j; a pair can agree in several bands,
     # so dedup candidates before the estimate/verify joins (candidate
@@ -1273,16 +1357,16 @@ def neardup_against_corpus(
     sigs_all = sigs_b.unionByName(sigs_c)
     likely = _persist_once(minhash_estimate_filter(
         cand, sigs_all, id_col, n_hashes, threshold
-    ))
+    ), result_caches)
     likely.count()
-    sigs_b.unpersist()
+    for c in sigs_b_own:
+        c.unpersist()
     texts = batch_reps.select(id_col, text_col).unionByName(
         corpus_reps.select(id_col, text_col)
     )
-    caches: list = []
     verified = jaccard_verify(
         likely, texts, id_col, text_col, shingle_k, threshold,
-        caches=caches, n_hist=None,  # estimate filter already pruned
+        caches=result_caches, n_hist=None,  # estimate filter already pruned
     )
     best = Window.partitionBy("i").orderBy(F.desc("jac"), F.asc("j"))
     rep_out = (
@@ -1296,9 +1380,7 @@ def neardup_against_corpus(
         .join(rep_out, "__rep")
         .select(F.col(id_col), "dup_of", "jac")
     )
-    out._keystone_caches = [likely] + caches  # released via release(out)
-    if corpus_index is None:
-        out._keystone_caches.append(sigs_c)
+    out._keystone_caches = result_caches  # released via release(out)
     return out
 
 
@@ -1326,10 +1408,18 @@ def match_minhash_index(
     the index's ``params`` manifest — a mismatch silently yields empty or
     wrong matches (different bucket keys; unequal signature lengths null
     out the estimate filter), so it raises instead (ADVICE r7). Indexes
-    built before the manifest existed skip the check."""
+    built before the manifest existed skip the check — ONLY the
+    missing-path case; a corrupt/truncated/unreadable manifest
+    propagates (ADVICE r8: swallowing every read error re-creates the
+    exact silent-mismatch failure mode the manifest exists to stop)."""
+    from pyspark.errors import AnalysisException
+
     try:
         stored = spark.read.parquet(f"{path}/params").first()
-    except Exception:
+    except AnalysisException as e:
+        cond = getattr(e, "getErrorClass", lambda: None)() or ""
+        if "PATH_NOT_FOUND" not in cond and "Path does not exist" not in str(e):
+            raise
         stored = None  # pre-manifest index: no params to validate against
     if stored is not None:
         given = {"n_hashes": n_hashes, "n_bands": n_bands,

@@ -57,3 +57,49 @@ def test_no_query_regressed_vs_snapshot():
         f"registry perf regressions:\n{proc.stderr[-3000:]}\n"
         f"{proc.stdout[-500:]}"
     )
+
+
+@pytest.mark.slow
+def test_sf1_family_not_regressed_vs_snapshot():
+    """Data-bound perf gate (VERDICT r7 #3 / r8 #3): the dedup/ANN/
+    curation family timed at sf1, where real data-volume movements
+    (b13/b14's 5-17 s swings) actually show — the sf0.1-only gate left
+    them invisible for two rounds. Skips when .localdata/sf1 hasn't been
+    generated on this machine (tools/make_scaled_data.py --k 10). A
+    deliberate sf1-only 2.5x slowdown of any family member fails here
+    even when sf0.1 stays green."""
+    sf1 = os.path.join(REPO, ".localdata", "sf1")
+    if not os.path.isdir(sf1):
+        pytest.skip("no .localdata/sf1 — generate with "
+                    "tools/make_scaled_data.py --k 10 --dst .localdata/sf1")
+    sf1_snapshot = os.path.join(REPO, "tools", "registry_snapshot_sf1.json")
+    assert os.path.exists(sf1_snapshot), (
+        "tools/registry_snapshot_sf1.json missing — regenerate with "
+        "bench_registry.py --sf-dir .localdata/sf1 --family-sf1 --snapshot"
+    )
+    sys.path.insert(0, REPO)
+    from tools.bench_registry import SF1_FAMILY
+
+    import __spark_entry__ as entry_mod
+
+    declared = set(entry_mod.queries())
+    assert set(SF1_FAMILY) <= declared
+    with open(sf1_snapshot) as f:
+        snap = json.load(f)
+    missing = set(SF1_FAMILY) - set(snap)
+    assert not missing, (
+        f"family queries missing from sf1 snapshot: {sorted(missing)}")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "bench_registry.py"),
+         "--check", sf1_snapshot, "--sf-dir", sf1, "--family-sf1"],
+        cwd=REPO,
+        env={**os.environ,
+             "SPARK_GRAFT_CPUS": os.environ.get("SPARK_GRAFT_CPUS", "32")},
+        capture_output=True,
+        text=True,
+        timeout=2400,
+    )
+    assert proc.returncode == 0, (
+        f"sf1 family perf regressions:\n{proc.stderr[-3000:]}\n"
+        f"{proc.stdout[-500:]}"
+    )

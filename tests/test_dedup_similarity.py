@@ -291,12 +291,15 @@ def test_lsh_bucket_cap_bounds_candidates(spark):
 
 
 def test_banded_pair_survives_capped_first_band(spark):
-    """A pair whose FIRST agreeing band sits in a capped bucket but whose
-    LATER agreeing band survives must still be emitted exactly once
-    (ADVICE r6: the pure first-agreeing-band filter silently dropped it;
-    with the skew guard live, emission now dedups VERIFIED pairs
-    instead). With bucket_cap=None the exact-once pure filter still
-    emits the pair exactly once with no dedup shuffle."""
+    """Bucket-cap TRUNCATION semantics (r9, VERDICT r8 #3): an oversized
+    bucket keeps its ``bucket_cap`` lowest-id members instead of being
+    dropped wholesale, so (a) a near-pair among the kept members is
+    still emitted exactly once even when its first agreeing band is the
+    capped one, (b) pairs are still found among the cap survivors of a
+    boilerplate family (the r7/r8 anti-join lost the whole family), and
+    (c) members beyond the cap contribute nothing through that bucket.
+    With bucket_cap=None the exact-once pure filter emits every pair
+    exactly once with no dedup shuffle."""
     from keystone_spark.operators.dedup import hash64_candidates
 
     # 4 bands x 16 bits. X and Y agree in bands 0 AND 1 (band 0 is their
@@ -317,17 +320,30 @@ def test_banded_pair_survives_capped_first_band(spark):
     capped = hash64_candidates(
         df, "img_id", "h", n_bands=4, max_hamming=3, bucket_cap=10
     ).collect()
-    assert [(r.i, r.j, r.hamming) for r in capped] == [(0, 1, 3)]
+    emitted = {(r.i, r.j): r.hamming for r in capped}
+    # the x-y pair survives (both are among the 10 lowest ids in the
+    # capped bucket, and they also share band 1), exactly once
+    assert emitted[(0, 1)] == 3
+    assert len(capped) == len(emitted)
+    # band-0 survivors are ids {0, 1, 10..17}; fillers i, j differ by
+    # 3 * popcount(i^j) bits, so popcount-1 filler pairs are REAL
+    # near-pairs among the survivors and must be kept (truncation, not
+    # wholesale drop) ...
+    assert (10, 11) in emitted and (10, 12) in emitted
+    # ... while members beyond the cap (ids >= 18) collide nowhere else
+    # and must contribute nothing
+    assert all(i < 18 and j < 18 for (i, j) in emitted)
 
     # uncapped: the pure exact-once filter emits every pair (including
-    # filler-filler near-pairs that the capped run sacrifices with the
-    # bucket) EXACTLY once, with no dedup shuffle
+    # all filler-filler near-pairs) EXACTLY once, with no dedup shuffle
     uncapped = hash64_candidates(
         df, "img_id", "h", n_bands=4, max_hamming=3, bucket_cap=None
     ).collect()
-    emitted = [(r.i, r.j) for r in uncapped]
-    assert (0, 1) in emitted
-    assert len(emitted) == len(set(emitted))
+    pairs = [(r.i, r.j) for r in uncapped]
+    assert (0, 1) in pairs
+    assert len(pairs) == len(set(pairs))
+    # truncated output is a SUBSET of the uncapped pair set
+    assert set(emitted) <= set(pairs)
 
 
 def test_minhash_dedup_cache_hygiene(spark):
@@ -673,3 +689,212 @@ def test_minhash_index_roundtrip_matches_inline(spark, tmp_path):
     with _pytest.raises(ValueError, match="shingle_k"):
         match_minhash_index(spark, path, batch, corpus, n_hashes=64,
                             n_bands=16, shingle_k=7, threshold=0.8)
+
+
+def test_clique_band_segments_collision_guarantee():
+    """Property pin of the clique-banding math (VERDICT r8 #5): for the
+    declared (16 segments, 3 cliques) layout, ANY pair of 64-bit
+    signatures within Hamming distance 12 must share at least one
+    segment-PAIR band exactly — pigeonhole: <= 12 bit errors corrupt
+    <= 12 of 16 segments, leaving >= 4 intact, two of which land in one
+    of the 3 cliques. Seeded-random trials at EVERY distance 0..12, with
+    adversarial spreading (each flipped bit in a distinct segment where
+    possible) — the worst case for segment survival."""
+    import random
+
+    from keystone_spark.operators.dedup import clique_band_segments
+
+    bands = clique_band_segments(16, 3)
+    assert len(bands) == 35  # C(6,2) + C(5,2) + C(5,2)
+    rng = random.Random(42)
+
+    def seg(v, s):
+        return (v >> (4 * s)) & 0xF
+
+    for d in range(13):
+        for _ in range(200):
+            a = rng.getrandbits(64)
+            # adversarial: spread flips over d distinct segments first
+            segs = rng.sample(range(16), min(d, 16))
+            b = a
+            for i in range(d):
+                s = segs[i % len(segs)] if segs else 0
+                bit = 4 * s + rng.randrange(4)
+                b ^= 1 << bit
+            h = bin(a ^ b).count("1")
+            assert h <= d
+            collides = any(
+                seg(a, s1) == seg(b, s1) and seg(a, s2) == seg(b, s2)
+                for s1, s2 in bands
+            )
+            assert collides, f"hamming-{h} pair missed every clique band"
+
+
+def test_clique_band_segments_rejects_bandless_layouts():
+    """n_cliques > n_seg//2 leaves singleton groups (worst case: ZERO
+    bands -> silent zero candidates / obscure AttributeError downstream,
+    ADVICE r8) — must raise a clear ValueError instead."""
+    import pytest as _pytest
+
+    from keystone_spark.operators.dedup import clique_band_segments
+
+    with _pytest.raises(ValueError, match="n_cliques"):
+        clique_band_segments(4, 5)  # every group singleton: zero bands
+    with _pytest.raises(ValueError, match="n_cliques"):
+        clique_band_segments(16, 9)
+    with _pytest.raises(ValueError, match="n_cliques"):
+        clique_band_segments(16, 0)
+    assert clique_band_segments(16, 8)  # boundary: all groups of 2
+
+
+def test_clique_layout_matches_single_segment_layout(spark):
+    """Output identity (VERDICT r8 #5): on a seeded 64-bit corpus the
+    clique layout (35 pair-bands) and the single-segment layout (16
+    bands) emit EXACTLY the same (i, j, hamming) rows when uncapped —
+    both are recall-complete at hamming <= 12 and the hamming filter
+    cuts everything above."""
+    import random
+
+    from keystone_spark.operators.dedup import hash64_candidates
+
+    rng = random.Random(7)
+    rows = []
+    base = [rng.getrandbits(64) for _ in range(40)]
+    i = 0
+    for v in base:
+        rows.append((i, v - (1 << 63))); i += 1
+        # one near-dup at each of a few distances, one far variant
+        for d in (1, 6, 12):
+            w = v
+            for bit in rng.sample(range(64), d):
+                w ^= 1 << bit
+            rows.append((i, w - (1 << 63))); i += 1
+        w = v
+        for bit in rng.sample(range(64), 20):
+            w ^= 1 << bit
+        rows.append((i, w - (1 << 63))); i += 1
+    df = spark.createDataFrame(rows, "img_id long, h long")
+
+    def run(**kw):
+        out = hash64_candidates(
+            df, "img_id", "h", n_bands=16, max_hamming=12,
+            bucket_cap=None, **kw
+        )
+        return sorted((r.i, r.j, r.hamming) for r in out.collect())
+
+    single = run()
+    clique = run(band_cliques=3)
+    assert clique == single and len(single) > 0
+
+
+def test_bucket_cap_truncation_bounds_join_rows(spark):
+    """The truncation guard's scale contract (VERDICT r8 #3): a
+    boilerplate family of n >> cap identical-signature docs produces at
+    most cap*(cap-1)/2 pairs — per-bucket join work is bounded by cap^2
+    BY DESIGN, not by hoping occupancy stays low — and the pairs that
+    do come out are among the cap LOWEST ids (deterministic keep rule,
+    so reruns and the oracle see the same rows)."""
+    from keystone_spark.operators.dedup import hash64_candidates
+
+    n, cap = 500, 20
+    rows = [(i, 0x1234_5678_9ABC_DEF0) for i in range(n)]
+    df = spark.createDataFrame(rows, "img_id long, h long")
+    out = hash64_candidates(
+        df, "img_id", "h", n_bands=16, max_hamming=12,
+        bucket_cap=cap, band_cliques=3
+    ).collect()
+    assert len(out) == cap * (cap - 1) // 2
+    assert all(r.i < cap and r.j < cap and r.hamming == 0 for r in out)
+
+
+def test_persist_once_ownership(spark):
+    """Cache-ownership contract (ADVICE r8): when two invocations build
+    the SAME deterministic plan, only the first persist OWNS the cache
+    — the second _persist_once must not register it for release, so
+    releasing the second invocation's caches cannot yank the cache out
+    from under the first (CacheManager unpersists by plan equality)."""
+    from keystone_spark.operators.dedup import _persist_once
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    own1: list = []
+    a = _persist_once(df.where("v > 10"), own1)
+    assert own1 == [a]  # first caller persisted -> owns
+    own2: list = []
+    b = _persist_once(df.where("v > 10"), own2)  # same plan, new object
+    assert own2 == []  # second caller skipped -> owns nothing
+    lvl = b.storageLevel
+    assert lvl.useMemory or lvl.useDisk  # still cached (owner's entry)
+    for c in own2:
+        c.unpersist()
+    lvl = a.storageLevel
+    assert lvl.useMemory or lvl.useDisk  # releasing non-owner: no-op
+    for c in own1:
+        c.unpersist()
+
+
+def test_lsh_candidates_release_contract(spark):
+    """minhash_lsh_candidates persists its banded table internally;
+    direct public-API callers (default args) must get a release path via
+    the result's _keystone_caches instead of leaking the persist
+    (ADVICE r8)."""
+    from keystone_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        release,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"some text body number {i % 7} repeated here") for i in range(40)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(df, n_hashes=16)
+    cand = minhash_lsh_candidates(sigs, n_bands=4, n_hashes=16)
+    cand.count()
+    owned = list(getattr(cand, "_keystone_caches", []))
+    assert owned, "banded persist must ride the result for release()"
+    assert all(
+        c.storageLevel.useMemory or c.storageLevel.useDisk for c in owned
+    )
+    release(cand)
+    assert not any(
+        c.storageLevel.useMemory or c.storageLevel.useDisk for c in owned
+    )
+
+
+def test_match_minhash_index_corrupt_manifest_raises(spark, tmp_path):
+    """A corrupt/truncated params manifest must PROPAGATE, not silently
+    skip validation (ADVICE r8) — only a genuinely missing manifest
+    (pre-manifest index) skips the check."""
+    import pytest as _pytest
+
+    from keystone_spark.operators.dedup import (
+        build_minhash_index,
+        match_minhash_index,
+    )
+    from keystone_spark.sources import load_table
+
+    d = load_table(spark, "documents", "/root/testdata/sf0.001")
+    corpus = d.where(F.col("doc_id") % 4 != 0)
+    batch = d.where(F.col("doc_id") % 4 == 0)
+    path = str(tmp_path / "mh_index")
+    build_minhash_index(corpus, path, n_hashes=16, n_bands=4)
+
+    # corrupt the manifest: replace its parquet files with garbage bytes
+    import glob
+    import os
+
+    for f in glob.glob(os.path.join(path, "params", "*.parquet")):
+        with open(f, "wb") as fh:
+            fh.write(b"not a parquet file at all")
+    with _pytest.raises(Exception) as ei:
+        match_minhash_index(spark, path, batch, corpus,
+                            n_hashes=16, n_bands=4)
+    assert "PATH_NOT_FOUND" not in str(ei.value)
+
+    # genuinely missing manifest -> check skipped, match still works
+    import shutil
+
+    shutil.rmtree(os.path.join(path, "params"))
+    out = match_minhash_index(spark, path, batch, corpus,
+                              n_hashes=16, n_bands=4)
+    out.count()  # no raise

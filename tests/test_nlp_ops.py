@@ -243,3 +243,79 @@ def test_bm25_empty_and_oov_queries(spark):
         [(0, ["zebra"]), (1, [])], ["query_id", "q_toks"]
     )
     assert bm25_search(docs, qs, k=5).count() == 0
+
+
+def test_bm25_index_matches_bm25_search(spark, tmp_path):
+    """Bm25Index (build-once, weight-precomputed, bucket-partitioned)
+    must return exactly what bm25_search computes from raw text for the
+    same corpus/params, survive a save/load round-trip, and validate
+    scoring constants against its manifest (VERDICT r8 #5)."""
+    from keystone_spark.operators.nlp import Bm25Index, bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (0, ["cat", "dog", "cat", "fish"]),
+            (1, ["dog", "bird", "dog", "dog"]),
+            (2, ["cat", "bird"]),
+            (3, ["fish"] * 10),
+            (4, ["unrelated", "tokens", "entirely"]),
+        ],
+        ["doc_id", "toks"],
+    )
+    qs = spark.createDataFrame(
+        [(100, ["cat", "fish"]), (101, ["dog"]), (102, ["absent"])],
+        ["query_id", "q_toks"],
+    )
+
+    def key(df):
+        return sorted(
+            (r.query_id, r.rk, r.doc_id, round(r.score, 9))
+            for r in df.collect()
+        )
+
+    expect = key(bm25_search(docs, qs, k=3))
+    idx = Bm25Index.build(docs, n_term_buckets=8)
+    assert key(idx.search(qs, k=3)) == expect
+
+    path = str(tmp_path / "bm25")
+    idx.save(path)
+    loaded = Bm25Index.load(spark, path)
+    assert key(loaded.search(qs, k=3)) == expect
+    assert loaded.params["n_docs"] == 5
+
+    # manifest validation: k1/b are baked into the stored weights, so a
+    # mismatch must raise, not silently score with the wrong constants
+    with pytest.raises(ValueError, match="k1=2.0"):
+        loaded.search(qs, k=3, k1=2.0)
+    with pytest.raises(ValueError, match="b=0.5"):
+        loaded.search(qs, k=3, b=0.5)
+    # matching params pass
+    assert key(loaded.search(qs, k=3, k1=1.2, b=0.75)) == expect
+
+
+def test_bm25_index_partition_pruning(spark, tmp_path):
+    """The search scan must carry a tbucket PartitionFilter restricted to
+    the query terms' hash buckets — the structural property that makes a
+    100-TB postings index readable per-query (same contract as IvfIndex
+    cell pruning)."""
+    import re
+
+    from keystone_spark.operators.nlp import Bm25Index
+
+    docs = spark.createDataFrame(
+        [(i, [f"term{j}" for j in range(i, i + 5)]) for i in range(50)],
+        ["doc_id", "toks"],
+    )
+    qs = spark.createDataFrame([(0, ["term3", "term7"])], ["query_id", "q_toks"])
+    path = str(tmp_path / "bm25p")
+    Bm25Index.build(docs, n_term_buckets=16).save(path)
+    idx = Bm25Index.load(spark, path)
+    out = idx.search(qs, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(
+        r"PartitionFilters: \[[^\]]*tbucket#\d+ (?:INSET|IN) \(?([^\])]*)", plan
+    )
+    assert m, plan[:2000]
+    # 2 query terms -> at most 2 buckets of 16 scanned
+    assert 0 < len(m.group(1).split(",")) <= 2, m.group(0)
+    out.count()

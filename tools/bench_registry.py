@@ -43,6 +43,25 @@ ABS_FLOOR_SEC = 0.75  # noise floor: never flag below snapshot + this
 # the false trips.
 RATIO = 2.5
 
+# The data-bound gate family (VERDICT r7 #3 / r8 #3): dedup, ANN, and
+# curation queries whose cost curves only separate from fixed overhead
+# at sf1+ — sf0.1-only gating let real sf1 movements (b13/b14) live
+# outside any gate for two rounds. Snapshot lives in
+# tools/registry_snapshot_sf1.json; regenerate with
+#   python tools/make_scaled_data.py --k 10 --dst .localdata/sf1
+#   python tools/bench_registry.py --sf-dir .localdata/sf1 \
+#       --family-sf1 --snapshot tools/registry_snapshot_sf1.json
+SF1_FAMILY = [
+    "dedup_exact", "dedup_savings", "line_dedup", "url_dedup",
+    "minhash_dedup", "dedup_clusters", "simhash_pairs",
+    "incremental_neardup", "phash_neardup",
+    "duplicate_spans", "strip_spans",
+    "cosine_topk", "ivf_index_topk", "pq_topk", "ivfpq_topk",
+    "bm25_search", "bm25_indexed",
+]
+SF1_SNAPSHOT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "registry_snapshot_sf1.json")
+
 
 def run_registry(spark, sf_dir: str, keys=None, repeats: int = 2,
                  agg: str = "best") -> dict:
@@ -122,9 +141,13 @@ def main() -> int:
     ap.add_argument("--check", nargs="?", const=DEFAULT_SNAPSHOT,
                     help="compare against snapshot file; exit 1 on regression")
     ap.add_argument("--only", nargs="*", help="subset of query keys")
+    ap.add_argument("--family-sf1", action="store_true",
+                    help="run the SF1_FAMILY dedup/ANN/curation subset")
     ap.add_argument("--repeats", type=int, default=None,
                     help="timed runs per query (default: 2 check / 3 snapshot)")
     args = ap.parse_args()
+    if args.family_sf1:
+        args.only = SF1_FAMILY
 
     from keystone_spark import get_session, warm_python_workers
 
