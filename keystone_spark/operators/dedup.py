@@ -394,11 +394,13 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     cluster before a CPU-heavy Arrow kernel. The shuffle moves only the raw
     rows (cheap); without it, a single-file scan pins the whole signature
     computation to one Python worker. No-op when the input already has
-    enough partitions (the 100 TB case)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    enough partitions (the 100 TB case). Delegates to
+    sources.tables.ensure_parallelism, which skips the partition probe
+    on shuffle-bearing plans (probing ``.rdd`` under AQE executes query
+    stages — ~2.8 s per signature call at sf1, r9)."""
+    from keystone_spark.sources.tables import ensure_parallelism
+
+    return ensure_parallelism(df)
 
 
 def shingle_hashes(text_col, k: int = 5):
@@ -756,8 +758,17 @@ def minhash_dedup(
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )
-    survivors = nn.join(keepers, id_col, "left_semi").unionByName(
-        df.where(F.col(text_col).isNull())
+    # survivors is consumed THREE times (signature kernel, verify's
+    # candidate-text semi-join, final anti-join), and each consumer
+    # otherwise re-runs the exact-first scan+agg+semi-join (~1.5 s x 3
+    # at sf1, r9). It still references the cache after return, so it
+    # rides _keystone_caches rather than an inline unpersist.
+    result_caches: list = []
+    survivors = _persist_once(
+        nn.join(keepers, id_col, "left_semi").unionByName(
+            df.where(F.col(text_col).isNull())
+        ),
+        result_caches,
     )
     # signatures are consumed twice (band join + estimate filter);
     # persist + materialize so the Arrow stage runs exactly once
@@ -789,7 +800,7 @@ def minhash_dedup(
     for c in likely_own + caches:
         c.unpersist()
     out = survivors.join(drop, id_col, "left_anti")
-    out._keystone_caches = drop_own  # released via release(out)
+    out._keystone_caches = drop_own + result_caches  # via release(out)
     return out
 
 
@@ -829,10 +840,18 @@ def dedup_clusters(
         with_keeper.where(F.col(id_col) != F.col("__k"))
         .select(F.col("__k").alias("i"), F.col(id_col).alias("j"))
     )
-    survivors = nn.join(
-        with_keeper.where(F.col(id_col) == F.col("__k")).select(id_col),
-        id_col,
-        "left_semi",
+    # consumed by the signature kernel AND verify's candidate-text
+    # semi-join; released at the end with `caches` —
+    # connected_components localCheckpoints eagerly, so nothing
+    # references it after labels exist (r9)
+    late_caches: list = []
+    survivors = _persist_once(
+        nn.join(
+            with_keeper.where(F.col(id_col) == F.col("__k")).select(id_col),
+            id_col,
+            "left_semi",
+        ),
+        late_caches,
     )
     band_caches: list = []
     sigs = _persist_once(minhash_signatures(
@@ -856,7 +875,7 @@ def dedup_clusters(
     labels = connected_components(
         edges, "i", "j", node_col=id_col, comp_col="cluster_id"
     )
-    for c in likely_own + caches:
+    for c in likely_own + caches + late_caches:
         c.unpersist()
     return labels
 
@@ -1025,6 +1044,109 @@ def simhash_candidates(
     return _emit_banded_pairs(
         sh, id_col, bands, seg, max_hamming, bucket_cap
     )
+
+
+def simhash_verified_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 16,
+    max_hamming: int = 12,
+    band_cliques: int | None = 3,
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    bucket_cap: int | None = HAMMING_BUCKET_CAP,
+) -> DataFrame:
+    """Exact-verified SimHash near-pairs (i, j, jac) with EXACT-CONTENT
+    COLLAPSE FIRST (r9, VERDICT r8 #3) — the composition the declared
+    simhash_pairs query runs, restructured the way minhash_dedup already
+    is: identical texts are the pathological case for Hamming banding
+    (identical signature -> same bucket in every band, so occupancy and
+    the self-join blow up with the duplication factor), and they are
+    also the case that needs NO search at all.
+
+    1. collapse: one map-side-combinable min-agg keys every doc by
+       xxhash64(text); one representative per distinct content proceeds.
+    2. search: clique-banded candidates + exact shingle-Jaccard verify
+       over REPRESENTATIVES ONLY — work scales with DISTINCT content,
+       not corpus size (sf5's 250k docs are 5k distinct texts; banding
+       5k rows triggers no bucket cap, so recall at sf5 is FULL where
+       the r7/r8 layouts truncated or paid quadratically).
+    3. fan-out: every verified rep pair expands over both families
+       (same text => same shingle set => same jac), and each family of
+       n >= 2 identical docs with a non-empty shingle set contributes
+       its C(n,2) within-family pairs at jac = 1.0 exactly.
+
+    Output is row-identical to the uncollapsed
+    simhash_candidates -> jaccard_verify composition (same pairs, same
+    jac; docs with no shingles — text shorter than ``shingle_k`` —
+    never verify on either path and are excluded from the within-family
+    fan): identical text implies identical signature AND identical
+    shingle set, so membership through a copy is membership through its
+    representative. The only approximation is trusting xxhash64 content
+    keys, the same trust minhash_dedup's exact-first phase already
+    relies on. Measured at sf5 (declared query, warm): 234 s
+    (truncation alone, partial recall) -> 42-45 s with full recall."""
+    nn = df.where(F.col(text_col).isNotNull())
+    caches: list = []
+    ck = _persist_once(
+        nn.select(F.col(id_col), F.xxhash64(text_col).alias("__ck")),
+        caches,
+    )
+    keep = ck.groupBy("__ck").agg(F.min(id_col).alias("__rep"))
+    members = ck.join(keep, "__ck")  # (id, __ck, __rep)
+    reps = nn.join(
+        members.where(F.col(id_col) == F.col("__rep")).select(id_col),
+        id_col, "left_semi",
+    )
+    rep_pairs = simhash_candidates(
+        reps, id_col, text_col, n_bands=n_bands, max_hamming=max_hamming,
+        impl="arrow", bucket_cap=bucket_cap, band_cliques=band_cliques,
+    )
+    cand = _persist_once(rep_pairs.select("i", "j"), caches)
+    caches.extend(getattr(rep_pairs, "_keystone_caches", []))
+    verified = jaccard_verify(
+        cand, reps, id_col, text_col, shingle_k, threshold, caches=caches
+    )
+    # cross-family fan-out: verified rep pair (i, j, jac) -> every
+    # (member of fam i) x (member of fam j), normalized to i < j. The
+    # verified table is output-scale; both joins key on the small rep
+    # side of the membership table.
+    mi = members.select(F.col("__rep").alias("i"), F.col(id_col).alias("__a"))
+    mj = members.select(F.col("__rep").alias("j"), F.col(id_col).alias("__b"))
+    cross = (
+        verified.join(mi, "i")
+        .join(mj, "j")
+        .select(
+            F.least("__a", "__b").alias("i"),
+            F.greatest("__a", "__b").alias("j"),
+            "jac",
+        )
+    )
+    # within-family pairs: identical non-empty shingle sets -> jac 1.0
+    # exactly. Docs shorter than shingle_k have NO shingles; their
+    # "jaccard" is 0/0 and the generic verify drops such pairs, so the
+    # fan must too.
+    shingled = nn.where(
+        F.size(char_shingles(F.col(text_col), shingle_k)) > 0
+    ).select(F.col(id_col))
+    wm = members.join(shingled, id_col, "left_semi")
+    wa, wb = wm.alias("wa"), wm.alias("wb")
+    within = (
+        wa.join(
+            wb,
+            (F.col("wa.__ck") == F.col("wb.__ck"))
+            & (F.col(f"wa.{id_col}") < F.col(f"wb.{id_col}")),
+        )
+        .select(
+            F.col(f"wa.{id_col}").alias("i"),
+            F.col(f"wb.{id_col}").alias("j"),
+            F.lit(1.0).alias("jac"),
+        )
+    )
+    out = within.unionByName(cross)
+    out._keystone_caches = caches
+    return out
 
 
 def semantic_clusters(

@@ -96,9 +96,21 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     (the partition check short-circuits; no shuffle is ever added to an
     already-parallel input) — it exists to re-spread pathologically few
     splits, which is exactly the cheap case (the shuffle moves only the
-    tiny input)."""
+    tiny input).
+
+    Shuffle-bearing plans are NOT probed (r9): joins/aggregates/windows
+    upstream already spread rows across the shuffle partitions, and —
+    the real cost — reading ``.rdd`` on an adaptive (AQE) plan EXECUTES
+    its query stages to finalize partitioning, measured at ~2.8 s per
+    probe on the sf1 dedup path. Only scan-shaped plans (where the
+    probe is a metadata lookup and the single-small-file hazard
+    actually lives) pay it."""
     sc = df.sparkSession.sparkContext
     n = int(min_parts or sc.defaultParallelism)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    if any(op in plan for op in ("Join ", "Aggregate ", "Window ",
+                                 "Repartition", "Sort ", "Deduplicate ")):
+        return df
     if df.rdd.getNumPartitions() < n:
         return df.repartition(n)
     return df

@@ -347,8 +347,11 @@ def test_banded_pair_survives_capped_first_band(spark):
 
 
 def test_minhash_dedup_cache_hygiene(spark):
-    """After minhash_dedup returns, only the small drop-id set may remain
-    persisted; release() clears that too (VERDICT r1 #6)."""
+    """After minhash_dedup returns, only the caches its lazy result still
+    references may remain persisted — the small drop-id set and the
+    survivors table (r9: persisted because the final anti-join and two
+    earlier consumers read it) — and release() clears both
+    (VERDICT r1 #6)."""
     from keystone_spark.operators.dedup import minhash_dedup, release
 
     base = spark._jsc.getPersistentRDDs().size()
@@ -358,7 +361,7 @@ def test_minhash_dedup_cache_hygiene(spark):
         "doc_id long, text string",
     )
     out = minhash_dedup(df, n_hashes=16, n_bands=4)
-    assert spark._jsc.getPersistentRDDs().size() <= base + 1
+    assert spark._jsc.getPersistentRDDs().size() <= base + 2
     out.count()
     release(out)
     assert spark._jsc.getPersistentRDDs().size() <= base
@@ -898,3 +901,55 @@ def test_match_minhash_index_corrupt_manifest_raises(spark, tmp_path):
     out = match_minhash_index(spark, path, batch, corpus,
                               n_hashes=16, n_bands=4)
     out.count()  # no raise
+
+
+@pytest.mark.slow
+def test_ann_recall_at_sf1(spark):
+    """ANN recall pinned at a DATA-BOUND scale point (VERDICT r7 #8 /
+    r8 #6): recall@10 of ivf_topk / pq_topk / ivfpq_topk vs the exact
+    cosine kernel on .localdata/sf1 (50k vectors), where cell and
+    codebook geometry reflect a real corpus rather than the 500-row
+    sf0.01 fixture the per-query oracles run at. Declared-query
+    configs; averaged over 10 probes; skips when sf1 data hasn't been
+    generated on this machine."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from keystone_spark.operators.similarity import (
+        IvfPqIndex,
+        cosine_topk,
+        ivf_topk,
+        pq_topk,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf1 = os.path.join(repo, ".localdata", "sf1")
+    if not os.path.isdir(sf1):
+        pytest.skip("no .localdata/sf1 — generate with "
+                    "tools/make_scaled_data.py --k 10 --dst .localdata/sf1")
+    from keystone_spark.sources import load_table
+
+    e = load_table(spark, "embeddings", sf1).where(
+        F.col("embedding").isNotNull()
+    )
+    probes = e.where(F.col("vec_id") < 10)
+    exact = {
+        (r.probe, r.vec_id)
+        for r in cosine_topk(e, probes, k=10).collect()
+    }
+
+    def recall(df):
+        got = {(r.probe, r.vec_id) for r in df.select("probe", "vec_id").collect()}
+        return len(exact & got) / len(exact)
+
+    r_ivf = recall(ivf_topk(e, probes, k=10, n_cells=16, n_probe_cells=8))
+    r_pq = recall(pq_topk(e, probes, k=10, m=16, ks=32, refine=8))
+    idx = IvfPqIndex.build(e, n_cells=16, m=16, ks=32)
+    r_ivfpq = recall(idx.search(e, probes, k=10, n_probe_cells=8, refine=8))
+    # pins recorded in BASELINE.md (r9); >= 0.8 = the "8/10" bar from
+    # the verdict, at the declared configs
+    assert r_ivf >= 0.8, f"ivf_topk recall@10 at sf1 = {r_ivf}"
+    assert r_pq >= 0.8, f"pq_topk recall@10 at sf1 = {r_pq}"
+    assert r_ivfpq >= 0.8, f"ivfpq recall@10 at sf1 = {r_ivfpq}"
+    print(f"sf1 recall@10: ivf={r_ivf} pq={r_pq} ivfpq={r_ivfpq}")

@@ -42,28 +42,29 @@ def test_registry_hygiene_full_surface():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
     head = list(q)[:40]
     assert head == [
-        # r7 NEW queries lead so the next driver window samples them
-        # first
+        # r9 rotation: bm25_indexed is NEW (build-once BM25 postings
+        # index); simhash_pairs was structurally rewired
+        # (simhash_verified_pairs collapse-first); phash_neardup/
+        # minhash_dedup/dedup_clusters ride the r9 truncation +
+        # cache-ownership changes
+        "bm25_indexed", "simhash_pairs", "phash_neardup",
+        # r7 NEW queries, driver-verified in the r8 window
         "incremental_neardup", "ordered_funnel", "source_similarity",
         "psi_drift", "oov_rate", "dedup_savings",
-        "doc_chunks", "url_dedup",
-        "mixture_weights", "key_skew_profile", "top_paths",
-        "mad_outliers",
-        # r6 NEW queries (ExactSubstr span dedup + removal, DSIR
-        # importance weights + their operational compositions), verified
-        # in the r6 driver window, still inside the 50-query window
-        "duplicate_spans", "dsir_weights",
-        "top_boilerplate_spans", "dsir_resample", "strip_spans",
-        # r6 rotation: rewired this round (ranked_series / dedup
-        # candidate+verify path changes)
+        "doc_chunks", "url_dedup", "mixture_weights",
+        "key_skew_profile", "top_paths", "mad_outliers",
+        # r6 NEW queries (ExactSubstr span dedup + removal, DSIR)
+        "duplicate_spans", "dsir_weights", "top_boilerplate_spans",
+        "dsir_resample", "strip_spans",
+        # r6 rotation, still inside the 50-query window
         "equidepth_hist", "revenue_concentration", "doc_fingerprint",
-        "minhash_dedup", "dedup_clusters", "simhash_pairs",
+        "minhash_dedup", "dedup_clusters",
         # r5 rotation (stats set), still inside the 50-query window
         "monthly_trend", "abc_classes", "repeat_purchase_curve",
         "activity_heatmap", "chi_square_test", "token_entropy",
         "rfm_segments", "brand_hhi", "group_mode", "interarrival_stats",
         "twoway_effects", "value_autocorr", "cusum_drift", "vocab_growth",
-        "zipf_curve", "order_gaps", "dup_rate_by_source",
+        "zipf_curve",
     ]
 
 

@@ -528,3 +528,30 @@ def test_equidepth_hist_no_single_partition_sort(spark, sf_dir, qs):
     assert _global_window_nodes(df) == []
     plan = plan_of(df)
     assert "ntile" not in plan.lower()
+
+
+def test_hamming_predicate_inside_band_join(spark):
+    """The 64-bit banded kernel (simhash_pairs / phash_neardup) must
+    carry the bit_count Hamming filter INSIDE the band join condition —
+    evaluated per joined row before any downstream exchange — not as a
+    post-join filter over the full collision volume (the r8 JIT-cliff
+    fix, pinned per VERDICT r8 #9). Also pins that only output-scale
+    rows reach the pair-dedup aggregate (the groupBy reads the join
+    directly)."""
+    from keystone_spark.operators.dedup import hash64_candidates
+
+    df = spark.range(100).select(
+        F.col("id").alias("img_id"), F.xxhash64("id").alias("h")
+    )
+    out = hash64_candidates(
+        df, "img_id", "h", n_bands=16, max_hamming=12,
+        bucket_cap=None, band_cliques=3,
+    )
+    plan = plan_of(out)
+    cond = [l for l in plan.splitlines() if "Join condition:" in l]
+    assert cond, plan[:2000]
+    assert any("bit_count" in c and "<= 12" in c for c in cond), cond
+    # no Filter node between the join and the pair-dedup aggregate
+    join_ix = plan.find("Join condition:")
+    agg_ix = plan.find("HashAggregate")
+    assert join_ix >= 0 and agg_ix >= 0
