@@ -98,19 +98,50 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     splits, which is exactly the cheap case (the shuffle moves only the
     tiny input).
 
-    Shuffle-bearing plans are NOT probed (r9): joins/aggregates/windows
-    upstream already spread rows across the shuffle partitions, and —
-    the real cost — reading ``.rdd`` on an adaptive (AQE) plan EXECUTES
-    its query stages to finalize partitioning, measured at ~2.8 s per
-    probe on the sf1 dedup path. Only scan-shaped plans (where the
-    probe is a metadata lookup and the single-small-file hazard
-    actually lives) pay it."""
+    The probe is DRIVER-SIDE METADATA, never ``.rdd`` (r9): reading
+    ``.rdd`` on an adaptive (AQE) plan EXECUTES its query stages to
+    finalize partitioning — measured ~2.8 s per probe on the sf1 dedup
+    path — and a first skip-on-join heuristic regressed the single-file
+    sf0.1 fixture 15x (a broadcast semi-join preserves the 1-partition
+    scan lineage straight into the kernel; shuffle detection on the
+    plan does not see the MAIN lineage's width). ``inputFiles()`` is
+    the honest width proxy for every narrow lineage: few leaf files +
+    small total bytes => the feeding stage is narrow, respread it;
+    many files (the 100 TB case) or enough bytes that the scan
+    splits on ``maxPartitionBytes`` => never touch it."""
     sc = df.sparkSession.sparkContext
     n = int(min_parts or sc.defaultParallelism)
-    plan = df._jdf.queryExecution().analyzed().toString()
-    if any(op in plan for op in ("Join ", "Aggregate ", "Window ",
-                                 "Repartition", "Sort ", "Deduplicate ")):
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = None
+    if files is not None and len(files) >= n:
         return df
+    if files:
+        import os
+        from urllib.parse import urlparse
+
+        total = 0
+        local = True
+        for f in files:
+            p = urlparse(f)
+            if p.scheme not in ("", "file"):
+                local = False
+                break
+            try:
+                total += os.path.getsize(p.path or f)
+            except OSError:
+                local = False
+                break
+        if local:
+            # a big single file still splits at the scan on
+            # maxPartitionBytes; only a genuinely small narrow input
+            # needs the respread
+            if total >= n * 128 * 1024 * 1024:
+                return df
+            return df.repartition(n)
+    # non-local or fileless (in-memory) input: fall back to the exact
+    # probe — rare, and correct beats fast here
     if df.rdd.getNumPartitions() < n:
         return df.repartition(n)
     return df
