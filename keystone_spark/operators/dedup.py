@@ -610,11 +610,17 @@ def jaccard_verify(
         .distinct()
     )
     # persisted: consumed by both the i-side and j-side joins below —
-    # without it the semi-join + shingling runs twice.
+    # without it the semi-join + shingling runs twice. Re-spread first:
+    # shingling + the histogram column are the CPU-heavy kernel of this
+    # verify, and a narrow lineage (single-file fixture scan through a
+    # broadcast semi-join) otherwise pins them to one core — measured
+    # 73 s single-core vs ~4 s spread at sf0.1's 806k-candidate verify
+    # (r9). The semi-join bounds the table to candidate docs, so the
+    # respread shuffle moves candidate-scale text, never the corpus.
     shing = char_shingles(F.col(text_col), shingle_k)
-    sh = df.join(cand_ids, id_col, "left_semi").select(
-        F.col(id_col), shing.alias("__sh")
-    )
+    sh = _ensure_parallelism(
+        df.join(cand_ids, id_col, "left_semi")
+    ).select(F.col(id_col), shing.alias("__sh"))
     use_hist = n_hist is not None and n_hist > 1
     if use_hist:
         sh = sh.withColumn(
