@@ -2958,11 +2958,17 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     impact-style — idf, tf saturation, and length norm all depend only
     on build-time stats), persisted partitioned by term hash bucket,
     reloaded, searched. The search plan is scan matched buckets ->
-    broadcast-join query terms -> sum precomputed w -> top-k: NO
-    postings/df/idf rebuild anywhere in it, which is what separates a
-    second query costing milliseconds from bm25_search's full-corpus
-    re-aggregation (~13 s at sf1). Same queries, formula, and tie-break
-    as bm25_search, so the result is identical and shares its exact
+    co-partition by doc -> broadcast-join query terms -> sum
+    precomputed w with NO exchange (HashPartitioning(doc) satisfies
+    the (query, doc) clustering) -> map-side-pruned top-k: no
+    postings/df/idf rebuild and no pair-scale shuffle anywhere in it.
+    Measured at sf1 (500 stop-word-dense queries x 50k docs = 89M
+    scored postings): ~5 s vs ~6.6 s for bm25_search after the same
+    co-partitioning landed there too (r9; both were 13-27 s before) —
+    the remaining gap is the rebuild's corpus-wide df/idf/avgdl
+    aggregations, which at 100 TB are the whole corpus scan the
+    stored index exists to skip. Same queries, formula, and tie-break as
+    bm25_search, so the result is identical and shares its exact
     SQL oracle. The tbucket partition filter is asserted on the
     executed plan — a pruning regression fails the query itself."""
     import tempfile

