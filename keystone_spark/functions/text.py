@@ -48,14 +48,28 @@ def word_ngrams(toks: Column | str, n: int, sep: str = " ") -> Column:
 
 
 def char_shingles(text: Column | str, k: int = 5) -> Column:
-    """text -> array<string> of distinct k-char shingles (MinHash input)."""
+    """text -> array<string> of distinct k-char shingles (MinHash input).
+
+    The normalized text is BOUND to a lambda variable (via a one-element
+    array transform) before the per-position loop: a lambda body
+    re-evaluates every captured outer expression PER ELEMENT, so the
+    naive ``transform(sequence(...), i -> substr(lower(trim(text)), i,
+    k))`` lower+trims the whole document once per shingle — O(len^2)
+    per doc, and the single largest JIT-pressure source in the dedup
+    family (r9: the signature kernel's warm-up curve ran 93 s -> 2.2 s
+    over eight repetitions largely inside this expression). Binding
+    makes it O(len)."""
     t = F.lower(F.trim(_c(text)))
+
+    def _shingles(tt: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.length(tt) - k + 1),
+            lambda i: tt.substr(i, F.lit(k)),
+        )
+
     return F.when(F.length(t) >= k,
         F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.length(t) - k + 1),
-                lambda i: t.substr(i, F.lit(k)),
-            )
+            F.element_at(F.transform(F.array(t), _shingles), 1)
         ),
     ).otherwise(F.array(t))
 

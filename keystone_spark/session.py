@@ -76,6 +76,17 @@ def get_session(
     on a real cluster pass ``master=None`` with a cluster deploy config
     and these local knobs are ignored.
     """
+    # numpy >= 1.18 madvise(MADV_HUGEPAGE)s every large allocation; on
+    # kernels whose THP defrag does synchronous compaction that turns
+    # the FIRST big temporary of every Arrow kernel in every Python
+    # worker into a multi-second stall (r9 diagnosis of the "cold
+    # kernel" mystery: a 36 MB first-touch measured 0.62 s vs 0.03 s,
+    # and a fresh worker pool ran the minhash signature stage at 93 s
+    # vs 2 s warm — 32 workers each compacting through ~16 large
+    # temporaries). Python workers inherit the JVM's environment, so
+    # set it BEFORE the JVM starts; export wins over us if the operator
+    # set it explicitly.
+    os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
         master = f"local[{cpus}]"
