@@ -98,22 +98,38 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     splits, which is exactly the cheap case (the shuffle moves only the
     tiny input).
 
-    The probe is DRIVER-SIDE METADATA, never ``.rdd`` (r9): reading
-    ``.rdd`` on an adaptive (AQE) plan EXECUTES its query stages to
-    finalize partitioning — measured ~2.8 s per probe on the sf1 dedup
-    path — and a first skip-on-join heuristic regressed the single-file
-    sf0.1 fixture 15x (a broadcast semi-join preserves the 1-partition
-    scan lineage straight into the kernel; shuffle detection on the
-    plan does not see the MAIN lineage's width). ``inputFiles()`` is
-    the honest width proxy for every narrow lineage: few leaf files +
-    small total bytes => the feeding stage is narrow, respread it;
-    many files (the 100 TB case) or enough bytes that the scan
-    splits on ``maxPartitionBytes`` => never touch it."""
-    sc = df.sparkSession.sparkContext
-    n = int(min_parts or sc.defaultParallelism)
+    The probe is DRIVER-SIDE METADATA, NEVER plan execution (r9/r10):
+    reading ``.rdd`` on an adaptive (AQE) plan EXECUTES its query
+    stages to finalize partitioning — measured ~2.8 s per probe on the
+    sf1 dedup path — and a first skip-on-join heuristic regressed the
+    single-file sf0.1 fixture 15x (a broadcast semi-join preserves the
+    1-partition scan lineage straight into the kernel; shuffle
+    detection on the plan does not see the MAIN lineage's width).
+    ``inputFiles()`` is the honest width proxy for every narrow
+    lineage: enough leaf files (the 100 TB case), or enough LOCAL
+    bytes that the scan splits on the session's
+    ``spark.sql.files.maxPartitionBytes`` => never touch it; anything
+    else — few small local files, a remote-scheme (s3/hdfs/abfs)
+    input whose sizes we will not fetch per-file from the driver, or
+    a fileless in-memory lineage — is repartitioned unconditionally:
+    when in doubt on a kernel-feeding input, the respread shuffle is
+    cheap by this function's own argument (ADVICE r9), while an
+    eager probe at plan-construction time is exactly the cost this
+    function exists to avoid.
+
+    Known blind spot (documented, accepted): leaf-file count judges
+    the SCAN's width; a non-broadcast shuffle join that AQE coalesces
+    to one post-shuffle partition can still feed a kernel narrowly
+    behind a many-file scan. Callers with such shapes repartition at
+    the kernel site explicitly (see jaccard_verify's respread)."""
+    spark = df.sparkSession
+    n = int(min_parts or spark.sparkContext.defaultParallelism)
     try:
         files = df.inputFiles()
     except Exception:
+        # Py4J-wrapped AnalysisException on exotic lineages (the JVM
+        # call itself is metadata-only and does not execute stages);
+        # treat like a fileless in-memory input below
         files = None
     if files is not None and len(files) >= n:
         return df
@@ -121,30 +137,51 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
         import os
         from urllib.parse import urlparse
 
-        total = 0
-        local = True
+        mpb = _max_partition_bytes(spark)
+        splits = 0
         for f in files:
             p = urlparse(f)
             if p.scheme not in ("", "file"):
-                local = False
-                break
+                # remote scheme: few leaf files IS the narrowness
+                # signal; never fetch per-file sizes (or worse,
+                # execute stages) from the driver to second-guess it
+                return df.repartition(n)
             try:
-                total += os.path.getsize(p.path or f)
+                size = os.path.getsize(p.path or f)
             except OSError:
-                local = False
-                break
-        if local:
-            # a big single file still splits at the scan on
-            # maxPartitionBytes; only a genuinely small narrow input
-            # needs the respread
-            if total >= n * 128 * 1024 * 1024:
-                return df
-            return df.repartition(n)
-    # non-local or fileless (in-memory) input: fall back to the exact
-    # probe — rare, and correct beats fast here
-    if df.rdd.getNumPartitions() < n:
+                return df.repartition(n)
+            splits += max(1, -(-size // mpb))
+        # big local files still split at the scan on
+        # maxPartitionBytes: estimate the scan's split count from the
+        # session conf (NOT a hardcoded 128 MB — tuned sessions split
+        # differently) and skip the respread when it already meets n
+        if splits >= n:
+            return df
         return df.repartition(n)
-    return df
+    # fileless (in-memory / local-relation) lineage: no metadata to
+    # judge width by, and probing .rdd would execute AQE stages —
+    # respread unconditionally (such inputs are driver-materialized
+    # and tiny, so the shuffle is noise)
+    return df.repartition(n)
+
+
+def _max_partition_bytes(spark: SparkSession) -> int:
+    """``spark.sql.files.maxPartitionBytes`` as an int (the conf comes
+    back as a byte-suffixed string, e.g. '134217728b' or '64m')."""
+    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes",
+                             "134217728")).strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                      ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                      ("b", 1)):
+        if raw.endswith(suffix):
+            raw = raw[: -len(suffix)]
+            mult = m
+            break
+    try:
+        return max(1, int(float(raw) * mult))
+    except ValueError:
+        return 128 * 1024 * 1024
 
 
 def register_views(

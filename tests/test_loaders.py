@@ -348,3 +348,77 @@ def test_corrupt_json_dead_letter_capture(spark):
     dead = [r for r in got if r.bad is not None]
     assert len(ok) == 2 and {r.k for r in ok} == {"1", "3"}
     assert len(dead) == 1 and dead[0].raw == "{not json"
+
+
+def test_ensure_parallelism_branches(spark, tmp_path):
+    """VERDICT r9 #7 / ADVICE r9: the width probe is driver-side
+    metadata in EVERY branch — many-files no-op, big-single-file no-op
+    (split estimate from the session's maxPartitionBytes, not a
+    hardcoded 128 MB), small-local respread, remote-scheme respread
+    (never size-probed), fileless respread."""
+    from pyspark.sql import functions as F
+
+    from keystone_spark.sources.tables import (
+        _max_partition_bytes,
+        ensure_parallelism,
+    )
+
+    # many leaf files >= n: returned UNTOUCHED (object identity — no
+    # repartition node added)
+    many = str(tmp_path / "many")
+    spark.range(100).repartition(4).write.parquet(many)
+    df_many = spark.read.parquet(many)
+    assert len(df_many.inputFiles()) >= 4
+    assert ensure_parallelism(df_many, min_parts=4) is df_many
+
+    # small single local file < n splits: respread to n
+    small = str(tmp_path / "small")
+    spark.range(100).coalesce(1).write.parquet(small)
+    df_small = spark.read.parquet(small)
+    out = ensure_parallelism(df_small, min_parts=4)
+    assert out is not df_small
+    assert out.count() == 100
+
+    # big single file: maxPartitionBytes (read from the conf) says the
+    # scan itself splits wide enough -> no-op even with ONE file
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1kb")
+        assert _max_partition_bytes(spark) == 1024
+        big = str(tmp_path / "big")
+        spark.range(0, 50_000).select(
+            F.col("id"), F.concat(F.lit("x" * 64), F.col("id")).alias("pad")
+        ).coalesce(1).write.parquet(big)
+        df_big = spark.read.parquet(big)
+        assert len(df_big.inputFiles()) == 1
+        assert ensure_parallelism(df_big, min_parts=4) is df_big
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+    # remote scheme: repartitioned from file count alone — the driver
+    # must not try to size (or execute) a cloud-storage input
+    df_remote = spark.range(10)
+    df_remote.inputFiles = lambda: ["s3a://bucket/part-0.parquet"]
+    out = ensure_parallelism(df_remote, min_parts=4)
+    assert out is not df_remote and out.count() == 10
+
+    # fileless in-memory lineage: respread unconditionally (no .rdd
+    # probe — that executes AQE query stages)
+    df_mem = spark.createDataFrame([(1,), (2,)], ["a"])
+    assert df_mem.inputFiles() == []
+    out = ensure_parallelism(df_mem, min_parts=4)
+    assert out is not df_mem and out.count() == 2
+
+
+def test_max_partition_bytes_suffix_parse(spark):
+    from keystone_spark.sources.tables import _max_partition_bytes
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        for raw, want in [("134217728b", 134217728), ("64m", 64 << 20),
+                          ("64mb", 64 << 20), ("2g", 2 << 30),
+                          ("512k", 512 << 10), ("1000", 1000)]:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", raw)
+            assert _max_partition_bytes(spark) == want, raw
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
