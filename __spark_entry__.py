@@ -2952,27 +2952,38 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_INDEX_CACHE: dict = {}
 
 
-def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production BM25 path (VERDICT r8 #5): build-once Bm25Index with
-    per-(term, doc) weights PRECOMPUTED at build time (Lucene
-    impact-style — idf, tf saturation, and length norm all depend only
-    on build-time stats), persisted partitioned by term hash bucket,
-    reloaded, searched. The search plan is scan matched buckets ->
-    co-partition by doc -> broadcast-join query terms -> sum
-    precomputed w with NO exchange (HashPartitioning(doc) satisfies
-    the (query, doc) clustering) -> map-side-pruned top-k: no
-    postings/df/idf rebuild and no pair-scale shuffle anywhere in it.
-    Measured at sf1 (500 stop-word-dense queries x 50k docs = 89M
-    scored postings): ~5 s vs ~6.6 s for bm25_search after the same
-    co-partitioning landed there too (r9; both were 13-27 s before) —
-    the remaining gap is the rebuild's corpus-wide df/idf/avgdl
-    aggregations, which at 100 TB are the whole corpus scan the
-    stored index exists to skip. Same queries, formula, and tie-break as
-    bm25_search, so the result is identical and shares its exact
-    SQL oracle. The tbucket partition filter is asserted on the
-    executed plan — a pruning regression fails the query itself."""
-    import tempfile
+def _bm25_index_path(sf_dir: str, variant: str) -> str:
+    """Deterministic, overwrite-semantics index location (VERDICT r9
+    #5): ``.localdata/indexes/`` under the repo (gitignored), keyed by
+    the sf_dir — repeated harness sessions overwrite one directory
+    instead of littering /tmp with per-session mkdtemps."""
+    import os
 
+    tag = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".localdata", "indexes")
+    os.makedirs(root, exist_ok=True)
+    return os.path.join(root, f"{variant}_{tag}")
+
+
+def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production BM25 path (VERDICT r8 #5, r10 raw-count layout):
+    build-once Bm25Index storing exact counts (tf, dl per posting; df
+    deltas; N/sum_dl in the manifest), persisted partitioned by term
+    hash bucket, reloaded, searched. The search plan is scan matched
+    buckets (postings AND df deltas both bucket-pruned) -> co-partition
+    by doc -> broadcast-join query terms carrying derived idf -> sum
+    the codegen weight expression with NO exchange
+    (HashPartitioning(doc) satisfies the (query, doc) clustering) ->
+    map-side-pruned top-k: no corpus-wide aggregation and no
+    pair-scale shuffle anywhere in it. Measured at sf1 (500
+    stop-word-dense queries x 50k docs = 89M scored postings): ~5 s vs
+    ~6.6 s for bm25_search — the gap is the rebuild's corpus-wide
+    df/idf/avgdl aggregations, which at 100 TB are the whole corpus
+    scan the stored index exists to skip. Same queries, formula, and
+    tie-break as bm25_search, so the result is identical and shares
+    its exact SQL oracle. The tbucket partition filter is asserted on
+    the executed plan — a pruning regression fails the query itself."""
     from keystone_spark.functions.text import tokens
     from keystone_spark.operators.nlp import Bm25Index
 
@@ -2983,7 +2994,7 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
            else id(spark), sf_dir)
     path = _BM25_INDEX_CACHE.get(key)
     if path is None:
-        path = tempfile.mkdtemp(prefix="bm25_index_")
+        path = _bm25_index_path(sf_dir, "bm25")
         Bm25Index.build(d, k1=1.2, b=0.75, n_term_buckets=64).save(path)
         _BM25_INDEX_CACHE[key] = path
     idx = Bm25Index.load(spark, path)
@@ -3010,6 +3021,49 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"Bm25Index partition filter is vacuous ({n_scanned} of 64 "
             "term buckets scanned):\n" + plan[:2000]
         )
+    return out.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"), "rk"
+    ).orderBy("query_id", "rk")
+
+
+def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index MAINTENANCE path (VERDICT r9 #1): the Bm25Index is built on
+    HALF the corpus (doc_id % 2 == 0) and the other half is APPENDED
+    with ``Bm25Index.add`` — postings and df deltas land in the
+    bucket-partitioned tables, one generation row carries the batch's
+    (n_docs, sum_dl) deltas, and NOTHING corpus-scale is re-aggregated.
+    The search then runs over the stored counts exactly as
+    bm25_indexed does. Because the v2 layout stores exact counts
+    (associative under append), the result is HASH-IDENTICAL to an
+    index built from scratch over the union — so this query shares
+    bm25_search's full-corpus SQL oracle, and the driver's hash compare
+    IS the add==rebuild identity check, at every sf it samples."""
+    from keystone_spark.functions.text import tokens
+    from keystone_spark.operators.nlp import Bm25Index
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    key = ("bm25inc", id(spark._jsparkSession)
+           if hasattr(spark, "_jsparkSession") else id(spark), sf_dir)
+    path = _BM25_INDEX_CACHE.get(key)
+    if path is None:
+        path = _bm25_index_path(sf_dir, "bm25inc")
+        Bm25Index.build(
+            d.where(F.col("doc_id") % 2 == 0), k1=1.2, b=0.75,
+            n_term_buckets=64,
+        ).save(path)
+        stats = Bm25Index.add(
+            spark, path, d.where(F.col("doc_id") % 2 != 0)
+        )
+        if stats["generation"] != 1 or stats["batch_docs"] <= 0:
+            raise AssertionError(f"bm25 append did not land: {stats}")
+        _BM25_INDEX_CACHE[key] = path
+    idx = Bm25Index.load(spark, path)
+    qs = d.where(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"), F.slice("toks", 1, 5).alias("q_toks")
+    )
+    out = idx.search(qs, k=10)
     return out.select(
         "query_id", "doc_id", F.round("score", 6).alias("score"), "rk"
     ).orderBy("query_id", "rk")
@@ -4650,6 +4704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # changes, so they lead the window for driver re-verification.
         # Everything stays CI-gated at full width via
         # tests/test_oracle_full.py regardless of order. ---
+        "bm25_incremental": q_bm25_incremental,
         "bm25_indexed": q_bm25_indexed,
         "simhash_pairs": q_simhash_pairs,
         "phash_neardup": q_phash_neardup,
@@ -7869,4 +7924,8 @@ def oracle_sql() -> dict[str, str]:
     drifting apart."""
     d = _oracle_sql_literals()
     d["bm25_indexed"] = d["bm25_search"]
+    # bm25_incremental = build on half + add the rest; the v2 raw-count
+    # layout makes append exact, so the full-corpus oracle applies and
+    # the driver's hash compare IS the add==rebuild identity check
+    d["bm25_incremental"] = d["bm25_search"]
     return d

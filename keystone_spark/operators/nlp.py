@@ -449,7 +449,6 @@ def bm25_search(
     tokens_col: str = "toks",
     query_id_col: str = "query_id",
     query_tokens_col: str = "q_toks",
-    broadcast_queries: bool = True,
 ) -> DataFrame:
     """BM25 top-k retrieval over an inverted index — the sparse-lexical
     complement to the dense ANN stack (similarity.py): Lucene-form idf
@@ -490,10 +489,12 @@ def bm25_search(
         query_id_col, F.explode(F.array_distinct(query_tokens_col)).alias("term")
     )
     # fold idf onto the query terms: the result stays query-sized, so
-    # the corpus-sized postings never join a vocab-sized table
-    qt = F.broadcast(q_terms).join(idf, "term")
-    if broadcast_queries:
-        qt = F.broadcast(qt)
+    # the corpus-sized postings never join a vocab-sized table. qt is
+    # broadcast UNCONDITIONALLY (ADVICE r9): it is query-sized by
+    # construction, and without the hint the postings join would
+    # shuffle the just-co-partitioned corpus side by term — undoing
+    # the doc co-partitioning this plan exists for.
+    qt = F.broadcast(F.broadcast(q_terms).join(idf, "term"))
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
     pr = postings.repartition(n_parts, F.col(id_col))
     dlr = dl.repartition(n_parts, F.col(id_col))
@@ -516,35 +517,94 @@ def bm25_search(
 
 
 class Bm25Index:
-    """Build-once / query-many BM25 index (VERDICT r7 #7 / r8 #5) — the
-    lexical twin of ``similarity.IvfIndex``. ``bm25_search`` recomputes
-    postings, doc lengths, document frequencies, and idf from the raw
-    corpus on EVERY call (pure function — right for one-shot jobs, ~13 s
-    of rebuild per query at sf1); this class is the production shape:
-    the entire per-(term, doc) BM25 weight
+    """Build-once / query-many BM25 index (VERDICT r7 #7 / r8 #5, r10
+    append support) — the lexical twin of ``similarity.IvfIndex``.
+    ``bm25_search`` recomputes postings, doc lengths, document
+    frequencies, and idf from the raw corpus on EVERY call (pure
+    function — right for one-shot jobs, ~13 s of rebuild per query at
+    sf1); this class is the production shape: every stored quantity is
+    an EXACT COUNT (tf, dl per posting; df per term; N and sum(dl)
+    in the manifest), so a search never runs a corpus-wide aggregation
+    — it derives the BM25 weight
 
         w = idf(term) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
 
-    depends only on build-time quantities (tf, dl, df, avgdl, N, k1, b),
-    so it is PRECOMPUTED into the stored postings (Lucene's impact-style
-    encoding) and a search is just: scan matched postings -> sum w per
-    (query, doc) -> top-k. No corpus-wide aggregation ever runs at
-    search time.
+    as a codegen expression over the pruned sliver it scans.
 
-    Scale shape: postings are written partitioned by a term HASH BUCKET
-    (``pmod(xxhash64(term), n_term_buckets)``) — a query's terms map to
-    a handful of buckets, and ``search`` pushes that bucket set as a
-    partition filter, so a 100-TB index is touched only in the
-    directories the query's vocabulary hashes into (same partition-
-    pruning contract as IvfIndex cells, pinned by the declared query's
-    plan assertion). k1/b/n_docs/avgdl ride a one-row params manifest
-    that ``search`` validates — mismatched scoring constants raise
-    instead of silently re-ranking (same contract as the MinHash index
-    manifest)."""
+    Storage format v2 (r10). v1 precomputed w into the postings
+    (Lucene impact-style); that made weights depend on CORPUS-WIDE
+    stats (N, avgdl, df) frozen at build time, so appending a batch
+    either rewrote the whole index or silently served stale weights
+    for every pre-existing document (the idf of EVERY term moves when
+    N moves — "refresh touched terms only" cannot be exact). Storing
+    raw counts instead makes ``add`` exact: counts are associative, so
+    an append-only index serves scores hash-identical to a from-scratch
+    rebuild, at the cost of a handful of arithmetic ops per matched
+    posting at search time (whole-stage codegen on an already-pruned
+    scan — unmeasurable next to the scan itself). Every table is
+    APPEND-ONLY:
 
-    def __init__(self, postings: DataFrame, params: dict):
-        self.postings = postings  # (term, tbucket, id, w)
+    - ``{path}/postings``: (term, id, tf, dl) partitioned by
+      ``tbucket = pmod(xxhash64(term), n_term_buckets)``;
+    - ``{path}/df``: (term, df) deltas, same partitioning — a term's
+      document frequency is the SUM of its delta rows (one per
+      build/add generation that touched it);
+    - ``{path}/params``: one row per generation carrying the immutable
+      config (version, k1, b, n_term_buckets, id_col — validated
+      identical across generations at load) and this generation's
+      (n_docs, sum_dl) deltas, summed at load.
+
+    Scale shape: a query's terms map to a handful of tbuckets, and
+    ``search`` pushes that bucket set as a partition filter on BOTH
+    the postings and df scans, so a 100-TB index is touched only in
+    the directories the query's vocabulary hashes into (same
+    partition-pruning contract as IvfIndex cells, pinned by the
+    declared query's plan assertion). ``add`` appends one parquet
+    commit per table and touches nothing corpus-scale. Compaction
+    note: each add appends small files per touched bucket; a periodic
+    ``sources.tables.compact_files`` pass over ``{path}/postings``
+    restores right-sized files without changing any count."""
+
+    FORMAT_VERSION = 2
+
+    def __init__(self, postings: DataFrame, df_t: DataFrame, params: dict,
+                 path: str | None = None):
+        self.postings = postings  # (term, tbucket, id, tf, dl)
+        self.df_t = df_t  # (term, tbucket, df) deltas
         self.params = params
+        self.path = path  # set by save/load; required by add()
+
+    @staticmethod
+    def _tbucket(col, n_term_buckets: int):
+        return F.pmod(F.xxhash64(col), F.lit(n_term_buckets)).cast("int")
+
+    @classmethod
+    def _stats(cls, docs: DataFrame, id_col: str, tokens_col: str,
+               n_term_buckets: int) -> tuple[DataFrame, DataFrame, int, int]:
+        """(postings, df deltas, n_docs, sum_dl) for one generation —
+        shared by build and add so their counts are definitionally the
+        same. Two corpus aggregations, both map-side combinable."""
+        postings = (
+            docs.select(
+                F.col(id_col),
+                F.size(tokens_col).alias("dl"),
+                F.explode(tokens_col).alias("term"),
+            )
+            .groupBy(id_col, "dl", "term")
+            .agg(F.count("*").alias("tf"))
+            .select(
+                "term",
+                cls._tbucket("term", n_term_buckets).alias("tbucket"),
+                F.col(id_col), "tf", "dl",
+            )
+        )
+        df_t = postings.groupBy("term", "tbucket").agg(
+            F.count("*").alias("df")
+        )
+        tot = docs.agg(
+            F.count("*").alias("n"), F.sum(F.size(tokens_col)).alias("s")
+        ).first()
+        return postings, df_t, int(tot["n"]), int(tot["s"] or 0)
 
     @classmethod
     def build(
@@ -556,75 +616,123 @@ class Bm25Index:
         tokens_col: str = "toks",
         n_term_buckets: int = 64,
     ) -> "Bm25Index":
-        n_docs = docs.count()
-        postings = (
-            docs.select(id_col, F.explode(tokens_col).alias("term"))
-            .groupBy(id_col, "term")
-            .agg(F.count("*").alias("tf"))
-        )
-        dl = docs.select(id_col, F.size(tokens_col).alias("dl"))
-        avgdl = float(dl.agg(F.avg("dl")).first()[0] or 1.0)
-        df_t = postings.groupBy("term").agg(
-            F.countDistinct(id_col).alias("df")
-        )
-        idf = F.log(
-            1.0
-            + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-        )
-        w = (
-            idf
-            * (F.col("tf") * (k1 + 1))
-            / (
-                F.col("tf")
-                + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))
-            )
-        )
-        weighted = (
-            postings.join(df_t, "term")
-            .join(dl, id_col)
-            .select(
-                "term",
-                F.pmod(F.xxhash64("term"), F.lit(n_term_buckets))
-                .cast("int")
-                .alias("tbucket"),
-                F.col(id_col),
-                w.alias("w"),
-            )
+        postings, df_t, n_docs, sum_dl = cls._stats(
+            docs, id_col, tokens_col, n_term_buckets
         )
         params = {
-            "k1": float(k1), "b": float(b), "n_docs": int(n_docs),
-            "avgdl": avgdl, "n_term_buckets": int(n_term_buckets),
+            "version": cls.FORMAT_VERSION,
+            "k1": float(k1), "b": float(b), "n_docs": n_docs,
+            "sum_dl": sum_dl, "n_term_buckets": int(n_term_buckets),
             "id_col": id_col,
         }
-        return cls(weighted, params)
+        return cls(postings, df_t, params)
 
-    def save(self, path: str) -> None:
-        """Postings partitioned by term hash bucket (-> partition pruning
-        at search), params as a one-row parquet manifest (FS-agnostic —
-        rides the same Hadoop filesystem as the postings)."""
-        self.postings.write.mode("overwrite").partitionBy("tbucket").parquet(
+    _PARAMS_SCHEMA = (
+        "version long, k1 double, b double, n_docs long, sum_dl long, "
+        "n_term_buckets long, id_col string, generation long"
+    )
+
+    def _write(self, path: str, mode: str, generation: int,
+               n_docs: int, sum_dl: int) -> None:
+        self.postings.write.mode(mode).partitionBy("tbucket").parquet(
             f"{path}/postings"
         )
-        spark = self.postings.sparkSession
+        self.df_t.select(
+            "term", "tbucket", "df"
+        ).write.mode(mode).partitionBy("tbucket").parquet(f"{path}/df")
         p = self.params
+        spark = self.postings.sparkSession
         spark.createDataFrame(
-            [(p["k1"], p["b"], p["n_docs"], p["avgdl"],
-              p["n_term_buckets"], p["id_col"])],
-            "k1 double, b double, n_docs long, avgdl double, "
-            "n_term_buckets long, id_col string",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+            [(int(p["version"]), p["k1"], p["b"], int(n_docs), int(sum_dl),
+              p["n_term_buckets"], p["id_col"], int(generation))],
+            self._PARAMS_SCHEMA,
+        ).coalesce(1).write.mode(mode).parquet(f"{path}/params")
+
+    def save(self, path: str) -> None:
+        """Write generation 0 (overwrite). All tables ride the same
+        Hadoop filesystem as ``path`` — FS-agnostic."""
+        self._write(path, "overwrite", 0,
+                    self.params["n_docs"], self.params["sum_dl"])
+        self.path = path
 
     @classmethod
     def load(cls, spark, path: str) -> "Bm25Index":
-        r = spark.read.parquet(f"{path}/params").first()
+        gens = spark.read.parquet(f"{path}/params").collect()
+        fixed = {(int(r["version"]), float(r["k1"]), float(r["b"]),
+                  int(r["n_term_buckets"]), r["id_col"]) for r in gens}
+        if len(fixed) != 1:
+            raise ValueError(
+                f"Bm25Index at {path} has inconsistent generation "
+                f"manifests ({sorted(fixed)}) — the index is corrupt; "
+                "rebuild it"
+            )
+        version, k1, b, nb, id_col = next(iter(fixed))
+        if version != cls.FORMAT_VERSION:
+            raise ValueError(
+                f"Bm25Index at {path} is format v{version}; this code "
+                f"reads v{cls.FORMAT_VERSION} (raw-count layout, r10) — "
+                "rebuild the index with Bm25Index.build().save()"
+            )
         params = {
-            "k1": float(r["k1"]), "b": float(r["b"]),
-            "n_docs": int(r["n_docs"]), "avgdl": float(r["avgdl"]),
-            "n_term_buckets": int(r["n_term_buckets"]),
-            "id_col": r["id_col"],
+            "version": version, "k1": k1, "b": b,
+            "n_docs": sum(int(r["n_docs"]) for r in gens),
+            "sum_dl": sum(int(r["sum_dl"]) for r in gens),
+            "n_term_buckets": nb, "id_col": id_col,
         }
-        postings = spark.read.parquet(f"{path}/postings")
-        return cls(postings, params)
+        return cls(
+            spark.read.parquet(f"{path}/postings"),
+            spark.read.parquet(f"{path}/df"),
+            params, path=path,
+        )
+
+    @classmethod
+    def add(
+        cls,
+        spark,
+        path: str,
+        batch_docs: DataFrame,
+        tokens_col: str = "toks",
+    ) -> dict:
+        """Append a document batch to the stored index WITHOUT a rebuild
+        (VERDICT r9 #1): sign the batch with the manifest's config,
+        append its postings and df deltas to the bucket-partitioned
+        tables, and append one generation row carrying the batch's
+        (n_docs, sum_dl) deltas. Because every stored quantity is an
+        exact count and counts are associative, ``search`` after ``add``
+        is HASH-IDENTICAL to a from-scratch rebuild over the union
+        corpus (pinned by test) — no staleness contract needed.
+
+        Contract: batch ids must be FRESH (an id already in the index
+        would double-count its postings — ids name documents, and the
+        index has no delete); the batch must be tokenized by the same
+        tokenizer as the build (the index stores terms, not text).
+        The three appends are not one atomic commit: an interrupted
+        add leaves a partial generation (postings without their df/N
+        deltas) — recover by rebuilding; do not re-run the batch (the
+        fresh-id contract makes a blind retry double-count whatever
+        the first attempt landed).
+        Each add commits one small parquet file set per touched bucket;
+        compact periodically (class docstring). Returns an
+        observability dict; reload via ``load`` to search the updated
+        index (an already-loaded instance's file listing predates the
+        append)."""
+        idx = cls.load(spark, path)  # validates format + manifest
+        p = idx.params
+        postings, df_t, n_docs, sum_dl = cls._stats(
+            batch_docs, p["id_col"], tokens_col, p["n_term_buckets"]
+        )
+        if n_docs == 0:
+            return {"batch_docs": 0, "postings_added": 0, "generation": None}
+        batch = cls(postings, df_t, p)
+        gen = int(spark.read.parquet(f"{path}/params")
+                  .agg(F.max("generation")).first()[0]) + 1
+        batch._write(path, "append", gen, n_docs, sum_dl)
+        return {
+            "batch_docs": n_docs,
+            "postings_added": postings.count(),
+            "sum_dl_added": sum_dl,
+            "generation": gen,
+        }
 
     def search(
         self,
@@ -634,55 +742,54 @@ class Bm25Index:
         query_tokens_col: str = "q_toks",
         k1: float | None = None,
         b: float | None = None,
-        strategy: str = "auto",
     ) -> DataFrame:
-        """Top-k BM25 per query against the stored postings. Identical
-        scores to ``bm25_search`` over the same corpus/params (the weight
-        formula is the same, only precomputed). Passing ``k1``/``b``
-        validates them against the manifest — they are baked into the
-        stored weights, so a mismatch raises rather than silently
-        scoring with the wrong constants. The query-term bucket set is
-        collected (queries are the tiny side by contract) and pushed as
-        a literal IN filter so the parquet scan prunes to those
-        ``tbucket`` directories.
+        """Top-k BM25 per query against the stored counts. Identical
+        scores to ``bm25_search`` over the same corpus/params (same
+        weight formula, derived from the same exact counts). Passing
+        ``k1``/``b`` validates them against the manifest — the v2
+        layout could legally score with any constants (weights are
+        derived, not stored), but an index is built FOR a scoring
+        config and silently serving a different one is the failure
+        mode the manifest contract exists to stop, so a mismatch
+        raises (same contract as the MinHash index manifest).
 
-        Scoring is shaped so that NO pair-scale shuffle exists in the
-        plan: the pruned postings are co-partitioned by document (one
-        bounded shuffle of matched-posting rows, explicit partition
-        count so AQE cannot coalesce it narrow), the query terms
-        broadcast onto them, and the per-(query, doc) sum then runs
-        WITHOUT an exchange — HashPartitioning(doc) already satisfies
-        the (query, doc) clustering, which Catalyst recognizes. The
-        per-query top-k prunes map-side (WindowGroupLimit), so the only
-        pair-scale data movement left is the ~32 x n_queries x k rows
-        of partial top-k. On stop-word-dense workloads (the sf1
-        fixture: 89M joined rows for 500 queries x 50k docs) this is
-        the difference between a 15 s aggregation shuffle and
-        partition-local hashing — the declared query's sf1 wall-time
-        fell 17-19 s to ~4.7 s; on selective workloads the
-        co-partition shuffle is a sliver of the corpus (sum of matched
-        df), so the same plan is right at both extremes and no
-        strategy switch is needed (``strategy`` is kept for explicit
-        ``'sparse'`` = this plan; it is the only strategy)."""
-        if strategy not in ("auto", "sparse"):
-            raise ValueError(f"unknown strategy {strategy!r}")
+        The query-term bucket set is collected (queries are the tiny
+        side by contract) and pushed as a literal IN filter, so BOTH
+        index scans (postings, df deltas) prune to the buckets the
+        query's vocabulary hashes into. Scoring is shaped so that NO
+        pair-scale shuffle exists in the plan: the pruned postings are
+        co-partitioned by document (one bounded shuffle of
+        matched-posting rows, explicit partition count so AQE cannot
+        coalesce it narrow), the query terms — joined with their
+        summed df deltas and idf, a query-sized table — broadcast onto
+        them, and the per-(query, doc) sum then runs WITHOUT an
+        exchange (HashPartitioning(doc) satisfies the (query, doc)
+        clustering). The per-query top-k prunes map-side
+        (WindowGroupLimit), so the only pair-scale data movement left
+        is the ~32 x n_queries x k rows of partial top-k. On
+        stop-word-dense workloads (the sf1 fixture: 89M joined rows
+        for 500 queries x 50k docs) this is the difference between a
+        15 s aggregation shuffle and partition-local hashing; on
+        selective workloads the co-partition shuffle is a sliver of
+        the corpus (sum of matched df), so the same plan is right at
+        both extremes."""
         p = self.params
         for name, given in (("k1", k1), ("b", b)):
             if given is not None and float(given) != p[name]:
                 raise ValueError(
                     f"Bm25Index.search {name}={given} disagrees with the "
-                    f"index manifest ({name}={p[name]}) — weights are "
-                    "precomputed at build time; rebuild the index to "
-                    "change scoring constants"
+                    f"index manifest ({name}={p[name]}) — the index was "
+                    "built for that scoring config; rebuild to change it"
                 )
+        k1v, bv = p["k1"], p["b"]
         id_col = p["id_col"]
         nb = p["n_term_buckets"]
+        n_docs = p["n_docs"]
+        avgdl = (p["sum_dl"] / n_docs) if n_docs else 1.0
         q_terms = queries.select(
             query_id_col,
             F.explode(F.array_distinct(query_tokens_col)).alias("term"),
-        ).withColumn(
-            "tbucket", F.pmod(F.xxhash64("term"), F.lit(nb)).cast("int")
-        )
+        ).withColumn("tbucket", self._tbucket("term", nb))
         # queries are the tiny side by contract: pull the term list down
         # once; terms prune rows inside the buckets, buckets prune the
         # directory scan
@@ -692,17 +799,42 @@ class Bm25Index:
         sub = self.postings.where(F.col("tbucket").isin(wanted)).where(
             F.col("term").isin(terms)
         )
-        n_parts = queries.sparkSession.sparkContext.defaultParallelism
-        subr = sub.repartition(n_parts, F.col(id_col))
+        spark = queries.sparkSession
+        # per-term df = sum of its generation deltas, over the SAME
+        # pruned bucket/term sliver (query-sized result)
+        dfq = (
+            self.df_t.where(F.col("tbucket").isin(wanted))
+            .where(F.col("term").isin(terms))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+        )
+        idf = F.log(
+            1.0
+            + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
         # rebuild the (tiny, already-collected) query-term table locally
         # so the broadcast does not re-run the queries lineage
-        q_local = queries.sparkSession.createDataFrame(
+        q_local = spark.createDataFrame(
             [(r[query_id_col], r["term"]) for r in qt_rows],
             schema=q_terms.drop("tbucket").schema,
         )
-        matched = subr.join(F.broadcast(q_local), "term")
+        qt = F.broadcast(
+            F.broadcast(q_local).join(dfq.select("term", idf.alias("idf")),
+                                      "term")
+        )
+        n_parts = spark.sparkContext.defaultParallelism
+        subr = sub.repartition(n_parts, F.col(id_col))
+        matched = subr.join(qt, "term")
+        w = (
+            F.col("idf")
+            * (F.col("tf") * (k1v + 1))
+            / (
+                F.col("tf")
+                + k1v * (1 - bv + bv * F.col("dl") / F.lit(float(avgdl)))
+            )
+        )
         scores = matched.groupBy(query_id_col, id_col).agg(
-            F.sum("w").alias("score")
+            F.sum(w).alias("score")
         )
         win = Window.partitionBy(query_id_col).orderBy(
             F.col("score").desc(), F.col(id_col)
