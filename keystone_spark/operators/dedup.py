@@ -1330,20 +1330,25 @@ def build_minhash_index(
     dict (corpus rows, band rows kept/dropped).
 
     A ``{path}/params`` manifest records (n_hashes, n_bands, shingle_k,
-    seed); ``match_minhash_index`` asserts its arguments against it —
-    a silent mismatch would produce EMPTY matches (different bucket
-    keys) rather than an error (ADVICE r7)."""
+    seed, bucket_cap); ``match_minhash_index`` asserts its arguments
+    against it — a silent mismatch would produce EMPTY matches
+    (different bucket keys) rather than an error (ADVICE r7).
+    ``{path}/content`` stores (ck, id) — the xxhash64 content key of
+    every indexed representative — so ``add_to_minhash_index`` can
+    collapse an incoming batch against ALREADY-INDEXED content without
+    touching texts or signatures (r10)."""
     corpus = corpus.where(F.col(text_col).isNotNull())  # no-shingle docs
     # min-id-per-content collapse, mirroring neardup_against_corpus's
     # inline path (see its docstring for the result-identity argument):
     # the index stores one representative per distinct content
-    crep = (
+    crep_own: list = []
+    crep = _persist_once(
         corpus.select(F.col(id_col), F.xxhash64(text_col).alias("__ck"))
         .groupBy("__ck")
-        .agg(F.min(id_col).alias(id_col))
-        .select(id_col)
+        .agg(F.min(id_col).alias(id_col)),
+        crep_own,
     )
-    corpus = corpus.join(crep, id_col, "left_semi")
+    corpus = corpus.join(crep.select(id_col), id_col, "left_semi")
     sigs_own: list = []
     sigs = _persist_once(minhash_signatures(
         corpus, id_col, text_col, n_hashes, shingle_k, seed
@@ -1352,21 +1357,167 @@ def build_minhash_index(
     kept = _drop_oversized_buckets(banded, ["band", "bucket"], bucket_cap)
     kept.write.mode("overwrite").partitionBy("band").parquet(f"{path}/bands")
     sigs.write.mode("overwrite").parquet(f"{path}/sigs")
+    crep.select(F.col("__ck").alias("ck"), F.col(id_col)).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/content")
     n_sigs = sigs.count()
-    for c in sigs_own:
+    for c in sigs_own + crep_own:
         c.unpersist()
     spark = corpus.sparkSession
     # params manifest: one-row parquet (FS-agnostic — rides the same
     # Hadoop filesystem as the index itself, not the driver's local disk)
     spark.createDataFrame(
-        [(int(n_hashes), int(n_bands), int(shingle_k), int(seed))],
-        "n_hashes long, n_bands long, shingle_k long, seed long",
+        [(int(n_hashes), int(n_bands), int(shingle_k), int(seed),
+          -1 if bucket_cap is None else int(bucket_cap))],
+        "n_hashes long, n_bands long, shingle_k long, seed long, "
+        "bucket_cap long",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
     n_bands_rows = spark.read.parquet(f"{path}/bands").count()
     return {
         "corpus_docs": n_sigs,
         "band_rows": n_bands_rows,
         "band_rows_dropped": n_sigs * n_bands - n_bands_rows,
+    }
+
+
+def add_to_minhash_index(
+    spark,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Append a document batch to a stored ``build_minhash_index``
+    WITHOUT a rebuild (VERDICT r9 #1) — the daily-ingest loop: sign
+    only the batch's genuinely NEW content with the manifest's own
+    params, append its band rows / signatures / content keys, and
+    leave the corpus-scale tables otherwise untouched. All three
+    tables are append-only parquet commits.
+
+    Stages (all batch-bounded except the two documented narrow scans):
+
+    1. collapse the batch per content key; anti-join against
+       ``{path}/content`` so already-indexed content is skipped
+       entirely (a re-crawl batch appends nothing). This reads the
+       stored content table — 2 narrow columns, ~16 bytes per distinct
+       indexed document.
+    2. sign + band the surviving representatives (params from the
+       manifest, so an add can never fork the index's hash config).
+    3. skew cap on the COMBINED occupancy: stored band rows are
+       counted for exactly the (band, bucket) keys the batch touches
+       (broadcast semi-join on the batch's key set — the second narrow
+       scan), and new rows landing in a bucket whose stored+new count
+       exceeds the manifest's ``bucket_cap`` are dropped. This is the
+       append-time analogue of the build-time guard with one
+       documented divergence: build drops an oversized bucket
+       WHOLESALE, while an add cannot retract already-stored rows, so
+       a bucket that crosses the cap across increments keeps its first
+       ``bucket_cap`` members where a rebuild would keep none.
+       Periodic rebuild restores exact build semantics; at the
+       declared configs no fixture bucket approaches the cap.
+
+    Exactness contract: match results after add are IDENTICAL to a
+    from-scratch rebuild over the union corpus (pinned by test and by
+    the declared ``incremental_index_add`` query's SQL oracle) when
+    (a) batch ids are fresh and LARGER than every stored id — the
+    monotone-ingest invariant, which makes every stored representative
+    remain its family's global min-id tie-break winner — and (b) no
+    bucket crosses the cap between the two layouts. Out-of-order ids
+    still produce correct near-dup flags; only the ``dup_of``
+    representative choice can differ (a family whose true min id
+    arrives AFTER the family was first indexed keeps the earlier,
+    larger-id representative).
+
+    Returns {batch_docs, new_content, band_rows_added,
+    band_rows_capped}."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        stored = spark.read.parquet(f"{path}/params").first()
+    except AnalysisException as e:
+        cond = getattr(e, "getErrorClass", lambda: None)() or ""
+        if "PATH_NOT_FOUND" not in cond and "Path does not exist" not in str(e):
+            raise
+        raise ValueError(
+            f"no index manifest at {path}/params — add_to_minhash_index "
+            "requires a build_minhash_index-created index"
+        ) from e
+    n_hashes = int(stored["n_hashes"])
+    n_bands = int(stored["n_bands"])
+    shingle_k = int(stored["shingle_k"])
+    seed = int(stored["seed"])
+    raw_cap = int(stored["bucket_cap"]) if "bucket_cap" in stored.__fields__ \
+        else None
+    bucket_cap = None if raw_cap in (None, -1) else raw_cap
+    try:
+        content = spark.read.parquet(f"{path}/content")
+    except AnalysisException as e:
+        raise ValueError(
+            f"index at {path} has no content table — it predates r10 "
+            "append support; rebuild it with build_minhash_index"
+        ) from e
+
+    batch = batch.where(F.col(text_col).isNotNull())
+    caches: list = []
+    brep = _persist_once(
+        batch.select(F.col(id_col), F.xxhash64(text_col).alias("ck"))
+        .groupBy("ck")
+        .agg(F.min(id_col).alias(id_col)),
+        caches,
+    )
+    new = _persist_once(
+        brep.join(content.select("ck"), "ck", "left_anti"), caches
+    )
+    n_batch = brep.count()
+    n_new = new.count()
+    if n_new == 0:
+        for c in caches:
+            c.unpersist()
+        return {"batch_docs": int(n_batch), "new_content": 0,
+                "band_rows_added": 0, "band_rows_capped": 0}
+    new_reps = batch.join(new.select(id_col), id_col, "left_semi")
+    sigs_new = _persist_once(minhash_signatures(
+        new_reps, id_col, text_col, n_hashes, shingle_k, seed
+    ), caches)
+    bands_new = _persist_once(
+        minhash_banded(sigs_new, id_col, n_bands, n_hashes), caches
+    )
+    n_banded = bands_new.count()
+    if bucket_cap is not None:
+        touched = bands_new.select("band", "bucket").distinct()
+        stored_occ = (
+            spark.read.parquet(f"{path}/bands")
+            .join(F.broadcast(touched), ["band", "bucket"], "left_semi")
+            .groupBy("band", "bucket")
+            .agg(F.count("*").alias("__stored"))
+        )
+        new_occ = bands_new.groupBy("band", "bucket").agg(
+            F.count("*").alias("__new")
+        )
+        over = (
+            new_occ.join(stored_occ, ["band", "bucket"], "left")
+            .where(
+                F.coalesce(F.col("__stored"), F.lit(0)) + F.col("__new")
+                > bucket_cap
+            )
+            .select("band", "bucket")
+        )
+        kept = bands_new.join(F.broadcast(over), ["band", "bucket"],
+                              "left_anti")
+    else:
+        kept = bands_new
+    kept = _persist_once(kept, caches)
+    n_kept = kept.count()
+    kept.write.mode("append").partitionBy("band").parquet(f"{path}/bands")
+    sigs_new.write.mode("append").parquet(f"{path}/sigs")
+    new.select("ck", id_col).write.mode("append").parquet(f"{path}/content")
+    for c in caches:
+        c.unpersist()
+    return {
+        "batch_docs": int(n_batch),
+        "new_content": int(n_new),
+        "band_rows_added": int(n_kept),
+        "band_rows_capped": int(n_banded - n_kept),
     }
 
 

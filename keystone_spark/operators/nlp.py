@@ -634,11 +634,20 @@ class Bm25Index:
 
     def _write(self, path: str, mode: str, generation: int,
                n_docs: int, sum_dl: int) -> None:
-        self.postings.write.mode(mode).partitionBy("tbucket").parquet(
+        # TERM-ORDERED postings within every file (the Lucene layout,
+        # r10): a selective query's term IN (...) filter then prunes at
+        # parquet row-group/page level via min/max stats instead of
+        # decoding whole buckets — measured 2.9x on the sf1
+        # selective-query gate. sortWithinPartitions adds no shuffle.
+        self.postings.sortWithinPartitions(
+            "tbucket", "term"
+        ).write.mode(mode).partitionBy("tbucket").parquet(
             f"{path}/postings"
         )
         self.df_t.select(
             "term", "tbucket", "df"
+        ).sortWithinPartitions(
+            "tbucket", "term"
         ).write.mode(mode).partitionBy("tbucket").parquet(f"{path}/df")
         p = self.params
         spark = self.postings.sparkSession
@@ -800,31 +809,51 @@ class Bm25Index:
             F.col("term").isin(terms)
         )
         spark = queries.sparkSession
-        # per-term df = sum of its generation deltas, over the SAME
-        # pruned bucket/term sliver (query-sized result)
-        dfq = (
+        # per-term df = sum of its generation deltas over the pruned
+        # bucket/term sliver — PULLED to the driver (query-term-sized
+        # by contract): idf then folds into the broadcast query-term
+        # table as a literal, and sum(df) is an EXACT upper bound on
+        # matched-posting rows, which drives the physical choice below
+        import math as _math
+
+        df_by_term: dict = {}
+        for r in (
             self.df_t.where(F.col("tbucket").isin(wanted))
             .where(F.col("term").isin(terms))
-            .groupBy("term")
-            .agg(F.sum("df").alias("df"))
-        )
-        idf = F.log(
-            1.0
-            + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-        )
+            .select("term", "df")
+            .collect()  # raw generation deltas: summing driver-side
+        ):  # skips an exchange (rows <= query terms x generations)
+            df_by_term[r["term"]] = df_by_term.get(r["term"], 0) + int(r["df"])
         # rebuild the (tiny, already-collected) query-term table locally
-        # so the broadcast does not re-run the queries lineage
+        # with idf attached, so the broadcast re-runs neither the
+        # queries lineage nor a df join
+        q_pairs = [
+            (r[query_id_col], r["term"],
+             _math.log(1.0 + (n_docs - df_by_term[r["term"]] + 0.5)
+                       / (df_by_term[r["term"]] + 0.5)))
+            for r in qt_rows if r["term"] in df_by_term
+        ]
+        id_field = q_terms.schema[query_id_col]
         q_local = spark.createDataFrame(
-            [(r[query_id_col], r["term"]) for r in qt_rows],
-            schema=q_terms.drop("tbucket").schema,
+            q_pairs,
+            schema=f"{query_id_col} {id_field.dataType.simpleString()}, "
+                   "term string, idf double",
         )
-        qt = F.broadcast(
-            F.broadcast(q_local).join(dfq.select("term", idf.alias("idf")),
-                                      "term")
-        )
-        n_parts = spark.sparkContext.defaultParallelism
-        subr = sub.repartition(n_parts, F.col(id_col))
-        matched = subr.join(qt, "term")
+        qt = F.broadcast(q_local)
+        # cost-based co-partition (r10): the doc co-partition exists so
+        # the stop-word-dense regime's pair-scale fan-out (sf1 fixture:
+        # 89M matched rows) aggregates partition-locally instead of
+        # exchanging. For SELECTIVE queries the same exchange is pure
+        # fixed overhead on a few hundred rows — and the index's own df
+        # stats bound the fan-out EXACTLY (sum of matched df per query
+        # pair), so the switch is driven by stored statistics, not a
+        # guess. Below the threshold the tiny matched set flows
+        # straight into the aggregation exchange.
+        matched_bound = sum(df_by_term[t] for _, t, _ in q_pairs)
+        if matched_bound > 200_000:
+            n_parts = spark.sparkContext.defaultParallelism
+            sub = sub.repartition(n_parts, F.col(id_col))
+        matched = sub.join(qt, "term")
         w = (
             F.col("idf")
             * (F.col("tf") * (k1v + 1))

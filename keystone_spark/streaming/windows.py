@@ -773,6 +773,8 @@ def stream_neardup_against_index(
     shingle_k: int = 5,
     threshold: float = 0.8,
     seed: int = 42,
+    update_index: bool = False,
+    texts_path: str | None = None,
 ) -> None:
     """Streaming incremental near-dedup: a stream of new documents is
     matched per micro-batch against the STORED MinHash band index
@@ -786,17 +788,57 @@ def stream_neardup_against_index(
     DataFrame and runs the exact BATCH operator, which makes
     stream-vs-batch equivalence structural (per-doc verdicts are
     independent, so the union over micro-batches equals one batch run —
-    pinned by test_streaming). Blocks until drained (AvailableNow)."""
-    from keystone_spark.operators.dedup import match_minhash_index, release
+    pinned by test_streaming). Blocks until drained (AvailableNow).
 
+    ``update_index=True`` (VERDICT r9 #1) closes the ingest loop: after
+    a micro-batch is matched, it is APPENDED to the index it was just
+    matched against (``operators.dedup.add_to_minhash_index`` — sign
+    only new content, append band rows/sigs/content keys), so batch
+    N+1 near-dups against batch N's documents, not just the original
+    corpus. Requires ``texts_path``: each batch's (id, text) is
+    appended there, and later batches' verify stage reads candidate
+    texts from ``corpus`` UNION that history (the stored index has
+    signatures, not texts). Within one micro-batch, docs are matched
+    against the index as of the batch START — intra-batch pairs are
+    not flagged against each other (same semantics as the batch
+    operator on one increment); a smaller trigger interval tightens
+    that window."""
+    from pyspark.errors import AnalysisException
+
+    from keystone_spark.operators.dedup import (
+        add_to_minhash_index,
+        match_minhash_index,
+        release,
+    )
+
+    if update_index and not texts_path:
+        raise ValueError(
+            "update_index=True requires texts_path (later batches' "
+            "exact-verify stage needs earlier batches' texts)"
+        )
     spark = stream_docs.sparkSession
 
     def fold(bdf: DataFrame, epoch_id: int) -> None:
+        texts = corpus.select(F.col(id_col), F.col(text_col))
+        if update_index:
+            try:  # no history yet on the first batch (FS-agnostic probe)
+                hist = spark.read.parquet(texts_path).select(
+                    F.col(id_col), F.col(text_col)
+                )
+            except AnalysisException:
+                hist = None
+            if hist is not None:
+                texts = texts.unionByName(hist)
         out = match_minhash_index(
-            spark, index_path, bdf, corpus,
+            spark, index_path, bdf, texts,
             id_col, text_col, n_hashes, n_bands, shingle_k, threshold, seed,
         )
         out.write.mode("append").parquet(sink_path)
         release(out)
+        if update_index:
+            add_to_minhash_index(spark, index_path, bdf, id_col, text_col)
+            bdf.select(F.col(id_col), F.col(text_col)).write.mode(
+                "append"
+            ).parquet(texts_path)
 
     run_foreach_batch(stream_docs, fold, output_mode="append")

@@ -103,3 +103,90 @@ def test_sf1_family_not_regressed_vs_snapshot():
         f"sf1 family perf regressions:\n{proc.stderr[-3000:]}\n"
         f"{proc.stdout[-500:]}"
     )
+
+
+@pytest.mark.slow
+def test_sf5_family_not_regressed_vs_snapshot():
+    """Scale gate (VERDICT r9 #2): BOTH historical scale regressions
+    (r6 minhash, r8 clique-simhash at 758 s) were sf5-ONLY — invisible
+    to the sf0.1 and sf1 gates because candidate/pair volume diverges
+    superlinearly past sf1. This times the SF5_FAMILY subset at
+    .localdata/sf5 against the committed snapshot; a deliberate
+    sf5-only slowdown of any member fails here even when sf0.1/sf1
+    stay green. Skips when sf5 data hasn't been generated on this
+    machine (tools/make_scaled_data.py --k 50 --dst .localdata/sf5)."""
+    sf5 = os.path.join(REPO, ".localdata", "sf5")
+    if not os.path.isdir(sf5):
+        pytest.skip("no .localdata/sf5 — generate with "
+                    "tools/make_scaled_data.py --k 50 --dst .localdata/sf5")
+    sf5_snapshot = os.path.join(REPO, "tools", "registry_snapshot_sf5.json")
+    assert os.path.exists(sf5_snapshot), (
+        "tools/registry_snapshot_sf5.json missing — regenerate with "
+        "bench_registry.py --sf-dir .localdata/sf5 --family-sf5 --snapshot"
+    )
+    sys.path.insert(0, REPO)
+    from tools.bench_registry import SF5_FAMILY
+
+    import __spark_entry__ as entry_mod
+
+    assert set(SF5_FAMILY) <= set(entry_mod.queries())
+    with open(sf5_snapshot) as f:
+        snap = json.load(f)
+    missing = set(SF5_FAMILY) - set(snap)
+    assert not missing, (
+        f"family queries missing from sf5 snapshot: {sorted(missing)}")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "bench_registry.py"),
+         "--check", sf5_snapshot, "--sf-dir", sf5, "--family-sf5"],
+        cwd=REPO,
+        env={**os.environ,
+             "SPARK_GRAFT_CPUS": os.environ.get("SPARK_GRAFT_CPUS", "32")},
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    assert proc.returncode == 0, (
+        f"sf5 family perf regressions:\n{proc.stderr[-3000:]}\n"
+        f"{proc.stdout[-500:]}"
+    )
+
+
+def test_family_check_uses_family_snapshot(tmp_path):
+    """ADVICE r9: a bare '--family-sf1 --check' must compare against the
+    FAMILY snapshot, not the sf0.1 full-registry default, and a family
+    --snapshot aimed at the full-registry file must refuse. Argument
+    plumbing only — no Spark session, runs in milliseconds."""
+    import tools.bench_registry as br
+
+    # simulate main()'s arg resolution without running queries
+    import argparse
+
+    def resolve(argv):
+        ap = argparse.ArgumentParser()
+        ap.add_argument("--check", nargs="?", const=br.DEFAULT_SNAPSHOT)
+        ap.add_argument("--snapshot")
+        ap.add_argument("--family-sf1", action="store_true")
+        ap.add_argument("--family-sf5", action="store_true")
+        args = ap.parse_args(argv)
+        fam = (br.SF1_SNAPSHOT if args.family_sf1
+               else br.SF5_SNAPSHOT if args.family_sf5 else None)
+        if fam and args.check == br.DEFAULT_SNAPSHOT:
+            args.check = fam
+        return args
+
+    assert resolve(["--family-sf1", "--check"]).check == br.SF1_SNAPSHOT
+    assert resolve(["--family-sf5", "--check"]).check == br.SF5_SNAPSHOT
+    assert resolve(["--check"]).check == br.DEFAULT_SNAPSHOT
+    explicit = str(tmp_path / "mine.json")
+    assert resolve(["--family-sf1", "--check", explicit]).check == explicit
+
+    # the real main() must also refuse the clobber and resolve the bare
+    # family check; exercise it end-to-end with a bad flag combo
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "bench_registry.py"),
+         "--family-sf1", "--snapshot",
+         os.path.join(REPO, "tools", "registry_snapshot.json")],
+        cwd=REPO, capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 2
+    assert "refusing to overwrite" in proc.stderr

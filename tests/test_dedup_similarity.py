@@ -953,3 +953,97 @@ def test_ann_recall_at_sf1(spark):
     assert r_pq >= 0.8, f"pq_topk recall@10 at sf1 = {r_pq}"
     assert r_ivfpq >= 0.8, f"ivfpq recall@10 at sf1 = {r_ivfpq}"
     print(f"sf1 recall@10: ivf={r_ivf} pq={r_pq} ivfpq={r_ivfpq}")
+
+
+def test_minhash_index_add_equals_rebuild(spark, tmp_path):
+    """Append-without-rebuild (VERDICT r9 #1): build the index on the
+    low-id half of the corpus, add the high-id half in two batches
+    (monotone-ingest contract), and matching a probe batch returns rows
+    IDENTICAL to an index rebuilt from scratch over the union corpus."""
+    from keystone_spark.operators.dedup import (
+        add_to_minhash_index,
+        build_minhash_index,
+        match_minhash_index,
+        release,
+    )
+    from keystone_spark.sources import load_table
+
+    d = load_table(spark, "documents", "/root/testdata/sf0.001")
+    corpus = d.where(F.col("doc_id") % 4 != 0)
+    probe = d.where(F.col("doc_id") % 4 == 0)
+    mid = corpus.agg(F.max("doc_id")).first()[0] // 2
+    lo = corpus.where(F.col("doc_id") <= mid)
+    hi1 = corpus.where((F.col("doc_id") > mid)
+                       & (F.col("doc_id") % 2 == 1))
+    hi2 = corpus.where((F.col("doc_id") > mid)
+                       & (F.col("doc_id") % 2 == 0))
+
+    inc = str(tmp_path / "mh_inc")
+    build_minhash_index(lo, inc, n_hashes=64, n_bands=16)
+    s1 = add_to_minhash_index(spark, inc, hi1)
+    s2 = add_to_minhash_index(spark, inc, hi2)
+    assert s1["new_content"] > 0 and s1["band_rows_added"] > 0
+    assert s2["new_content"] > 0 and s2["band_rows_capped"] == 0
+
+    full = str(tmp_path / "mh_full")
+    build_minhash_index(corpus, full, n_hashes=64, n_bands=16)
+
+    def run(path):
+        out = match_minhash_index(spark, path, probe, corpus,
+                                  n_hashes=64, n_bands=16, threshold=0.8)
+        rows = sorted((r.doc_id, r.dup_of, round(r.jac, 9))
+                      for r in out.collect())
+        release(out)
+        return rows
+
+    got, want = run(inc), run(full)
+    assert got == want and len(got) > 0
+
+    # re-adding already-indexed content is a no-op (re-crawl batch)
+    s3 = add_to_minhash_index(spark, inc, hi1)
+    assert s3["new_content"] == 0 and s3["band_rows_added"] == 0
+    assert run(inc) == want
+
+    # empty batch is a no-op
+    s4 = add_to_minhash_index(spark, inc, corpus.where("doc_id < 0"))
+    assert s4 == {"batch_docs": 0, "new_content": 0,
+                  "band_rows_added": 0, "band_rows_capped": 0}
+
+
+def test_minhash_index_add_enforces_combined_cap(spark, tmp_path):
+    """The append-time skew guard counts stored + new occupancy: a batch
+    that would push a bucket past the manifest's cap has its NEW rows
+    dropped (stored rows are append-only and stay), and a pre-r10 index
+    without a content table refuses the add instead of corrupting."""
+    import pytest
+
+    from keystone_spark.operators.dedup import (
+        add_to_minhash_index,
+        build_minhash_index,
+    )
+
+    # 6 identical-after-normalization long texts per id block would all
+    # band into the same buckets; distinct texts here so each is its own
+    # content, but sharing one dominant shingle profile to collide bands
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    docs1 = spark.createDataFrame(
+        [(i, base + f"tail {i}") for i in range(4)], ["doc_id", "text"]
+    )
+    docs2 = spark.createDataFrame(
+        [(i, base + f"tail {i}") for i in range(4, 10)], ["doc_id", "text"]
+    )
+    path = str(tmp_path / "mh_cap")
+    build_minhash_index(docs1, path, n_hashes=32, n_bands=8, bucket_cap=5)
+    stats = add_to_minhash_index(spark, path, docs2)
+    # every near-identical doc lands in mostly-shared buckets; combined
+    # occupancy 4 stored + 6 new > 5 in at least one bucket
+    assert stats["band_rows_capped"] > 0
+
+    # missing content table (pre-r10 index) -> explicit refusal
+    legacy = str(tmp_path / "mh_legacy")
+    build_minhash_index(docs1, legacy, n_hashes=32, n_bands=8)
+    import shutil
+
+    shutil.rmtree(f"{legacy}/content")
+    with pytest.raises(ValueError, match="content table"):
+        add_to_minhash_index(spark, legacy, docs2)

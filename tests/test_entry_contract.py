@@ -42,29 +42,26 @@ def test_registry_hygiene_full_surface():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
     head = list(q)[:40]
     assert head == [
-        # r9 rotation: bm25_indexed is NEW (build-once BM25 postings
-        # index); simhash_pairs was structurally rewired
-        # (simhash_verified_pairs collapse-first); phash_neardup/
-        # minhash_dedup/dedup_clusters ride the r9 truncation +
-        # cache-ownership changes
-        "bm25_indexed", "simhash_pairs", "phash_neardup",
-        # r7 NEW queries, driver-verified in the r8 window
-        "incremental_neardup", "ordered_funnel", "source_similarity",
-        "psi_drift", "oov_rate", "dedup_savings",
-        "doc_chunks", "url_dedup", "mixture_weights",
-        "key_skew_profile", "top_paths", "mad_outliers",
-        # r6 NEW queries (ExactSubstr span dedup + removal, DSIR)
-        "duplicate_spans", "dsir_weights", "top_boilerplate_spans",
-        "dsir_resample", "strip_spans",
-        # r6 rotation, still inside the 50-query window
-        "equidepth_hist", "revenue_concentration", "doc_fingerprint",
-        "minhash_dedup", "dedup_clusters",
-        # r5 rotation (stats set), still inside the 50-query window
-        "monthly_trend", "abc_classes", "repeat_purchase_curve",
-        "activity_heatmap", "chi_square_test", "token_entropy",
-        "rfm_segments", "brand_hhi", "group_mode", "interarrival_stats",
-        "twoway_effects", "value_autocorr", "cusum_drift", "vocab_growth",
-        "zipf_curve",
+        # r10 rotation (VERDICT r9 #4): NEW index-maintenance queries
+        # first (bm25_incremental / incremental_index_add), then the
+        # two REWIRED this round (bm25_indexed v2 raw-count layout,
+        # simhash_pairs without the vacuous shingle prefilter), then
+        # the cohort least recently driver-sampled (r2/r3 windows) —
+        # 48 of the 50-query window are NOT in the r9 window
+        "bm25_incremental", "incremental_index_add",
+        "bm25_indexed", "simhash_pairs",
+        # stale cohort: last driver-sampled in the r2/r3 windows
+        "event_sliding_window", "map_fns", "approx_distinct", "lang_id",
+        "binary_metrics", "embedding_neardup", "augmented_eval",
+        "ivf_topk", "ivf_index_topk", "important_stock",
+        "supplier_part_counts", "excess_shipments", "funnel_completions",
+        "pq_topk", "kmv_distinct", "variant_json", "ivfpq_topk",
+        "reservoir_sample", "scd2_intervals", "exists_subquery",
+        "scalar_subquery", "shipping_priority", "pivot_counts",
+        "covar_corr", "window_pct", "conditional_agg",
+        "revenue_predicate", "array_fns2", "regr_fns", "token_packing",
+        "token_packing_greedy", "approx_percentile", "null_fns",
+        "grouped_ols", "returned_items", "promo_revenue",
     ]
 
 

@@ -798,3 +798,67 @@ def test_stream_neardup_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(sink).collect()
     )
     assert got == want
+
+
+def test_stream_neardup_updates_its_index(spark, tmp_path):
+    """update_index=True (VERDICT r9 #1): batch 2 must near-dup against
+    batch 1's documents — the foreachBatch fold appends each processed
+    micro-batch to the index it reads (add_to_minhash_index), so the
+    stream dedups against its own history, not just the build corpus.
+    Without the flag, the same pair goes unflagged."""
+    from pyspark.sql import functions as F
+
+    from keystone_spark.operators.dedup import build_minhash_index
+    from keystone_spark.streaming.windows import stream_neardup_against_index
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "naps in the warm afternoon sun by the riverbank ") * 5
+    corpus = spark.createDataFrame(
+        [(1, "completely unrelated corpus text about spark shuffles "
+             "and parquet footers, long enough to shingle cleanly " * 5)],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "idx")
+    build_minhash_index(corpus, idx, n_hashes=64, n_bands=16)
+
+    # batch 1 introduces doc 100; batch 2's doc 200 is its near-dup
+    src = tmp_path / "incoming"
+    src.mkdir()
+    spark.createDataFrame(
+        [(100, base)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b0"))
+    spark.createDataFrame(
+        [(200, base + " tiny tail edit")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    def run(update):
+        tag = "upd" if update else "noupd"
+        idx_run = str(tmp_path / f"idx_{tag}")
+        import shutil
+
+        shutil.copytree(idx, idx_run)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        sink = str(tmp_path / f"flags_{tag}")
+        stream_neardup_against_index(
+            stream, idx_run, corpus, sink, n_hashes=64, n_bands=16,
+            threshold=0.8, update_index=update,
+            texts_path=str(tmp_path / f"texts_{tag}") if update else None,
+        )
+        return {(r.doc_id, r.dup_of) for r in spark.read.parquet(sink).collect()}
+
+    assert run(update=False) == set()
+    assert run(update=True) == {(200, 100)}
+
+    # missing texts_path is an explicit error, not silent verify misses
+    import pytest
+
+    with pytest.raises(ValueError, match="texts_path"):
+        stream_neardup_against_index(
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(str(src / "*")),
+            idx, corpus, str(tmp_path / "x"), update_index=True,
+        )

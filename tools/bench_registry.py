@@ -58,9 +58,36 @@ SF1_FAMILY = [
     "duplicate_spans", "strip_spans",
     "cosine_topk", "ivf_index_topk", "pq_topk", "ivfpq_topk",
     "bm25_search", "bm25_indexed",
+    "bm25_incremental", "incremental_index_add",  # r10 index maintenance
 ]
 SF1_SNAPSHOT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "registry_snapshot_sf1.json")
+
+# The sf5 scale gate (VERDICT r9 #2): BOTH real scale regressions in
+# this project's history (r6 minhash cache blow-up, r8 clique-simhash
+# 758 s) were sf5-only — visible in neither the sf0.1 full-registry
+# snapshot nor the sf1 family one, because their cost curves only
+# diverge superlinearly past sf1. This family pins the queries whose
+# candidate/pair volume scales with CONTENT, not just bytes. Generate
+# the data once per machine (tools/make_scaled_data.py --k 50 --dst
+# .localdata/sf5), snapshot with
+#   python tools/bench_registry.py --sf-dir .localdata/sf5 \
+#       --family-sf5 --snapshot tools/registry_snapshot_sf5.json
+# bm25_indexed/bm25_incremental are deliberately NOT in this family:
+# their declared workload scales QUADRATICALLY with sf by construction
+# (the query set is doc_id % 100 == 0, so query count grows with the
+# corpus while every stop-word term's df grows with it too — measured
+# 5.1 s at sf1 -> 532 s at sf5, ~100x for 5x data, and the plan shape
+# is identical at both points). Gating that would burn ~35 min per
+# pytest run to re-measure the fixture's shape, not the engine; the
+# selective-query regime the index exists for is gated instead by
+# test_nlp_ops.test_bm25_index_selective_queries_beat_rebuild_at_sf1.
+SF5_FAMILY = [
+    "simhash_pairs", "minhash_dedup", "incremental_neardup",
+    "dedup_clusters", "doc_chunks", "incremental_index_add",
+]
+SF5_SNAPSHOT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "registry_snapshot_sf5.json")
 
 
 def run_registry(spark, sf_dir: str, keys=None, repeats: int = 2,
@@ -143,11 +170,32 @@ def main() -> int:
     ap.add_argument("--only", nargs="*", help="subset of query keys")
     ap.add_argument("--family-sf1", action="store_true",
                     help="run the SF1_FAMILY dedup/ANN/curation subset")
+    ap.add_argument("--family-sf5", action="store_true",
+                    help="run the SF5_FAMILY scale subset")
     ap.add_argument("--repeats", type=int, default=None,
                     help="timed runs per query (default: 2 check / 3 snapshot)")
     args = ap.parse_args()
+    if args.family_sf1 and args.family_sf5:
+        ap.error("--family-sf1 and --family-sf5 are mutually exclusive")
+    family_snapshot = None
     if args.family_sf1:
-        args.only = SF1_FAMILY
+        args.only, family_snapshot = SF1_FAMILY, SF1_SNAPSHOT
+    elif args.family_sf5:
+        args.only, family_snapshot = SF5_FAMILY, SF5_SNAPSHOT
+    if family_snapshot:
+        # family-mode foot-guns (ADVICE r9): a bare --check defaulted to
+        # the sf0.1 FULL-registry snapshot, so '--family-sf1 --check'
+        # compared sf1 timings against sf0.1 values and reported
+        # nonsense; likewise a bare --snapshot would clobber the sf0.1
+        # file with family timings. Substitute the family's own file.
+        if args.check == DEFAULT_SNAPSHOT:
+            args.check = family_snapshot
+        if args.snapshot and os.path.abspath(args.snapshot) == \
+                os.path.abspath(DEFAULT_SNAPSHOT):
+            print(f"refusing to overwrite the full-registry snapshot "
+                  f"{DEFAULT_SNAPSHOT} with family-subset timings; "
+                  f"use {family_snapshot}", file=sys.stderr)
+            return 2
 
     from keystone_spark import get_session, warm_python_workers
 
