@@ -361,7 +361,17 @@ class IvfIndex:
             dtype=np.float64,
         )
         C = _normalize(_kmeans_centroids(_normalize(samp), n_cells, seed))
+        indexed = cls._assign(data, C, id_col, vec_col)
+        return cls(C, indexed, id_col, vec_col)
+
+    @staticmethod
+    def _assign(data: DataFrame, C: np.ndarray, id_col: str,
+                vec_col: str) -> DataFrame:
+        """Cell-assign ``data`` against FIXED centroids — shared by
+        build and add, so appended rows are assigned by definitionally
+        the same kernel as built ones (assignment is per-row pure)."""
         from pyspark.sql.types import IntegerType
+
         schema = data.select(id_col, vec_col).schema.add("cell", IntegerType())
 
         def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -373,8 +383,46 @@ class IvfIndex:
                 pdf["cell"] = (X @ C.T).argmax(axis=1).astype(np.int32)
                 yield pdf
 
-        indexed = data.select(id_col, vec_col).mapInPandas(assign, schema)
-        return cls(C, indexed, id_col, vec_col)
+        return data.select(id_col, vec_col).mapInPandas(assign, schema)
+
+    @classmethod
+    def add(cls, spark, path: str, batch: DataFrame) -> dict:
+        """Append new vectors to a stored index WITHOUT retraining
+        (VERDICT r9 #1, the third index family): the coarse quantizer
+        is FROZEN — exactly FAISS's ``IndexIVF.add`` semantics, where
+        adding vectors assigns them to existing cells and never moves
+        a centroid — so the batch is cell-assigned by the same kernel
+        the build used and appended to the cell-partitioned corpus.
+        Because assignment is a pure per-row function of (vector,
+        centroids), search after add is IDENTICAL to search over an
+        index whose whole corpus was assigned in one pass with the
+        same centroids (pinned by test).
+
+        Staleness contract: what CAN degrade under appends is cell
+        balance — the quantizer was trained on the build-time sample,
+        so if the data distribution drifts, new vectors crowd few
+        cells and recall/latency worsen at the same n_probe_cells.
+        That is a retrain (rebuild) decision; monitor the returned
+        per-add cell histogram. Batch ids must be fresh (the index
+        has no delete)."""
+        import os
+
+        idx = cls.load(spark, path)
+        assigned = cls._assign(
+            batch.where(F.col(idx.vec_col).isNotNull()),
+            idx.C, idx.id_col, idx.vec_col,
+        )
+        cells = {
+            int(r["cell"]): int(r["n"])
+            for r in assigned.groupBy("cell").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+        assigned.write.mode("append").partitionBy("cell").parquet(
+            os.path.join(path, "corpus")
+        )
+        return {"vectors_added": sum(cells.values()),
+                "cells_touched": len(cells), "cell_histogram": cells}
 
     def search(
         self,
@@ -670,7 +718,15 @@ class IvfPqIndex:
         sn = _normalize(samp)
         C = _normalize(_kmeans_centroids(sn, n_cells, seed))
         books = _train_pq_codebooks(sn, m, ks, seed)
-        dsub = books.shape[2]
+        indexed = cls._encode(data, C, books, id_col, vec_col)
+        return cls(C, books, indexed, id_col, vec_col)
+
+    @staticmethod
+    def _encode(data: DataFrame, C: np.ndarray, books: np.ndarray,
+                id_col: str, vec_col: str) -> DataFrame:
+        """Cell-assign + PQ-encode ``data`` against a FIXED model —
+        shared by build and add (both kernels are per-row pure)."""
+        m, dsub = books.shape[0], books.shape[2]
 
         from pyspark.sql.types import ArrayType, IntegerType, LongType as LT
         from pyspark.sql.types import StructField as SF, StructType as ST
@@ -703,8 +759,39 @@ class IvfPqIndex:
                     }
                 )
 
-        indexed = data.select(id_col, vec_col).mapInPandas(encode, out_schema)
-        return cls(C, books, indexed, id_col, vec_col)
+        return data.select(id_col, vec_col).mapInPandas(encode, out_schema)
+
+    @classmethod
+    def add(cls, spark, path: str, batch: DataFrame) -> dict:
+        """Append new vectors WITHOUT retraining — FAISS
+        ``IndexIVFPQ.add`` semantics: coarse centroids AND PQ codebooks
+        are frozen, the batch is assigned+encoded by the build's own
+        kernel and appended to the cell-partitioned codes table. Search
+        after add is identical to a one-pass encoding of the union
+        under the same model (per-row pure kernels; pinned by test).
+        Same staleness contract as ``IvfIndex.add``: distribution
+        drift degrades cell balance and quantization error — retrain
+        by rebuild; ids must be fresh. NOTE: the exact re-rank at
+        search time fetches raw vectors from the BASE table the caller
+        passes — it must cover the appended ids too."""
+        import os
+
+        idx = cls.load(spark, path)
+        encoded = cls._encode(
+            batch.where(F.col(idx.vec_col).isNotNull()),
+            idx.C, idx.books, idx.id_col, idx.vec_col,
+        )
+        cells = {
+            int(r["cell"]): int(r["n"])
+            for r in encoded.groupBy("cell").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+        encoded.write.mode("append").partitionBy("cell").parquet(
+            os.path.join(path, "codes")
+        )
+        return {"vectors_added": sum(cells.values()),
+                "cells_touched": len(cells), "cell_histogram": cells}
 
     def save(self, path: str) -> None:
         import json
