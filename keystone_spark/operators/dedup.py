@@ -1521,6 +1521,54 @@ def add_to_minhash_index(
     }
 
 
+def compact_minhash_index(spark, path: str) -> dict:
+    """OPTIMIZE pass for an appended-to ``build_minhash_index``: every
+    ``add_to_minhash_index`` leaves a small file set per band partition
+    plus appended sigs/content files; this rewrites bands back to one
+    file per band directory (bucket-sorted for row-group pruning on
+    the bucket join key) and coalesces sigs/content, changing NO rows
+    — match results are identical before and after (pinned by test).
+    Same staging + directory-rename swap and the same local/HDFS-only
+    atomicity caveat as ``Bm25Index.compact``; not safe concurrently
+    with ``add``."""
+    import os
+    import shutil
+
+    bands = spark.read.parquet(f"{path}/bands")
+    sigs = spark.read.parquet(f"{path}/sigs")
+    content = spark.read.parquet(f"{path}/content")
+    stage = os.path.join(path, "_compact_tmp")
+    shutil.rmtree(stage, ignore_errors=True)
+    (
+        bands.repartition(F.col("band"))
+        .sortWithinPartitions("band", "bucket")
+        .write.mode("overwrite").partitionBy("band")
+        .parquet(os.path.join(stage, "bands"))
+    )
+    n = spark.sparkContext.defaultParallelism
+    sigs.repartition(n).write.mode("overwrite").parquet(
+        os.path.join(stage, "sigs")
+    )
+    content.repartition(n).write.mode("overwrite").parquet(
+        os.path.join(stage, "content")
+    )
+
+    def count_files(p):
+        return sum(1 for _, _, fs in os.walk(p)
+                   for f in fs if f.endswith(".parquet"))
+
+    before = count_files(os.path.join(path, "bands"))
+    for table in ("bands", "sigs", "content"):
+        old = os.path.join(path, table)
+        shutil.rmtree(old)
+        os.rename(os.path.join(stage, table), old)
+    shutil.rmtree(stage, ignore_errors=True)
+    return {
+        "band_files_before": before,
+        "band_files_after": count_files(os.path.join(path, "bands")),
+    }
+
+
 def neardup_against_corpus(
     corpus: DataFrame,
     batch: DataFrame,

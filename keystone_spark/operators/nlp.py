@@ -560,10 +560,14 @@ class Bm25Index:
     the directories the query's vocabulary hashes into (same
     partition-pruning contract as IvfIndex cells, pinned by the
     declared query's plan assertion). ``add`` appends one parquet
-    commit per table and touches nothing corpus-scale. Compaction
-    note: each add appends small files per touched bucket; a periodic
-    ``sources.tables.compact_files`` pass over ``{path}/postings``
-    restores right-sized files without changing any count."""
+    commit per table and touches nothing corpus-scale. Each add
+    leaves small files per touched bucket and one df-delta row per
+    touched term; ``compact`` periodically rewrites the index back to
+    one term-sorted file per bucket and a single merged generation
+    WITHOUT changing any count. (The generic
+    ``sources.tables.compact_files`` must NOT be pointed at these
+    tables — its plain rewrite drops the tbucket directory layout
+    that search's partition pruning needs.)"""
 
     FORMAT_VERSION = 2
 
@@ -742,6 +746,59 @@ class Bm25Index:
             "sum_dl_added": sum_dl,
             "generation": gen,
         }
+
+    @classmethod
+    def compact(cls, spark, path: str) -> dict:
+        """Rewrite an appended-to index back to its built shape — the
+        OPTIMIZE pass of the ingest loop: postings become one
+        term-sorted file per bucket (each add left a small file set
+        per touched bucket; footer/open overhead grows with add count
+        until a search's pruned scan is file-bound, not byte-bound),
+        df deltas merge to one row per term, and the generation
+        manifests collapse to a single generation 0 with the summed
+        (n_docs, sum_dl). No count changes, so search results are
+        hash-identical before and after (pinned by test).
+
+        The rewrite stages under ``{path}/_compact_tmp`` and swaps via
+        directory rename — effectively atomic on a local/HDFS
+        filesystem, copy-based (and therefore briefly inconsistent)
+        on object stores; there, compact into a NEW index path and
+        flip the reader's pointer instead. Not safe to run
+        concurrently with ``add``."""
+        import os
+        import shutil
+
+        idx = cls.load(spark, path)  # validates format + manifest
+        p = idx.params
+        stage = os.path.join(path, "_compact_tmp")
+        shutil.rmtree(stage, ignore_errors=True)
+        # one whole bucket per task -> one right-sized file per bucket
+        # directory; _write re-sorts by (tbucket, term) for row-group
+        # pruning
+        merged = cls(
+            idx.postings.repartition(F.col("tbucket")),
+            idx.df_t.groupBy("term", "tbucket").agg(
+                F.sum("df").alias("df")
+            ),
+            p,
+        )
+        merged._write(stage, "overwrite", 0, p["n_docs"], p["sum_dl"])
+        files_before = sum(
+            1 for _, _, fs in os.walk(os.path.join(path, "postings"))
+            for f in fs if f.endswith(".parquet")
+        )
+        for table in ("postings", "df", "params"):
+            old = os.path.join(path, table)
+            shutil.rmtree(old)
+            os.rename(os.path.join(stage, table), old)
+        shutil.rmtree(stage, ignore_errors=True)
+        files_after = sum(
+            1 for _, _, fs in os.walk(os.path.join(path, "postings"))
+            for f in fs if f.endswith(".parquet")
+        )
+        return {"postings_files_before": files_before,
+                "postings_files_after": files_after,
+                "generations_merged": True}
 
     def search(
         self,

@@ -1117,3 +1117,44 @@ def test_ivfpq_index_add_equals_one_pass_encoding(spark, tmp_path):
     assert got == key(union.search(base, probes, k=5, n_probe_cells=4,
                                    refine=4))
     assert len(got) > 0
+
+
+def test_compact_minhash_index_preserves_matches(spark, tmp_path):
+    """compact_minhash_index rewrites appended band/sig/content files
+    to one file per band dir with NO row changes — match results are
+    identical before and after, and band partition dirs survive."""
+    import os
+
+    from keystone_spark.operators.dedup import (
+        add_to_minhash_index,
+        build_minhash_index,
+        compact_minhash_index,
+        match_minhash_index,
+        release,
+    )
+    from keystone_spark.sources import load_table
+
+    d = load_table(spark, "documents", "/root/testdata/sf0.001")
+    corpus = d.where(F.col("doc_id") % 4 != 0)
+    probe = d.where(F.col("doc_id") % 4 == 0)
+    mid = corpus.agg(F.max("doc_id")).first()[0] // 2
+    path = str(tmp_path / "mh_cpt")
+    build_minhash_index(corpus.where(F.col("doc_id") <= mid), path,
+                        n_hashes=64, n_bands=16)
+    add_to_minhash_index(spark, path, corpus.where(F.col("doc_id") > mid))
+
+    def run():
+        out = match_minhash_index(spark, path, probe, corpus,
+                                  n_hashes=64, n_bands=16, threshold=0.8)
+        rows = sorted((r.doc_id, r.dup_of, round(r.jac, 9))
+                      for r in out.collect())
+        release(out)
+        return rows
+
+    before = run()
+    assert before
+    stats = compact_minhash_index(spark, path)
+    assert stats["band_files_after"] < stats["band_files_before"]
+    assert any(x.startswith("band=") for x in
+               os.listdir(os.path.join(path, "bands")))
+    assert run() == before

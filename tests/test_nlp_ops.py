@@ -511,3 +511,44 @@ def test_bm25_index_selective_queries_beat_rebuild_at_sf1(spark):
         f"selective-query index advantage collapsed: rebuild {t_rebuild:.2f}s"
         f" vs indexed {t_idx:.2f}s ({t_rebuild / t_idx:.1f}x, floor 2x)"
     )
+
+
+def test_bm25_index_compact_preserves_results(spark, tmp_path):
+    """compact() rewrites an appended-to index to one term-sorted file
+    per bucket and a single merged generation with NO count changes —
+    search results are hash-identical before and after, and the
+    partition layout (tbucket dirs) survives so pruning still works."""
+    import os
+
+    from keystone_spark.operators.nlp import Bm25Index
+
+    rows = [(i, [f"w{j}" for j in range(i % 5, i % 5 + 3)] + ["c"])
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, ["doc_id", "toks"])
+    qs = spark.createDataFrame(
+        [(0, ["w2", "c"]), (1, ["w6"])], ["query_id", "q_toks"]
+    )
+    path = str(tmp_path / "bm25_cpt")
+    Bm25Index.build(docs.where("doc_id < 10"), n_term_buckets=8).save(path)
+    Bm25Index.add(spark, path, docs.where("doc_id >= 10 and doc_id < 20"))
+    Bm25Index.add(spark, path, docs.where("doc_id >= 20"))
+
+    def key(df):
+        return sorted((r.query_id, r.rk, r.doc_id, round(r.score, 9))
+                      for r in df.collect())
+
+    before = key(Bm25Index.load(spark, path).search(qs, k=5))
+    stats = Bm25Index.compact(spark, path)
+    assert stats["postings_files_after"] < stats["postings_files_before"]
+    # tbucket directory layout survives
+    assert any(d.startswith("tbucket=") for d in
+               os.listdir(os.path.join(path, "postings")))
+    after_idx = Bm25Index.load(spark, path)
+    assert key(after_idx.search(qs, k=5)) == before
+    assert after_idx.params["n_docs"] == 30
+    # single merged generation
+    assert spark.read.parquet(f"{path}/params").count() == 1
+    # compacted index still accepts adds
+    Bm25Index.add(spark, path, spark.createDataFrame(
+        [(100, ["w2", "new"])], ["doc_id", "toks"]))
+    assert Bm25Index.load(spark, path).params["n_docs"] == 31
