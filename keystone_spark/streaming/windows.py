@@ -842,3 +842,35 @@ def stream_neardup_against_index(
             ).parquet(texts_path)
 
     run_foreach_batch(stream_docs, fold, output_mode="append")
+
+
+def stream_bm25_ingest(
+    stream_docs: DataFrame,
+    index_path: str,
+    tokens_col: str = "toks",
+) -> None:
+    """Streaming lexical-index ingest: each micro-batch of tokenized
+    documents is APPENDED to a stored ``operators.nlp.Bm25Index``
+    (``Bm25Index.add`` — three parquet appends, nothing corpus-scale),
+    so the index stays searchable and exact while the corpus streams
+    in. The MinHash twin is ``stream_neardup_against_index(
+    update_index=True)``; together they close the ingest loop for both
+    stored index families. The v2 raw-count layout is what makes this
+    sound: counts are associative, so after any prefix of micro-batches
+    a search over the index is hash-identical to a from-scratch build
+    over the documents ingested so far (pinned by test).
+
+    The index must already exist (build it on a seed corpus — or an
+    empty DataFrame — first); batches must carry FRESH ids and tokens
+    from the SAME tokenizer as the build (Bm25Index.add contract).
+    Periodically run ``Bm25Index.compact`` between triggers: every
+    micro-batch adds one small file set per touched term bucket.
+    Blocks until drained (AvailableNow)."""
+    from keystone_spark.operators.nlp import Bm25Index
+
+    spark = stream_docs.sparkSession
+
+    def fold(bdf: DataFrame, epoch_id: int) -> None:
+        Bm25Index.add(spark, index_path, bdf, tokens_col=tokens_col)
+
+    run_foreach_batch(stream_docs, fold, output_mode="append")

@@ -862,3 +862,56 @@ def test_stream_neardup_updates_its_index(spark, tmp_path):
             .parquet(str(src / "*")),
             idx, corpus, str(tmp_path / "x"), update_index=True,
         )
+
+
+def test_stream_bm25_ingest_equals_batch_build(spark, tmp_path):
+    """Streaming BM25 ingest (foreachBatch -> Bm25Index.add): after two
+    micro-batches drain, search over the streamed-into index is
+    hash-identical to an index built from scratch over seed + both
+    batches — the associative-counts argument, exercised through the
+    streaming fold."""
+    from pyspark.sql import functions as F
+
+    from keystone_spark.operators.nlp import Bm25Index
+    from keystone_spark.streaming.windows import stream_bm25_ingest
+
+    def toks(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string").select(
+            "doc_id", F.split("text", " ").alias("toks")
+        )
+
+    seed = toks([(0, "alpha beta gamma"), (1, "beta beta delta")])
+    b1 = [(10, "alpha delta epsilon"), (11, "zeta beta")]
+    b2 = [(20, "epsilon epsilon alpha"), (21, "gamma zeta")]
+
+    idx_path = str(tmp_path / "bm25_stream")
+    Bm25Index.build(seed, n_term_buckets=8).save(idx_path)
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    for i, chunk in enumerate([b1, b2]):
+        spark.createDataFrame(
+            chunk, "doc_id long, text string"
+        ).coalesce(1).write.parquet(str(src / f"b{i}"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+        .select("doc_id", F.split("text", " ").alias("toks"))
+    )
+    stream_bm25_ingest(stream, idx_path)
+
+    qs = spark.createDataFrame(
+        [(0, ["alpha", "epsilon"]), (1, ["beta"])], ["query_id", "q_toks"]
+    )
+
+    def key(df):
+        return sorted((r.query_id, r.rk, r.doc_id, round(r.score, 9))
+                      for r in df.collect())
+
+    streamed = Bm25Index.load(spark, idx_path)
+    assert streamed.params["n_docs"] == 6
+    full = Bm25Index.build(
+        seed.unionByName(toks(b1)).unionByName(toks(b2)), n_term_buckets=8
+    )
+    assert key(streamed.search(qs, k=4)) == key(full.search(qs, k=4))
