@@ -9,9 +9,15 @@ Run:
       --cols c1,c2 [--n-files 32]
   python -m keystone_spark.apps.maintain dq --src DIR
       [--not-null c1,c2] [--unique k1,k2] [--range col:lo:hi ...]
+  python -m keystone_spark.apps.maintain index-compact --path DIR
+      --kind bm25|minhash
 
 Each subcommand prints one JSON line; ``dq`` exits non-zero when any
 check reports violations, so it drops straight into CI/cron gates.
+``index-compact`` is the OPTIMIZE pass for the append-only stored
+indexes (Bm25Index.add / add_to_minhash_index leave one small file set
+per increment) — it preserves the partition layout that search pruning
+needs, which the generic ``compact`` subcommand would drop.
 """
 
 from __future__ import annotations
@@ -44,11 +50,28 @@ def main() -> None:
     d.add_argument("--range", action="append", default=[],
                    help="col:lo:hi, repeatable")
 
+    ic = sub.add_parser("index-compact")
+    ic.add_argument("--path", required=True)
+    ic.add_argument("--kind", required=True, choices=["bm25", "minhash"])
+
     args = ap.parse_args()
 
     from keystone_spark import get_session
 
     spark = get_session("maintain_app")
+
+    if args.cmd == "index-compact":
+        if args.kind == "bm25":
+            from keystone_spark.operators.nlp import Bm25Index
+
+            stats = Bm25Index.compact(spark, args.path)
+        else:
+            from keystone_spark.operators.dedup import compact_minhash_index
+
+            stats = compact_minhash_index(spark, args.path)
+        print(json.dumps({"app": "maintain.index-compact",
+                          "kind": args.kind, **stats}))
+        return
 
     if args.cmd == "compact":
         from keystone_spark.sources.tables import compact_files

@@ -287,3 +287,26 @@ def test_maintain_app_cli(spark, tmp_path):
     ).write.parquet(bad)
     r = run("dq", "--src", bad, "--not-null", "id")
     assert r.returncode == 1, (r.stdout, r.stderr[-500:])
+
+    # index-compact: the OPTIMIZE pass for an appended-to Bm25Index —
+    # preserves the tbucket layout (generic compact would drop it)
+    import os
+
+    from pyspark.sql import functions as F
+
+    from keystone_spark.operators.nlp import Bm25Index
+
+    docs = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        F.array(F.concat(F.lit("w"), (F.col("id") % 4).cast("string")),
+                F.lit("c")).alias("toks"),
+    )
+    ipath = str(tmp_path / "bm25_idx")
+    Bm25Index.build(docs.where("doc_id < 10"), n_term_buckets=4).save(ipath)
+    Bm25Index.add(spark, ipath, docs.where("doc_id >= 10"))
+    r = run("index-compact", "--path", ipath, "--kind", "bm25")
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["postings_files_after"] < stats["postings_files_before"]
+    assert any(x.startswith("tbucket=") for x in
+               os.listdir(os.path.join(ipath, "postings")))
