@@ -106,16 +106,18 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     1-partition scan lineage straight into the kernel; shuffle
     detection on the plan does not see the MAIN lineage's width).
     ``inputFiles()`` is the honest width proxy for every narrow
-    lineage: enough leaf files (the 100 TB case), or enough LOCAL
-    bytes that the scan splits on the session's
-    ``spark.sql.files.maxPartitionBytes`` => never touch it; anything
-    else — few small local files, a remote-scheme (s3/hdfs/abfs)
-    input whose sizes we will not fetch per-file from the driver, or
-    a fileless in-memory lineage — is repartitioned unconditionally:
-    when in doubt on a kernel-feeding input, the respread shuffle is
-    cheap by this function's own argument (ADVICE r9), while an
-    eager probe at plan-construction time is exactly the cost this
-    function exists to avoid.
+    lineage: enough leaf files (the 100 TB case), or enough bytes
+    that the scan splits on the session's
+    ``spark.sql.files.maxPartitionBytes`` => never touch it. Sizes
+    come from ``os.path.getsize`` for local files and the Hadoop
+    FileSystem API for remote schemes (s3/hdfs/abfs — one stat per
+    leaf file, and this path only runs when there are fewer files
+    than cores). Anything unsizable — a stat failure, or a fileless
+    in-memory lineage — is repartitioned unconditionally: when in
+    doubt on a kernel-feeding input, the respread shuffle is cheap by
+    this function's own argument (ADVICE r9), while an eager probe at
+    plan-construction time is exactly the cost this function exists
+    to avoid.
 
     Known blind spot (documented, accepted): leaf-file count judges
     the SCAN's width; a non-broadcast shuffle join that AQE coalesces
@@ -141,15 +143,25 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
         splits = 0
         for f in files:
             p = urlparse(f)
-            if p.scheme not in ("", "file"):
-                # remote scheme: few leaf files IS the narrowness
-                # signal; never fetch per-file sizes (or worse,
-                # execute stages) from the driver to second-guess it
-                return df.repartition(n)
-            try:
-                size = os.path.getsize(p.path or f)
-            except OSError:
-                return df.repartition(n)
+            if p.scheme in ("", "file"):
+                try:
+                    size = os.path.getsize(p.path or f)
+                except OSError:
+                    return df.repartition(n)
+            else:
+                # remote scheme (s3/hdfs/abfs): size via the Hadoop
+                # FileSystem API — still driver-side METADATA (one
+                # namenode/object-store stat per leaf file, and this
+                # branch only runs when there are fewer files than
+                # cores), never plan execution. A few huge remote
+                # files split at the scan on maxPartitionBytes just
+                # like local ones, so blind respread here would add a
+                # needless full shuffle (ADVICE r9). Any failure falls
+                # back to the conservative respread.
+                try:
+                    size = _hadoop_file_size(spark, f)
+                except Exception:
+                    return df.repartition(n)
             splits += max(1, -(-size // mpb))
         # big local files still split at the scan on
         # maxPartitionBytes: estimate the scan's split count from the
@@ -163,6 +175,16 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     # respread unconditionally (such inputs are driver-materialized
     # and tiny, so the shuffle is noise)
     return df.repartition(n)
+
+
+def _hadoop_file_size(spark: SparkSession, uri: str) -> int:
+    """Byte size of one file through the Hadoop FileSystem API — works
+    for any scheme Spark can read (file/hdfs/s3a/abfs/gs), driver-side
+    metadata only (a stat call, no data read, no plan execution)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(uri)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return int(fs.getFileStatus(jpath).getLen())
 
 
 def _max_partition_bytes(spark: SparkSession) -> int:

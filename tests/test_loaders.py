@@ -395,8 +395,18 @@ def test_ensure_parallelism_branches(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
 
-    # remote scheme: repartitioned from file count alone — the driver
-    # must not try to size (or execute) a cloud-storage input
+    # remote scheme: sized through the Hadoop FileSystem API (no such
+    # FS on this classpath -> conservative respread, never a stage
+    # execution); a file:// URI through the same API stats correctly
+    import os as _os
+    from urllib.parse import urlparse as _urlparse
+
+    from keystone_spark.sources.tables import _hadoop_file_size
+
+    one = df_small.inputFiles()[0]
+    assert _hadoop_file_size(spark, one) == _os.path.getsize(
+        _urlparse(one).path
+    )
     df_remote = spark.range(10)
     df_remote.inputFiles = lambda: ["s3a://bucket/part-0.parquet"]
     out = ensure_parallelism(df_remote, min_parts=4)
