@@ -1521,6 +1521,44 @@ def add_to_minhash_index(
     }
 
 
+def delete_from_minhash_index(
+    spark, path: str, ids, id_col: str = "doc_id"
+) -> dict:
+    """Tombstone indexed documents out of a stored MinHash index — the
+    takedown path (Lucene-parity twin of ``Bm25Index.delete``): one
+    parquet append to ``{path}/tombstones``; ``match_minhash_index``
+    anti-joins the stored band rows against the set, so a tombstoned
+    document stops being reported as ``dup_of`` IMMEDIATELY, and
+    ``compact_minhash_index`` physically purges its band/sig/content
+    rows (after which an ``add`` of the same content indexes it fresh).
+
+    Collapse caveat (documented contract): the index stores ONE
+    representative per distinct content, so deleting a representative
+    removes that CONTENT from the index even if other identical copies
+    exist outside it — if the content should remain findable, add a
+    surviving copy back after the delete. ``ids`` is a list or a
+    one-column DataFrame; unknown ids are harmless no-op rows."""
+    if isinstance(ids, DataFrame):
+        tomb = ids.select(F.col(ids.columns[0]).alias(id_col))
+    else:
+        tomb = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{id_col} long"
+        )
+    tomb.coalesce(1).write.mode("append").parquet(f"{path}/tombstones")
+    return {"tombstones_added": tomb.count()}
+
+
+def _minhash_tombstones(spark, path: str, id_col: str):
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(f"{path}/tombstones").select(
+            id_col
+        ).distinct()
+    except AnalysisException:
+        return None  # no deletes ever issued
+
+
 def compact_minhash_index(spark, path: str) -> dict:
     """OPTIMIZE pass for an appended-to ``build_minhash_index``: every
     ``add_to_minhash_index`` leaves a small file set per band partition
@@ -1537,6 +1575,13 @@ def compact_minhash_index(spark, path: str) -> dict:
     bands = spark.read.parquet(f"{path}/bands")
     sigs = spark.read.parquet(f"{path}/sigs")
     content = spark.read.parquet(f"{path}/content")
+    id_col = [c for c in sigs.columns if c != "sig"][0]
+    tomb = _minhash_tombstones(spark, path, id_col)
+    if tomb is not None:
+        # purge point for delete_from_minhash_index tombstones
+        bands = bands.join(F.broadcast(tomb), id_col, "left_anti")
+        sigs = sigs.join(F.broadcast(tomb), id_col, "left_anti")
+        content = content.join(F.broadcast(tomb), id_col, "left_anti")
     stage = os.path.join(path, "_compact_tmp")
     shutil.rmtree(stage, ignore_errors=True)
     (
@@ -1563,6 +1608,8 @@ def compact_minhash_index(spark, path: str) -> dict:
         shutil.rmtree(old)
         os.rename(os.path.join(stage, table), old)
     shutil.rmtree(stage, ignore_errors=True)
+    # tombstones are now physically purged from the data files
+    shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
     return {
         "band_files_before": before,
         "band_files_after": count_files(os.path.join(path, "bands")),
@@ -1766,6 +1813,12 @@ def match_minhash_index(
         id_col, F.col("band").cast("int").alias("band"), "bucket"
     )
     sigs_c = spark.read.parquet(f"{path}/sigs")
+    tomb = _minhash_tombstones(spark, path, id_col)
+    if tomb is not None:
+        # tombstoned docs stop matching IMMEDIATELY (no candidate can
+        # form without a band row); physical purge happens at
+        # compact_minhash_index — see delete_from_minhash_index
+        bands_c = bands_c.join(F.broadcast(tomb), id_col, "left_anti")
     return neardup_against_corpus(
         corpus,
         batch,

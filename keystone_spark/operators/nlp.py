@@ -748,6 +748,49 @@ class Bm25Index:
         }
 
     @classmethod
+    def delete(cls, spark, path: str, ids) -> dict:
+        """Tombstone documents out of the stored index — the takedown
+        path a long-lived corpus index needs. Appends one parquet
+        commit to ``{path}/tombstones``; ``search`` anti-joins its
+        pruned postings against the tombstone set, so deleted
+        documents stop appearing in results IMMEDIATELY, while the
+        corpus statistics (N, avgdl, df) stay at their pre-delete
+        values until ``compact`` physically purges the rows and
+        re-derives exact stats. That staleness window is deliberate
+        Lucene parity: deleted docs keep counting toward df/idf until
+        a segment merge there too — scores of surviving documents are
+        unchanged by a delete and snap to the exact smaller-corpus
+        values at compact (both pinned by test).
+
+        ``ids`` is a list of ids or a one-column DataFrame. Deleting
+        an id not in the index is a harmless no-op row. Tombstones
+        accumulate until compact; search pays one anti-join against
+        the set per query (tiny between sensible compaction
+        cadences)."""
+        id_col = cls.load(spark, path).params["id_col"]
+        if isinstance(ids, DataFrame):
+            tomb = ids.select(F.col(ids.columns[0]).alias(id_col))
+        else:
+            tomb = spark.createDataFrame(
+                [(int(i),) for i in ids], f"{id_col} long"
+            )
+        tomb.coalesce(1).write.mode("append").parquet(
+            f"{path}/tombstones"
+        )
+        return {"tombstones_added": tomb.count()}
+
+    @staticmethod
+    def _tombstones(spark, path: str, id_col: str) -> DataFrame | None:
+        from pyspark.errors import AnalysisException
+
+        try:
+            return spark.read.parquet(f"{path}/tombstones").select(
+                id_col
+            ).distinct()
+        except AnalysisException:
+            return None  # no deletes ever issued
+
+    @classmethod
     def compact(cls, spark, path: str) -> dict:
         """Rewrite an appended-to index back to its built shape — the
         OPTIMIZE pass of the ingest loop: postings become one
@@ -756,33 +799,58 @@ class Bm25Index:
         until a search's pruned scan is file-bound, not byte-bound),
         df deltas merge to one row per term, and the generation
         manifests collapse to a single generation 0 with the summed
-        (n_docs, sum_dl). No count changes, so search results are
-        hash-identical before and after (pinned by test).
+        (n_docs, sum_dl). Without tombstones no count changes, so
+        search results are hash-identical before and after (pinned by
+        test). With tombstones (``delete``), compact is the PURGE
+        point: tombstoned postings are dropped, df is re-derived from
+        the surviving postings, and (n_docs, sum_dl) subtract the
+        deleted documents' exact contributions — search thereafter
+        equals a from-scratch build over the surviving corpus (pinned
+        by test; caveat: a deleted doc that had ZERO tokens left no
+        postings to subtract, so it stays counted in N — a vanishing
+        idf perturbation, and such docs can never match anyway).
 
         The rewrite stages under ``{path}/_compact_tmp`` and swaps via
         directory rename — effectively atomic on a local/HDFS
         filesystem, copy-based (and therefore briefly inconsistent)
         on object stores; there, compact into a NEW index path and
         flip the reader's pointer instead. Not safe to run
-        concurrently with ``add``."""
+        concurrently with ``add``/``delete``."""
         import os
         import shutil
 
         idx = cls.load(spark, path)  # validates format + manifest
         p = idx.params
+        id_col = p["id_col"]
         stage = os.path.join(path, "_compact_tmp")
         shutil.rmtree(stage, ignore_errors=True)
+        postings = idx.postings
+        n_docs, sum_dl = p["n_docs"], p["sum_dl"]
+        tomb = cls._tombstones(spark, path, id_col)
+        if tomb is not None:
+            gone = (
+                postings.join(F.broadcast(tomb), id_col, "left_semi")
+                .select(id_col, "dl").distinct()
+                .agg(F.count("*").alias("n"), F.sum("dl").alias("s"))
+                .first()
+            )
+            n_docs -= int(gone["n"])
+            sum_dl -= int(gone["s"] or 0)
+            postings = postings.join(F.broadcast(tomb), id_col, "left_anti")
         # one whole bucket per task -> one right-sized file per bucket
         # directory; _write re-sorts by (tbucket, term) for row-group
-        # pruning
+        # pruning. df is RE-DERIVED from the (surviving) postings —
+        # exact by construction (one posting row per (doc, term)), and
+        # the single code path that is correct both with and without
+        # tombstones.
         merged = cls(
-            idx.postings.repartition(F.col("tbucket")),
-            idx.df_t.groupBy("term", "tbucket").agg(
-                F.sum("df").alias("df")
+            postings.repartition(F.col("tbucket")),
+            postings.groupBy("term", "tbucket").agg(
+                F.count("*").alias("df")
             ),
             p,
         )
-        merged._write(stage, "overwrite", 0, p["n_docs"], p["sum_dl"])
+        merged._write(stage, "overwrite", 0, n_docs, sum_dl)
         files_before = sum(
             1 for _, _, fs in os.walk(os.path.join(path, "postings"))
             for f in fs if f.endswith(".parquet")
@@ -792,6 +860,8 @@ class Bm25Index:
             shutil.rmtree(old)
             os.rename(os.path.join(stage, table), old)
         shutil.rmtree(stage, ignore_errors=True)
+        # tombstones are now physically purged from the data files
+        shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
         files_after = sum(
             1 for _, _, fs in os.walk(os.path.join(path, "postings"))
             for f in fs if f.endswith(".parquet")
@@ -866,6 +936,13 @@ class Bm25Index:
             F.col("term").isin(terms)
         )
         spark = queries.sparkSession
+        if self.path is not None:
+            # deleted docs vanish from results immediately; corpus
+            # stats stay pre-delete until compact purges (see delete —
+            # deliberate Lucene deleted-docs-until-merge parity)
+            tomb = self._tombstones(spark, self.path, id_col)
+            if tomb is not None:
+                sub = sub.join(F.broadcast(tomb), id_col, "left_anti")
         # per-term df = sum of its generation deltas over the pruned
         # bucket/term sliver — PULLED to the driver (query-term-sized
         # by contract): idf then folds into the broadcast query-term

@@ -1158,3 +1158,60 @@ def test_compact_minhash_index_preserves_matches(spark, tmp_path):
     assert any(x.startswith("band=") for x in
                os.listdir(os.path.join(path, "bands")))
     assert run() == before
+
+
+def test_minhash_index_delete_then_compact_purges(spark, tmp_path):
+    """delete_from_minhash_index: a tombstoned corpus doc stops being
+    reported as dup_of immediately; compact purges its band/sig/content
+    rows and match equals an index built without it; adding the same
+    content back after the purge indexes it fresh."""
+    import os
+
+    from keystone_spark.operators.dedup import (
+        add_to_minhash_index,
+        build_minhash_index,
+        compact_minhash_index,
+        delete_from_minhash_index,
+        match_minhash_index,
+        release,
+    )
+    from keystone_spark.sources import load_table
+
+    d = load_table(spark, "documents", "/root/testdata/sf0.001")
+    corpus = d.where(F.col("doc_id") % 4 != 0)
+    probe = d.where(F.col("doc_id") % 4 == 0)
+
+    path = str(tmp_path / "mh_del")
+    build_minhash_index(corpus, path, n_hashes=64, n_bands=16)
+
+    def run(p, texts):
+        out = match_minhash_index(spark, p, probe, texts,
+                                  n_hashes=64, n_bands=16, threshold=0.8)
+        rows = sorted((r.doc_id, r.dup_of, round(r.jac, 9))
+                      for r in out.collect())
+        release(out)
+        return rows
+
+    base = run(path, corpus)
+    assert base
+    victims = sorted({j for _, j, _ in base})[:2]
+    out = delete_from_minhash_index(spark, path, victims)
+    assert out["tombstones_added"] == 2
+
+    after_del = run(path, corpus)
+    assert not any(j in victims for _, j, _ in after_del)
+
+    compact_minhash_index(spark, path)
+    assert not os.path.exists(os.path.join(path, "tombstones"))
+    # purge == index built without the victims
+    twin = str(tmp_path / "mh_twin")
+    survivors = corpus.where(~F.col("doc_id").isin(victims))
+    build_minhash_index(survivors, twin, n_hashes=64, n_bands=16)
+    assert run(path, corpus) == run(twin, corpus) == after_del
+
+    # deleted content can be re-added (content row was purged)
+    readd = corpus.where(F.col("doc_id").isin(victims))
+    stats = add_to_minhash_index(
+        spark, path, readd.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    assert stats["new_content"] > 0

@@ -552,3 +552,65 @@ def test_bm25_index_compact_preserves_results(spark, tmp_path):
     Bm25Index.add(spark, path, spark.createDataFrame(
         [(100, ["w2", "new"])], ["doc_id", "toks"]))
     assert Bm25Index.load(spark, path).params["n_docs"] == 31
+
+
+def test_bm25_index_delete_tombstones_then_compact_purges(spark, tmp_path):
+    """Deletes are Lucene-parity: a tombstoned doc vanishes from
+    results IMMEDIATELY while surviving docs' scores stay at their
+    pre-delete values (stats stale until merge/compact); compact then
+    physically purges and search equals a from-scratch build over the
+    surviving corpus, hash-identically."""
+    from keystone_spark.operators.nlp import Bm25Index
+
+    rows = [(i, [f"w{j}" for j in range(i % 6, i % 6 + 3)] + ["c"])
+            for i in range(24)]
+    docs = spark.createDataFrame(rows, ["doc_id", "toks"])
+    qs = spark.createDataFrame(
+        [(0, ["w2", "c"]), (1, ["w7", "w0"])], ["query_id", "q_toks"]
+    )
+    path = str(tmp_path / "bm25_del")
+    Bm25Index.build(docs, n_term_buckets=8).save(path)
+
+    def rows_of(df):
+        return {(r.query_id, r.doc_id): round(r.score, 9)
+                for r in df.collect()}
+
+    base = rows_of(Bm25Index.load(spark, path).search(qs, k=50))
+    victims = [3, 7]
+    out = Bm25Index.delete(spark, path, victims)
+    assert out["tombstones_added"] == 2
+
+    after_del = rows_of(Bm25Index.load(spark, path).search(qs, k=50))
+    assert not any(d in victims for _, d in after_del)
+    # survivors' scores unchanged (stale-stats contract)
+    for key, score in after_del.items():
+        assert score == base[key], key
+
+    Bm25Index.compact(spark, path)
+    import os
+
+    assert not os.path.exists(os.path.join(path, "tombstones"))
+    rebuilt = Bm25Index.build(
+        docs.where(~F.col("doc_id").isin(victims)), n_term_buckets=8
+    )
+
+    def key(df):
+        return sorted((r.query_id, r.rk, r.doc_id, round(r.score, 9))
+                      for r in df.collect())
+
+    compacted = Bm25Index.load(spark, path)
+    assert key(compacted.search(qs, k=50)) == key(rebuilt.search(qs, k=50))
+    assert compacted.params["n_docs"] == 22
+    assert compacted.params["sum_dl"] == rebuilt.params["sum_dl"]
+
+    # DataFrame-ids form + add-after-purge both keep working
+    Bm25Index.delete(spark, path, spark.createDataFrame(
+        [(11,)], "doc_id long"))
+    assert (11 not in
+            {d for _, d in rows_of(
+                Bm25Index.load(spark, path).search(qs, k=50))})
+    Bm25Index.add(spark, path, spark.createDataFrame(
+        [(100, ["w2", "c"])], ["doc_id", "toks"]))
+    got = rows_of(Bm25Index.load(spark, path).search(qs, k=50))
+    assert any(d == 100 for _, d in got)
+    assert not any(d == 11 for _, d in got)
