@@ -428,8 +428,12 @@ def minhash_signatures(
     hashed = _ensure_parallelism(df).select(
         F.col(id_col).alias("__id"), shingle_hashes(F.col(text_col), shingle_k).alias("__h")
     )
+    # id passes through untouched, so it keeps the caller's type —
+    # string-keyed corpora (URLs, content hashes) index fine (ADVICE
+    # r10 #2: only this schema literal ever forced ids to long)
     out_schema = StructType(
-        [StructField("__id", LongType()), StructField("sig", ArrayType(LongType()))]
+        [StructField("__id", df.schema[id_col].dataType),
+         StructField("sig", ArrayType(LongType()))]
     )
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1456,6 +1460,17 @@ def add_to_minhash_index(
             f"index at {path} has no content table — it predates r10 "
             "append support; rebuild it with build_minhash_index"
         ) from e
+    tomb = _minhash_tombstones(spark, path, id_col)
+    if tomb is not None:
+        # ADVICE r10 #1 / VERDICT r10 #1: a tombstoned representative's
+        # content row must NOT block re-adding that content before the
+        # compact purges it — otherwise the delete docstring's recovery
+        # path ("add a surviving copy back") silently no-ops and the
+        # content is simultaneously unfindable and un-addable until a
+        # compact runs. Excluding tombstoned ids from the skip set makes
+        # an add of previously-deleted content index it fresh under the
+        # new id (match's band anti-join keeps the dead rows invisible).
+        content = content.join(F.broadcast(tomb), id_col, "left_anti")
 
     batch = batch.where(F.col(text_col).isNotNull())
     caches: list = []
@@ -1536,27 +1551,24 @@ def delete_from_minhash_index(
     representative per distinct content, so deleting a representative
     removes that CONTENT from the index even if other identical copies
     exist outside it — if the content should remain findable, add a
-    surviving copy back after the delete. ``ids`` is a list or a
-    one-column DataFrame; unknown ids are harmless no-op rows."""
-    if isinstance(ids, DataFrame):
-        tomb = ids.select(F.col(ids.columns[0]).alias(id_col))
-    else:
-        tomb = spark.createDataFrame(
-            [(int(i),) for i in ids], f"{id_col} long"
-        )
+    surviving copy back after the delete (``add_to_minhash_index``
+    excludes tombstoned ids from its already-indexed skip set, so that
+    recovery works immediately, before any compact). ``ids`` is a list
+    or a one-column DataFrame; unknown ids are harmless no-op rows.
+    The tombstone column takes the INDEX's stored id type (from the
+    sigs schema), so string-id indexes delete correctly too."""
+    from keystone_spark.fsutil import ids_to_tombstones
+
+    id_type = spark.read.parquet(f"{path}/sigs").schema[id_col].dataType
+    tomb = ids_to_tombstones(spark, ids, id_col, id_type)
     tomb.coalesce(1).write.mode("append").parquet(f"{path}/tombstones")
     return {"tombstones_added": tomb.count()}
 
 
 def _minhash_tombstones(spark, path: str, id_col: str):
-    from pyspark.errors import AnalysisException
+    from keystone_spark.fsutil import read_tombstones
 
-    try:
-        return spark.read.parquet(f"{path}/tombstones").select(
-            id_col
-        ).distinct()
-    except AnalysisException:
-        return None  # no deletes ever issued
+    return read_tombstones(spark, path, id_col)
 
 
 def compact_minhash_index(spark, path: str) -> dict:

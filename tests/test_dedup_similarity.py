@@ -1215,3 +1215,110 @@ def test_minhash_index_delete_then_compact_purges(spark, tmp_path):
         spark, path, readd.withColumn("doc_id", F.col("doc_id") + 1_000_000)
     )
     assert stats["new_content"] > 0
+
+
+def test_minhash_delete_then_readd_before_compact(spark, tmp_path):
+    """ADVICE r10 #1 / VERDICT r10 #1: after deleting a representative,
+    adding a surviving copy of the SAME content must index it fresh
+    BEFORE any compact — the tombstoned content row must not count as
+    "already indexed". Compact afterwards stays hash-identical to a
+    survivor-rebuild over (corpus - victim + re-added copy)."""
+    from keystone_spark.operators.dedup import (
+        add_to_minhash_index,
+        build_minhash_index,
+        compact_minhash_index,
+        delete_from_minhash_index,
+        match_minhash_index,
+        release,
+    )
+    from keystone_spark.sources import load_table
+
+    d = load_table(spark, "documents", "/root/testdata/sf0.001")
+    corpus = d.where(F.col("doc_id") % 4 != 0)
+    probe = d.where(F.col("doc_id") % 4 == 0)
+
+    path = str(tmp_path / "mh_readd")
+    build_minhash_index(corpus, path, n_hashes=64, n_bands=16)
+
+    def run(p, texts):
+        out = match_minhash_index(spark, p, probe, texts,
+                                  n_hashes=64, n_bands=16, threshold=0.8)
+        rows = sorted((r.doc_id, r.dup_of, round(r.jac, 9))
+                      for r in out.collect())
+        release(out)
+        return rows
+
+    base = run(path, corpus)
+    assert base
+    victim = sorted({j for _, j, _ in base})[0]
+    delete_from_minhash_index(spark, path, [victim])
+    assert not any(j == victim for _, j, _ in run(path, corpus))
+
+    # re-add the SAME content under a fresh id, pre-compact: the
+    # tombstoned content row must not block it (new_content > 0) and
+    # the content becomes findable again under the new id
+    copy_id = 5_000_000 + int(victim)
+    copy = (corpus.where(F.col("doc_id") == victim)
+            .withColumn("doc_id", F.lit(copy_id).cast("long")))
+    stats = add_to_minhash_index(spark, path, copy)
+    assert stats["new_content"] == 1 and stats["band_rows_added"] > 0
+    texts = corpus.unionByName(copy)
+    after_readd = run(path, texts)
+    assert any(j == copy_id for _, j, _ in after_readd)
+    assert not any(j == victim for _, j, _ in after_readd)
+
+    # compact purges the victim physically; results keep matching a
+    # from-scratch build over the survivor corpus
+    compact_minhash_index(spark, path)
+    twin = str(tmp_path / "mh_readd_twin")
+    build_minhash_index(
+        corpus.where(F.col("doc_id") != victim).unionByName(copy),
+        twin, n_hashes=64, n_bands=16,
+    )
+    assert run(path, texts) == run(twin, texts) == after_readd
+
+
+def test_minhash_delete_string_id_index(spark, tmp_path):
+    """ADVICE r10 #2: list-form deletes on a string-id index must build
+    the tombstone column with the index's own stored id type — the old
+    int(i) coercion into a hardcoded long schema raised on string ids."""
+    from keystone_spark.operators.dedup import (
+        build_minhash_index,
+        delete_from_minhash_index,
+        match_minhash_index,
+        release,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", BASE), ("b", BASE.replace("lazy", "sleepy")),
+         ("c", "totally different text about compilers and linkers here")],
+        "doc_id string, text string",
+    )
+    path = str(tmp_path / "mh_strid")
+    build_minhash_index(docs, path, n_hashes=32, n_bands=8)
+    out = delete_from_minhash_index(spark, path, ["a"])
+    assert out["tombstones_added"] == 1
+    probe = spark.createDataFrame([("p1", BASE)], "doc_id string, text string")
+    m = match_minhash_index(spark, path, probe, docs,
+                            n_hashes=32, n_bands=8, threshold=0.8)
+    rows = [(r.doc_id, r.dup_of) for r in m.collect()]
+    release(m)
+    assert ("p1", "a") not in rows
+
+
+def test_tombstone_read_propagates_schema_mismatch(spark, tmp_path):
+    """ADVICE r10 #5: only the missing-path case means "no tombstones";
+    a tombstone table that lacks the requested id column (e.g. deletes
+    issued under a different id_col) must raise, not silently disable
+    tombstone filtering."""
+    from pyspark.errors import AnalysisException
+
+    from keystone_spark.fsutil import read_tombstones
+
+    assert read_tombstones(spark, str(tmp_path / "nothing"), "doc_id") is None
+    path = str(tmp_path / "mismatch")
+    spark.createDataFrame([(1,)], "other_id long").write.parquet(
+        f"{path}/tombstones"
+    )
+    with pytest.raises(AnalysisException):
+        read_tombstones(spark, path, "doc_id").collect()
