@@ -110,8 +110,17 @@ def read_tombstones(spark, path: str, id_col: str):
     try:
         df = spark.read.parquet(f"{path}/tombstones")
     except AnalysisException as e:
-        cond = getattr(e, "getErrorClass", lambda: None)() or ""
-        if "PATH_NOT_FOUND" not in cond and "Path does not exist" not in str(e):
+        if not is_missing_path(e):
             raise
         return None
     return df.select(F.col(id_col)).distinct()
+
+
+def is_missing_path(e) -> bool:
+    """True when an AnalysisException is the path-does-not-exist error
+    class (getCondition on Spark 4, getErrorClass before it)."""
+    get = getattr(e, "getCondition", None) or getattr(
+        e, "getErrorClass", lambda: None
+    )
+    cond = get() or ""
+    return "PATH_NOT_FOUND" in cond or "Path does not exist" in str(e)

@@ -1308,6 +1308,80 @@ def prefix_jaccard_pairs(
     )
 
 
+_MINHASH_PARAMS_SCHEMA = (
+    "n_hashes long, n_bands long, shingle_k long, seed long, "
+    "bucket_cap long, store_texts boolean, generation long, "
+    "committed boolean"
+)
+
+
+def _minhash_append_manifest(spark, path: str, cfg: dict, generation: int,
+                             committed: bool, mode: str = "append") -> None:
+    spark.createDataFrame(
+        [(int(cfg["n_hashes"]), int(cfg["n_bands"]), int(cfg["shingle_k"]),
+          int(cfg["seed"]),
+          -1 if cfg["bucket_cap"] is None else int(cfg["bucket_cap"]),
+          bool(cfg["store_texts"]), int(generation), bool(committed))],
+        _MINHASH_PARAMS_SCHEMA,
+    ).coalesce(1).write.mode(mode).parquet(f"{path}/params")
+
+
+def _minhash_manifest(spark, path: str) -> dict:
+    """Read + validate the generation manifest: returns the (single)
+    config plus the committed-generation set, max generation, and the
+    incomplete (crashed-add) generations. Raises on a missing manifest
+    or a pre-r11 layout (no generation column) — mutations need the
+    crash-safe layout; rebuild with build_minhash_index."""
+    from pyspark.errors import AnalysisException
+
+    from keystone_spark.fsutil import is_missing_path
+
+    try:
+        rows = spark.read.parquet(f"{path}/params").collect()
+    except AnalysisException as e:
+        if not is_missing_path(e):
+            raise
+        raise ValueError(
+            f"no index manifest at {path}/params — a "
+            "build_minhash_index-created index is required"
+        ) from e
+    if "generation" not in rows[0].__fields__:
+        raise ValueError(
+            f"index at {path} predates the r11 crash-safe generation "
+            "layout — rebuild it with build_minhash_index"
+        )
+    fixed = {(int(r["n_hashes"]), int(r["n_bands"]), int(r["shingle_k"]),
+              int(r["seed"]), int(r["bucket_cap"]),
+              bool(r["store_texts"])) for r in rows}
+    if len(fixed) != 1:
+        raise ValueError(
+            f"MinHash index at {path} has inconsistent generation "
+            f"manifests ({sorted(fixed)}) — the index is corrupt; "
+            "rebuild it"
+        )
+    nh, nb, sk, seed, cap, st = next(iter(fixed))
+    committed = sorted({int(r["generation"]) for r in rows
+                        if r["committed"]})
+    all_gens = {int(r["generation"]) for r in rows}
+    return {
+        "n_hashes": nh, "n_bands": nb, "shingle_k": sk, "seed": seed,
+        "bucket_cap": None if cap == -1 else cap, "store_texts": st,
+        "committed": committed, "max_generation": max(all_gens),
+        "incomplete_generations": sorted(all_gens - set(committed)),
+    }
+
+
+def _minhash_committed(spark, path: str, table: str, committed) -> DataFrame:
+    """Read one index table serving COMMITTED generations only — orphan
+    rows from a crashed add are dropped by the ``gen`` filter
+    (partition pruning on bands, file-level row-group stats on the
+    rest) without reading their data."""
+    df = spark.read.parquet(f"{path}/{table}")
+    return df.where(
+        F.col("gen").isin([int(g) for g in committed])
+    ).drop("gen")
+
+
 def build_minhash_index(
     corpus: DataFrame,
     path: str,
@@ -1318,14 +1392,16 @@ def build_minhash_index(
     shingle_k: int = 5,
     seed: int = 42,
     bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+    store_texts: bool = False,
 ) -> dict:
     """Persist the corpus side of incremental near-dedup as a parquet
-    index: ``{path}/bands`` = (id, bucket) partitioned by ``band`` and
-    ``{path}/sigs`` = (id, sig). Matching a new batch then touches only
-    the band partitions the batch actually hashes into (partition
-    pruning on the band directory key) — the 100-TB pattern where the
-    corpus is signed ONCE and every nightly batch joins against the
-    stored buckets instead of re-signing history.
+    index: ``{path}/bands`` = (id, bucket) partitioned by ``band`` (and
+    the writing generation) and ``{path}/sigs`` = (id, sig). Matching a
+    new batch then touches only the band partitions the batch actually
+    hashes into (partition pruning on the band directory key) — the
+    100-TB pattern where the corpus is signed ONCE and every nightly
+    batch joins against the stored buckets instead of re-signing
+    history.
 
     Oversized buckets (> ``bucket_cap`` members) are dropped at BUILD
     time, the same skew guard as the self-join path — an incoming doc
@@ -1334,13 +1410,32 @@ def build_minhash_index(
     dict (corpus rows, band rows kept/dropped).
 
     A ``{path}/params`` manifest records (n_hashes, n_bands, shingle_k,
-    seed, bucket_cap); ``match_minhash_index`` asserts its arguments
-    against it — a silent mismatch would produce EMPTY matches
-    (different bucket keys) rather than an error (ADVICE r7).
-    ``{path}/content`` stores (ck, id) — the xxhash64 content key of
-    every indexed representative — so ``add_to_minhash_index`` can
-    collapse an incoming batch against ALREADY-INDEXED content without
-    touching texts or signatures (r10)."""
+    seed, bucket_cap, store_texts) plus a (generation, committed) pair
+    per mutation; ``match_minhash_index`` asserts its arguments against
+    it — a silent mismatch would produce EMPTY matches (different
+    bucket keys) rather than an error (ADVICE r7). ``{path}/content``
+    stores (ck, id) — the xxhash64 content key of every indexed
+    representative — so ``add_to_minhash_index`` can collapse an
+    incoming batch against ALREADY-INDEXED content without touching
+    texts or signatures (r10).
+
+    ``store_texts=True`` additionally persists each representative's
+    text in ``{path}/texts`` (VERDICT r10 #5): the index then carries
+    everything the exact-verify stage needs, so a long-lived ingest
+    loop (``streaming.stream_neardup_against_index``) reads candidate
+    texts from the index itself — one representative row per DISTINCT
+    content, compacted together with the index — instead of an
+    unbounded external (id, text) history that grows with every batch
+    row.
+
+    Crash safety (VERDICT r10 #1): every table row is tagged with the
+    writing generation and readers serve only generations whose
+    manifest row is committed; the build writes its data tables first
+    and the committed generation-0 manifest LAST, and every
+    ``add_to_minhash_index`` is an intent-row / data / commit-row
+    two-phase append — an interrupted mutation is invisible, a blind
+    retry cannot double-index, and ``compact_minhash_index`` purges
+    the orphan rows."""
     corpus = corpus.where(F.col(text_col).isNotNull())  # no-shingle docs
     # min-id-per-content collapse, mirroring neardup_against_corpus's
     # inline path (see its docstring for the result-identity argument):
@@ -1359,23 +1454,33 @@ def build_minhash_index(
     ), sigs_own)
     banded = minhash_banded(sigs, id_col, n_bands, n_hashes)
     kept = _drop_oversized_buckets(banded, ["band", "bucket"], bucket_cap)
-    kept.write.mode("overwrite").partitionBy("band").parquet(f"{path}/bands")
-    sigs.write.mode("overwrite").parquet(f"{path}/sigs")
-    crep.select(F.col("__ck").alias("ck"), F.col(id_col)).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/content")
+    gen0 = F.lit(0)
+    kept.withColumn("gen", gen0).write.mode("overwrite").partitionBy(
+        "band", "gen"
+    ).parquet(f"{path}/bands")
+    sigs.withColumn("gen", gen0).write.mode("overwrite").parquet(
+        f"{path}/sigs"
+    )
+    crep.select(
+        F.col("__ck").alias("ck"), F.col(id_col)
+    ).withColumn("gen", gen0).write.mode("overwrite").parquet(
+        f"{path}/content"
+    )
+    if store_texts:
+        corpus.select(F.col(id_col), F.col(text_col)).withColumn(
+            "gen", gen0
+        ).write.mode("overwrite").parquet(f"{path}/texts")
     n_sigs = sigs.count()
     for c in sigs_own + crep_own:
         c.unpersist()
     spark = corpus.sparkSession
-    # params manifest: one-row parquet (FS-agnostic — rides the same
-    # Hadoop filesystem as the index itself, not the driver's local disk)
-    spark.createDataFrame(
-        [(int(n_hashes), int(n_bands), int(shingle_k), int(seed),
-          -1 if bucket_cap is None else int(bucket_cap))],
-        "n_hashes long, n_bands long, shingle_k long, seed long, "
-        "bucket_cap long",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+    # manifest row LAST (the build's commit point) — one-row parquet,
+    # FS-agnostic (rides the same Hadoop filesystem as the index)
+    cfg = {"n_hashes": n_hashes, "n_bands": n_bands,
+           "shingle_k": shingle_k, "seed": seed, "bucket_cap": bucket_cap,
+           "store_texts": store_texts}
+    _minhash_append_manifest(spark, path, cfg, 0, committed=True,
+                             mode="overwrite")
     n_bands_rows = spark.read.parquet(f"{path}/bands").count()
     return {
         "corpus_docs": n_sigs,
@@ -1432,30 +1537,30 @@ def add_to_minhash_index(
     arrives AFTER the family was first indexed keeps the earlier,
     larger-id representative).
 
+    Crash safety (VERDICT r10 #1): same two-phase commit as
+    ``Bm25Index.add`` — an INTENT manifest row claims the generation
+    number, the data appends carry that generation tag, and the
+    COMMIT manifest row lands LAST. A crash in between leaves rows no
+    reader serves; a blind re-run allocates the next generation and
+    indexes the batch exactly once (its content anti-join sees only
+    committed rows, so nothing the crashed attempt landed blocks it).
+
     Returns {batch_docs, new_content, band_rows_added,
-    band_rows_capped}."""
+    band_rows_capped, generation}."""
     from pyspark.errors import AnalysisException
 
+    from keystone_spark.fsutil import is_missing_path
+
+    cfg = _minhash_manifest(spark, path)
+    n_hashes, n_bands = cfg["n_hashes"], cfg["n_bands"]
+    shingle_k, seed = cfg["shingle_k"], cfg["seed"]
+    bucket_cap = cfg["bucket_cap"]
+    committed = cfg["committed"]
     try:
-        stored = spark.read.parquet(f"{path}/params").first()
+        content = _minhash_committed(spark, path, "content", committed)
     except AnalysisException as e:
-        cond = getattr(e, "getErrorClass", lambda: None)() or ""
-        if "PATH_NOT_FOUND" not in cond and "Path does not exist" not in str(e):
+        if not is_missing_path(e):
             raise
-        raise ValueError(
-            f"no index manifest at {path}/params — add_to_minhash_index "
-            "requires a build_minhash_index-created index"
-        ) from e
-    n_hashes = int(stored["n_hashes"])
-    n_bands = int(stored["n_bands"])
-    shingle_k = int(stored["shingle_k"])
-    seed = int(stored["seed"])
-    raw_cap = int(stored["bucket_cap"]) if "bucket_cap" in stored.__fields__ \
-        else None
-    bucket_cap = None if raw_cap in (None, -1) else raw_cap
-    try:
-        content = spark.read.parquet(f"{path}/content")
-    except AnalysisException as e:
         raise ValueError(
             f"index at {path} has no content table — it predates r10 "
             "append support; rebuild it with build_minhash_index"
@@ -1486,10 +1591,13 @@ def add_to_minhash_index(
     n_batch = brep.count()
     n_new = new.count()
     if n_new == 0:
+        # nothing to write -> no intent row either: a replayed or
+        # re-crawled batch leaves the manifest untouched (idempotent)
         for c in caches:
             c.unpersist()
         return {"batch_docs": int(n_batch), "new_content": 0,
-                "band_rows_added": 0, "band_rows_capped": 0}
+                "band_rows_added": 0, "band_rows_capped": 0,
+                "generation": None}
     new_reps = batch.join(new.select(id_col), id_col, "left_semi")
     sigs_new = _persist_once(minhash_signatures(
         new_reps, id_col, text_col, n_hashes, shingle_k, seed
@@ -1501,7 +1609,7 @@ def add_to_minhash_index(
     if bucket_cap is not None:
         touched = bands_new.select("band", "bucket").distinct()
         stored_occ = (
-            spark.read.parquet(f"{path}/bands")
+            _minhash_committed(spark, path, "bands", committed)
             .join(F.broadcast(touched), ["band", "bucket"], "left_semi")
             .groupBy("band", "bucket")
             .agg(F.count("*").alias("__stored"))
@@ -1523,9 +1631,23 @@ def add_to_minhash_index(
         kept = bands_new
     kept = _persist_once(kept, caches)
     n_kept = kept.count()
-    kept.write.mode("append").partitionBy("band").parquet(f"{path}/bands")
-    sigs_new.write.mode("append").parquet(f"{path}/sigs")
-    new.select("ck", id_col).write.mode("append").parquet(f"{path}/content")
+    gen = int(cfg["max_generation"]) + 1
+    genl = F.lit(gen)
+    _minhash_append_manifest(spark, path, cfg, gen, committed=False)
+    kept.withColumn("gen", genl).write.mode("append").partitionBy(
+        "band", "gen"
+    ).parquet(f"{path}/bands")
+    sigs_new.withColumn("gen", genl).write.mode("append").parquet(
+        f"{path}/sigs"
+    )
+    new.select("ck", id_col).withColumn("gen", genl).write.mode(
+        "append"
+    ).parquet(f"{path}/content")
+    if cfg["store_texts"]:
+        new_reps.select(F.col(id_col), F.col(text_col)).withColumn(
+            "gen", genl
+        ).write.mode("append").parquet(f"{path}/texts")
+    _minhash_append_manifest(spark, path, cfg, gen, committed=True)
     for c in caches:
         c.unpersist()
     return {
@@ -1533,6 +1655,7 @@ def add_to_minhash_index(
         "new_content": int(n_new),
         "band_rows_added": int(n_kept),
         "band_rows_capped": int(n_banded - n_kept),
+        "generation": gen,
     }
 
 
@@ -1576,55 +1699,78 @@ def compact_minhash_index(spark, path: str) -> dict:
     ``add_to_minhash_index`` leaves a small file set per band partition
     plus appended sigs/content files; this rewrites bands back to one
     file per band directory (bucket-sorted for row-group pruning on
-    the bucket join key) and coalesces sigs/content, changing NO rows
-    — match results are identical before and after (pinned by test).
-    Same staging + directory-rename swap and the same local/HDFS-only
-    atomicity caveat as ``Bm25Index.compact``; not safe concurrently
-    with ``add``."""
-    import os
-    import shutil
+    the bucket join key) and coalesces sigs/content (and texts, when
+    the index stores them), changing NO served rows — match results
+    are identical before and after (pinned by test). It is also the
+    physical PURGE point for tombstoned documents and for orphan rows
+    left by a crashed add (the staged rewrite reads committed
+    generations only and lands everything as a single committed
+    generation 0).
 
-    bands = spark.read.parquet(f"{path}/bands")
-    sigs = spark.read.parquet(f"{path}/sigs")
-    content = spark.read.parquet(f"{path}/content")
+    The stage-and-swap goes through the Hadoop FileSystem API
+    (VERDICT r10 #2), so ``file://``, bare local and ``hdfs://`` index
+    paths compact in place; object stores emulate rename by
+    copy+delete — there, compact into a NEW index path and flip the
+    reader's pointer. Not safe concurrently with ``add``."""
+    from keystone_spark.fsutil import (
+        count_parquet_files,
+        fs_delete,
+        fs_exists,
+        swap_tables,
+    )
+
+    cfg = _minhash_manifest(spark, path)
+    committed = cfg["committed"]
+    bands = _minhash_committed(spark, path, "bands", committed)
+    sigs = _minhash_committed(spark, path, "sigs", committed)
+    content = _minhash_committed(spark, path, "content", committed)
     id_col = [c for c in sigs.columns if c != "sig"][0]
+    texts = None
+    if cfg["store_texts"] and fs_exists(spark, f"{path}/texts"):
+        texts = _minhash_committed(spark, path, "texts", committed)
     tomb = _minhash_tombstones(spark, path, id_col)
     if tomb is not None:
         # purge point for delete_from_minhash_index tombstones
         bands = bands.join(F.broadcast(tomb), id_col, "left_anti")
         sigs = sigs.join(F.broadcast(tomb), id_col, "left_anti")
         content = content.join(F.broadcast(tomb), id_col, "left_anti")
-    stage = os.path.join(path, "_compact_tmp")
-    shutil.rmtree(stage, ignore_errors=True)
+        if texts is not None:
+            texts = texts.join(F.broadcast(tomb), id_col, "left_anti")
+    stage = f"{path.rstrip('/')}/_compact_tmp"
+    fs_delete(spark, stage)
+    gen0 = F.lit(0)
     (
         bands.repartition(F.col("band"))
         .sortWithinPartitions("band", "bucket")
-        .write.mode("overwrite").partitionBy("band")
-        .parquet(os.path.join(stage, "bands"))
+        .withColumn("gen", gen0)
+        .write.mode("overwrite").partitionBy("band", "gen")
+        .parquet(f"{stage}/bands")
     )
     n = spark.sparkContext.defaultParallelism
-    sigs.repartition(n).write.mode("overwrite").parquet(
-        os.path.join(stage, "sigs")
-    )
-    content.repartition(n).write.mode("overwrite").parquet(
-        os.path.join(stage, "content")
-    )
-
-    def count_files(p):
-        return sum(1 for _, _, fs in os.walk(p)
-                   for f in fs if f.endswith(".parquet"))
-
-    before = count_files(os.path.join(path, "bands"))
-    for table in ("bands", "sigs", "content"):
-        old = os.path.join(path, table)
-        shutil.rmtree(old)
-        os.rename(os.path.join(stage, table), old)
-    shutil.rmtree(stage, ignore_errors=True)
+    sigs.repartition(n).withColumn("gen", gen0).write.mode(
+        "overwrite"
+    ).parquet(f"{stage}/sigs")
+    content.repartition(n).withColumn("gen", gen0).write.mode(
+        "overwrite"
+    ).parquet(f"{stage}/content")
+    tables = ["bands", "sigs", "content"]
+    if texts is not None:
+        texts.repartition(n).withColumn("gen", gen0).write.mode(
+            "overwrite"
+        ).parquet(f"{stage}/texts")
+        tables.append("texts")
+    # single committed generation-0 manifest (the compact's commit row)
+    _minhash_append_manifest(spark, stage, cfg, 0, committed=True,
+                             mode="overwrite")
+    tables.append("params")
+    before = count_parquet_files(spark, f"{path}/bands")
+    swap_tables(spark, path, stage, tables)
     # tombstones are now physically purged from the data files
-    shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
+    fs_delete(spark, f"{path}/tombstones")
     return {
         "band_files_before": before,
-        "band_files_after": count_files(os.path.join(path, "bands")),
+        "band_files_after": count_parquet_files(spark, f"{path}/bands"),
+        "orphan_generations_purged": cfg["incomplete_generations"],
     }
 
 
@@ -1795,36 +1941,29 @@ def match_minhash_index(
     The call's (n_hashes, n_bands, shingle_k, seed) are validated against
     the index's ``params`` manifest — a mismatch silently yields empty or
     wrong matches (different bucket keys; unequal signature lengths null
-    out the estimate filter), so it raises instead (ADVICE r7). Indexes
-    built before the manifest existed skip the check — ONLY the
-    missing-path case; a corrupt/truncated/unreadable manifest
-    propagates (ADVICE r8: swallowing every read error re-creates the
-    exact silent-mismatch failure mode the manifest exists to stop)."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        stored = spark.read.parquet(f"{path}/params").first()
-    except AnalysisException as e:
-        cond = getattr(e, "getErrorClass", lambda: None)() or ""
-        if "PATH_NOT_FOUND" not in cond and "Path does not exist" not in str(e):
-            raise
-        stored = None  # pre-manifest index: no params to validate against
-    if stored is not None:
-        given = {"n_hashes": n_hashes, "n_bands": n_bands,
-                 "shingle_k": shingle_k, "seed": seed}
-        bad = {k: (v, stored[k]) for k, v in given.items()
-               if int(stored[k]) != int(v)}
-        if bad:
-            raise ValueError(
-                f"match_minhash_index params disagree with the index "
-                f"manifest at {path}/params: "
-                + ", ".join(f"{k}={g} vs stored {s}"
-                            for k, (g, s) in sorted(bad.items()))
-            )
-    bands_c = spark.read.parquet(f"{path}/bands").select(
+    out the estimate filter), so it raises instead (ADVICE r7). A
+    corrupt/truncated/unreadable/MISSING manifest also raises (ADVICE
+    r8, tightened in r11): the manifest is now the index's COMMIT LOG —
+    only generations with a committed manifest row are served (crash
+    safety, VERDICT r10 #1) — so data without a readable manifest is an
+    interrupted/corrupt index, not a validable one."""
+    cfg = _minhash_manifest(spark, path)
+    given = {"n_hashes": n_hashes, "n_bands": n_bands,
+             "shingle_k": shingle_k, "seed": seed}
+    bad = {k: (v, cfg[k]) for k, v in given.items()
+           if int(cfg[k]) != int(v)}
+    if bad:
+        raise ValueError(
+            f"match_minhash_index params disagree with the index "
+            f"manifest at {path}/params: "
+            + ", ".join(f"{k}={g} vs stored {s}"
+                        for k, (g, s) in sorted(bad.items()))
+        )
+    committed = cfg["committed"]
+    bands_c = _minhash_committed(spark, path, "bands", committed).select(
         id_col, F.col("band").cast("int").alias("band"), "bucket"
     )
-    sigs_c = spark.read.parquet(f"{path}/sigs")
+    sigs_c = _minhash_committed(spark, path, "sigs", committed)
     tomb = _minhash_tombstones(spark, path, id_col)
     if tomb is not None:
         # tombstoned docs stop matching IMMEDIATELY (no candidate can

@@ -866,8 +866,11 @@ def test_lsh_candidates_release_contract(spark):
 
 def test_match_minhash_index_corrupt_manifest_raises(spark, tmp_path):
     """A corrupt/truncated params manifest must PROPAGATE, not silently
-    skip validation (ADVICE r8) — only a genuinely missing manifest
-    (pre-manifest index) skips the check."""
+    skip validation (ADVICE r8). Since r11 the manifest doubles as the
+    index's generation COMMIT LOG, so a MISSING manifest raises too —
+    data tables without their commit rows are an interrupted/corrupt
+    index, and serving them would resurrect exactly the orphan rows
+    the crash-safe layout exists to hide."""
     import pytest as _pytest
 
     from keystone_spark.operators.dedup import (
@@ -894,13 +897,13 @@ def test_match_minhash_index_corrupt_manifest_raises(spark, tmp_path):
                             n_hashes=16, n_bands=4)
     assert "PATH_NOT_FOUND" not in str(ei.value)
 
-    # genuinely missing manifest -> check skipped, match still works
+    # missing manifest -> typed refusal (the commit log is gone)
     import shutil
 
     shutil.rmtree(os.path.join(path, "params"))
-    out = match_minhash_index(spark, path, batch, corpus,
-                              n_hashes=16, n_bands=4)
-    out.count()  # no raise
+    with _pytest.raises(ValueError, match="no index manifest"):
+        match_minhash_index(spark, path, batch, corpus,
+                            n_hashes=16, n_bands=4)
 
 
 @pytest.mark.slow
@@ -1007,7 +1010,8 @@ def test_minhash_index_add_equals_rebuild(spark, tmp_path):
     # empty batch is a no-op
     s4 = add_to_minhash_index(spark, inc, corpus.where("doc_id < 0"))
     assert s4 == {"batch_docs": 0, "new_content": 0,
-                  "band_rows_added": 0, "band_rows_capped": 0}
+                  "band_rows_added": 0, "band_rows_capped": 0,
+                  "generation": None}
 
 
 def test_minhash_index_add_enforces_combined_cap(spark, tmp_path):
@@ -1322,3 +1326,116 @@ def test_tombstone_read_propagates_schema_mismatch(spark, tmp_path):
     )
     with pytest.raises(AnalysisException):
         read_tombstones(spark, path, "doc_id").collect()
+
+
+def test_minhash_index_interrupted_add_is_invisible_and_retryable(
+        spark, tmp_path, monkeypatch):
+    """Crash-safe MinHash mutations (VERDICT r10 #1): an add killed
+    after its data appends but before the COMMIT manifest row leaves an
+    orphan generation that match never serves; a blind retry of the
+    same batch indexes it exactly once under the next generation; and
+    compact physically purges the orphan rows."""
+    from keystone_spark.operators import dedup as dedup_mod
+    from keystone_spark.operators.dedup import (
+        add_to_minhash_index,
+        build_minhash_index,
+        compact_minhash_index,
+        match_minhash_index,
+        release,
+    )
+    from keystone_spark.sources import load_table
+
+    d = load_table(spark, "documents", "/root/testdata/sf0.001")
+    corpus = d.where(F.col("doc_id") % 4 != 0)
+    probe = d.where(F.col("doc_id") % 4 == 0)
+    mid = corpus.agg(F.max("doc_id")).first()[0] // 2
+    lo = corpus.where(F.col("doc_id") <= mid)
+    hi = corpus.where(F.col("doc_id") > mid)
+
+    path = str(tmp_path / "mh_crash")
+    build_minhash_index(lo, path, n_hashes=64, n_bands=16)
+
+    def run():
+        out = match_minhash_index(spark, path, probe, corpus,
+                                  n_hashes=64, n_bands=16, threshold=0.8)
+        rows = sorted((r.doc_id, r.dup_of, round(r.jac, 9))
+                      for r in out.collect())
+        release(out)
+        return rows
+
+    before = run()
+
+    real = dedup_mod._minhash_append_manifest
+
+    def boom(spark_, path_, cfg, generation, committed, mode="append"):
+        if committed and generation > 0:
+            raise RuntimeError("simulated crash before commit row")
+        return real(spark_, path_, cfg, generation, committed, mode)
+
+    monkeypatch.setattr(dedup_mod, "_minhash_append_manifest", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        add_to_minhash_index(spark, path, hi)
+    monkeypatch.setattr(dedup_mod, "_minhash_append_manifest", real)
+
+    # orphan generation is invisible: match equals the pre-add index
+    assert dedup_mod._minhash_manifest(spark, path)[
+        "incomplete_generations"] == [1]
+    assert run() == before
+
+    # blind retry: next generation, batch indexed exactly once, and
+    # match equals a from-scratch rebuild over the union corpus
+    stats = add_to_minhash_index(spark, path, hi)
+    assert stats["generation"] == 2 and stats["new_content"] > 0
+    full = str(tmp_path / "mh_crash_full")
+    build_minhash_index(corpus, full, n_hashes=64, n_bands=16)
+    want = run()
+    out = match_minhash_index(spark, full, probe, corpus,
+                              n_hashes=64, n_bands=16, threshold=0.8)
+    rows = sorted((r.doc_id, r.dup_of, round(r.jac, 9))
+                  for r in out.collect())
+    release(out)
+    assert want == rows and len(want) > len(before)
+
+    # compact purges the orphan rows; results unchanged
+    stats = compact_minhash_index(spark, path)
+    assert stats["orphan_generations_purged"] == [1]
+    assert dedup_mod._minhash_manifest(spark, path)[
+        "incomplete_generations"] == []
+    assert run() == want
+
+
+def test_compact_minhash_index_on_file_uri(spark, tmp_path):
+    """compact_minhash_index swaps through the Hadoop FileSystem API
+    (VERDICT r10 #2): compacting an index addressed by a file:// URI
+    works and preserves match results."""
+    from keystone_spark.operators.dedup import (
+        add_to_minhash_index,
+        build_minhash_index,
+        compact_minhash_index,
+        match_minhash_index,
+        release,
+    )
+    from keystone_spark.sources import load_table
+
+    d = load_table(spark, "documents", "/root/testdata/sf0.001")
+    corpus = d.where(F.col("doc_id") % 4 != 0)
+    probe = d.where(F.col("doc_id") % 4 == 0)
+    mid = corpus.agg(F.max("doc_id")).first()[0] // 2
+    path = "file://" + str(tmp_path / "mh_uri")
+    build_minhash_index(corpus.where(F.col("doc_id") <= mid), path,
+                        n_hashes=64, n_bands=16)
+    add_to_minhash_index(spark, path, corpus.where(F.col("doc_id") > mid))
+
+    def run():
+        out = match_minhash_index(spark, path, probe, corpus,
+                                  n_hashes=64, n_bands=16, threshold=0.8)
+        rows = sorted((r.doc_id, r.dup_of, round(r.jac, 9))
+                      for r in out.collect())
+        release(out)
+        return rows
+
+    before = run()
+    assert before
+    stats = compact_minhash_index(spark, path)
+    assert stats["band_files_after"] <= stats["band_files_before"]
+    assert run() == before
