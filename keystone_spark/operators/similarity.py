@@ -334,10 +334,12 @@ class IvfIndex:
     """
 
     def __init__(self, centroids: np.ndarray, indexed: DataFrame,
-                 id_col: str = "vec_id", vec_col: str = "embedding"):
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 path: str | None = None):
         self.C = np.asarray(centroids, dtype=np.float64)
         self.indexed = indexed
         self.id_col, self.vec_col = id_col, vec_col
+        self.path = path  # set by save/load; enables tombstone filtering
 
     @classmethod
     def build(
@@ -403,8 +405,8 @@ class IvfIndex:
         so if the data distribution drifts, new vectors crowd few
         cells and recall/latency worsen at the same n_probe_cells.
         That is a retrain (rebuild) decision; monitor the returned
-        per-add cell histogram. Batch ids must be fresh (the index
-        has no delete)."""
+        per-add cell histogram. Batch ids must be fresh among live
+        ids (takedowns go through ``delete``)."""
         import os
 
         idx = cls.load(spark, path)
@@ -412,17 +414,85 @@ class IvfIndex:
             batch.where(F.col(idx.vec_col).isNotNull()),
             idx.C, idx.id_col, idx.vec_col,
         )
-        cells = {
-            int(r["cell"]): int(r["n"])
-            for r in assigned.groupBy("cell").agg(
-                F.count("*").alias("n")
-            ).collect()
-        }
-        assigned.write.mode("append").partitionBy("cell").parquet(
-            os.path.join(path, "corpus")
-        )
+        # persist-once (VERDICT r10 #3): the histogram collect
+        # materializes the cache and the write reads it back — the
+        # assignment kernel no longer runs twice per append
+        assigned = assigned.persist()
+        try:
+            cells = {
+                int(r["cell"]): int(r["n"])
+                for r in assigned.groupBy("cell").agg(
+                    F.count("*").alias("n")
+                ).collect()
+            }
+            assigned.write.mode("append").partitionBy("cell").parquet(
+                os.path.join(path, "corpus")
+            )
+        finally:
+            assigned.unpersist()
         return {"vectors_added": sum(cells.values()),
                 "cells_touched": len(cells), "cell_histogram": cells}
+
+    @classmethod
+    def delete(cls, spark, path: str, ids) -> dict:
+        """Tombstone vectors out of the stored index — the takedown
+        path the text index families already have (VERDICT r10,
+        family parity): one parquet append to ``{path}/tombstones``;
+        ``search`` anti-joins its cell-pruned scan against the set, so
+        a deleted embedding stops being served IMMEDIATELY, and
+        ``compact`` physically purges its rows. ``ids`` is a list or a
+        one-column DataFrame (typed from the stored corpus schema);
+        unknown ids are harmless no-op rows."""
+        from keystone_spark.fsutil import ids_to_tombstones
+
+        idx = cls.load(spark, path)
+        id_type = idx.indexed.schema[idx.id_col].dataType
+        tomb = ids_to_tombstones(spark, ids, idx.id_col, id_type)
+        tomb.coalesce(1).write.mode("append").parquet(
+            f"{path}/tombstones"
+        )
+        return {"tombstones_added": tomb.count()}
+
+    @classmethod
+    def compact(cls, spark, path: str) -> dict:
+        """Physically purge tombstoned vectors and rewrite the corpus
+        to one file per cell directory (every ``add`` leaves a small
+        file set per touched cell). Search results afterwards equal an
+        index whose surviving corpus was assigned in one pass with the
+        same frozen centroids (pinned by test). Stage-and-swap through
+        the Hadoop FileSystem API; same object-store rename caveat as
+        the text indexes. Not safe concurrently with ``add``."""
+        from keystone_spark.fsutil import (
+            count_parquet_files,
+            fs_delete,
+            swap_tables,
+        )
+
+        idx = cls.load(spark, path)
+        corpus = idx.indexed
+        tomb = idx._load_tombstones(spark)
+        if tomb is not None:
+            corpus = corpus.join(F.broadcast(tomb), idx.id_col, "left_anti")
+        stage = f"{path.rstrip('/')}/_compact_tmp"
+        fs_delete(spark, stage)
+        (
+            corpus.repartition(F.col("cell"))
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(f"{stage}/corpus")
+        )
+        before = count_parquet_files(spark, f"{path}/corpus")
+        swap_tables(spark, path, stage, ["corpus"])
+        fs_delete(spark, f"{path}/tombstones")
+        return {"corpus_files_before": before,
+                "corpus_files_after": count_parquet_files(
+                    spark, f"{path}/corpus")}
+
+    def _load_tombstones(self, spark) -> DataFrame | None:
+        from keystone_spark.fsutil import read_tombstones
+
+        if self.path is None:
+            return None
+        return read_tombstones(spark, self.path, self.id_col)
 
     def search(
         self,
@@ -438,6 +508,11 @@ class IvfIndex:
         wanted = sorted({int(c) for row in probe_cells for c in row})
         # cell filter prunes at the scan (partition pruning on a saved index)
         subset = self.indexed.where(F.col("cell").isin(wanted))
+        tomb = self._load_tombstones(probes.sparkSession)
+        if tomb is not None:
+            # deleted vectors vanish from results immediately; physical
+            # purge happens at compact (text-index tombstone parity)
+            subset = subset.join(F.broadcast(tomb), id_col, "left_anti")
 
         out_schema = StructType(
             [
@@ -495,6 +570,7 @@ class IvfIndex:
                  "vec_col": self.vec_col},
                 f,
             )
+        self.path = path
 
     @classmethod
     def load(cls, spark, path: str) -> "IvfIndex":
@@ -505,7 +581,7 @@ class IvfIndex:
             meta = json.load(f)
         indexed = spark.read.parquet(os.path.join(path, "corpus"))
         return cls(np.asarray(meta["centroids"]), indexed,
-                   meta["id_col"], meta["vec_col"])
+                   meta["id_col"], meta["vec_col"], path=path)
 
 
 def _train_pq_codebooks(
@@ -686,11 +762,13 @@ class IvfPqIndex:
     partition pruning, ADC is an Arrow kernel, re-rank is a bounded join.
     """
 
-    def __init__(self, C, books, indexed, id_col="vec_id", vec_col="embedding"):
+    def __init__(self, C, books, indexed, id_col="vec_id",
+                 vec_col="embedding", path=None):
         self.C = np.asarray(C, dtype=np.float64)
         self.books = np.asarray(books, dtype=np.float64)
         self.indexed = indexed  # DataFrame(cell, id, codes array<byte-ish>)
         self.id_col, self.vec_col = id_col, vec_col
+        self.path = path  # set by save/load; enables tombstone filtering
 
     @classmethod
     def build(
@@ -771,9 +849,10 @@ class IvfPqIndex:
         under the same model (per-row pure kernels; pinned by test).
         Same staleness contract as ``IvfIndex.add``: distribution
         drift degrades cell balance and quantization error — retrain
-        by rebuild; ids must be fresh. NOTE: the exact re-rank at
-        search time fetches raw vectors from the BASE table the caller
-        passes — it must cover the appended ids too."""
+        by rebuild; ids must be fresh among live ids (takedowns go
+        through ``delete``). NOTE: the exact re-rank at search time
+        fetches raw vectors from the BASE table the caller passes —
+        it must cover the appended ids too."""
         import os
 
         idx = cls.load(spark, path)
@@ -781,17 +860,76 @@ class IvfPqIndex:
             batch.where(F.col(idx.vec_col).isNotNull()),
             idx.C, idx.books, idx.id_col, idx.vec_col,
         )
-        cells = {
-            int(r["cell"]): int(r["n"])
-            for r in encoded.groupBy("cell").agg(
-                F.count("*").alias("n")
-            ).collect()
-        }
-        encoded.write.mode("append").partitionBy("cell").parquet(
-            os.path.join(path, "codes")
-        )
+        # persist-once (VERDICT r10 #3): histogram collect materializes
+        # the cache, the write reads it back — assign+encode runs once
+        encoded = encoded.persist()
+        try:
+            cells = {
+                int(r["cell"]): int(r["n"])
+                for r in encoded.groupBy("cell").agg(
+                    F.count("*").alias("n")
+                ).collect()
+            }
+            encoded.write.mode("append").partitionBy("cell").parquet(
+                os.path.join(path, "codes")
+            )
+        finally:
+            encoded.unpersist()
         return {"vectors_added": sum(cells.values()),
                 "cells_touched": len(cells), "cell_histogram": cells}
+
+    @classmethod
+    def delete(cls, spark, path: str, ids) -> dict:
+        """Tombstone vectors out of the stored codes table — same
+        contract as ``IvfIndex.delete``: immediate exclusion from
+        search (anti-join on the cell-pruned scan), physical purge at
+        ``compact``."""
+        from keystone_spark.fsutil import ids_to_tombstones
+
+        idx = cls.load(spark, path)
+        id_type = idx.indexed.schema[idx.id_col].dataType
+        tomb = ids_to_tombstones(spark, ids, idx.id_col, id_type)
+        tomb.coalesce(1).write.mode("append").parquet(
+            f"{path}/tombstones"
+        )
+        return {"tombstones_added": tomb.count()}
+
+    @classmethod
+    def compact(cls, spark, path: str) -> dict:
+        """Purge tombstoned codes and rewrite one file per cell dir —
+        ``IvfIndex.compact`` for the codes table; Hadoop-FS
+        stage-and-swap, same object-store rename caveat."""
+        from keystone_spark.fsutil import (
+            count_parquet_files,
+            fs_delete,
+            swap_tables,
+        )
+
+        idx = cls.load(spark, path)
+        codes = idx.indexed
+        tomb = idx._load_tombstones(spark)
+        if tomb is not None:
+            codes = codes.join(F.broadcast(tomb), idx.id_col, "left_anti")
+        stage = f"{path.rstrip('/')}/_compact_tmp"
+        fs_delete(spark, stage)
+        (
+            codes.repartition(F.col("cell"))
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(f"{stage}/codes")
+        )
+        before = count_parquet_files(spark, f"{path}/codes")
+        swap_tables(spark, path, stage, ["codes"])
+        fs_delete(spark, f"{path}/tombstones")
+        return {"codes_files_before": before,
+                "codes_files_after": count_parquet_files(
+                    spark, f"{path}/codes")}
+
+    def _load_tombstones(self, spark) -> DataFrame | None:
+        from keystone_spark.fsutil import read_tombstones
+
+        if self.path is None:
+            return None
+        return read_tombstones(spark, self.path, self.id_col)
 
     def save(self, path: str) -> None:
         import json
@@ -811,6 +949,7 @@ class IvfPqIndex:
                 },
                 f,
             )
+        self.path = path
 
     @classmethod
     def load(cls, spark, path: str) -> "IvfPqIndex":
@@ -826,6 +965,7 @@ class IvfPqIndex:
             indexed,
             meta["id_col"],
             meta["vec_col"],
+            path=path,
         )
 
     def search(
@@ -852,6 +992,10 @@ class IvfPqIndex:
         n_cand = refine * k
 
         subset = self.indexed.where(F.col("cell").isin(wanted))
+        tomb = self._load_tombstones(probes.sparkSession)
+        if tomb is not None:
+            # deleted vectors can never candidate; purge at compact
+            subset = subset.join(F.broadcast(tomb), id_col, "left_anti")
         out_schema = StructType(
             [
                 StructField("probe", LongType()),

@@ -1439,3 +1439,129 @@ def test_compact_minhash_index_on_file_uri(spark, tmp_path):
     stats = compact_minhash_index(spark, path)
     assert stats["band_files_after"] <= stats["band_files_before"]
     assert run() == before
+
+
+def test_ivf_index_delete_then_compact_purges(spark, tmp_path):
+    """Vector-index takedown parity (VERDICT r10 #4): a tombstoned
+    vector vanishes from search immediately; compact physically purges
+    its rows and search equals an index whose SURVIVING corpus was
+    assigned in one pass with the same frozen centroids."""
+    import os
+
+    from keystone_spark.operators.similarity import IvfIndex
+    from keystone_spark.sources import load_table
+
+    e = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    probes = e.where(F.col("vec_id") % 50 == 0).limit(5)
+    path = str(tmp_path / "ivf_del")
+    IvfIndex.build(e, n_cells=8).save(path)
+
+    def key(df):
+        return sorted((r.probe, r.rk, r.vec_id, round(r.cos, 9))
+                      for r in df.collect())
+
+    idx = IvfIndex.load(spark, path)
+    base = key(idx.search(probes, k=5, n_probe_cells=4))
+    victims = sorted({v for _, _, v, _ in base})[:3]
+    out = IvfIndex.delete(spark, path, victims)
+    assert out["tombstones_added"] == 3
+
+    after = key(IvfIndex.load(spark, path).search(
+        probes, k=5, n_probe_cells=4))
+    assert not any(v in victims for _, _, v, _ in after)
+
+    # survivor twin: same frozen centroids over the filtered corpus
+    survivors = e.where(~F.col("vec_id").isin(victims))
+    twin = IvfIndex(idx.C, IvfIndex._assign(
+        survivors, idx.C, "vec_id", "embedding"))
+    assert after == key(twin.search(probes, k=5, n_probe_cells=4))
+
+    # compact: tombstones purged physically, results unchanged
+    stats = IvfIndex.compact(spark, path)
+    assert stats["corpus_files_after"] >= 1
+    assert not os.path.exists(os.path.join(path, "tombstones"))
+    purged = IvfIndex.load(spark, path)
+    assert purged.indexed.where(
+        F.col("vec_id").isin(victims)).count() == 0
+    assert key(purged.search(probes, k=5, n_probe_cells=4)) == after
+
+
+def test_ivfpq_index_delete_then_compact_purges(spark, tmp_path):
+    """IvfPqIndex.delete/compact: same takedown contract on the codes
+    table (deleted ids can never candidate; purge at compact)."""
+    import os
+
+    from keystone_spark.operators.similarity import IvfPqIndex
+    from keystone_spark.sources import load_table
+
+    e = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    probes = e.where(F.col("vec_id") % 50 == 0).limit(5)
+    path = str(tmp_path / "ivfpq_del")
+    IvfPqIndex.build(e, n_cells=8, m=16, ks=16).save(path)
+
+    def key(df):
+        return sorted((r.probe, r.rk, r.vec_id, round(r.cos, 9))
+                      for r in df.collect())
+
+    idx = IvfPqIndex.load(spark, path)
+    base = key(idx.search(e, probes, k=5, n_probe_cells=4, refine=4))
+    victims = sorted({v for _, _, v, _ in base})[:3]
+    IvfPqIndex.delete(spark, path, victims)
+
+    after = key(IvfPqIndex.load(spark, path).search(
+        e, probes, k=5, n_probe_cells=4, refine=4))
+    assert not any(v in victims for _, _, v, _ in after)
+
+    twin = IvfPqIndex(idx.C, idx.books, IvfPqIndex._encode(
+        e.where(~F.col("vec_id").isin(victims)), idx.C, idx.books,
+        "vec_id", "embedding"))
+    assert after == key(twin.search(e, probes, k=5, n_probe_cells=4,
+                                    refine=4))
+
+    stats = IvfPqIndex.compact(spark, path)
+    assert stats["codes_files_after"] >= 1
+    assert not os.path.exists(os.path.join(path, "tombstones"))
+    purged = IvfPqIndex.load(spark, path)
+    assert purged.indexed.where(
+        F.col("vec_id").isin(victims)).count() == 0
+    assert key(purged.search(e, probes, k=5, n_probe_cells=4,
+                             refine=4)) == after
+
+
+def _counting_wrapper(spark, df, acc):
+    """Pass-through mapInPandas that counts every row flowing out of
+    the source — a scan counter for persist-once proofs."""
+    schema = df.schema
+
+    def count(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    return df.mapInPandas(count, schema)
+
+
+def test_vector_index_add_runs_kernel_once(spark, tmp_path):
+    """persist-once (VERDICT r10 #3): IvfIndex.add / IvfPqIndex.add
+    evaluate their batch exactly ONCE — the cell-histogram collect
+    materializes the persisted assignment and the write reads the
+    cache, instead of re-running the assign/encode kernel."""
+    from keystone_spark.operators.similarity import IvfIndex, IvfPqIndex
+    from keystone_spark.sources import load_table
+
+    e = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    lo = e.where(F.col("vec_id") % 3 != 0)
+    hi = e.where(F.col("vec_id") % 3 == 0)
+    n_hi = hi.count()
+
+    path = str(tmp_path / "ivf_once")
+    IvfIndex.build(lo, n_cells=8).save(path)
+    acc = spark.sparkContext.accumulator(0)
+    IvfIndex.add(spark, path, _counting_wrapper(spark, hi, acc))
+    assert acc.value == n_hi, (acc.value, n_hi)
+
+    path2 = str(tmp_path / "ivfpq_once")
+    IvfPqIndex.build(lo, n_cells=8, m=16, ks=16).save(path2)
+    acc2 = spark.sparkContext.accumulator(0)
+    IvfPqIndex.add(spark, path2, _counting_wrapper(spark, hi, acc2))
+    assert acc2.value == n_hi, (acc2.value, n_hi)

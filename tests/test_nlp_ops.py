@@ -725,3 +725,32 @@ def test_bm25_index_compact_on_file_uri(spark, tmp_path):
     stats = Bm25Index.compact(spark, path)
     assert stats["postings_files_after"] <= stats["postings_files_before"]
     assert key(Bm25Index.load(spark, path).search(qs, k=5)) == before
+
+
+def test_bm25_add_scans_batch_twice_not_thrice(spark, tmp_path):
+    """persist-once (VERDICT r10 #4): Bm25Index.add evaluates the
+    batch exactly TWICE — once for the (n_docs, sum_dl) aggregate and
+    once to materialize the persisted postings (whose cache then
+    serves both the data write and the postings_added stat). Before
+    the fix the stat re-ran the explode+groupBy: three scans."""
+    from keystone_spark.operators.nlp import Bm25Index
+
+    docs = spark.createDataFrame(
+        [(i, [f"w{i % 5}", "common"]) for i in range(40)],
+        ["doc_id", "toks"],
+    )
+    lo = docs.where("doc_id < 20")
+    hi = docs.where("doc_id >= 20")
+    path = str(tmp_path / "bm25_once")
+    Bm25Index.build(lo, n_term_buckets=4).save(path)
+
+    acc = spark.sparkContext.accumulator(0)
+    schema = hi.schema
+
+    def count(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    Bm25Index.add(spark, path, hi.mapInPandas(count, schema))
+    assert acc.value == 2 * 20, acc.value
