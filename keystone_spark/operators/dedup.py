@@ -1876,12 +1876,19 @@ def neardup_against_corpus(
     # so dedup candidates before the estimate/verify joins (candidate
     # volume is batch-bounded, so unlike the self-join path the distinct
     # here is cheap)
+    # the i != j guard drops SELF-pairs: ids are globally unique across
+    # corpus and batch by contract, so a self-pair only arises when the
+    # same document legitimately sits on both sides — a replayed
+    # micro-batch matching against an index it was already added to
+    # (streaming at-least-once, ADVICE r10 #4). "doc is a dup of
+    # itself" is vacuous and would otherwise outrank every real match
     cand = (
         bands_b.alias("b")
         .join(
             bands_c.alias("c"),
             (F.col("b.band") == F.col("c.band"))
-            & (F.col("b.bucket") == F.col("c.bucket")),
+            & (F.col("b.bucket") == F.col("c.bucket"))
+            & (F.col(f"b.{id_col}") != F.col(f"c.{id_col}")),
         )
         .select(
             F.col(f"b.{id_col}").alias("i"), F.col(f"c.{id_col}").alias("j")

@@ -915,3 +915,120 @@ def test_stream_bm25_ingest_equals_batch_build(spark, tmp_path):
         seed.unionByName(toks(b1)).unionByName(toks(b2)), n_term_buckets=8
     )
     assert key(streamed.search(qs, k=4)) == key(full.search(qs, k=4))
+
+
+def test_stream_neardup_store_texts_bounds_history(spark, tmp_path):
+    """VERDICT r10 #5: with an index built store_texts=True, the
+    streaming fold's verify source is the index's OWN texts table —
+    one row per DISTINCT indexed content — so a long stream (5
+    micro-batches here, including a full re-crawl batch) leaves a
+    history bounded by distinct content, not by streamed rows; no
+    external texts_path exists at all. compact_every_n keeps the
+    index at a single committed generation without changing flags."""
+    from pyspark.sql import functions as F
+
+    from keystone_spark.operators.dedup import (
+        _minhash_manifest,
+        build_minhash_index,
+    )
+    from keystone_spark.streaming.windows import stream_neardup_against_index
+
+    def mk(i):
+        # token-disjoint per topic so cross-topic jaccard is ~0
+        return " ".join(f"tok{i}x{j}" for j in range(40)) * 3
+
+    corpus = spark.createDataFrame([(1, mk("seed"))], ["doc_id", "text"])
+    idx = str(tmp_path / "idx")
+    build_minhash_index(corpus, idx, n_hashes=64, n_bands=16,
+                        store_texts=True)
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    batches = [
+        [(100, mk(0))],
+        [(101, mk(0) + " tiny tail edit"), (102, mk(1))],
+        [(103, mk(1) + " another tail edit")],
+        [(104, mk(0))],                        # exact re-crawl of 100
+        [(105, mk(0)), (106, mk(1)),           # full re-crawl batch
+         (107, mk("seed"))],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.parquet(str(src / f"b{i}"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    sink = str(tmp_path / "flags")
+    stream_neardup_against_index(
+        stream, idx, None, sink, n_hashes=64, n_bands=16,
+        threshold=0.8, update_index=True, compact_every_n=2,
+    )
+
+    flags = {(r.doc_id, r.dup_of)
+             for r in spark.read.parquet(sink).collect()}
+    assert flags == {(101, 100), (103, 102), (104, 100),
+                     (105, 100), (106, 102), (107, 1)}
+
+    # history bounded by DISTINCT content: seed + 100/101/102/103 —
+    # the re-crawl rows (104..107) appended nothing
+    texts = spark.read.parquet(f"{idx}/texts")
+    assert texts.count() == 5
+    assert {r.doc_id for r in texts.collect()} == {1, 100, 101, 102, 103}
+
+    # 5 folds with compact_every_n=2 -> compactions after folds 2 and
+    # 4 collapsed history; at most the post-compact adds remain as
+    # extra generations
+    cfg = _minhash_manifest(spark, idx)
+    assert cfg["incomplete_generations"] == []
+    assert cfg["max_generation"] <= 2
+
+
+def test_stream_neardup_replayed_epoch_is_idempotent(spark, tmp_path):
+    """ADVICE r10 #4: per-epoch outputs land under epoch={id} with
+    overwrite, so re-running a micro-batch fold (foreachBatch is
+    at-least-once) rewrites its own output instead of duplicating
+    sink rows or texts-history rows."""
+    from pyspark.sql import functions as F
+
+    from keystone_spark.operators.dedup import build_minhash_index
+    from keystone_spark.streaming import windows as w
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "naps in the warm afternoon sun by the riverbank ") * 5
+    corpus = spark.createDataFrame([(1, base)], ["doc_id", "text"])
+    idx = str(tmp_path / "idx")
+    build_minhash_index(corpus, idx, n_hashes=64, n_bands=16,
+                        store_texts=True)
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    spark.createDataFrame(
+        [(100, base + " tail edit")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b0"))
+
+    sink = str(tmp_path / "flags")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(str(src / "*"))
+        )
+        w.stream_neardup_against_index(
+            stream, idx, None, sink, n_hashes=64, n_bands=16,
+            threshold=0.8, update_index=True,
+        )
+
+    run_once()
+    first = sorted((r.doc_id, r.dup_of, r.jac)
+                   for r in spark.read.parquet(sink).collect())
+    # fresh checkpoint -> the same file becomes epoch 0 again: a replay
+    run_once()
+    again = sorted((r.doc_id, r.dup_of, r.jac)
+                   for r in spark.read.parquet(sink).collect())
+    assert again == first == [(100, 1, first[0][2])]
+    # the replayed add indexed nothing new
+    assert spark.read.parquet(f"{idx}/texts").count() == 2
