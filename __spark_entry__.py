@@ -4732,69 +4732,80 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_multi_join(spark, "/root/testdata/sf0.001")
 
 
-# r10 driver-window rotation (VERDICT r9 #4): the driver samples the
-# FIRST 50 registry entries each round; r9 re-verified its own head, so
-# this round leads with (a) the queries NEW or REWIRED in r10
-# (bm25_incremental / incremental_index_add are new index-maintenance
-# paths; bm25_indexed rides the v2 raw-count layout; simhash_pairs
-# dropped the vacuous shingle prefilter) and (b) the 46 queries least
-# recently driver-sampled (last seen in the r2/r3 windows — relational,
-# functions, ANN, and evaluation families). 48 of these 50 are NOT in
-# the r9 window. queries() applies this order ON TOP of the historical
-# dict below, so round-history comments stay put; the full set stays
+# r11 driver-window rotation (VERDICT r10 #9): the driver samples the
+# FIRST 50 registry entries each round. This round leads with (a) the
+# six queries whose implementation was REWIRED by the r11 index-
+# lifecycle hardening — bm25_incremental/bm25_indexed ride the
+# Bm25Index v3 intent/commit generation layout, incremental_index_add/
+# incremental_neardup ride the MinHash committed-generation manifest,
+# ivf_index_topk/ivfpq_topk ride the tombstone anti-join added to the
+# vector-index search path — and (b) the cohort least recently
+# driver-sampled: all 47 queries last seen in the r2 window
+# (relational core, functions, NLP counts, evaluation). The three
+# r3-sampled queries (heavy_hitters, fuzzy_name_pairs, funnel) sit at
+# positions 54-56 so the window spills them, not r2 members; they lead
+# the r12 rotation. 45 of this 50-query window are NOT in the r10
+# window. queries() applies this order ON TOP of the historical dict
+# below, so round-history comments stay put; the full set stays
 # CI-gated at full width via tests/test_oracle_full.py regardless of
 # order. Update tests/test_entry_contract.py's pin when changing this.
-_R10_HEAD = [
+_R11_HEAD = [
     "bm25_incremental",
-    "incremental_index_add",
     "bm25_indexed",
-    "simhash_pairs",
-    "event_sliding_window",
-    "map_fns",
-    "approx_distinct",
-    "lang_id",
-    "binary_metrics",
-    "embedding_neardup",
-    "augmented_eval",
-    "ivf_topk",
+    "incremental_index_add",
+    "incremental_neardup",
     "ivf_index_topk",
-    "important_stock",
-    "supplier_part_counts",
-    "excess_shipments",
-    "funnel_completions",
-    "pq_topk",
-    "kmv_distinct",
-    "variant_json",
     "ivfpq_topk",
-    "reservoir_sample",
-    "scd2_intervals",
-    "exists_subquery",
-    "scalar_subquery",
-    "shipping_priority",
-    "pivot_counts",
-    "covar_corr",
-    "window_pct",
-    "conditional_agg",
-    "revenue_predicate",
-    "array_fns2",
-    "regr_fns",
-    "token_packing",
-    "token_packing_greedy",
-    "approx_percentile",
-    "null_fns",
-    "grouped_ols",
-    "returned_items",
-    "promo_revenue",
-    "top_supplier",
-    "market_share",
-    "large_orders",
-    "disjunctive_pred",
-    "argmin_part",
-    "idle_customers",
-    "local_supplier_volume",
-    "unpivot_long",
-    "histogram_bins",
-    "ohlc_rollup",
+    "filter_project",
+    "group_agg",
+    "multi_join",
+    "semi_join",
+    "anti_join",
+    "topk_per_group",
+    "window_running_sum",
+    "rollup",
+    "cube",
+    "set_ops",
+    "string_fns",
+    "date_fns",
+    "distinct_count",
+    "event_hourly_window",
+    "json_extract",
+    "sessionization",
+    "asof_join",
+    "token_counts",
+    "word_freq_encoder",
+    "ngram_counts",
+    "tf_idf",
+    "doc_quality",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "scaler_moments",
+    "cosine_topk",
+    "one_hot_labels",
+    "confusion_matrix",
+    "multiclass_metrics",
+    "session_window",
+    "standard_scaler",
+    "linear_mapper",
+    "lsh_cosine_topk",
+    "kmeans_clusters",
+    "multimodal_features",
+    "range_join",
+    "window_analytics",
+    "math_fns",
+    "array_fns",
+    "string_fns2",
+    "date_fns2",
+    "grouping_sets",
+    "term_frequency",
+    "stupid_backoff",
+    "mean_avg_precision",
+    "window_range_frame",
+    "percentiles",
+    "heavy_hitters",
+    "fuzzy_name_pairs",
+    "funnel",
 ]
 
 
@@ -5021,10 +5032,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_range_frame": q_window_range_frame,
         "percentiles": q_percentiles,
     }
-    # rotate the r10 head to the front (comment above _R10_HEAD); the
+    # rotate the r11 head to the front (comment above _R11_HEAD); the
     # second splat only UPDATES values for head keys, so order is
     # head-first then historical order for the rest
-    return {**{k: base[k] for k in _R10_HEAD}, **base}
+    return {**{k: base[k] for k in _R11_HEAD}, **base}
 
 
 def _oracle_sql_literals() -> dict[str, str]:

@@ -40,28 +40,31 @@ def test_registry_hygiene_full_surface():
     assert len(q) >= 185
     for name, sql in o.items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
-    head = list(q)[:40]
+    head = list(q)[:50]
     assert head == [
-        # r10 rotation (VERDICT r9 #4): NEW index-maintenance queries
-        # first (bm25_incremental / incremental_index_add), then the
-        # two REWIRED this round (bm25_indexed v2 raw-count layout,
-        # simhash_pairs without the vacuous shingle prefilter), then
-        # the cohort least recently driver-sampled (r2/r3 windows) —
-        # 48 of the 50-query window are NOT in the r9 window
-        "bm25_incremental", "incremental_index_add",
-        "bm25_indexed", "simhash_pairs",
-        # stale cohort: last driver-sampled in the r2/r3 windows
-        "event_sliding_window", "map_fns", "approx_distinct", "lang_id",
-        "binary_metrics", "embedding_neardup", "augmented_eval",
-        "ivf_topk", "ivf_index_topk", "important_stock",
-        "supplier_part_counts", "excess_shipments", "funnel_completions",
-        "pq_topk", "kmv_distinct", "variant_json", "ivfpq_topk",
-        "reservoir_sample", "scd2_intervals", "exists_subquery",
-        "scalar_subquery", "shipping_priority", "pivot_counts",
-        "covar_corr", "window_pct", "conditional_agg",
-        "revenue_predicate", "array_fns2", "regr_fns", "token_packing",
-        "token_packing_greedy", "approx_percentile", "null_fns",
-        "grouped_ols", "returned_items", "promo_revenue",
+        # r11 rotation (VERDICT r10 #9): the six queries REWIRED by the
+        # index-lifecycle hardening first (Bm25Index v3 commit layout;
+        # MinHash committed-generation manifest; tombstone anti-join in
+        # the vector-index search path), then the cohort least recently
+        # driver-sampled — the 44 head members of the 47 queries last
+        # seen in the r2 window. 45 of this 50-query window are NOT in
+        # the r10 window.
+        "bm25_incremental", "bm25_indexed",
+        "incremental_index_add", "incremental_neardup",
+        "ivf_index_topk", "ivfpq_topk",
+        # stale cohort: last driver-sampled in the r2 window
+        "filter_project", "group_agg", "multi_join", "semi_join",
+        "anti_join", "topk_per_group", "window_running_sum", "rollup",
+        "cube", "set_ops", "string_fns", "date_fns", "distinct_count",
+        "event_hourly_window", "json_extract", "sessionization",
+        "asof_join", "token_counts", "word_freq_encoder", "ngram_counts",
+        "tf_idf", "doc_quality", "dedup_exact", "ngram_jaccard_pairs",
+        "scaler_moments", "cosine_topk", "one_hot_labels",
+        "confusion_matrix", "multiclass_metrics", "session_window",
+        "standard_scaler", "linear_mapper", "lsh_cosine_topk",
+        "kmeans_clusters", "multimodal_features", "range_join",
+        "window_analytics", "math_fns", "array_fns", "string_fns2",
+        "date_fns2", "grouping_sets", "term_frequency", "stupid_backoff",
     ]
 
 
