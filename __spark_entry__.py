@@ -1213,6 +1213,84 @@ def q_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-index TAKEDOWN path (VERDICT r10 #2, r11): the persisted
+    IvfIndex gets ``delete(vec_id % 7 == 2)`` and is searched BEFORE
+    any compact — the live code path here is the tombstone anti-join
+    on the cell-pruned scan, i.e. a deleted embedding stops being
+    served immediately while its rows still exist on disk. The
+    declared result is the per-probe invariant set (same shape as
+    ivf_index_topk): k results with dense ranks 1..k, recall@10 >= 0.5
+    against the exact kernel over the SURVIVING corpus, and
+    ``no_deleted`` — no tombstoned id is ever served (the takedown
+    contract itself, hash-checked by the driver). The cell partition
+    filter is asserted on the executed plan so the anti-join cannot
+    silently defeat pruning."""
+    import tempfile
+
+    from keystone_spark.operators.similarity import IvfIndex, cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") < 3)
+    deleted = F.col("vec_id") % 7 == 2
+    key = ("ivfdel", id(spark._jsparkSession)
+           if hasattr(spark, "_jsparkSession") else id(spark), sf_dir)
+    path = _IVF_INDEX_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="ivf_del_")
+        IvfIndex.build(e, n_cells=16).save(path)
+        stats = IvfIndex.delete(
+            spark, path, e.where(deleted).select("vec_id")
+        )
+        if stats["tombstones_added"] <= 0:
+            raise AssertionError(f"ivf delete did not land: {stats}")
+        _IVF_INDEX_CACHE[key] = path
+    idx = IvfIndex.load(spark, path)
+    out = idx.search(probes, k=10, n_probe_cells=6)
+
+    import re
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*cell#\d+ (?:INSET|IN) \(?([^\])]*)", plan)
+    if not m:
+        raise AssertionError(
+            "IvfIndex delete-path search lost its cell partition "
+            "filter:\n" + plan[:2000]
+        )
+    n_cells_scanned = len(m.group(1).split(","))
+    if not 0 < n_cells_scanned < 16:
+        raise AssertionError(
+            f"IvfIndex partition filter is vacuous ({n_cells_scanned} "
+            "of 16 cells scanned):\n" + plan[:2000]
+        )
+
+    exact = cosine_topk(e.where(~deleted), probes, k=10)
+    hits = (
+        out.select("probe", "vec_id")
+        .join(exact.select("probe", "vec_id"), ["probe", "vec_id"])
+        .groupBy("probe")
+        .agg(F.count("*").alias("hits"))
+    )
+    per = out.groupBy("probe").agg(
+        F.count("*").cast("long").alias("n"),
+        ((F.min("rk") == 1) & (F.max("rk") == 10) & (F.count_distinct("rk") == 10)).alias(
+            "ranks_ok"
+        ),
+        (F.sum(F.when(deleted, 1).otherwise(0)) == 0).alias("no_deleted"),
+    )
+    return (
+        per.join(hits, "probe", "left")
+        .select(
+            "probe",
+            "n",
+            "ranks_ok",
+            (F.coalesce(F.col("hits"), F.lit(0)) >= 5).alias("recall_ok"),
+            "no_deleted",
+        )
+        .orderBy("probe")
+    )
+
+
 def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXISTS subquery (TPC-H Q4 shape): orders in 1996-H1 with at least one
     heavy lineitem, counted by priority — decorrelated to a left-semi join
@@ -3071,6 +3149,74 @@ def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rk")
 
 
+def q_bm25_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index delete+compact path (VERDICT r10 #1/#2, r11): the
+    full-corpus Bm25Index gets ``delete(doc_id % 10 == 3)`` then
+    ``compact`` — tombstoned postings physically purged, df re-derived
+    from survivors, (N, sum_dl) snapped to exact survivor values, one
+    term-sorted file per bucket — and is then searched exactly as
+    bm25_indexed is. The delete+compact == survivor-rebuild identity
+    (pytest-pinned since r10) becomes DRIVER-hash-checked here: the
+    oracle is bm25_search's full SQL evaluated over the surviving
+    documents only, so any stale-stat leak, unpurged posting, or
+    resurrected doc breaks the hash at every sf the driver samples.
+    The query set (doc_id % 100 == 0) is disjoint from the deleted set
+    (those ids are % 10 == 0), so queries search a corpus they
+    survive in. tbucket partition pruning is re-asserted on the
+    POST-compact layout."""
+    from keystone_spark.functions.text import tokens
+    from keystone_spark.operators.nlp import Bm25Index
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    key = ("bm25del", id(spark._jsparkSession)
+           if hasattr(spark, "_jsparkSession") else id(spark), sf_dir)
+    path = _BM25_INDEX_CACHE.get(key)
+    if path is None:
+        path = _bm25_index_path(sf_dir, "bm25del")
+        Bm25Index.build(d, k1=1.2, b=0.75, n_term_buckets=64).save(path)
+        stats = Bm25Index.delete(
+            spark, path, d.where(F.col("doc_id") % 10 == 3).select("doc_id")
+        )
+        if stats["tombstones_added"] <= 0:
+            raise AssertionError(f"bm25 delete did not land: {stats}")
+        Bm25Index.compact(spark, path)
+        _BM25_INDEX_CACHE[key] = path
+    idx = Bm25Index.load(spark, path)
+    if idx.params["incomplete_generations"]:
+        raise AssertionError(
+            "compact left orphan generations: "
+            f"{idx.params['incomplete_generations']}"
+        )
+    qs = d.where(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"), F.slice("toks", 1, 5).alias("q_toks")
+    )
+    out = idx.search(qs, k=10, k1=1.2, b=0.75)
+
+    import re
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(
+        r"PartitionFilters: \[[^\]]*tbucket#\d+ (?:INSET|IN) \(?([^\])]*)",
+        plan,
+    )
+    if not m:
+        raise AssertionError(
+            "post-compact Bm25Index search lost its tbucket partition "
+            "filter:\n" + plan[:2000]
+        )
+    n_scanned = len(m.group(1).split(","))
+    if not 0 < n_scanned < 64:
+        raise AssertionError(
+            f"post-compact partition filter is vacuous ({n_scanned} of "
+            "64 term buckets scanned):\n" + plan[:2000]
+        )
+    return out.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"), "rk"
+    ).orderBy("query_id", "rk")
+
+
 def q_gap_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear interpolation over the gap_fill grid (operators/relational
     .interpolate_linear): missing hourly points get the time-weighted
@@ -4750,6 +4896,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # CI-gated at full width via tests/test_oracle_full.py regardless of
 # order. Update tests/test_entry_contract.py's pin when changing this.
 _R11_HEAD = [
+    # NEW r11 declared queries: the delete lifecycle driver-hash-
+    # checked (bm25 delete+compact == survivor rebuild; ivf
+    # tombstone anti-join serves no deleted id)
+    "bm25_delete_compact",
+    "ivf_delete_topk",
     "bm25_incremental",
     "bm25_indexed",
     "incremental_index_add",
@@ -4837,6 +4988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Everything stays CI-gated at full width via
         # tests/test_oracle_full.py regardless of order. ---
         "bm25_incremental": q_bm25_incremental,
+        "bm25_delete_compact": q_bm25_delete_compact,
+        "ivf_delete_topk": q_ivf_delete_topk,
         "incremental_index_add": q_incremental_index_add,
         "bm25_indexed": q_bm25_indexed,
         "simhash_pairs": q_simhash_pairs,
@@ -7693,6 +7846,14 @@ def _oracle_sql_literals() -> dict[str, str]:
                    TRUE AS recall_ok
             FROM embeddings WHERE vec_id < 3 ORDER BY probe
         """,
+        "ivf_delete_topk": """
+            SELECT CAST(vec_id AS BIGINT) AS probe,
+                   CAST(10 AS BIGINT) AS n,
+                   TRUE AS ranks_ok,
+                   TRUE AS recall_ok,
+                   TRUE AS no_deleted
+            FROM embeddings WHERE vec_id < 3 ORDER BY probe
+        """,
         # greedy packing replayed exactly: the per-group sequential
         # recurrence (close pack on overflow) as a recursive CTE — one
         # working row per language per iteration.
@@ -8069,4 +8230,11 @@ def oracle_sql() -> dict[str, str]:
     # rest; monotone-ingest ids keep every stored rep the min-id
     # tie-break winner, so the full-corpus incremental oracle applies
     d["incremental_index_add"] = d["incremental_neardup"]
+    # bm25_delete_compact = delete(doc_id % 10 == 3) + compact, which
+    # re-derives EXACT survivor stats — so the oracle is bm25_search's
+    # SQL over the surviving documents only, derived from the same
+    # literal so the two cannot drift
+    assert d["bm25_search"].count("FROM documents)") == 1
+    d["bm25_delete_compact"] = d["bm25_search"].replace(
+        "FROM documents)", "FROM documents WHERE doc_id % 10 <> 3)")
     return d

@@ -42,13 +42,16 @@ def test_registry_hygiene_full_surface():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
     head = list(q)[:50]
     assert head == [
-        # r11 rotation (VERDICT r10 #9): the six queries REWIRED by the
-        # index-lifecycle hardening first (Bm25Index v3 commit layout;
-        # MinHash committed-generation manifest; tombstone anti-join in
-        # the vector-index search path), then the cohort least recently
-        # driver-sampled — the 44 head members of the 47 queries last
-        # seen in the r2 window. 45 of this 50-query window are NOT in
-        # the r10 window.
+        # r11 rotation (VERDICT r10 #9): the two NEW delete-lifecycle
+        # queries first (bm25 delete+compact == survivor-rebuild hash;
+        # ivf tombstone anti-join serves no deleted id), then the six
+        # queries REWIRED by the index-lifecycle hardening (Bm25Index
+        # v3 commit layout; MinHash committed-generation manifest;
+        # tombstone anti-join in the vector-index search path), then
+        # the cohort least recently driver-sampled — the head members
+        # of the 47 queries last seen in the r2 window. 45 of this
+        # 50-query window are NOT in the r10 window.
+        "bm25_delete_compact", "ivf_delete_topk",
         "bm25_incremental", "bm25_indexed",
         "incremental_index_add", "incremental_neardup",
         "ivf_index_topk", "ivfpq_topk",
@@ -64,7 +67,7 @@ def test_registry_hygiene_full_surface():
         "standard_scaler", "linear_mapper", "lsh_cosine_topk",
         "kmeans_clusters", "multimodal_features", "range_join",
         "window_analytics", "math_fns", "array_fns", "string_fns2",
-        "date_fns2", "grouping_sets", "term_frequency", "stupid_backoff",
+        "date_fns2", "grouping_sets",
     ]
 
 
