@@ -388,7 +388,8 @@ class IvfIndex:
         return data.select(id_col, vec_col).mapInPandas(assign, schema)
 
     @classmethod
-    def add(cls, spark, path: str, batch: DataFrame) -> dict:
+    def add(cls, spark, path: str, batch: DataFrame,
+            skip_existing_ids: bool = False) -> dict:
         """Append new vectors to a stored index WITHOUT retraining
         (VERDICT r9 #1, the third index family): the coarse quantizer
         is FROZEN — exactly FAISS's ``IndexIVF.add`` semantics, where
@@ -406,10 +407,25 @@ class IvfIndex:
         cells and recall/latency worsen at the same n_probe_cells.
         That is a retrain (rebuild) decision; monitor the returned
         per-add cell histogram. Batch ids must be fresh among live
-        ids (takedowns go through ``delete``)."""
+        ids (takedowns go through ``delete``) — or pass
+        ``skip_existing_ids=True`` to make the add IDEMPOTENT: ids
+        already stored OR tombstoned are anti-joined out BEFORE the
+        assignment kernel (one narrow id-column scan, no vector
+        bytes), so a replayed batch (at-least-once streaming) appends
+        nothing and ``vectors_added`` counts only genuinely new ids.
+        Note the union with tombstones: a deleted id cannot be
+        re-added under the same id until ``compact`` purges its
+        tombstone (search would anti-join the new row out anyway);
+        re-ingest deleted content under a fresh id instead."""
         import os
 
         idx = cls.load(spark, path)
+        if skip_existing_ids:
+            known = idx.indexed.select(idx.id_col)
+            tomb = idx._load_tombstones(spark)
+            if tomb is not None:
+                known = known.unionByName(tomb)
+            batch = batch.join(known, idx.id_col, "left_anti")
         assigned = cls._assign(
             batch.where(F.col(idx.vec_col).isNotNull()),
             idx.C, idx.id_col, idx.vec_col,
@@ -840,7 +856,8 @@ class IvfPqIndex:
         return data.select(id_col, vec_col).mapInPandas(encode, out_schema)
 
     @classmethod
-    def add(cls, spark, path: str, batch: DataFrame) -> dict:
+    def add(cls, spark, path: str, batch: DataFrame,
+            skip_existing_ids: bool = False) -> dict:
         """Append new vectors WITHOUT retraining — FAISS
         ``IndexIVFPQ.add`` semantics: coarse centroids AND PQ codebooks
         are frozen, the batch is assigned+encoded by the build's own
@@ -850,12 +867,22 @@ class IvfPqIndex:
         Same staleness contract as ``IvfIndex.add``: distribution
         drift degrades cell balance and quantization error — retrain
         by rebuild; ids must be fresh among live ids (takedowns go
-        through ``delete``). NOTE: the exact re-rank at search time
-        fetches raw vectors from the BASE table the caller passes —
-        it must cover the appended ids too."""
+        through ``delete``), or pass ``skip_existing_ids=True`` for
+        the idempotent form (stored ∪ tombstoned ids anti-joined out
+        before the encode kernel — replay-safe; a deleted id stays
+        un-re-addable until compact, same note as ``IvfIndex.add``).
+        NOTE: the exact re-rank at search time fetches raw vectors
+        from the BASE table the caller passes — it must cover the
+        appended ids too."""
         import os
 
         idx = cls.load(spark, path)
+        if skip_existing_ids:
+            known = idx.indexed.select(idx.id_col)
+            tomb = idx._load_tombstones(spark)
+            if tomb is not None:
+                known = known.unionByName(tomb)
+            batch = batch.join(known, idx.id_col, "left_anti")
         encoded = cls._encode(
             batch.where(F.col(idx.vec_col).isNotNull()),
             idx.C, idx.books, idx.id_col, idx.vec_col,

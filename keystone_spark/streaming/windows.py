@@ -929,3 +929,53 @@ def stream_bm25_ingest(
             Bm25Index.compact(spark, index_path)
 
     run_foreach_batch(stream_docs, fold, output_mode="append")
+
+
+def stream_vector_ingest(
+    stream_vecs: DataFrame,
+    index_path: str,
+    family: str = "ivf",
+    compact_every_n: int | None = None,
+) -> None:
+    """Streaming vector-index ingest — the fourth and final family
+    member of the ingest loop (BM25: ``stream_bm25_ingest``; MinHash:
+    ``stream_neardup_against_index(update_index=True)``): each
+    micro-batch of embeddings is appended to a stored
+    ``operators.similarity.IvfIndex`` (``family="ivf"``) or
+    ``IvfPqIndex`` (``family="ivfpq"``) with the FROZEN build-time
+    quantizer — FAISS ``IndexIVF.add`` semantics, so after any prefix
+    of micro-batches a search over the index is identical to a
+    one-pass assignment/encoding of the vectors ingested so far
+    (pinned by test).
+
+    Replay safety: foreachBatch is at-least-once, and the vector adds
+    have no crash-safe generation log (their append is a single
+    parquet write per batch) — so the fold always appends with
+    ``skip_existing_ids=True``: a replayed batch's ids anti-join
+    against the stored corpus and append nothing. The cost is one
+    narrow id-column scan of the index per micro-batch (no vector
+    bytes). Corollary contract: ids must be UNIQUE across the stream —
+    a re-keyed re-send is a new vector, a same-id re-send is a replay.
+
+    ``compact_every_n=k`` runs the family's ``compact`` after every
+    k-th micro-batch (each add leaves a small file set per touched
+    cell; compaction also purges any tombstones accumulated by
+    concurrent takedowns). The index must already exist (build on a
+    seed sample first — the quantizer needs training data; drift
+    monitoring via each add's cell histogram is the caller's retrain
+    signal). Blocks until drained."""
+    from keystone_spark.operators.similarity import IvfIndex, IvfPqIndex
+
+    fam = {"ivf": IvfIndex, "ivfpq": IvfPqIndex}.get(family)
+    if fam is None:
+        raise ValueError(f"family must be 'ivf' or 'ivfpq', got {family!r}")
+    spark = stream_vecs.sparkSession
+    n_folds = {"n": 0}
+
+    def fold(bdf: DataFrame, epoch_id: int) -> None:
+        fam.add(spark, index_path, bdf, skip_existing_ids=True)
+        n_folds["n"] += 1
+        if compact_every_n and n_folds["n"] % compact_every_n == 0:
+            fam.compact(spark, index_path)
+
+    run_foreach_batch(stream_vecs, fold, output_mode="append")

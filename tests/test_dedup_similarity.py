@@ -1565,3 +1565,42 @@ def test_vector_index_add_runs_kernel_once(spark, tmp_path):
     acc2 = spark.sparkContext.accumulator(0)
     IvfPqIndex.add(spark, path2, _counting_wrapper(spark, hi, acc2))
     assert acc2.value == n_hi, (acc2.value, n_hi)
+
+
+def test_vector_index_add_skip_existing_ids(spark, tmp_path):
+    """Idempotent vector appends (streaming-replay contract): with
+    skip_existing_ids=True, ids already stored are anti-joined out
+    BEFORE the assignment kernel (vectors_added counts only new ids;
+    a full re-send appends nothing), and TOMBSTONED ids are part of
+    the skip set — a deleted id cannot sneak back in under the same id
+    until compact purges its tombstone (search would hide it anyway).
+    Both families."""
+    from keystone_spark.operators.similarity import IvfIndex, IvfPqIndex
+    from keystone_spark.sources import load_table
+
+    e = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    lo = e.where(F.col("vec_id") % 3 == 1)
+    hi = e.where(F.col("vec_id") % 3 != 1)
+    n_hi = hi.count()
+
+    for fam, tbl in ((IvfIndex, "corpus"), (IvfPqIndex, "codes")):
+        path = str(tmp_path / f"skip_{tbl}")
+        fam.build(lo, n_cells=8).save(path)
+        stats = fam.add(spark, path, hi, skip_existing_ids=True)
+        assert stats["vectors_added"] == n_hi
+        # replay: the same batch again is a no-op
+        stats2 = fam.add(spark, path, hi, skip_existing_ids=True)
+        assert stats2["vectors_added"] == 0
+        n_rows = spark.read.parquet(f"{path}/{tbl}").count()
+        assert n_rows == lo.count() + n_hi
+        # tombstoned ids are skipped too: delete one, try to re-add it
+        victim = hi.select("vec_id").limit(1)
+        fam.delete(spark, path, victim)
+        stats3 = fam.add(
+            spark, path, e.join(victim, "vec_id", "left_semi"),
+            skip_existing_ids=True,
+        )
+        assert stats3["vectors_added"] == 0
+        # without the flag the legacy fresh-ids contract is unchanged:
+        # the same batch WOULD duplicate (caller's responsibility)
+        assert spark.read.parquet(f"{path}/{tbl}").count() == n_rows

@@ -2,6 +2,7 @@
 and via Trigger.AvailableNow streaming over the events fixture, compare)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from keystone_spark.sources import load_table
 from keystone_spark.streaming.windows import (
@@ -1032,3 +1033,96 @@ def test_stream_neardup_replayed_epoch_is_idempotent(spark, tmp_path):
     assert again == first == [(100, 1, first[0][2])]
     # the replayed add indexed nothing new
     assert spark.read.parquet(f"{idx}/texts").count() == 2
+
+
+def test_stream_vector_ingest_equals_one_pass_assignment(spark, tmp_path):
+    """Streaming vector ingest (foreachBatch -> IvfIndex.add with
+    skip_existing_ids): after two micro-batches drain — with a
+    mid-stream compact (compact_every_n=2) — search over the
+    streamed-into index is row-identical to a one-pass assignment of
+    seed + both batches under the same frozen centroids. Closes the
+    ingest loop for the fourth stored index family."""
+    from keystone_spark.operators.similarity import IvfIndex
+    from keystone_spark.sources import load_table
+    from keystone_spark.streaming.windows import stream_vector_ingest
+
+    e = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    lo = e.where(F.col("vec_id") % 3 == 1)
+    hi = e.where(F.col("vec_id") % 3 != 1)
+    probes = e.where(F.col("vec_id") % 50 == 0).limit(5)
+
+    path = str(tmp_path / "ivf_stream")
+    IvfIndex.build(lo, n_cells=8).save(path)
+
+    src = tmp_path / "vec_incoming"
+    src.mkdir()
+    b1 = hi.where(F.col("vec_id") % 2 == 0)
+    b2 = hi.where(F.col("vec_id") % 2 != 0)
+    for i, chunk in enumerate([b1, b2]):
+        chunk.coalesce(1).write.parquet(str(src / f"b{i}"))
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    stream_vector_ingest(stream, path, family="ivf", compact_every_n=2)
+
+    inc = IvfIndex.load(spark, path)
+    union = IvfIndex(inc.C, IvfIndex._assign(
+        lo.unionByName(hi), inc.C, "vec_id", "embedding"))
+
+    def key(df):
+        return sorted((r.probe, r.rk, r.vec_id, round(r.cos, 9))
+                      for r in df.collect())
+
+    got = key(inc.search(probes, k=5, n_probe_cells=4))
+    assert got == key(union.search(probes, k=5, n_probe_cells=4))
+    assert len(got) > 0
+    # the mid-stream compact left one file per cell dir
+    from keystone_spark.fsutil import count_parquet_files
+
+    import os
+    n_cells = len([d for d in os.listdir(f"{path}/corpus")
+                   if d.startswith("cell=")])
+    assert count_parquet_files(spark, f"{path}/corpus") == n_cells
+
+
+def test_stream_vector_ingest_replay_is_noop(spark, tmp_path):
+    """Replay idempotency (at-least-once foreachBatch): re-running the
+    same source against a FRESH checkpoint re-delivers every batch;
+    skip_existing_ids anti-joins the replayed ids out, so the corpus
+    row count and search results are unchanged — same contract the
+    MinHash fold gets from its content anti-join."""
+    from keystone_spark.operators.similarity import IvfIndex
+    from keystone_spark.sources import load_table
+    from keystone_spark.streaming.windows import stream_vector_ingest
+
+    e = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    lo = e.where(F.col("vec_id") % 3 == 1)
+    hi = e.where(F.col("vec_id") % 3 != 1)
+
+    path = str(tmp_path / "ivf_replay")
+    IvfIndex.build(lo, n_cells=8).save(path)
+    src = tmp_path / "replay_incoming"
+    src.mkdir()
+    hi.coalesce(1).write.parquet(str(src / "b0"))
+
+    def run_once():
+        stream_vector_ingest(
+            spark.readStream.schema(e.schema).parquet(str(src / "*")),
+            path, family="ivf",
+        )
+
+    run_once()
+    n_first = spark.read.parquet(f"{path}/corpus").count()
+    run_once()  # fresh checkpoint: the file is epoch 0 again — a replay
+    assert spark.read.parquet(f"{path}/corpus").count() == n_first
+    assert n_first == (lo.count() + hi.count())
+
+    import pytest
+
+    with pytest.raises(ValueError, match="family"):
+        stream_vector_ingest(
+            spark.readStream.schema(e.schema).parquet(str(src / "*")),
+            path, family="hnsw",
+        )
