@@ -10,14 +10,21 @@ Run:
   python -m keystone_spark.apps.maintain dq --src DIR
       [--not-null c1,c2] [--unique k1,k2] [--range col:lo:hi ...]
   python -m keystone_spark.apps.maintain index-compact --path DIR
-      --kind bm25|minhash
+      --kind bm25|minhash|ivf|ivfpq
+  python -m keystone_spark.apps.maintain index-delete --path DIR
+      --kind bm25|minhash|ivf|ivfpq --ids id1,id2,...
 
 Each subcommand prints one JSON line; ``dq`` exits non-zero when any
 check reports violations, so it drops straight into CI/cron gates.
 ``index-compact`` is the OPTIMIZE pass for the append-only stored
-indexes (Bm25Index.add / add_to_minhash_index leave one small file set
-per increment) — it preserves the partition layout that search pruning
-needs, which the generic ``compact`` subcommand would drop.
+indexes (every add leaves one small file set per touched partition) —
+it preserves the partition layout that search pruning needs, which the
+generic ``compact`` subcommand would drop, and is the purge point for
+tombstones. ``index-delete`` is the takedown entry point (GDPR-style
+cron): it appends tombstones, so the ids vanish from search results
+immediately and their bytes leave the index at the next index-compact.
+Ids are parsed as strings and cast to the index's own stored id type,
+so string-keyed and long-keyed indexes both delete correctly.
 """
 
 from __future__ import annotations
@@ -50,9 +57,16 @@ def main() -> None:
     d.add_argument("--range", action="append", default=[],
                    help="col:lo:hi, repeatable")
 
+    kinds = ["bm25", "minhash", "ivf", "ivfpq"]
     ic = sub.add_parser("index-compact")
     ic.add_argument("--path", required=True)
-    ic.add_argument("--kind", required=True, choices=["bm25", "minhash"])
+    ic.add_argument("--kind", required=True, choices=kinds)
+
+    idel = sub.add_parser("index-delete")
+    idel.add_argument("--path", required=True)
+    idel.add_argument("--kind", required=True, choices=kinds)
+    idel.add_argument("--ids", required=True,
+                      help="comma-separated ids; cast to the stored id type")
 
     args = ap.parse_args()
 
@@ -60,16 +74,35 @@ def main() -> None:
 
     spark = get_session("maintain_app")
 
-    if args.cmd == "index-compact":
-        if args.kind == "bm25":
-            from keystone_spark.operators.nlp import Bm25Index
+    if args.cmd in ("index-compact", "index-delete"):
+        from keystone_spark.operators import dedup as _dedup
+        from keystone_spark.operators.nlp import Bm25Index
+        from keystone_spark.operators.similarity import IvfIndex, IvfPqIndex
 
-            stats = Bm25Index.compact(spark, args.path)
+        compactor = {
+            "bm25": Bm25Index.compact,
+            "minhash": _dedup.compact_minhash_index,
+            "ivf": IvfIndex.compact,
+            "ivfpq": IvfPqIndex.compact,
+        }
+        deleter = {
+            "bm25": Bm25Index.delete,
+            "minhash": _dedup.delete_from_minhash_index,
+            "ivf": IvfIndex.delete,
+            "ivfpq": IvfPqIndex.delete,
+        }
+        if args.cmd == "index-compact":
+            stats = compactor[args.kind](spark, args.path)
         else:
-            from keystone_spark.operators.dedup import compact_minhash_index
-
-            stats = compact_minhash_index(spark, args.path)
-        print(json.dumps({"app": "maintain.index-compact",
+            # one-column STRING DataFrame: ids_to_tombstones casts it to
+            # the index's stored id type, so "42" deletes a long id 42
+            # and "docA" deletes a string id — no CLI-side type guess
+            ids = spark.createDataFrame(
+                [(i,) for i in args.ids.split(",") if i != ""],
+                "id string",
+            )
+            stats = deleter[args.kind](spark, args.path, ids)
+        print(json.dumps({"app": f"maintain.{args.cmd}",
                           "kind": args.kind, **stats}))
         return
 

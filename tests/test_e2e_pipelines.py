@@ -310,3 +310,47 @@ def test_maintain_app_cli(spark, tmp_path):
     assert stats["postings_files_after"] < stats["postings_files_before"]
     assert any(x.startswith("tbucket=") for x in
                os.listdir(os.path.join(ipath, "postings")))
+
+
+def test_maintain_index_delete_cli(spark, tmp_path):
+    """index-delete (r11): the takedown entry point — ids land as
+    tombstones (string CLI input cast to the stored id type), search
+    hides them immediately, and index-compact purges the bytes. Driven
+    end-to-end on an IvfIndex; the kind map covers all four families."""
+    import json
+    import subprocess
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from keystone_spark.operators.similarity import IvfIndex
+    from keystone_spark.sources import load_table
+
+    def run(*argv):
+        return subprocess.run(
+            [sys.executable, "-m", "keystone_spark.apps.maintain", *argv],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+
+    e = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    path = str(tmp_path / "ivf_cli")
+    IvfIndex.build(e, n_cells=8).save(path)
+    probes = e.limit(3)
+    before = IvfIndex.load(spark, path).search(probes, k=5, n_probe_cells=8)
+    victims = sorted(r.vec_id for r in
+                     before.select("vec_id").distinct().limit(2).collect())
+
+    r = run("index-delete", "--path", path, "--kind", "ivf",
+            "--ids", ",".join(str(v) for v in victims))
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["tombstones_added"] == 2
+
+    after = IvfIndex.load(spark, path).search(probes, k=5, n_probe_cells=8)
+    served = {r.vec_id for r in after.select("vec_id").distinct().collect()}
+    assert not served & set(victims)
+
+    r = run("index-compact", "--path", path, "--kind", "ivf")
+    assert r.returncode == 0, r.stderr[-2000:]
+    kept = spark.read.parquet(f"{path}/corpus")
+    assert kept.where(F.col("vec_id").isin(victims)).count() == 0
