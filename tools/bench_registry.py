@@ -62,6 +62,7 @@ SF1_FAMILY = [
     "cosine_topk", "ivf_index_topk", "pq_topk", "ivfpq_topk",
     "bm25_search", "bm25_indexed",
     "bm25_incremental", "incremental_index_add",  # r10 index maintenance
+    "bm25_delete_compact", "ivf_delete_topk",  # r11 delete lifecycle
 ]
 SF1_SNAPSHOT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "registry_snapshot_sf1.json")
