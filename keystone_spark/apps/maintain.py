@@ -13,6 +13,7 @@ Run:
       --kind bm25|minhash|ivf|ivfpq
   python -m keystone_spark.apps.maintain index-delete --path DIR
       --kind bm25|minhash|ivf|ivfpq --ids id1,id2,...
+  python -m keystone_spark.apps.maintain index-repair --path DIR
 
 Each subcommand prints one JSON line; ``dq`` exits non-zero when any
 check reports violations, so it drops straight into CI/cron gates.
@@ -25,6 +26,9 @@ cron): it appends tombstones, so the ids vanish from search results
 immediately and their bytes leave the index at the next index-compact.
 Ids are parsed as strings and cast to the index's own stored id type,
 so string-keyed and long-keyed indexes both delete correctly.
+``index-repair`` completes an index-compact that was killed mid-swap
+(readers refuse to serve such an index until the swap finishes) —
+family-agnostic, idempotent, safe to run when nothing is wrong.
 """
 
 from __future__ import annotations
@@ -68,11 +72,21 @@ def main() -> None:
     idel.add_argument("--ids", required=True,
                       help="comma-separated ids; cast to the stored id type")
 
+    ir = sub.add_parser("index-repair")
+    ir.add_argument("--path", required=True)
+
     args = ap.parse_args()
 
     from keystone_spark import get_session
 
     spark = get_session("maintain_app")
+
+    if args.cmd == "index-repair":
+        from keystone_spark.fsutil import finish_swap
+
+        stats = finish_swap(spark, args.path)
+        print(json.dumps({"app": "maintain.index-repair", **stats}))
+        return
 
     if args.cmd in ("index-compact", "index-delete"):
         from keystone_spark.operators import dedup as _dedup

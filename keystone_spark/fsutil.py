@@ -63,15 +63,105 @@ def count_parquet_files(spark, path: str) -> int:
     return n
 
 
+SWAP_MARKER = "_SWAP_STARTED"
+
+
+def fs_write_text(spark, path: str, text: str) -> None:
+    """Write a small text file through the Hadoop FileSystem API
+    (parents created, existing file overwritten) — FS-agnostic metadata
+    IO for index manifests/markers (plain local, file://, hdfs://)."""
+    fs, p = _fs_path(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def fs_read_text(spark, path: str) -> str:
+    """Read a small text file through the Hadoop FileSystem API."""
+    fs, p = _fs_path(spark, path)
+    stream = fs.open(p)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
 def swap_tables(spark, path: str, stage: str, tables: list[str]) -> None:
     """Replace ``{path}/{t}`` with ``{stage}/{t}`` for each table —
     the stage-and-swap tail of every index compact. Per-table the swap
     is delete+rename (atomic enough on local/HDFS; see module note for
-    object stores); the stage dir is removed afterwards."""
+    object stores); the stage dir is removed afterwards.
+
+    Crash recoverability: a multi-table swap is NOT atomic — killed
+    between tables, the index would serve the new data tables with the
+    old manifest (silently wrong stats) or mixed data generations. So
+    the destructive phase is bracketed by an intent marker
+    (``{stage}/_SWAP_STARTED``, carrying the table list) written
+    BEFORE the first delete and removed with the stage dir at the end.
+    Every index reader calls ``assert_no_interrupted_swap`` and
+    refuses to serve an index whose marker survives; ``finish_swap``
+    completes the interrupted swap idempotently (each table is either
+    still staged -> delete live + rename, or already swapped -> skip).
+    A stage dir WITHOUT the marker means the crash happened while
+    STAGING, before anything live was touched — readers ignore it and
+    the next compact clears it."""
+    import json as _json
+
+    fs_write_text(spark, f"{stage}/{SWAP_MARKER}", _json.dumps(tables))
     for t in tables:
         fs_delete(spark, f"{path}/{t}")
         fs_rename(spark, f"{stage}/{t}", f"{path}/{t}")
     fs_delete(spark, stage)
+
+
+def assert_no_interrupted_swap(spark, path: str) -> None:
+    """Raise if ``path`` carries a surviving swap-intent marker — the
+    index was killed mid-compact-swap and may be serving mixed tables
+    (e.g. purged postings under pre-purge stats: silently wrong
+    scores). Called by every index load/read entry point."""
+    stage = f"{path.rstrip('/')}/_compact_tmp"
+    if fs_exists(spark, f"{stage}/{SWAP_MARKER}"):
+        raise ValueError(
+            f"interrupted compact at {path}: the stage-and-swap was "
+            "killed mid-swap, so the live tables may be a mix of pre- "
+            "and post-compact generations (stats would be silently "
+            "wrong). Complete the swap with "
+            f"keystone_spark.fsutil.finish_swap(spark, {path!r}) or "
+            "`python -m keystone_spark.apps.maintain index-repair "
+            f"--path {path}`, then retry."
+        )
+
+
+def finish_swap(spark, path: str) -> dict:
+    """Complete an interrupted ``swap_tables`` (idempotent): every
+    table named by the surviving intent marker is either still staged
+    (delete the live dir, rename the staged one in) or already swapped
+    (skip); the stage dir — marker included — is removed at the end.
+    No marker + no stage: nothing to do. No marker + stage: the crash
+    predates the destructive phase, the live index is intact — the
+    stale stage is simply dropped."""
+    import json as _json
+
+    stage = f"{path.rstrip('/')}/_compact_tmp"
+    marker = f"{stage}/{SWAP_MARKER}"
+    if not fs_exists(spark, stage):
+        return {"resumed_tables": [], "stage_dropped": False}
+    if not fs_exists(spark, marker):
+        fs_delete(spark, stage)
+        return {"resumed_tables": [], "stage_dropped": True}
+    tables = _json.loads(fs_read_text(spark, marker))
+    resumed = []
+    for t in tables:
+        if fs_exists(spark, f"{stage}/{t}"):
+            fs_delete(spark, f"{path}/{t}")
+            fs_rename(spark, f"{stage}/{t}", f"{path}/{t}")
+            resumed.append(t)
+    fs_delete(spark, stage)
+    return {"resumed_tables": resumed, "stage_dropped": True}
 
 
 def ids_to_tombstones(spark, ids, id_col: str, id_type) -> "object":
@@ -87,9 +177,29 @@ def ids_to_tombstones(spark, ids, id_col: str, id_type) -> "object":
     from pyspark.sql.types import StructField, StructType
 
     if isinstance(ids, DataFrame):
-        return ids.select(
-            F.col(ids.columns[0]).cast(id_type).alias(id_col)
+        # A cast that fails produces NULL, and a NULL tombstone matches
+        # nothing in the anti-join — the takedown would report success
+        # while deleting nothing (silent no-op, the worst failure mode a
+        # GDPR path can have). Any non-null id that casts to NULL raises
+        # instead of landing as a dead tombstone row.
+        src = ids.select(F.col(ids.columns[0]).alias("_raw"))
+        out = src.select(
+            "_raw", F.col("_raw").cast(id_type).alias(id_col)
         )
+        bad = [
+            r["_raw"]
+            for r in out.where(
+                F.col(id_col).isNull() & F.col("_raw").isNotNull()
+            ).limit(5).collect()
+        ]
+        if bad:
+            raise ValueError(
+                f"delete ids {bad} do not cast to the index's stored id "
+                f"type {id_type.simpleString()} — the tombstones would "
+                "match nothing and the takedown would silently no-op; "
+                "pass ids of the stored type"
+            )
+        return out.select(id_col)
     return spark.createDataFrame(
         [(i,) for i in ids],
         StructType([StructField(id_col, id_type)]),

@@ -1334,8 +1334,12 @@ def _minhash_manifest(spark, path: str) -> dict:
     crash-safe layout; rebuild with build_minhash_index."""
     from pyspark.errors import AnalysisException
 
-    from keystone_spark.fsutil import is_missing_path
+    from keystone_spark.fsutil import (
+        assert_no_interrupted_swap,
+        is_missing_path,
+    )
 
+    assert_no_interrupted_swap(spark, path)
     try:
         rows = spark.read.parquet(f"{path}/params").collect()
     except AnalysisException as e:
@@ -1578,6 +1582,15 @@ def add_to_minhash_index(
         content = content.join(F.broadcast(tomb), id_col, "left_anti")
 
     batch = batch.where(F.col(text_col).isNotNull())
+    if tomb is not None:
+        # A batch row carrying a TOMBSTONED id must not be indexed: its
+        # band/sig rows would be invisible to match (the id anti-join)
+        # and physically purged at the next compact — a black hole that
+        # would report success. Same contract as IvfIndex.add's skip
+        # set: a deleted id cannot return until compact frees it;
+        # re-ingest deleted content under a FRESH id (any other copy in
+        # the batch becomes the representative and indexes normally).
+        batch = batch.join(F.broadcast(tomb), id_col, "left_anti")
     caches: list = []
     brep = _persist_once(
         batch.select(F.col(id_col), F.xxhash64(text_col).alias("ck"))
@@ -1608,8 +1621,18 @@ def add_to_minhash_index(
     n_banded = bands_new.count()
     if bucket_cap is not None:
         touched = bands_new.select("band", "bucket").distinct()
+        stored_bands = _minhash_committed(spark, path, "bands", committed)
+        if tomb is not None:
+            # occupancy counts LIVE members only: tombstoned docs'
+            # band rows are dead weight a compact will drop — counting
+            # them would cap new rows out of buckets whose live
+            # membership is under the cap (silent recall loss that no
+            # later add can repair)
+            stored_bands = stored_bands.join(
+                F.broadcast(tomb), id_col, "left_anti"
+            )
         stored_occ = (
-            _minhash_committed(spark, path, "bands", committed)
+            stored_bands
             .join(F.broadcast(touched), ["band", "bucket"], "left_semi")
             .groupBy("band", "bucket")
             .agg(F.count("*").alias("__stored"))
@@ -1763,6 +1786,16 @@ def compact_minhash_index(spark, path: str) -> dict:
     _minhash_append_manifest(spark, stage, cfg, 0, committed=True,
                              mode="overwrite")
     tables.append("params")
+    if count_parquet_files(spark, f"{stage}/bands") == 0:
+        fs_delete(spark, stage)
+        raise ValueError(
+            "compact aborted: every indexed document is tombstoned, and "
+            "the staged rewrite would leave an empty bands table that no "
+            "reader can load (parquet schema inference fails on a "
+            "file-less partitioned directory) — the live index is "
+            "untouched; delete the index directory instead of "
+            "compacting it empty"
+        )
     before = count_parquet_files(spark, f"{path}/bands")
     swap_tables(spark, path, stage, tables)
     # tombstones are now physically purged from the data files

@@ -711,6 +711,9 @@ class Bm25Index:
         its generation number claimed). The orphan set is surfaced in
         ``params["incomplete_generations"]`` and physically purged at
         the next ``compact``."""
+        from keystone_spark.fsutil import assert_no_interrupted_swap
+
+        assert_no_interrupted_swap(spark, path)
         gens = spark.read.parquet(f"{path}/params").collect()
         fixed = {(int(r["version"]), float(r["k1"]), float(r["b"]),
                   int(r["n_term_buckets"]), r["id_col"]) for r in gens}
@@ -753,6 +756,7 @@ class Bm25Index:
         path: str,
         batch_docs: DataFrame,
         tokens_col: str = "toks",
+        skip_existing_ids: bool = False,
     ) -> dict:
         """Append a document batch to the stored index WITHOUT a rebuild
         (VERDICT r9 #1): sign the batch with the manifest's config,
@@ -767,7 +771,18 @@ class Bm25Index:
         already served would double-count its postings — ids name
         documents; takedowns go through ``delete``); the batch must be
         tokenized by the same tokenizer as the build (the index stores
-        terms, not text).
+        terms, not text). Or pass ``skip_existing_ids=True`` for the
+        IDEMPOTENT form (the streaming-replay contract, same shape as
+        ``IvfIndex.add``): ids already present in the committed
+        postings OR tombstoned are anti-joined out before anything is
+        counted, so a replayed batch appends nothing and stats stay
+        exact. Costs one narrow postings id-column scan per call
+        (committed generations only, so a retried CRASHED add still
+        lands — its orphan rows are never in the committed set).
+        Caveat: a document whose token array is EMPTY leaves no
+        postings, so the skip set cannot see it — an all-empty-docs
+        replay would re-count those n_docs; empty docs can never match
+        a query, but keep them out of streams you expect to replay.
 
         Crash safety (VERDICT r10 #1): the mutation is a two-phase
         commit — INTENT manifest row first (durably claims the
@@ -788,6 +803,12 @@ class Bm25Index:
         append)."""
         idx = cls.load(spark, path)  # validates format + manifest
         p = idx.params
+        if skip_existing_ids:
+            known = idx.postings.select(p["id_col"])
+            tomb = cls._tombstones(spark, path, p["id_col"])
+            if tomb is not None:
+                known = known.unionByName(tomb)
+            batch_docs = batch_docs.join(known, p["id_col"], "left_anti")
         postings, df_t, n_docs, sum_dl = cls._stats(
             batch_docs, p["id_col"], tokens_col, p["n_term_buckets"]
         )
@@ -926,6 +947,16 @@ class Bm25Index:
         merged._write_data(stage, "overwrite", 0)
         cls._append_manifest(spark, stage, p, 0, n_docs, sum_dl,
                              committed=True, mode="overwrite")
+        if count_parquet_files(spark, f"{stage}/postings") == 0:
+            fs_delete(spark, stage)
+            raise ValueError(
+                "compact aborted: every document is tombstoned, and the "
+                "staged rewrite would leave an empty postings table that "
+                "no reader can load (parquet schema inference fails on "
+                "a file-less directory) — the live index is untouched; "
+                "delete the index directory instead of compacting it "
+                "empty"
+            )
         files_before = count_parquet_files(spark, f"{path}/postings")
         swap_tables(spark, path, stage, ["postings", "df", "params"])
         # tombstones are now physically purged from the data files

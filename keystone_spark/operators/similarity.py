@@ -496,6 +496,16 @@ class IvfIndex:
             .write.mode("overwrite").partitionBy("cell")
             .parquet(f"{stage}/corpus")
         )
+        if count_parquet_files(spark, f"{stage}/corpus") == 0:
+            fs_delete(spark, stage)
+            raise ValueError(
+                "compact aborted: every vector is tombstoned, and the "
+                "staged rewrite would leave an empty corpus table that "
+                "no reader can load (parquet schema inference fails on "
+                "a file-less directory) — the live index is untouched; "
+                "delete the index directory instead of compacting it "
+                "empty"
+            )
         before = count_parquet_files(spark, f"{path}/corpus")
         swap_tables(spark, path, stage, ["corpus"])
         fs_delete(spark, f"{path}/tombstones")
@@ -574,28 +584,35 @@ class IvfIndex:
         """Corpus partitioned by cell (-> partition pruning on load+search),
         centroids as JSON."""
         import json
-        import os
 
-        os.makedirs(path, exist_ok=True)
+        from keystone_spark.fsutil import fs_write_text
+
         self.indexed.write.mode("overwrite").partitionBy("cell").parquet(
-            os.path.join(path, "corpus")
+            f"{path}/corpus"
         )
-        with open(os.path.join(path, "centroids.json"), "w") as f:
-            json.dump(
-                {"centroids": self.C.tolist(), "id_col": self.id_col,
-                 "vec_col": self.vec_col},
-                f,
-            )
+        # centroid JSON rides the same Hadoop FileSystem as the corpus
+        # (file://, hdfs://, bare local all work) — a driver-local
+        # open() here made every non-local path fail at load before the
+        # FS-agnostic compact could even run
+        fs_write_text(
+            self.indexed.sparkSession, f"{path}/centroids.json",
+            json.dumps({"centroids": self.C.tolist(),
+                        "id_col": self.id_col, "vec_col": self.vec_col}),
+        )
         self.path = path
 
     @classmethod
     def load(cls, spark, path: str) -> "IvfIndex":
         import json
-        import os
 
-        with open(os.path.join(path, "centroids.json")) as f:
-            meta = json.load(f)
-        indexed = spark.read.parquet(os.path.join(path, "corpus"))
+        from keystone_spark.fsutil import (
+            assert_no_interrupted_swap,
+            fs_read_text,
+        )
+
+        assert_no_interrupted_swap(spark, path)
+        meta = json.loads(fs_read_text(spark, f"{path}/centroids.json"))
+        indexed = spark.read.parquet(f"{path}/corpus")
         return cls(np.asarray(meta["centroids"]), indexed,
                    meta["id_col"], meta["vec_col"], path=path)
 
@@ -944,6 +961,16 @@ class IvfPqIndex:
             .write.mode("overwrite").partitionBy("cell")
             .parquet(f"{stage}/codes")
         )
+        if count_parquet_files(spark, f"{stage}/codes") == 0:
+            fs_delete(spark, stage)
+            raise ValueError(
+                "compact aborted: every vector is tombstoned, and the "
+                "staged rewrite would leave an empty codes table that "
+                "no reader can load (parquet schema inference fails on "
+                "a file-less directory) — the live index is untouched; "
+                "delete the index directory instead of compacting it "
+                "empty"
+            )
         before = count_parquet_files(spark, f"{path}/codes")
         swap_tables(spark, path, stage, ["codes"])
         fs_delete(spark, f"{path}/tombstones")
@@ -960,32 +987,35 @@ class IvfPqIndex:
 
     def save(self, path: str) -> None:
         import json
-        import os
 
-        os.makedirs(path, exist_ok=True)
+        from keystone_spark.fsutil import fs_write_text
+
         self.indexed.write.mode("overwrite").partitionBy("cell").parquet(
-            os.path.join(path, "codes")
+            f"{path}/codes"
         )
-        with open(os.path.join(path, "model.json"), "w") as f:
-            json.dump(
-                {
-                    "centroids": self.C.tolist(),
-                    "books": self.books.tolist(),
-                    "id_col": self.id_col,
-                    "vec_col": self.vec_col,
-                },
-                f,
-            )
+        fs_write_text(
+            self.indexed.sparkSession, f"{path}/model.json",
+            json.dumps({
+                "centroids": self.C.tolist(),
+                "books": self.books.tolist(),
+                "id_col": self.id_col,
+                "vec_col": self.vec_col,
+            }),
+        )
         self.path = path
 
     @classmethod
     def load(cls, spark, path: str) -> "IvfPqIndex":
         import json
-        import os
 
-        with open(os.path.join(path, "model.json")) as f:
-            meta = json.load(f)
-        indexed = spark.read.parquet(os.path.join(path, "codes"))
+        from keystone_spark.fsutil import (
+            assert_no_interrupted_swap,
+            fs_read_text,
+        )
+
+        assert_no_interrupted_swap(spark, path)
+        meta = json.loads(fs_read_text(spark, f"{path}/model.json"))
+        indexed = spark.read.parquet(f"{path}/codes")
         return cls(
             np.asarray(meta["centroids"]),
             np.asarray(meta["books"]),

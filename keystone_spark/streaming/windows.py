@@ -912,18 +912,23 @@ def stream_bm25_ingest(
     ``compact_every_n=k`` runs ``Bm25Index.compact`` after every k-th
     micro-batch — every add leaves one small file set per touched term
     bucket, so a long-lived stream without compaction goes file-bound
-    at search. A replayed micro-batch (foreachBatch is at-least-once)
-    would double-count under the fresh-id contract; the crash-safe v3
-    add makes a RESTARTED partial add harmless (uncommitted generation,
-    never served), which is the replay mode AvailableNow + checkpoint
-    actually produces. Blocks until drained."""
+    at search. Replay safety: foreachBatch is at-least-once, and a
+    replayed batch that COMMITTED before the crash would double-count
+    its postings under the bare fresh-id contract (the crash-safe v3
+    layout only protects the restarted-PARTIAL-add case) — so the fold
+    appends with ``skip_existing_ids=True``: replayed ids anti-join
+    against the committed postings and count nothing, at the price of
+    one narrow postings id-column scan per micro-batch (same contract
+    as the MinHash fold's content anti-join and
+    ``stream_vector_ingest``'s id skip set). Blocks until drained."""
     from keystone_spark.operators.nlp import Bm25Index
 
     spark = stream_docs.sparkSession
     n_folds = {"n": 0}
 
     def fold(bdf: DataFrame, epoch_id: int) -> None:
-        Bm25Index.add(spark, index_path, bdf, tokens_col=tokens_col)
+        Bm25Index.add(spark, index_path, bdf, tokens_col=tokens_col,
+                      skip_existing_ids=True)
         n_folds["n"] += 1
         if compact_every_n and n_folds["n"] % compact_every_n == 0:
             Bm25Index.compact(spark, index_path)

@@ -1,0 +1,311 @@
+"""Round-11 self-review fixes for the stored-index lifecycle: silent
+takedown no-ops (null-cast tombstones), the tombstoned-id add black
+hole, tombstone-inflated bucket caps, BM25 streaming replay
+double-counts, compact-to-empty bricking, and the mid-swap compact
+crash window (intent marker + finish_swap repair)."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from keystone_spark.sources import load_table
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "pack my box with five dozen liquor jugs for the long winter"),
+    (3, "sphinx of black quartz judge my vow said the old professor"),
+    (4, "how vexingly quick daft zebras jump over the sleeping fence"),
+]
+
+
+def _toks(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+
+
+def test_tombstone_ids_that_cast_to_null_raise(spark, tmp_path):
+    """A delete id that does not cast to the stored id type would land
+    as a NULL tombstone, match nothing in the anti-join, and report
+    success while deleting nothing — the silent-no-op takedown. It
+    raises instead."""
+    from keystone_spark.operators.nlp import Bm25Index
+
+    path = str(tmp_path / "bm25")
+    Bm25Index.build(_toks(spark, DOCS), n_term_buckets=4).save(path)
+    bad = spark.createDataFrame([("docA",), ("2",)], "id string")
+    with pytest.raises(ValueError, match="docA"):
+        Bm25Index.delete(spark, path, bad)
+    # castable string forms still work (the "2" row above was fine)
+    stats = Bm25Index.delete(
+        spark, path, spark.createDataFrame([("2",)], "id string")
+    )
+    assert stats["tombstones_added"] == 1
+
+
+def test_minhash_add_skips_tombstoned_ids(spark, tmp_path):
+    """A batch row carrying a TOMBSTONED id must not be indexed — its
+    rows would be invisible to match and purged at compact (a black
+    hole that reports success). The same content under a FRESH id in
+    the same batch becomes the representative and is findable."""
+    from keystone_spark.operators.dedup import (
+        add_to_minhash_index,
+        build_minhash_index,
+        delete_from_minhash_index,
+        match_minhash_index,
+    )
+
+    corpus = spark.createDataFrame(DOCS, "doc_id long, text string")
+    path = str(tmp_path / "mh")
+    build_minhash_index(corpus, path, n_hashes=64, n_bands=16)
+    delete_from_minhash_index(spark, path, [1])
+
+    # re-add doc 1's content under BOTH the dead id and a fresh one:
+    # the dead id's row is skipped, the fresh id indexes the content
+    readd = spark.createDataFrame(
+        [(1, DOCS[0][1]), (9, DOCS[0][1])], "doc_id long, text string"
+    )
+    stats = add_to_minhash_index(spark, path, readd)
+    assert stats["new_content"] == 1
+    sig_ids = {
+        r.doc_id for r in spark.read.parquet(f"{path}/sigs")
+        .select("doc_id").distinct().collect()
+    }
+    assert 9 in sig_ids
+    # the dead id wrote nothing in the new generation
+    gen = stats["generation"]
+    assert spark.read.parquet(f"{path}/sigs").where(
+        (F.col("gen") == gen) & (F.col("doc_id") == 1)
+    ).count() == 0
+
+    # and a batch containing ONLY the dead id is a clean no-op
+    only_dead = spark.createDataFrame(
+        [(1, DOCS[0][1])], "doc_id long, text string"
+    )
+    stats2 = add_to_minhash_index(spark, path, only_dead)
+    assert stats2["new_content"] == 0 and stats2["generation"] is None
+
+    # the fresh representative is findable
+    probe = spark.createDataFrame(
+        [(100, DOCS[0][1])], "doc_id long, text string"
+    )
+    texts = corpus.unionByName(readd.where("doc_id = 9"))
+    out = match_minhash_index(
+        spark, path, probe, texts, n_hashes=64, n_bands=16
+    ).collect()
+    assert [(r.doc_id, r.dup_of) for r in out] == [(100, 9)]
+
+
+def test_minhash_occupancy_ignores_tombstoned_rows(spark, tmp_path):
+    """bucket_cap=1 + one tombstoned (uncompacted) representative: the
+    dead band rows must not count toward occupancy, or re-added content
+    is capped out of every bucket (band_rows_added=0) and becomes
+    unfindable — silent recall loss no later add can repair."""
+    from keystone_spark.operators.dedup import (
+        add_to_minhash_index,
+        build_minhash_index,
+        delete_from_minhash_index,
+    )
+
+    corpus = spark.createDataFrame(DOCS[:2], "doc_id long, text string")
+    path = str(tmp_path / "mh_cap")
+    build_minhash_index(corpus, path, n_hashes=64, n_bands=16,
+                        bucket_cap=1)
+    delete_from_minhash_index(spark, path, [1])
+    # same content as doc 1 -> identical (band, bucket) keys, whose only
+    # stored occupant is the tombstoned rep
+    readd = spark.createDataFrame(
+        [(9, DOCS[0][1])], "doc_id long, text string"
+    )
+    stats = add_to_minhash_index(spark, path, readd)
+    assert stats["new_content"] == 1
+    assert stats["band_rows_capped"] == 0
+    assert stats["band_rows_added"] == 16
+
+
+def test_bm25_add_skip_existing_ids_and_stream_replay(spark, tmp_path):
+    """Bm25Index.add(skip_existing_ids=True) anti-joins committed
+    postings ∪ tombstones, so a replayed batch counts nothing; the
+    streaming fold uses it, so re-running a drained stream against a
+    fresh checkpoint (at-least-once replay) leaves the index
+    hash-identical instead of double-counting every score."""
+    from keystone_spark.operators.nlp import Bm25Index
+    from keystone_spark.streaming.windows import stream_bm25_ingest
+
+    seed, rest = DOCS[:2], DOCS[2:]
+    path = str(tmp_path / "bm25_skip")
+    Bm25Index.build(_toks(spark, seed), n_term_buckets=4).save(path)
+    s1 = Bm25Index.add(spark, path, _toks(spark, rest),
+                       skip_existing_ids=True)
+    assert s1["batch_docs"] == 2
+    s2 = Bm25Index.add(spark, path, _toks(spark, rest),
+                       skip_existing_ids=True)
+    assert s2["batch_docs"] == 0 and s2["generation"] is None
+    assert Bm25Index.load(spark, path).params["n_docs"] == 4
+
+    # streaming replay: same source, fresh checkpoint each run
+    src = tmp_path / "incoming"
+    src.mkdir()
+    spark.createDataFrame(rest, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(src / "b0"))
+
+    spath = str(tmp_path / "bm25_stream")
+    Bm25Index.build(_toks(spark, seed), n_term_buckets=4).save(spath)
+
+    def run_once():
+        stream_bm25_ingest(
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(str(src / "*"))
+            .select("doc_id", F.split("text", " ").alias("toks")),
+            spath,
+        )
+
+    run_once()
+    run_once()  # replay
+    idx = Bm25Index.load(spark, spath)
+    assert idx.params["n_docs"] == 4
+    qs = spark.createDataFrame(
+        [(0, ["quick", "box"])], ["query_id", "q_toks"]
+    )
+    full = Bm25Index.build(_toks(spark, DOCS), n_term_buckets=4)
+
+    def key(df):
+        return sorted((r.query_id, r.rk, r.doc_id, round(r.score, 9))
+                      for r in df.collect())
+
+    assert key(idx.search(qs, k=4)) == key(full.search(qs, k=4))
+
+
+def test_compact_to_empty_aborts_and_leaves_index_live(spark, tmp_path):
+    """Tombstoning EVERY document and compacting used to install empty
+    data dirs that brick every later load (UNABLE_TO_INFER_SCHEMA).
+    Compact now aborts before the swap and the live index still
+    serves. All four families."""
+    from keystone_spark.operators.dedup import (
+        build_minhash_index,
+        compact_minhash_index,
+        delete_from_minhash_index,
+    )
+    from keystone_spark.operators.nlp import Bm25Index
+    from keystone_spark.operators.similarity import IvfIndex, IvfPqIndex
+
+    corpus = spark.createDataFrame(DOCS, "doc_id long, text string")
+
+    p = str(tmp_path / "bm25")
+    Bm25Index.build(_toks(spark, DOCS), n_term_buckets=4).save(p)
+    Bm25Index.delete(spark, p, [d[0] for d in DOCS])
+    with pytest.raises(ValueError, match="tombstoned"):
+        Bm25Index.compact(spark, p)
+    assert Bm25Index.load(spark, p).params["n_docs"] == 4  # untouched
+
+    p = str(tmp_path / "mh")
+    build_minhash_index(corpus, p, n_hashes=64, n_bands=16)
+    delete_from_minhash_index(spark, p, [d[0] for d in DOCS])
+    with pytest.raises(ValueError, match="tombstoned"):
+        compact_minhash_index(spark, p)
+    assert spark.read.parquet(f"{p}/bands").count() > 0  # untouched
+
+    e = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    for fam, tbl in ((IvfIndex, "corpus"), (IvfPqIndex, "codes")):
+        p = str(tmp_path / f"vec_{tbl}")
+        fam.build(e, n_cells=4).save(p)
+        fam.delete(spark, p, e.select("vec_id"))
+        with pytest.raises(ValueError, match="tombstoned"):
+            fam.compact(spark, p)
+        fam.load(spark, p)  # still loadable
+
+
+def test_interrupted_compact_swap_detected_and_repairable(
+    spark, tmp_path, monkeypatch
+):
+    """Kill the compact between table renames: the surviving intent
+    marker makes every reader refuse the mixed-table index (old df/
+    params over purged postings = silently wrong scores), and
+    finish_swap completes the swap so search equals the survivor
+    rebuild."""
+    from keystone_spark import fsutil
+    from keystone_spark.operators.nlp import Bm25Index
+
+    path = str(tmp_path / "bm25_crash")
+    Bm25Index.build(_toks(spark, DOCS), n_term_buckets=4).save(path)
+    Bm25Index.delete(spark, path, [1])
+
+    real_rename = fsutil.fs_rename
+    calls = {"n": 0}
+
+    def dying_rename(spark_, src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash between table renames")
+        real_rename(spark_, src, dst)
+
+    monkeypatch.setattr(fsutil, "fs_rename", dying_rename)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        Bm25Index.compact(spark, path)
+    monkeypatch.setattr(fsutil, "fs_rename", real_rename)
+
+    # every reader refuses the mixed state (load, and through it
+    # search/add/delete/compact)
+    with pytest.raises(ValueError, match="interrupted compact"):
+        Bm25Index.load(spark, path)
+
+    stats = fsutil.finish_swap(spark, path)
+    assert set(stats["resumed_tables"]) == {"df", "params"}
+    assert not fsutil.fs_exists(spark, f"{path}/_compact_tmp")
+
+    idx = Bm25Index.load(spark, path)
+    assert idx.params["n_docs"] == 3  # post-purge stats, consistent
+    qs = spark.createDataFrame(
+        [(0, ["quick", "box"])], ["query_id", "q_toks"]
+    )
+    survivors = Bm25Index.build(
+        _toks(spark, [d for d in DOCS if d[0] != 1]), n_term_buckets=4
+    )
+
+    def key(df):
+        return sorted((r.query_id, r.rk, r.doc_id, round(r.score, 9))
+                      for r in df.collect())
+
+    assert key(idx.search(qs, k=4)) == key(survivors.search(qs, k=4))
+
+    # finish_swap on a healthy index is a no-op
+    assert fsutil.finish_swap(spark, path) == {
+        "resumed_tables": [], "stage_dropped": False
+    }
+
+
+def test_vector_index_file_uri_roundtrip(spark, tmp_path):
+    """The centroid/model JSON rides the Hadoop FileSystem now, so a
+    file:// URI (the FS-agnosticism probe the text indexes already
+    pass) works end-to-end: save, load, search, delete, compact."""
+    from keystone_spark.operators.similarity import IvfIndex
+
+    e = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    path = f"file://{tmp_path}/ivf_uri"
+    IvfIndex.build(e, n_cells=4).save(path)
+    idx = IvfIndex.load(spark, path)
+    probes = e.limit(2)
+    n0 = idx.search(probes, k=5, n_probe_cells=4).count()
+    assert n0 > 0
+    IvfIndex.delete(spark, path, probes.select("vec_id"))
+    IvfIndex.compact(spark, path)
+    assert IvfIndex.load(spark, path).search(
+        probes, k=5, n_probe_cells=4
+    ).count() > 0
+
+
+def test_maintain_index_repair_cli(tmp_path):
+    """index-repair CLI: clean-path no-op prints the finish_swap stats."""
+    r = subprocess.run(
+        [sys.executable, "-m", "keystone_spark.apps.maintain",
+         "index-repair", "--path", str(tmp_path / "nothing")],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats == {"app": "maintain.index-repair",
+                     "resumed_tables": [], "stage_dropped": False}
