@@ -226,6 +226,24 @@ def read_tombstones(spark, path: str, id_col: str):
     return df.select(F.col(id_col)).distinct()
 
 
+def generation_sets(rows) -> dict:
+    """The commit-log invariants shared by every generation-manifest
+    index (Bm25Index v3, the MinHash index): which generations are
+    COMMITTED (served by readers), the max generation ever claimed
+    (the next add allocates max+1, so a crashed attempt's number is
+    never reused), and the incomplete set (intent rows without a
+    commit — orphans a compact purges). One implementation so the
+    two families' commit semantics cannot drift apart."""
+    committed = sorted({int(r["generation"]) for r in rows
+                        if r["committed"]})
+    all_gens = {int(r["generation"]) for r in rows}
+    return {
+        "committed": committed,
+        "max_generation": max(all_gens),
+        "incomplete_generations": sorted(all_gens - set(committed)),
+    }
+
+
 def is_missing_path(e) -> bool:
     """True when an AnalysisException is the path-does-not-exist error
     class (getCondition on Spark 4, getErrorClass before it)."""

@@ -1363,15 +1363,13 @@ def _minhash_manifest(spark, path: str) -> dict:
             f"manifests ({sorted(fixed)}) — the index is corrupt; "
             "rebuild it"
         )
+    from keystone_spark.fsutil import generation_sets
+
     nh, nb, sk, seed, cap, st = next(iter(fixed))
-    committed = sorted({int(r["generation"]) for r in rows
-                        if r["committed"]})
-    all_gens = {int(r["generation"]) for r in rows}
     return {
         "n_hashes": nh, "n_bands": nb, "shingle_k": sk, "seed": seed,
         "bucket_cap": None if cap == -1 else cap, "store_texts": st,
-        "committed": committed, "max_generation": max(all_gens),
-        "incomplete_generations": sorted(all_gens - set(committed)),
+        **generation_sets(rows),
     }
 
 

@@ -731,18 +731,17 @@ class Bm25Index:
                 "layout, r11) — rebuild the index with "
                 "Bm25Index.build().save()"
             )
-        committed = sorted({int(r["generation"]) for r in gens
-                            if r["committed"]})
-        all_gens = {int(r["generation"]) for r in gens}
+        from keystone_spark.fsutil import generation_sets
+
+        sets = generation_sets(gens)
         params = {
             "version": version, "k1": k1, "b": b,
             "n_docs": sum(int(r["n_docs"]) for r in gens if r["committed"]),
             "sum_dl": sum(int(r["sum_dl"]) for r in gens if r["committed"]),
             "n_term_buckets": nb, "id_col": id_col,
-            "max_generation": max(all_gens),
-            "incomplete_generations": sorted(all_gens - set(committed)),
+            **sets,
         }
-        keep = F.col("gen").isin([int(g) for g in committed])
+        keep = F.col("gen").isin([int(g) for g in sets["committed"]])
         return cls(
             spark.read.parquet(f"{path}/postings").where(keep).drop("gen"),
             spark.read.parquet(f"{path}/df").where(keep).drop("gen"),
