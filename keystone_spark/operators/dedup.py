@@ -1438,6 +1438,15 @@ def build_minhash_index(
     two-phase append — an interrupted mutation is invisible, a blind
     retry cannot double-index, and ``compact_minhash_index`` purges
     the orphan rows."""
+    from keystone_spark.fsutil import fs_delete
+
+    # a build is a brand-new index: stale tombstones or a stale compact
+    # stage left by a previous index at the same path must not leak
+    # into it (leftover tombstones would hide freshly indexed ids; a
+    # leftover swap marker would make every reader refuse the rebuild)
+    spark = corpus.sparkSession
+    fs_delete(spark, f"{path}/tombstones")
+    fs_delete(spark, f"{path.rstrip('/')}/_compact_tmp")
     corpus = corpus.where(F.col(text_col).isNotNull())  # no-shingle docs
     # min-id-per-content collapse, mirroring neardup_against_corpus's
     # inline path (see its docstring for the result-identity argument):

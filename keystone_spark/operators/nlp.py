@@ -692,7 +692,15 @@ class Bm25Index:
         """Write generation 0 (overwrite): data tables first, the
         committed manifest row LAST — the same manifest-last ordering
         every mutation uses. All tables ride the same Hadoop
-        filesystem as ``path`` — FS-agnostic."""
+        filesystem as ``path`` — FS-agnostic. A save is a brand-new
+        index: stale tombstones or a stale compact stage from a
+        previous index at this path are cleared first (leftovers would
+        hide freshly indexed ids / make readers refuse the rebuild)."""
+        from keystone_spark.fsutil import fs_delete
+
+        spark = self.postings.sparkSession
+        fs_delete(spark, f"{path}/tombstones")
+        fs_delete(spark, f"{path.rstrip('/')}/_compact_tmp")
         self._write_data(path, "overwrite", 0)
         self._append_manifest(
             self.postings.sparkSession, path, self.params, 0,

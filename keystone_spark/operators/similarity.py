@@ -585,8 +585,13 @@ class IvfIndex:
         centroids as JSON."""
         import json
 
-        from keystone_spark.fsutil import fs_write_text
+        from keystone_spark.fsutil import fs_delete, fs_write_text
 
+        # brand-new index: clear stale tombstones / compact stage from
+        # any previous index at this path
+        fs_delete(self.indexed.sparkSession, f"{path}/tombstones")
+        fs_delete(self.indexed.sparkSession,
+                  f"{path.rstrip('/')}/_compact_tmp")
         self.indexed.write.mode("overwrite").partitionBy("cell").parquet(
             f"{path}/corpus"
         )
@@ -988,8 +993,11 @@ class IvfPqIndex:
     def save(self, path: str) -> None:
         import json
 
-        from keystone_spark.fsutil import fs_write_text
+        from keystone_spark.fsutil import fs_delete, fs_write_text
 
+        fs_delete(self.indexed.sparkSession, f"{path}/tombstones")
+        fs_delete(self.indexed.sparkSession,
+                  f"{path.rstrip('/')}/_compact_tmp")
         self.indexed.write.mode("overwrite").partitionBy("cell").parquet(
             f"{path}/codes"
         )

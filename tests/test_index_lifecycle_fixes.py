@@ -309,3 +309,63 @@ def test_maintain_index_repair_cli(tmp_path):
     stats = json.loads(r.stdout.strip().splitlines()[-1])
     assert stats == {"app": "maintain.index-repair",
                      "resumed_tables": [], "stage_dropped": False}
+
+
+def test_rebuild_clears_stale_tombstones_and_stage(spark, tmp_path):
+    """A build/save at an existing index path is a brand-new index:
+    leftover tombstones (which would hide freshly indexed ids) and a
+    leftover compact stage with its swap marker (which would make every
+    reader refuse the rebuild) are cleared — all four families."""
+    from keystone_spark import fsutil
+    from keystone_spark.operators.dedup import (
+        build_minhash_index,
+        delete_from_minhash_index,
+        match_minhash_index,
+    )
+    from keystone_spark.operators.nlp import Bm25Index
+    from keystone_spark.operators.similarity import IvfIndex, IvfPqIndex
+
+    corpus = spark.createDataFrame(DOCS, "doc_id long, text string")
+
+    # bm25: delete id 1, plant a fake swap marker, rebuild -> id 1 served
+    p = str(tmp_path / "bm25")
+    Bm25Index.build(_toks(spark, DOCS), n_term_buckets=4).save(p)
+    Bm25Index.delete(spark, p, [1])
+    fsutil.fs_write_text(
+        spark, f"{p}/_compact_tmp/{fsutil.SWAP_MARKER}", "[]"
+    )
+    Bm25Index.build(_toks(spark, DOCS), n_term_buckets=4).save(p)
+    idx = Bm25Index.load(spark, p)  # marker gone, no raise
+    qs = spark.createDataFrame([(0, ["quick"])], ["query_id", "q_toks"])
+    assert 1 in {r.doc_id for r in idx.search(qs, k=4).collect()}
+
+    # minhash: same shape through build_minhash_index
+    p = str(tmp_path / "mh")
+    build_minhash_index(corpus, p, n_hashes=64, n_bands=16)
+    delete_from_minhash_index(spark, p, [1])
+    fsutil.fs_write_text(
+        spark, f"{p}/_compact_tmp/{fsutil.SWAP_MARKER}", "[]"
+    )
+    build_minhash_index(corpus, p, n_hashes=64, n_bands=16)
+    probe = spark.createDataFrame(
+        [(100, DOCS[0][1])], "doc_id long, text string"
+    )
+    out = match_minhash_index(
+        spark, p, probe, corpus, n_hashes=64, n_bands=16
+    ).collect()
+    assert [(r.doc_id, r.dup_of) for r in out] == [(100, 1)]
+
+    # vector families
+    e = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    victim = e.limit(1)
+    vid = victim.first().vec_id
+    for fam in (IvfIndex, IvfPqIndex):
+        p = str(tmp_path / f"vec_{fam.__name__}")
+        fam.build(e, n_cells=4).save(p)
+        fam.delete(spark, p, victim.select("vec_id"))
+        fsutil.fs_write_text(
+            spark, f"{p}/_compact_tmp/{fsutil.SWAP_MARKER}", "[]"
+        )
+        fam.build(e, n_cells=4).save(p)
+        idx = fam.load(spark, p)  # no raise
+        assert idx._load_tombstones(spark) is None
