@@ -369,3 +369,108 @@ def test_rebuild_clears_stale_tombstones_and_stage(spark, tmp_path):
         fam.build(e, n_cells=4).save(p)
         idx = fam.load(spark, p)  # no raise
         assert idx._load_tombstones(spark) is None
+
+
+@pytest.mark.parametrize("crash_at", [1, 2, 3])
+def test_bm25_swap_crash_at_every_position_is_repairable(
+    spark, tmp_path, monkeypatch, crash_at
+):
+    """Exhaustive crash points: the bm25 compact swap renames 3 tables
+    (postings, df, params); killed before ANY of them, the reader
+    refuses the index and finish_swap restores survivor-rebuild
+    identity."""
+    from keystone_spark import fsutil
+    from keystone_spark.operators.nlp import Bm25Index
+
+    path = str(tmp_path / f"bm25_c{crash_at}")
+    Bm25Index.build(_toks(spark, DOCS), n_term_buckets=4).save(path)
+    Bm25Index.delete(spark, path, [1])
+
+    real_rename = fsutil.fs_rename
+    calls = {"n": 0}
+
+    def dying_rename(spark_, src, dst):
+        calls["n"] += 1
+        if calls["n"] == crash_at:
+            raise RuntimeError("boom")
+        real_rename(spark_, src, dst)
+
+    monkeypatch.setattr(fsutil, "fs_rename", dying_rename)
+    with pytest.raises(RuntimeError):
+        Bm25Index.compact(spark, path)
+    monkeypatch.setattr(fsutil, "fs_rename", real_rename)
+
+    with pytest.raises(ValueError, match="interrupted compact"):
+        Bm25Index.load(spark, path)
+    fsutil.finish_swap(spark, path)
+
+    idx = Bm25Index.load(spark, path)
+    survivors = Bm25Index.build(
+        _toks(spark, [d for d in DOCS if d[0] != 1]), n_term_buckets=4
+    )
+    qs = spark.createDataFrame(
+        [(0, ["quick", "box"])], ["query_id", "q_toks"]
+    )
+
+    def key(df):
+        return sorted((r.query_id, r.rk, r.doc_id, round(r.score, 9))
+                      for r in df.collect())
+
+    assert key(idx.search(qs, k=4)) == key(survivors.search(qs, k=4))
+
+
+@pytest.mark.parametrize("crash_at", [1, 2, 3, 4])
+def test_minhash_swap_crash_at_every_position_is_repairable(
+    spark, tmp_path, monkeypatch, crash_at
+):
+    """Same exhaustive sweep for the MinHash compact swap (bands, sigs,
+    content, params): every crash point is detected and repaired to the
+    survivor state."""
+    from keystone_spark import fsutil
+    from keystone_spark.operators.dedup import (
+        build_minhash_index,
+        compact_minhash_index,
+        delete_from_minhash_index,
+        match_minhash_index,
+    )
+
+    corpus = spark.createDataFrame(DOCS, "doc_id long, text string")
+    path = str(tmp_path / f"mh_c{crash_at}")
+    build_minhash_index(corpus, path, n_hashes=64, n_bands=16)
+    delete_from_minhash_index(spark, path, [2])
+
+    real_rename = fsutil.fs_rename
+    calls = {"n": 0}
+
+    def dying_rename(spark_, src, dst):
+        calls["n"] += 1
+        if calls["n"] == crash_at:
+            raise RuntimeError("boom")
+        real_rename(spark_, src, dst)
+
+    monkeypatch.setattr(fsutil, "fs_rename", dying_rename)
+    with pytest.raises(RuntimeError):
+        compact_minhash_index(spark, path)
+    monkeypatch.setattr(fsutil, "fs_rename", real_rename)
+
+    probe = spark.createDataFrame(
+        [(100, DOCS[1][1])], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="interrupted compact"):
+        match_minhash_index(
+            spark, path, probe, corpus, n_hashes=64, n_bands=16
+        )
+    fsutil.finish_swap(spark, path)
+
+    # deleted doc 2 stays gone; the others still match themselves
+    out = match_minhash_index(
+        spark, path, probe, corpus, n_hashes=64, n_bands=16
+    ).collect()
+    assert out == []
+    probe3 = spark.createDataFrame(
+        [(101, DOCS[2][1])], "doc_id long, text string"
+    )
+    out3 = match_minhash_index(
+        spark, path, probe3, corpus, n_hashes=64, n_bands=16
+    ).collect()
+    assert [(r.doc_id, r.dup_of) for r in out3] == [(101, 3)]
