@@ -118,6 +118,48 @@ def swap_tables(spark, path: str, stage: str, tables: list[str]) -> None:
     fs_delete(spark, stage)
 
 
+COMPACT_LOCK = "_COMPACT_LOCK"
+
+
+def acquire_compact_lock(spark, path: str) -> None:
+    """Take the index's compact write-lock (Lucene ``write.lock``
+    parity): an atomic create-if-absent of ``{path}/_COMPACT_LOCK``
+    through the Hadoop FileSystem, so two compacts cannot interleave
+    their destructive swaps and mutations cannot append into a table
+    set that is being rewritten under them. Raises if the lock is
+    already held — by a live compact, or by a crashed one whose lock
+    ``finish_swap`` / ``maintain index-repair`` will clear."""
+    fs, p = _fs_path(spark, f"{path.rstrip('/')}/{COMPACT_LOCK}")
+    try:
+        out = fs.create(p, False)  # overwrite=False: atomic create
+        out.close()
+    except Exception as e:
+        raise ValueError(
+            f"compact lock already held at {path}: another compact is "
+            "running, or a crashed one left its lock — finish/clean up "
+            "with keystone_spark.fsutil.finish_swap(spark, "
+            f"{path!r}) / `maintain index-repair --path {path}`, "
+            "then retry"
+        ) from e
+
+
+def release_compact_lock(spark, path: str) -> None:
+    fs_delete(spark, f"{path.rstrip('/')}/{COMPACT_LOCK}")
+
+
+def assert_not_compacting(spark, path: str) -> None:
+    """Refuse a mutation (add/delete) while the compact lock is held:
+    the compact's staged rewrite reads the tables as of its start, so
+    rows appended during it would be silently DROPPED by the swap."""
+    if fs_exists(spark, f"{path.rstrip('/')}/{COMPACT_LOCK}"):
+        raise ValueError(
+            f"index at {path} is being compacted (compact lock held) — "
+            "retry the mutation after the compact finishes; if the "
+            "compact crashed, repair first (finish_swap / `maintain "
+            f"index-repair --path {path}`)"
+        )
+
+
 def assert_no_interrupted_swap(spark, path: str) -> None:
     """Raise if ``path`` carries a surviving swap-intent marker — the
     index was killed mid-compact-swap and may be serving mixed tables
@@ -149,9 +191,13 @@ def finish_swap(spark, path: str) -> dict:
     stage = f"{path.rstrip('/')}/_compact_tmp"
     marker = f"{stage}/{SWAP_MARKER}"
     if not fs_exists(spark, stage):
+        # a crash between lock acquisition and staging leaves only the
+        # lock — clear it so mutations unblock
+        release_compact_lock(spark, path)
         return {"resumed_tables": [], "stage_dropped": False}
     if not fs_exists(spark, marker):
         fs_delete(spark, stage)
+        release_compact_lock(spark, path)
         return {"resumed_tables": [], "stage_dropped": True}
     tables = _json.loads(fs_read_text(spark, marker))
     resumed = []
@@ -161,6 +207,7 @@ def finish_swap(spark, path: str) -> dict:
             fs_rename(spark, f"{stage}/{t}", f"{path}/{t}")
             resumed.append(t)
     fs_delete(spark, stage)
+    release_compact_lock(spark, path)
     return {"resumed_tables": resumed, "stage_dropped": True}
 
 

@@ -701,6 +701,7 @@ class Bm25Index:
         spark = self.postings.sparkSession
         fs_delete(spark, f"{path}/tombstones")
         fs_delete(spark, f"{path.rstrip('/')}/_compact_tmp")
+        fs_delete(spark, f"{path.rstrip('/')}/_COMPACT_LOCK")
         self._write_data(path, "overwrite", 0)
         self._append_manifest(
             self.postings.sparkSession, path, self.params, 0,
@@ -808,6 +809,9 @@ class Bm25Index:
         observability dict; reload via ``load`` to search the updated
         index (an already-loaded instance's file listing predates the
         append)."""
+        from keystone_spark.fsutil import assert_not_compacting
+
+        assert_not_compacting(spark, path)
         idx = cls.load(spark, path)  # validates format + manifest
         p = idx.params
         if skip_existing_ids:
@@ -865,8 +869,12 @@ class Bm25Index:
         cadences). The tombstone column takes the index's stored id
         type (from the postings schema), so string-id indexes delete
         correctly too."""
-        from keystone_spark.fsutil import ids_to_tombstones
+        from keystone_spark.fsutil import (
+            assert_not_compacting,
+            ids_to_tombstones,
+        )
 
+        assert_not_compacting(spark, path)
         idx = cls.load(spark, path)
         id_col = idx.params["id_col"]
         id_type = idx.postings.schema[id_col].dataType
@@ -915,16 +923,43 @@ class Bm25Index:
         crashed add) are physically dropped here — the staged rewrite
         reads through ``load``, which serves committed rows only."""
         from keystone_spark.fsutil import (
+            acquire_compact_lock,
             count_parquet_files,
             fs_delete,
+            release_compact_lock,
             swap_tables,
         )
 
         idx = cls.load(spark, path)  # validates format + manifest
+        acquire_compact_lock(spark, path)
         p = idx.params
         id_col = p["id_col"]
         stage = f"{path.rstrip('/')}/_compact_tmp"
         fs_delete(spark, stage)
+        try:
+            return cls._compact_locked(spark, path, idx, stage)
+        except BaseException:
+            # staging/guard failure (live index untouched) — or a swap
+            # failure, where the lock must stay held until repair; the
+            # marker tells the two apart
+            from keystone_spark.fsutil import SWAP_MARKER, fs_exists
+
+            if not fs_exists(spark, f"{stage}/{SWAP_MARKER}"):
+                release_compact_lock(spark, path)
+            raise
+
+    @classmethod
+    def _compact_locked(cls, spark, path: str, idx: "Bm25Index",
+                        stage: str) -> dict:
+        from keystone_spark.fsutil import (
+            count_parquet_files,
+            fs_delete,
+            release_compact_lock,
+            swap_tables,
+        )
+
+        p = idx.params
+        id_col = p["id_col"]
         postings = idx.postings
         n_docs, sum_dl = p["n_docs"], p["sum_dl"]
         tomb = cls._tombstones(spark, path, id_col)
@@ -968,6 +1003,7 @@ class Bm25Index:
         swap_tables(spark, path, stage, ["postings", "df", "params"])
         # tombstones are now physically purged from the data files
         fs_delete(spark, f"{path}/tombstones")
+        release_compact_lock(spark, path)
         return {"postings_files_before": files_before,
                 "postings_files_after": count_parquet_files(
                     spark, f"{path}/postings"),

@@ -419,6 +419,9 @@ class IvfIndex:
         re-ingest deleted content under a fresh id instead."""
         import os
 
+        from keystone_spark.fsutil import assert_not_compacting
+
+        assert_not_compacting(spark, path)
         idx = cls.load(spark, path)
         if skip_existing_ids:
             known = idx.indexed.select(idx.id_col)
@@ -459,8 +462,12 @@ class IvfIndex:
         ``compact`` physically purges its rows. ``ids`` is a list or a
         one-column DataFrame (typed from the stored corpus schema);
         unknown ids are harmless no-op rows."""
-        from keystone_spark.fsutil import ids_to_tombstones
+        from keystone_spark.fsutil import (
+            assert_not_compacting,
+            ids_to_tombstones,
+        )
 
+        assert_not_compacting(spark, path)
         idx = cls.load(spark, path)
         id_type = idx.indexed.schema[idx.id_col].dataType
         tomb = ids_to_tombstones(spark, ids, idx.id_col, id_type)
@@ -479,36 +486,47 @@ class IvfIndex:
         the Hadoop FileSystem API; same object-store rename caveat as
         the text indexes. Not safe concurrently with ``add``."""
         from keystone_spark.fsutil import (
+            SWAP_MARKER,
+            acquire_compact_lock,
             count_parquet_files,
             fs_delete,
+            fs_exists,
+            release_compact_lock,
             swap_tables,
         )
 
         idx = cls.load(spark, path)
+        acquire_compact_lock(spark, path)
         corpus = idx.indexed
         tomb = idx._load_tombstones(spark)
         if tomb is not None:
             corpus = corpus.join(F.broadcast(tomb), idx.id_col, "left_anti")
         stage = f"{path.rstrip('/')}/_compact_tmp"
         fs_delete(spark, stage)
-        (
-            corpus.repartition(F.col("cell"))
-            .write.mode("overwrite").partitionBy("cell")
-            .parquet(f"{stage}/corpus")
-        )
-        if count_parquet_files(spark, f"{stage}/corpus") == 0:
-            fs_delete(spark, stage)
-            raise ValueError(
-                "compact aborted: every vector is tombstoned, and the "
-                "staged rewrite would leave an empty corpus table that "
-                "no reader can load (parquet schema inference fails on "
-                "a file-less directory) — the live index is untouched; "
-                "delete the index directory instead of compacting it "
-                "empty"
+        try:
+            (
+                corpus.repartition(F.col("cell"))
+                .write.mode("overwrite").partitionBy("cell")
+                .parquet(f"{stage}/corpus")
             )
-        before = count_parquet_files(spark, f"{path}/corpus")
-        swap_tables(spark, path, stage, ["corpus"])
-        fs_delete(spark, f"{path}/tombstones")
+            if count_parquet_files(spark, f"{stage}/corpus") == 0:
+                fs_delete(spark, stage)
+                raise ValueError(
+                    "compact aborted: every vector is tombstoned, and "
+                    "the staged rewrite would leave an empty corpus "
+                    "table that no reader can load (parquet schema "
+                    "inference fails on a file-less directory) — the "
+                    "live index is untouched; delete the index "
+                    "directory instead of compacting it empty"
+                )
+            before = count_parquet_files(spark, f"{path}/corpus")
+            swap_tables(spark, path, stage, ["corpus"])
+            fs_delete(spark, f"{path}/tombstones")
+        except BaseException:
+            if not fs_exists(spark, f"{stage}/{SWAP_MARKER}"):
+                release_compact_lock(spark, path)
+            raise
+        release_compact_lock(spark, path)
         return {"corpus_files_before": before,
                 "corpus_files_after": count_parquet_files(
                     spark, f"{path}/corpus")}
@@ -592,6 +610,8 @@ class IvfIndex:
         fs_delete(self.indexed.sparkSession, f"{path}/tombstones")
         fs_delete(self.indexed.sparkSession,
                   f"{path.rstrip('/')}/_compact_tmp")
+        fs_delete(self.indexed.sparkSession,
+                  f"{path.rstrip('/')}/_COMPACT_LOCK")
         self.indexed.write.mode("overwrite").partitionBy("cell").parquet(
             f"{path}/corpus"
         )
@@ -898,6 +918,9 @@ class IvfPqIndex:
         appended ids too."""
         import os
 
+        from keystone_spark.fsutil import assert_not_compacting
+
+        assert_not_compacting(spark, path)
         idx = cls.load(spark, path)
         if skip_existing_ids:
             known = idx.indexed.select(idx.id_col)
@@ -933,8 +956,12 @@ class IvfPqIndex:
         contract as ``IvfIndex.delete``: immediate exclusion from
         search (anti-join on the cell-pruned scan), physical purge at
         ``compact``."""
-        from keystone_spark.fsutil import ids_to_tombstones
+        from keystone_spark.fsutil import (
+            assert_not_compacting,
+            ids_to_tombstones,
+        )
 
+        assert_not_compacting(spark, path)
         idx = cls.load(spark, path)
         id_type = idx.indexed.schema[idx.id_col].dataType
         tomb = ids_to_tombstones(spark, ids, idx.id_col, id_type)
@@ -949,36 +976,47 @@ class IvfPqIndex:
         ``IvfIndex.compact`` for the codes table; Hadoop-FS
         stage-and-swap, same object-store rename caveat."""
         from keystone_spark.fsutil import (
+            SWAP_MARKER,
+            acquire_compact_lock,
             count_parquet_files,
             fs_delete,
+            fs_exists,
+            release_compact_lock,
             swap_tables,
         )
 
         idx = cls.load(spark, path)
+        acquire_compact_lock(spark, path)
         codes = idx.indexed
         tomb = idx._load_tombstones(spark)
         if tomb is not None:
             codes = codes.join(F.broadcast(tomb), idx.id_col, "left_anti")
         stage = f"{path.rstrip('/')}/_compact_tmp"
         fs_delete(spark, stage)
-        (
-            codes.repartition(F.col("cell"))
-            .write.mode("overwrite").partitionBy("cell")
-            .parquet(f"{stage}/codes")
-        )
-        if count_parquet_files(spark, f"{stage}/codes") == 0:
-            fs_delete(spark, stage)
-            raise ValueError(
-                "compact aborted: every vector is tombstoned, and the "
-                "staged rewrite would leave an empty codes table that "
-                "no reader can load (parquet schema inference fails on "
-                "a file-less directory) — the live index is untouched; "
-                "delete the index directory instead of compacting it "
-                "empty"
+        try:
+            (
+                codes.repartition(F.col("cell"))
+                .write.mode("overwrite").partitionBy("cell")
+                .parquet(f"{stage}/codes")
             )
-        before = count_parquet_files(spark, f"{path}/codes")
-        swap_tables(spark, path, stage, ["codes"])
-        fs_delete(spark, f"{path}/tombstones")
+            if count_parquet_files(spark, f"{stage}/codes") == 0:
+                fs_delete(spark, stage)
+                raise ValueError(
+                    "compact aborted: every vector is tombstoned, and "
+                    "the staged rewrite would leave an empty codes "
+                    "table that no reader can load (parquet schema "
+                    "inference fails on a file-less directory) — the "
+                    "live index is untouched; delete the index "
+                    "directory instead of compacting it empty"
+                )
+            before = count_parquet_files(spark, f"{path}/codes")
+            swap_tables(spark, path, stage, ["codes"])
+            fs_delete(spark, f"{path}/tombstones")
+        except BaseException:
+            if not fs_exists(spark, f"{stage}/{SWAP_MARKER}"):
+                release_compact_lock(spark, path)
+            raise
+        release_compact_lock(spark, path)
         return {"codes_files_before": before,
                 "codes_files_after": count_parquet_files(
                     spark, f"{path}/codes")}
@@ -998,6 +1036,8 @@ class IvfPqIndex:
         fs_delete(self.indexed.sparkSession, f"{path}/tombstones")
         fs_delete(self.indexed.sparkSession,
                   f"{path.rstrip('/')}/_compact_tmp")
+        fs_delete(self.indexed.sparkSession,
+                  f"{path.rstrip('/')}/_COMPACT_LOCK")
         self.indexed.write.mode("overwrite").partitionBy("cell").parquet(
             f"{path}/codes"
         )

@@ -474,3 +474,100 @@ def test_minhash_swap_crash_at_every_position_is_repairable(
         spark, path, probe3, corpus, n_hashes=64, n_bands=16
     ).collect()
     assert [(r.doc_id, r.dup_of) for r in out3] == [(101, 3)]
+
+
+def test_compact_write_lock_excludes_mutations(spark, tmp_path):
+    """Lucene write.lock parity: while the compact lock is held, add
+    and delete raise (rows appended during a compact would be silently
+    dropped by its swap); a successful compact releases the lock, a
+    staging abort releases it, and a mid-swap crash keeps it held
+    until finish_swap repairs."""
+    from keystone_spark import fsutil
+    from keystone_spark.operators.nlp import Bm25Index
+
+    path = str(tmp_path / "bm25")
+    Bm25Index.build(_toks(spark, DOCS), n_term_buckets=4).save(path)
+
+    # plant the lock: every mutation refuses, and a second compact too
+    fsutil.acquire_compact_lock(spark, path)
+    with pytest.raises(ValueError, match="compacted"):
+        Bm25Index.add(spark, path, _toks(spark, [(9, "new doc here")]))
+    with pytest.raises(ValueError, match="compacted"):
+        Bm25Index.delete(spark, path, [1])
+    with pytest.raises(ValueError, match="lock already held"):
+        Bm25Index.compact(spark, path)
+    fsutil.release_compact_lock(spark, path)
+
+    # successful compact releases: mutations work right after
+    Bm25Index.delete(spark, path, [1])
+    Bm25Index.compact(spark, path)
+    assert not fsutil.fs_exists(spark, f"{path}/_COMPACT_LOCK")
+    Bm25Index.add(spark, path, _toks(spark, [(9, "fresh doc here")]))
+
+    # staging abort (all tombstoned) releases the lock too
+    Bm25Index.delete(
+        spark, path, [d[0] for d in DOCS if d[0] != 1] + [9]
+    )
+    with pytest.raises(ValueError, match="tombstoned"):
+        Bm25Index.compact(spark, path)
+    assert not fsutil.fs_exists(spark, f"{path}/_COMPACT_LOCK")
+
+    # mid-swap crash keeps the lock held; finish_swap clears it
+    path2 = str(tmp_path / "bm25_crash")
+    Bm25Index.build(_toks(spark, DOCS), n_term_buckets=4).save(path2)
+    Bm25Index.delete(spark, path2, [1])
+    real_rename = fsutil.fs_rename
+    calls = {"n": 0}
+
+    def dying(spark_, src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("boom")
+        real_rename(spark_, src, dst)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(fsutil, "fs_rename", dying):
+        with pytest.raises(RuntimeError):
+            Bm25Index.compact(spark, path2)
+    assert fsutil.fs_exists(spark, f"{path2}/_COMPACT_LOCK")
+    with pytest.raises(ValueError, match="compacted"):
+        Bm25Index.delete(spark, path2, [2])
+    fsutil.finish_swap(spark, path2)
+    assert not fsutil.fs_exists(spark, f"{path2}/_COMPACT_LOCK")
+    Bm25Index.delete(spark, path2, [2])  # unblocked
+
+
+def test_vector_and_minhash_mutations_respect_lock(spark, tmp_path):
+    from keystone_spark import fsutil
+    from keystone_spark.operators.dedup import (
+        add_to_minhash_index,
+        build_minhash_index,
+        delete_from_minhash_index,
+    )
+    from keystone_spark.operators.similarity import IvfIndex
+
+    corpus = spark.createDataFrame(DOCS, "doc_id long, text string")
+    p = str(tmp_path / "mh")
+    build_minhash_index(corpus, p, n_hashes=64, n_bands=16)
+    fsutil.acquire_compact_lock(spark, p)
+    batch = spark.createDataFrame(
+        [(9, "some new text entirely")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="compacted"):
+        add_to_minhash_index(spark, p, batch)
+    with pytest.raises(ValueError, match="compacted"):
+        delete_from_minhash_index(spark, p, [1])
+    fsutil.release_compact_lock(spark, p)
+    add_to_minhash_index(spark, p, batch)  # unblocked
+
+    e = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    p = str(tmp_path / "ivf")
+    IvfIndex.build(e.where("vec_id % 2 = 0"), n_cells=4).save(p)
+    fsutil.acquire_compact_lock(spark, p)
+    with pytest.raises(ValueError, match="compacted"):
+        IvfIndex.add(spark, p, e.where("vec_id % 2 = 1"))
+    with pytest.raises(ValueError, match="compacted"):
+        IvfIndex.delete(spark, p, e.limit(1).select("vec_id"))
+    fsutil.release_compact_lock(spark, p)
+    IvfIndex.add(spark, p, e.where("vec_id % 2 = 1"))
