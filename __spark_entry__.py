@@ -4886,12 +4886,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # incremental_neardup ride the MinHash committed-generation manifest,
 # ivf_index_topk/ivfpq_topk ride the tombstone anti-join added to the
 # vector-index search path — and (b) the cohort least recently
-# driver-sampled: all 47 queries last seen in the r2 window
-# (relational core, functions, NLP counts, evaluation). The three
-# r3-sampled queries (heavy_hitters, fuzzy_name_pairs, funnel) sit at
-# positions 54-56 so the window spills them, not r2 members; they lead
-# the r12 rotation. 45 of this 50-query window are NOT in the r10
-# window. queries() applies this order ON TOP of the historical dict
+# driver-sampled: the r2-window cohort (relational core, functions,
+# NLP counts, evaluation). The head is 58 entries, so the 50-query
+# window samples the 2 new + 6 rewired + the first 42 r2-cohort
+# queries; the spill is five r2 members (term_frequency,
+# stupid_backoff, mean_avg_precision, window_range_frame, percentiles,
+# positions 51-55) plus the three r3-sampled queries (heavy_hitters,
+# fuzzy_name_pairs, funnel, positions 56-58) — all eight lead the r12
+# rotation. 45 of this 50-query window are NOT in the r10 window
+# (verified programmatically against CORRECTNESS_r10.json). queries() applies this order ON TOP of the historical dict
 # below, so round-history comments stay put; the full set stays
 # CI-gated at full width via tests/test_oracle_full.py regardless of
 # order. Update tests/test_entry_contract.py's pin when changing this.

@@ -28,7 +28,10 @@ Ids are parsed as strings and cast to the index's own stored id type,
 so string-keyed and long-keyed indexes both delete correctly.
 ``index-repair`` completes an index-compact that was killed mid-swap
 (readers refuse to serve such an index until the swap finishes) —
-family-agnostic, idempotent, safe to run when nothing is wrong.
+family-agnostic and idempotent. A stage dir WITHOUT a swap marker is
+ambiguous (crashed while staging vs staging right now), so cleaning it
+up requires ``--force-unlock`` and the operator's confirmation that no
+compact is live.
 """
 
 from __future__ import annotations
@@ -74,6 +77,10 @@ def main() -> None:
 
     ir = sub.add_parser("index-repair")
     ir.add_argument("--path", required=True)
+    ir.add_argument("--force-unlock", action="store_true",
+                    help="also clear a marker-less stage + stale lock "
+                         "(ONLY when no compact is running — a live "
+                         "compact's staging looks identical)")
 
     args = ap.parse_args()
 
@@ -84,7 +91,8 @@ def main() -> None:
     if args.cmd == "index-repair":
         from keystone_spark.fsutil import finish_swap
 
-        stats = finish_swap(spark, args.path)
+        stats = finish_swap(spark, args.path,
+                            force_unlock=args.force_unlock)
         print(json.dumps({"app": "maintain.index-repair", **stats}))
         return
 

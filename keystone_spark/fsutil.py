@@ -111,7 +111,11 @@ def swap_tables(spark, path: str, stage: str, tables: list[str]) -> None:
     the next compact clears it."""
     import json as _json
 
-    fs_write_text(spark, f"{stage}/{SWAP_MARKER}", _json.dumps(tables))
+    # marker lands ATOMICALLY (write to a temp name, rename into place):
+    # a kill mid-write must not leave a half-visible marker — readers key
+    # off its existence, and finish_swap off its content
+    fs_write_text(spark, f"{stage}/{SWAP_MARKER}.tmp", _json.dumps(tables))
+    fs_rename(spark, f"{stage}/{SWAP_MARKER}.tmp", f"{stage}/{SWAP_MARKER}")
     for t in tables:
         fs_delete(spark, f"{path}/{t}")
         fs_rename(spark, f"{stage}/{t}", f"{path}/{t}")
@@ -178,24 +182,42 @@ def assert_no_interrupted_swap(spark, path: str) -> None:
         )
 
 
-def finish_swap(spark, path: str) -> dict:
+def finish_swap(spark, path: str, force_unlock: bool = False) -> dict:
     """Complete an interrupted ``swap_tables`` (idempotent): every
     table named by the surviving intent marker is either still staged
     (delete the live dir, rename the staged one in) or already swapped
     (skip); the stage dir — marker included — is removed at the end.
-    No marker + no stage: nothing to do. No marker + stage: the crash
-    predates the destructive phase, the live index is intact — the
-    stale stage is simply dropped."""
+    No marker + no stage: nothing to repair (a stale lock is cleared —
+    a crash between lock acquisition and staging leaves only the lock).
+
+    No marker + stage present is AMBIGUOUS: it is either a compact that
+    crashed while STAGING (live index intact, leftovers safe to drop)
+    or a compact that is STAGING RIGHT NOW — deleting a live compact's
+    stage out from under it, and releasing its lock, would corrupt the
+    swap it is about to run. finish_swap cannot tell the two apart
+    (the lock carries no liveness), so it REFUSES this case by default
+    and only cleans it up with ``force_unlock=True``, which the caller
+    passes after confirming no compact is running. The marker case is
+    never ambiguous: once the marker exists the original compact is
+    guaranteed dead-or-doomed (its next rename onto a repaired table
+    raises rather than silently corrupting), so repair is safe."""
     import json as _json
 
     stage = f"{path.rstrip('/')}/_compact_tmp"
     marker = f"{stage}/{SWAP_MARKER}"
     if not fs_exists(spark, stage):
-        # a crash between lock acquisition and staging leaves only the
-        # lock — clear it so mutations unblock
         release_compact_lock(spark, path)
         return {"resumed_tables": [], "stage_dropped": False}
     if not fs_exists(spark, marker):
+        if not force_unlock:
+            raise ValueError(
+                f"stage dir without a swap marker at {stage}: either a "
+                "compact crashed while staging (live index intact, "
+                "nothing to repair) or a compact is staging RIGHT NOW — "
+                "confirm no compact is running, then re-run with "
+                "force_unlock=True (CLI: --force-unlock) to drop the "
+                "stale stage and lock"
+            )
         fs_delete(spark, stage)
         release_compact_lock(spark, path)
         return {"resumed_tables": [], "stage_dropped": True}

@@ -1443,7 +1443,10 @@ def build_minhash_index(
     # a build is a brand-new index: stale tombstones or a stale compact
     # stage left by a previous index at the same path must not leak
     # into it (leftover tombstones would hide freshly indexed ids; a
-    # leftover swap marker would make every reader refuse the rebuild)
+    # leftover swap marker would make every reader refuse the rebuild).
+    # Single-writer corollary: a rebuild must not race a live compact
+    # of the old index — these clears cannot tell a crashed compact's
+    # leftovers from a running one's
     spark = corpus.sparkSession
     fs_delete(spark, f"{path}/tombstones")
     fs_delete(spark, f"{path.rstrip('/')}/_compact_tmp")
@@ -1681,6 +1684,13 @@ def add_to_minhash_index(
         new_reps.select(F.col(id_col), F.col(text_col)).withColumn(
             "gen", genl
         ).write.mode("append").parquet(f"{path}/texts")
+    # re-check the compact lock at the COMMIT point (see
+    # Bm25Index.add): a compact that started mid-add listed the tables
+    # without this generation; abort uncommitted instead of handing its
+    # swap rows to erase
+    from keystone_spark.fsutil import assert_not_compacting as _anc
+
+    _anc(spark, path)
     _minhash_append_manifest(spark, path, cfg, gen, committed=True)
     for c in caches:
         c.unpersist()
@@ -1721,9 +1731,16 @@ def delete_from_minhash_index(
 
     assert_not_compacting(spark, path)
     id_type = spark.read.parquet(f"{path}/sigs").schema[id_col].dataType
-    tomb = ids_to_tombstones(spark, ids, id_col, id_type)
-    tomb.coalesce(1).write.mode("append").parquet(f"{path}/tombstones")
-    return {"tombstones_added": tomb.count()}
+    tomb = ids_to_tombstones(spark, ids, id_col, id_type).persist()
+    try:
+        assert_not_compacting(spark, path)  # re-check at the write
+        tomb.coalesce(1).write.mode("append").parquet(
+            f"{path}/tombstones"
+        )
+        n = tomb.count()
+    finally:
+        tomb.unpersist()
+    return {"tombstones_added": n}
 
 
 def _minhash_tombstones(spark, path: str, id_col: str):

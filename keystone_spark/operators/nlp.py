@@ -695,7 +695,11 @@ class Bm25Index:
         filesystem as ``path`` — FS-agnostic. A save is a brand-new
         index: stale tombstones or a stale compact stage from a
         previous index at this path are cleared first (leftovers would
-        hide freshly indexed ids / make readers refuse the rebuild)."""
+        hide freshly indexed ids / make readers refuse the rebuild).
+        Corollary single-writer contract: a rebuild REPLACES the index
+        and must not race a live compact of the old one — the clears
+        cannot distinguish a crashed compact's leftovers from a running
+        one's; coordinate rebuilds with the compaction schedule."""
         from keystone_spark.fsutil import fs_delete
 
         spark = self.postings.sparkSession
@@ -836,6 +840,12 @@ class Bm25Index:
                                  committed=False)
             batch._write_data(path, "append", gen)
             n_postings = postings.count()
+            # re-check the compact lock at the COMMIT point: a compact
+            # that started mid-add would have listed the tables without
+            # this generation, so committing now would hand it rows its
+            # swap erases — abort instead (the generation stays
+            # uncommitted and invisible; retry the add afterwards)
+            assert_not_compacting(spark, path)
             cls._append_manifest(spark, path, p, gen, n_docs, sum_dl,
                                  committed=True)
         finally:
@@ -878,11 +888,19 @@ class Bm25Index:
         idx = cls.load(spark, path)
         id_col = idx.params["id_col"]
         id_type = idx.postings.schema[id_col].dataType
-        tomb = ids_to_tombstones(spark, ids, id_col, id_type)
-        tomb.coalesce(1).write.mode("append").parquet(
-            f"{path}/tombstones"
-        )
-        return {"tombstones_added": tomb.count()}
+        tomb = ids_to_tombstones(spark, ids, id_col, id_type).persist()
+        try:
+            # re-check at the write: a compact past its tombstone read
+            # would fs_delete this append unapplied (takedown reporting
+            # success while the doc is resurrected)
+            assert_not_compacting(spark, path)
+            tomb.coalesce(1).write.mode("append").parquet(
+                f"{path}/tombstones"
+            )
+            n = tomb.count()
+        finally:
+            tomb.unpersist()
+        return {"tombstones_added": n}
 
     @staticmethod
     def _tombstones(spark, path: str, id_col: str) -> DataFrame | None:
@@ -930,13 +948,14 @@ class Bm25Index:
             swap_tables,
         )
 
-        idx = cls.load(spark, path)  # validates format + manifest
+        # lock FIRST, list/load after: the staged rewrite's file
+        # listing and tombstone read must postdate the lock, or a
+        # mutation committing in between is silently erased by the swap
         acquire_compact_lock(spark, path)
-        p = idx.params
-        id_col = p["id_col"]
         stage = f"{path.rstrip('/')}/_compact_tmp"
-        fs_delete(spark, stage)
         try:
+            idx = cls.load(spark, path)  # validates format + manifest
+            fs_delete(spark, stage)
             return cls._compact_locked(spark, path, idx, stage)
         except BaseException:
             # staging/guard failure (live index untouched) — or a swap

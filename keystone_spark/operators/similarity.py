@@ -444,6 +444,12 @@ class IvfIndex:
                     F.count("*").alias("n")
                 ).collect()
             }
+            from keystone_spark.fsutil import assert_not_compacting
+
+            # re-check at the write: a compact listed its input before
+            # this batch existed — committing under it hands the swap
+            # rows it will erase
+            assert_not_compacting(spark, path)
             assigned.write.mode("append").partitionBy("cell").parquet(
                 os.path.join(path, "corpus")
             )
@@ -470,11 +476,16 @@ class IvfIndex:
         assert_not_compacting(spark, path)
         idx = cls.load(spark, path)
         id_type = idx.indexed.schema[idx.id_col].dataType
-        tomb = ids_to_tombstones(spark, ids, idx.id_col, id_type)
-        tomb.coalesce(1).write.mode("append").parquet(
-            f"{path}/tombstones"
-        )
-        return {"tombstones_added": tomb.count()}
+        tomb = ids_to_tombstones(spark, ids, idx.id_col, id_type).persist()
+        try:
+            assert_not_compacting(spark, path)  # re-check at the write
+            tomb.coalesce(1).write.mode("append").parquet(
+                f"{path}/tombstones"
+            )
+            n = tomb.count()
+        finally:
+            tomb.unpersist()
+        return {"tombstones_added": n}
 
     @classmethod
     def compact(cls, spark, path: str) -> dict:
@@ -495,8 +506,14 @@ class IvfIndex:
             swap_tables,
         )
 
-        idx = cls.load(spark, path)
+        # lock FIRST, load after: the rewrite's file listing and
+        # tombstone read must postdate the lock (see Bm25Index.compact)
         acquire_compact_lock(spark, path)
+        try:
+            idx = cls.load(spark, path)
+        except BaseException:
+            release_compact_lock(spark, path)
+            raise
         corpus = idx.indexed
         tomb = idx._load_tombstones(spark)
         if tomb is not None:
@@ -606,7 +623,8 @@ class IvfIndex:
         from keystone_spark.fsutil import fs_delete, fs_write_text
 
         # brand-new index: clear stale tombstones / compact stage from
-        # any previous index at this path
+        # any previous index at this path (single-writer contract: a
+        # rebuild must not race a live compact of the old index)
         fs_delete(self.indexed.sparkSession, f"{path}/tombstones")
         fs_delete(self.indexed.sparkSession,
                   f"{path.rstrip('/')}/_compact_tmp")
@@ -942,6 +960,12 @@ class IvfPqIndex:
                     F.count("*").alias("n")
                 ).collect()
             }
+            from keystone_spark.fsutil import assert_not_compacting
+
+            # re-check at the write: a compact listed its input before
+            # this batch existed — committing under it hands the swap
+            # rows it will erase
+            assert_not_compacting(spark, path)
             encoded.write.mode("append").partitionBy("cell").parquet(
                 os.path.join(path, "codes")
             )
@@ -964,11 +988,16 @@ class IvfPqIndex:
         assert_not_compacting(spark, path)
         idx = cls.load(spark, path)
         id_type = idx.indexed.schema[idx.id_col].dataType
-        tomb = ids_to_tombstones(spark, ids, idx.id_col, id_type)
-        tomb.coalesce(1).write.mode("append").parquet(
-            f"{path}/tombstones"
-        )
-        return {"tombstones_added": tomb.count()}
+        tomb = ids_to_tombstones(spark, ids, idx.id_col, id_type).persist()
+        try:
+            assert_not_compacting(spark, path)  # re-check at the write
+            tomb.coalesce(1).write.mode("append").parquet(
+                f"{path}/tombstones"
+            )
+            n = tomb.count()
+        finally:
+            tomb.unpersist()
+        return {"tombstones_added": n}
 
     @classmethod
     def compact(cls, spark, path: str) -> dict:
@@ -985,8 +1014,14 @@ class IvfPqIndex:
             swap_tables,
         )
 
-        idx = cls.load(spark, path)
+        # lock FIRST, load after: the rewrite's file listing and
+        # tombstone read must postdate the lock (see Bm25Index.compact)
         acquire_compact_lock(spark, path)
+        try:
+            idx = cls.load(spark, path)
+        except BaseException:
+            release_compact_lock(spark, path)
+            raise
         codes = idx.indexed
         tomb = idx._load_tombstones(spark)
         if tomb is not None:

@@ -249,12 +249,14 @@ def test_interrupted_compact_swap_detected_and_repairable(
     monkeypatch.setattr(fsutil, "fs_rename", real_rename)
 
     # every reader refuses the mixed state (load, and through it
-    # search/add/delete/compact)
+    # search/add/delete/compact). rename call 1 is the marker's atomic
+    # tmp->final rename, so call 2 killed the FIRST table (postings):
+    # all three tables are still staged and get resumed.
     with pytest.raises(ValueError, match="interrupted compact"):
         Bm25Index.load(spark, path)
 
     stats = fsutil.finish_swap(spark, path)
-    assert set(stats["resumed_tables"]) == {"df", "params"}
+    assert set(stats["resumed_tables"]) == {"postings", "df", "params"}
     assert not fsutil.fs_exists(spark, f"{path}/_compact_tmp")
 
     idx = Bm25Index.load(spark, path)
@@ -371,14 +373,16 @@ def test_rebuild_clears_stale_tombstones_and_stage(spark, tmp_path):
         assert idx._load_tombstones(spark) is None
 
 
-@pytest.mark.parametrize("crash_at", [1, 2, 3])
+@pytest.mark.parametrize("crash_at", [1, 2, 3, 4])
 def test_bm25_swap_crash_at_every_position_is_repairable(
     spark, tmp_path, monkeypatch, crash_at
 ):
-    """Exhaustive crash points: the bm25 compact swap renames 3 tables
-    (postings, df, params); killed before ANY of them, the reader
-    refuses the index and finish_swap restores survivor-rebuild
-    identity."""
+    """Exhaustive crash points: rename call 1 is the marker's atomic
+    tmp->final rename (killed there, the destructive phase never
+    started — the live PRE-compact index keeps serving and repair
+    needs force_unlock); calls 2-4 are the table renames (postings,
+    df, params) — killed before any of them, the reader refuses the
+    index and finish_swap restores survivor-rebuild identity."""
     from keystone_spark import fsutil
     from keystone_spark.operators.nlp import Bm25Index
 
@@ -400,6 +404,18 @@ def test_bm25_swap_crash_at_every_position_is_repairable(
         Bm25Index.compact(spark, path)
     monkeypatch.setattr(fsutil, "fs_rename", real_rename)
 
+    if crash_at == 1:
+        # marker never landed: live pre-compact index intact and
+        # served; the tombstone still applies at search; cleanup of
+        # the ambiguous marker-less stage needs the explicit flag
+        idx = Bm25Index.load(spark, path)
+        assert idx.params["n_docs"] == 4  # pre-compact stats
+        fsutil.finish_swap(spark, path, force_unlock=True)
+        Bm25Index.compact(spark, path)  # retry completes normally
+        idx = Bm25Index.load(spark, path)
+        assert idx.params["n_docs"] == 3
+        return
+
     with pytest.raises(ValueError, match="interrupted compact"):
         Bm25Index.load(spark, path)
     fsutil.finish_swap(spark, path)
@@ -419,13 +435,14 @@ def test_bm25_swap_crash_at_every_position_is_repairable(
     assert key(idx.search(qs, k=4)) == key(survivors.search(qs, k=4))
 
 
-@pytest.mark.parametrize("crash_at", [1, 2, 3, 4])
+@pytest.mark.parametrize("crash_at", [1, 2, 3, 4, 5])
 def test_minhash_swap_crash_at_every_position_is_repairable(
     spark, tmp_path, monkeypatch, crash_at
 ):
-    """Same exhaustive sweep for the MinHash compact swap (bands, sigs,
-    content, params): every crash point is detected and repaired to the
-    survivor state."""
+    """Same exhaustive sweep for the MinHash compact swap: call 1 is
+    the marker rename (live index intact, force-unlock cleanup), calls
+    2-5 the table renames (bands, sigs, content, params) — detected
+    and repaired to the survivor state."""
     from keystone_spark import fsutil
     from keystone_spark.operators.dedup import (
         build_minhash_index,
@@ -456,11 +473,21 @@ def test_minhash_swap_crash_at_every_position_is_repairable(
     probe = spark.createDataFrame(
         [(100, DOCS[1][1])], "doc_id long, text string"
     )
-    with pytest.raises(ValueError, match="interrupted compact"):
-        match_minhash_index(
+    if crash_at == 1:
+        # marker never landed: live pre-compact index serves (the
+        # tombstone still hides doc 2); cleanup then retry
+        out = match_minhash_index(
             spark, path, probe, corpus, n_hashes=64, n_bands=16
-        )
-    fsutil.finish_swap(spark, path)
+        ).collect()
+        assert out == []
+        fsutil.finish_swap(spark, path, force_unlock=True)
+        compact_minhash_index(spark, path)
+    else:
+        with pytest.raises(ValueError, match="interrupted compact"):
+            match_minhash_index(
+                spark, path, probe, corpus, n_hashes=64, n_bands=16
+            )
+        fsutil.finish_swap(spark, path)
 
     # deleted doc 2 stays gone; the others still match themselves
     out = match_minhash_index(
@@ -571,3 +598,32 @@ def test_vector_and_minhash_mutations_respect_lock(spark, tmp_path):
         IvfIndex.delete(spark, p, e.limit(1).select("vec_id"))
     fsutil.release_compact_lock(spark, p)
     IvfIndex.add(spark, p, e.where("vec_id % 2 = 1"))
+
+
+def test_finish_swap_refuses_ambiguous_markerless_stage(spark, tmp_path):
+    """A stage dir WITHOUT a swap marker is either a compact that
+    crashed while staging or one staging RIGHT NOW — finish_swap must
+    not destroy a live compact's stage, so it refuses by default and
+    cleans up only with force_unlock=True (operator confirms no
+    compact is live)."""
+    from keystone_spark import fsutil
+    from keystone_spark.operators.nlp import Bm25Index
+
+    path = str(tmp_path / "bm25")
+    Bm25Index.build(_toks(spark, DOCS), n_term_buckets=4).save(path)
+    # simulate: compact acquired the lock and began staging, no marker
+    fsutil.acquire_compact_lock(spark, path)
+    fsutil.fs_write_text(spark, f"{path}/_compact_tmp/partial", "x")
+
+    with pytest.raises(ValueError, match="force_unlock"):
+        fsutil.finish_swap(spark, path)
+    # refused: stage and lock untouched, readers still serve
+    assert fsutil.fs_exists(spark, f"{path}/_compact_tmp")
+    assert fsutil.fs_exists(spark, f"{path}/_COMPACT_LOCK")
+    Bm25Index.load(spark, path)
+
+    out = fsutil.finish_swap(spark, path, force_unlock=True)
+    assert out == {"resumed_tables": [], "stage_dropped": True}
+    assert not fsutil.fs_exists(spark, f"{path}/_compact_tmp")
+    assert not fsutil.fs_exists(spark, f"{path}/_COMPACT_LOCK")
+    Bm25Index.delete(spark, path, [1])  # mutations unblocked
