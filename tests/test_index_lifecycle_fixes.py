@@ -627,3 +627,96 @@ def test_finish_swap_refuses_ambiguous_markerless_stage(spark, tmp_path):
     assert not fsutil.fs_exists(spark, f"{path}/_compact_tmp")
     assert not fsutil.fs_exists(spark, f"{path}/_COMPACT_LOCK")
     Bm25Index.delete(spark, path, [1])  # mutations unblocked
+
+
+def test_bm25_add_aborts_uncommitted_when_compact_starts_mid_add(
+    spark, tmp_path, monkeypatch
+):
+    """The commit-point lock re-check in action: a compact acquires the
+    lock AFTER an add passed its entry check but BEFORE the add
+    commits. The add aborts with its generation uncommitted (readers
+    serve the pre-add index), and a retry after the lock clears lands
+    the batch exactly once — no double-count."""
+    from keystone_spark import fsutil
+    from keystone_spark.operators.nlp import Bm25Index
+
+    path = str(tmp_path / "bm25")
+    Bm25Index.build(_toks(spark, DOCS[:2]), n_term_buckets=4).save(path)
+
+    real_write = Bm25Index._write_data
+
+    def write_then_lock(self, p, mode, gen):
+        real_write(self, p, mode, gen)
+        if mode == "append":  # simulate a compact grabbing the lock now
+            fsutil.acquire_compact_lock(spark, path)
+
+    monkeypatch.setattr(Bm25Index, "_write_data", write_then_lock)
+    with pytest.raises(ValueError, match="compacted"):
+        Bm25Index.add(spark, path, _toks(spark, DOCS[2:]))
+    monkeypatch.setattr(Bm25Index, "_write_data", real_write)
+
+    # aborted add is invisible: pre-add stats, orphan generation noted
+    fsutil.release_compact_lock(spark, path)
+    idx = Bm25Index.load(spark, path)
+    assert idx.params["n_docs"] == 2
+    assert idx.params["incomplete_generations"] == [1]
+
+    # blind retry lands exactly once (next generation, no double count)
+    Bm25Index.add(spark, path, _toks(spark, DOCS[2:]))
+    idx = Bm25Index.load(spark, path)
+    assert idx.params["n_docs"] == 4
+    qs = spark.createDataFrame([(0, ["quick", "box"])],
+                               ["query_id", "q_toks"])
+    full = Bm25Index.build(_toks(spark, DOCS), n_term_buckets=4)
+
+    def key(df):
+        return sorted((r.query_id, r.rk, r.doc_id, round(r.score, 9))
+                      for r in df.collect())
+
+    assert key(idx.search(qs, k=4)) == key(full.search(qs, k=4))
+
+
+def test_minhash_add_aborts_uncommitted_when_compact_starts_mid_add(
+    spark, tmp_path, monkeypatch
+):
+    """Same race for the MinHash add: lock appears after the intent row
+    landed — the commit re-check aborts, match serves the pre-add
+    index, a retry indexes the batch exactly once."""
+    from keystone_spark import fsutil
+    from keystone_spark.operators import dedup as ddp
+
+    corpus = spark.createDataFrame(DOCS[:2], "doc_id long, text string")
+    path = str(tmp_path / "mh")
+    ddp.build_minhash_index(corpus, path, n_hashes=64, n_bands=16)
+
+    real_manifest = ddp._minhash_append_manifest
+
+    def manifest_then_lock(spark_, p, cfg, gen, committed, mode="append"):
+        real_manifest(spark_, p, cfg, gen, committed, mode)
+        if not committed:  # right after the INTENT row: compact starts
+            fsutil.acquire_compact_lock(spark, path)
+
+    batch = spark.createDataFrame(
+        [(9, DOCS[2][1])], "doc_id long, text string"
+    )
+    monkeypatch.setattr(ddp, "_minhash_append_manifest", manifest_then_lock)
+    with pytest.raises(ValueError, match="compacted"):
+        ddp.add_to_minhash_index(spark, path, batch)
+    monkeypatch.setattr(ddp, "_minhash_append_manifest", real_manifest)
+    fsutil.release_compact_lock(spark, path)
+
+    # aborted generation invisible; retry lands exactly once
+    probe = spark.createDataFrame(
+        [(100, DOCS[2][1])], "doc_id long, text string"
+    )
+    out = ddp.match_minhash_index(
+        spark, path, probe, corpus, n_hashes=64, n_bands=16
+    ).collect()
+    assert out == []
+    stats = ddp.add_to_minhash_index(spark, path, batch)
+    assert stats["new_content"] == 1
+    texts = corpus.unionByName(batch)
+    out = ddp.match_minhash_index(
+        spark, path, probe, texts, n_hashes=64, n_bands=16
+    ).collect()
+    assert [(r.doc_id, r.dup_of) for r in out] == [(100, 9)]
