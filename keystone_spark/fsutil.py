@@ -164,6 +164,56 @@ def assert_not_compacting(spark, path: str) -> None:
         )
 
 
+COMPACT_EPOCH = "_COMPACT_EPOCH"
+
+
+def read_compact_epoch(spark, path: str) -> int:
+    """The index's compact-fence counter: bumped atomically by every
+    completed compact (and by a finish_swap repair). 0 for an index
+    never compacted."""
+    p = f"{path.rstrip('/')}/{COMPACT_EPOCH}"
+    if not fs_exists(spark, p):
+        return 0
+    return int(fs_read_text(spark, p).strip())
+
+
+def bump_compact_epoch(spark, path: str) -> int:
+    """Advance the fence (temp write + atomic rename, same pattern as
+    the swap marker). Called as a compact's LAST act before releasing
+    the lock."""
+    nxt = read_compact_epoch(spark, path) + 1
+    p = f"{path.rstrip('/')}/{COMPACT_EPOCH}"
+    fs_write_text(spark, f"{p}.tmp", str(nxt))
+    fs_delete(spark, p)
+    fs_rename(spark, f"{p}.tmp", p)
+    return nxt
+
+
+def assert_same_compact_epoch(spark, path: str, entry_epoch: int) -> None:
+    """The commit-point fence for mutations: a lock check alone cannot
+    see a compact that started AND finished within the mutation's own
+    write window (its swap erased the mutation's in-flight files; a
+    commit now would reference data that no longer exists, or orphan
+    rows a later generation resurrects). Mutations read the epoch at
+    ENTRY and call this right before their commit — any completed
+    compact in between bumped the fence and the mutation aborts
+    uncommitted (safe to retry). Combined with the lock check this
+    narrows the unguarded window to the gap between this read and the
+    commit write itself — milliseconds of driver time; closing THAT
+    needs a lock service, which a parquet-dir index deliberately does
+    not assume (single-writer deployment remains the documented
+    contract)."""
+    now = read_compact_epoch(spark, path)
+    if now != entry_epoch:
+        raise ValueError(
+            f"a compact completed at {path} while this mutation was "
+            f"writing (compact epoch {entry_epoch} -> {now}): the "
+            "compact's swap does not include this mutation's in-flight "
+            "data, so committing would corrupt the index — the "
+            "mutation is aborted uncommitted; retry it"
+        )
+
+
 def assert_no_interrupted_swap(spark, path: str) -> None:
     """Raise if ``path`` carries a surviving swap-intent marker — the
     index was killed mid-compact-swap and may be serving mixed tables
@@ -206,7 +256,21 @@ def finish_swap(spark, path: str, force_unlock: bool = False) -> dict:
     stage = f"{path.rstrip('/')}/_compact_tmp"
     marker = f"{stage}/{SWAP_MARKER}"
     if not fs_exists(spark, stage):
-        release_compact_lock(spark, path)
+        # lock without a stage is AMBIGUOUS too: a compact crashed
+        # between lock acquisition and staging, or a live compact is
+        # still in its pre-staging phase (load/tombstone read) — same
+        # rule as the marker-less stage below
+        if fs_exists(spark, f"{path.rstrip('/')}/{COMPACT_LOCK}"):
+            if not force_unlock:
+                raise ValueError(
+                    f"compact lock without a stage at {path}: either a "
+                    "compact crashed before staging (nothing to "
+                    "repair) or one is in its pre-staging phase RIGHT "
+                    "NOW — confirm no compact is running, then re-run "
+                    "with force_unlock=True (CLI: --force-unlock) to "
+                    "clear the stale lock"
+                )
+            release_compact_lock(spark, path)
         return {"resumed_tables": [], "stage_dropped": False}
     if not fs_exists(spark, marker):
         if not force_unlock:
@@ -229,6 +293,7 @@ def finish_swap(spark, path: str, force_unlock: bool = False) -> dict:
             fs_rename(spark, f"{stage}/{t}", f"{path}/{t}")
             resumed.append(t)
     fs_delete(spark, stage)
+    bump_compact_epoch(spark, path)  # the repaired swap IS a compact
     release_compact_lock(spark, path)
     return {"resumed_tables": resumed, "stage_dropped": True}
 
@@ -273,6 +338,34 @@ def ids_to_tombstones(spark, ids, id_col: str, id_type) -> "object":
         [(i,) for i in ids],
         StructType([StructField(id_col, id_type)]),
     )
+
+
+def append_tombstones(spark, path: str, tomb) -> dict:
+    """The shared commit tail of every index family's ``delete``:
+    persist the normalized tombstone frame once across the write and
+    the count, and RE-CHECK the compact lock immediately before the
+    append — a compact past its tombstone read would fs_delete this
+    append unapplied (a takedown reporting success while the document
+    is resurrected). One implementation so the four families' delete
+    semantics cannot drift (the check-then-append window that remains
+    is the write job itself; see the epoch note on
+    assert_not_compacting)."""
+    e0 = read_compact_epoch(spark, path)
+    tomb = tomb.persist()
+    try:
+        assert_not_compacting(spark, path)
+        tomb.coalesce(1).write.mode("append").parquet(
+            f"{path}/tombstones"
+        )
+        # fence AFTER the append: a compact that ran during the write
+        # already dropped the tombstone file unapplied — report the
+        # failure instead of success
+        assert_not_compacting(spark, path)
+        assert_same_compact_epoch(spark, path, e0)
+        n = tomb.count()
+    finally:
+        tomb.unpersist()
+    return {"tombstones_added": n}
 
 
 def read_tombstones(spark, path: str, id_col: str):

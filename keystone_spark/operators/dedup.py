@@ -1451,6 +1451,7 @@ def build_minhash_index(
     fs_delete(spark, f"{path}/tombstones")
     fs_delete(spark, f"{path.rstrip('/')}/_compact_tmp")
     fs_delete(spark, f"{path.rstrip('/')}/_COMPACT_LOCK")
+    fs_delete(spark, f"{path.rstrip('/')}/_COMPACT_EPOCH")
     corpus = corpus.where(F.col(text_col).isNotNull())  # no-shingle docs
     # min-id-per-content collapse, mirroring neardup_against_corpus's
     # inline path (see its docstring for the result-identity argument):
@@ -1566,9 +1567,13 @@ def add_to_minhash_index(
 
     from keystone_spark.fsutil import is_missing_path
 
-    from keystone_spark.fsutil import assert_not_compacting
+    from keystone_spark.fsutil import (
+        assert_not_compacting,
+        read_compact_epoch,
+    )
 
     assert_not_compacting(spark, path)
+    entry_epoch = read_compact_epoch(spark, path)
     cfg = _minhash_manifest(spark, path)
     n_hashes, n_bands = cfg["n_hashes"], cfg["n_bands"]
     shingle_k, seed = cfg["shingle_k"], cfg["seed"]
@@ -1689,9 +1694,16 @@ def add_to_minhash_index(
     # without this generation; abort uncommitted instead of handing its
     # swap rows to erase
     from keystone_spark.fsutil import assert_not_compacting as _anc
+    from keystone_spark.fsutil import assert_same_compact_epoch as _ace
 
-    _anc(spark, path)
-    _minhash_append_manifest(spark, path, cfg, gen, committed=True)
+    try:
+        _anc(spark, path)
+        _ace(spark, path, entry_epoch)
+        _minhash_append_manifest(spark, path, cfg, gen, committed=True)
+    except BaseException:
+        for c in caches:
+            c.unpersist()
+        raise
     for c in caches:
         c.unpersist()
     return {
@@ -1731,16 +1743,10 @@ def delete_from_minhash_index(
 
     assert_not_compacting(spark, path)
     id_type = spark.read.parquet(f"{path}/sigs").schema[id_col].dataType
-    tomb = ids_to_tombstones(spark, ids, id_col, id_type).persist()
-    try:
-        assert_not_compacting(spark, path)  # re-check at the write
-        tomb.coalesce(1).write.mode("append").parquet(
-            f"{path}/tombstones"
-        )
-        n = tomb.count()
-    finally:
-        tomb.unpersist()
-    return {"tombstones_added": n}
+    from keystone_spark.fsutil import append_tombstones
+
+    tomb = ids_to_tombstones(spark, ids, id_col, id_type)
+    return append_tombstones(spark, path, tomb)
 
 
 def _minhash_tombstones(spark, path: str, id_col: str):
@@ -1772,6 +1778,9 @@ def compact_minhash_index(spark, path: str) -> dict:
         if not fs_exists(spark, f"{stage}/{SWAP_MARKER}"):
             release_compact_lock(spark, path)
         raise
+    from keystone_spark.fsutil import bump_compact_epoch
+
+    bump_compact_epoch(spark, path)  # the mutation commit fence
     release_compact_lock(spark, path)
     return out
 

@@ -706,6 +706,7 @@ class Bm25Index:
         fs_delete(spark, f"{path}/tombstones")
         fs_delete(spark, f"{path.rstrip('/')}/_compact_tmp")
         fs_delete(spark, f"{path.rstrip('/')}/_COMPACT_LOCK")
+        fs_delete(spark, f"{path.rstrip('/')}/_COMPACT_EPOCH")
         self._write_data(path, "overwrite", 0)
         self._append_manifest(
             self.postings.sparkSession, path, self.params, 0,
@@ -813,9 +814,13 @@ class Bm25Index:
         observability dict; reload via ``load`` to search the updated
         index (an already-loaded instance's file listing predates the
         append)."""
-        from keystone_spark.fsutil import assert_not_compacting
+        from keystone_spark.fsutil import (
+            assert_not_compacting,
+            read_compact_epoch,
+        )
 
         assert_not_compacting(spark, path)
+        entry_epoch = read_compact_epoch(spark, path)
         idx = cls.load(spark, path)  # validates format + manifest
         p = idx.params
         if skip_existing_ids:
@@ -840,12 +845,17 @@ class Bm25Index:
                                  committed=False)
             batch._write_data(path, "append", gen)
             n_postings = postings.count()
-            # re-check the compact lock at the COMMIT point: a compact
-            # that started mid-add would have listed the tables without
-            # this generation, so committing now would hand it rows its
-            # swap erases — abort instead (the generation stays
-            # uncommitted and invisible; retry the add afterwards)
+            # COMMIT-point fences: the lock check catches a compact
+            # still running; the epoch fence catches one that started
+            # AND FINISHED inside this add's write window (its swap
+            # already erased the gen-N files — committing would record
+            # a generation with no data, or double-count on a
+            # re-allocated gen number). Either way the add aborts
+            # uncommitted and a blind retry is safe.
+            from keystone_spark.fsutil import assert_same_compact_epoch
+
             assert_not_compacting(spark, path)
+            assert_same_compact_epoch(spark, path, entry_epoch)
             cls._append_manifest(spark, path, p, gen, n_docs, sum_dl,
                                  committed=True)
         finally:
@@ -888,19 +898,10 @@ class Bm25Index:
         idx = cls.load(spark, path)
         id_col = idx.params["id_col"]
         id_type = idx.postings.schema[id_col].dataType
-        tomb = ids_to_tombstones(spark, ids, id_col, id_type).persist()
-        try:
-            # re-check at the write: a compact past its tombstone read
-            # would fs_delete this append unapplied (takedown reporting
-            # success while the doc is resurrected)
-            assert_not_compacting(spark, path)
-            tomb.coalesce(1).write.mode("append").parquet(
-                f"{path}/tombstones"
-            )
-            n = tomb.count()
-        finally:
-            tomb.unpersist()
-        return {"tombstones_added": n}
+        tomb = ids_to_tombstones(spark, ids, id_col, id_type)
+        from keystone_spark.fsutil import append_tombstones
+
+        return append_tombstones(spark, path, tomb)
 
     @staticmethod
     def _tombstones(spark, path: str, id_col: str) -> DataFrame | None:
@@ -942,10 +943,8 @@ class Bm25Index:
         reads through ``load``, which serves committed rows only."""
         from keystone_spark.fsutil import (
             acquire_compact_lock,
-            count_parquet_files,
             fs_delete,
             release_compact_lock,
-            swap_tables,
         )
 
         # lock FIRST, list/load after: the staged rewrite's file
@@ -1022,6 +1021,9 @@ class Bm25Index:
         swap_tables(spark, path, stage, ["postings", "df", "params"])
         # tombstones are now physically purged from the data files
         fs_delete(spark, f"{path}/tombstones")
+        from keystone_spark.fsutil import bump_compact_epoch
+
+        bump_compact_epoch(spark, path)  # the mutation commit fence
         release_compact_lock(spark, path)
         return {"postings_files_before": files_before,
                 "postings_files_after": count_parquet_files(

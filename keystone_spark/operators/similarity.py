@@ -444,15 +444,28 @@ class IvfIndex:
                     F.count("*").alias("n")
                 ).collect()
             }
-            from keystone_spark.fsutil import assert_not_compacting
+            from keystone_spark.fsutil import (
+                assert_not_compacting,
+                assert_same_compact_epoch,
+                read_compact_epoch,
+            )
 
             # re-check at the write: a compact listed its input before
             # this batch existed — committing under it hands the swap
             # rows it will erase
             assert_not_compacting(spark, path)
+            entry_epoch = read_compact_epoch(spark, path)
             assigned.write.mode("append").partitionBy("cell").parquet(
                 os.path.join(path, "corpus")
             )
+            try:
+                assert_same_compact_epoch(spark, path, entry_epoch)
+            except ValueError as e:
+                raise ValueError(
+                    str(e) + " — for vector appends, retry with "
+                    "skip_existing_ids=True (surviving rows are "
+                    "skipped, erased ones re-added)"
+                ) from e
         finally:
             assigned.unpersist()
         return {"vectors_added": sum(cells.values()),
@@ -476,16 +489,10 @@ class IvfIndex:
         assert_not_compacting(spark, path)
         idx = cls.load(spark, path)
         id_type = idx.indexed.schema[idx.id_col].dataType
-        tomb = ids_to_tombstones(spark, ids, idx.id_col, id_type).persist()
-        try:
-            assert_not_compacting(spark, path)  # re-check at the write
-            tomb.coalesce(1).write.mode("append").parquet(
-                f"{path}/tombstones"
-            )
-            n = tomb.count()
-        finally:
-            tomb.unpersist()
-        return {"tombstones_added": n}
+        from keystone_spark.fsutil import append_tombstones
+
+        tomb = ids_to_tombstones(spark, ids, idx.id_col, id_type)
+        return append_tombstones(spark, path, tomb)
 
     @classmethod
     def compact(cls, spark, path: str) -> dict:
@@ -507,20 +514,21 @@ class IvfIndex:
         )
 
         # lock FIRST, load after: the rewrite's file listing and
-        # tombstone read must postdate the lock (see Bm25Index.compact)
+        # tombstone read must postdate the lock (see Bm25Index.compact).
+        # The WHOLE post-lock body sits in one try — an analyzer or IO
+        # error anywhere before the swap must release the lock, or it
+        # leaks and blocks every later mutation
         acquire_compact_lock(spark, path)
+        stage = f"{path.rstrip('/')}/_compact_tmp"
         try:
             idx = cls.load(spark, path)
-        except BaseException:
-            release_compact_lock(spark, path)
-            raise
-        corpus = idx.indexed
-        tomb = idx._load_tombstones(spark)
-        if tomb is not None:
-            corpus = corpus.join(F.broadcast(tomb), idx.id_col, "left_anti")
-        stage = f"{path.rstrip('/')}/_compact_tmp"
-        fs_delete(spark, stage)
-        try:
+            corpus = idx.indexed
+            tomb = idx._load_tombstones(spark)
+            if tomb is not None:
+                corpus = corpus.join(
+                    F.broadcast(tomb), idx.id_col, "left_anti"
+                )
+            fs_delete(spark, stage)
             (
                 corpus.repartition(F.col("cell"))
                 .write.mode("overwrite").partitionBy("cell")
@@ -543,6 +551,9 @@ class IvfIndex:
             if not fs_exists(spark, f"{stage}/{SWAP_MARKER}"):
                 release_compact_lock(spark, path)
             raise
+        from keystone_spark.fsutil import bump_compact_epoch
+
+        bump_compact_epoch(spark, path)  # the mutation commit fence
         release_compact_lock(spark, path)
         return {"corpus_files_before": before,
                 "corpus_files_after": count_parquet_files(
@@ -630,6 +641,8 @@ class IvfIndex:
                   f"{path.rstrip('/')}/_compact_tmp")
         fs_delete(self.indexed.sparkSession,
                   f"{path.rstrip('/')}/_COMPACT_LOCK")
+        fs_delete(self.indexed.sparkSession,
+                  f"{path.rstrip('/')}/_COMPACT_EPOCH")
         self.indexed.write.mode("overwrite").partitionBy("cell").parquet(
             f"{path}/corpus"
         )
@@ -960,15 +973,28 @@ class IvfPqIndex:
                     F.count("*").alias("n")
                 ).collect()
             }
-            from keystone_spark.fsutil import assert_not_compacting
+            from keystone_spark.fsutil import (
+                assert_not_compacting,
+                assert_same_compact_epoch,
+                read_compact_epoch,
+            )
 
             # re-check at the write: a compact listed its input before
             # this batch existed — committing under it hands the swap
             # rows it will erase
             assert_not_compacting(spark, path)
+            entry_epoch = read_compact_epoch(spark, path)
             encoded.write.mode("append").partitionBy("cell").parquet(
                 os.path.join(path, "codes")
             )
+            try:
+                assert_same_compact_epoch(spark, path, entry_epoch)
+            except ValueError as e:
+                raise ValueError(
+                    str(e) + " — for vector appends, retry with "
+                    "skip_existing_ids=True (surviving rows are "
+                    "skipped, erased ones re-added)"
+                ) from e
         finally:
             encoded.unpersist()
         return {"vectors_added": sum(cells.values()),
@@ -988,16 +1014,10 @@ class IvfPqIndex:
         assert_not_compacting(spark, path)
         idx = cls.load(spark, path)
         id_type = idx.indexed.schema[idx.id_col].dataType
-        tomb = ids_to_tombstones(spark, ids, idx.id_col, id_type).persist()
-        try:
-            assert_not_compacting(spark, path)  # re-check at the write
-            tomb.coalesce(1).write.mode("append").parquet(
-                f"{path}/tombstones"
-            )
-            n = tomb.count()
-        finally:
-            tomb.unpersist()
-        return {"tombstones_added": n}
+        from keystone_spark.fsutil import append_tombstones
+
+        tomb = ids_to_tombstones(spark, ids, idx.id_col, id_type)
+        return append_tombstones(spark, path, tomb)
 
     @classmethod
     def compact(cls, spark, path: str) -> dict:
@@ -1015,20 +1035,21 @@ class IvfPqIndex:
         )
 
         # lock FIRST, load after: the rewrite's file listing and
-        # tombstone read must postdate the lock (see Bm25Index.compact)
+        # tombstone read must postdate the lock (see Bm25Index.compact).
+        # The WHOLE post-lock body sits in one try — an analyzer or IO
+        # error anywhere before the swap must release the lock, or it
+        # leaks and blocks every later mutation
         acquire_compact_lock(spark, path)
+        stage = f"{path.rstrip('/')}/_compact_tmp"
         try:
             idx = cls.load(spark, path)
-        except BaseException:
-            release_compact_lock(spark, path)
-            raise
-        codes = idx.indexed
-        tomb = idx._load_tombstones(spark)
-        if tomb is not None:
-            codes = codes.join(F.broadcast(tomb), idx.id_col, "left_anti")
-        stage = f"{path.rstrip('/')}/_compact_tmp"
-        fs_delete(spark, stage)
-        try:
+            codes = idx.indexed
+            tomb = idx._load_tombstones(spark)
+            if tomb is not None:
+                codes = codes.join(
+                    F.broadcast(tomb), idx.id_col, "left_anti"
+                )
+            fs_delete(spark, stage)
             (
                 codes.repartition(F.col("cell"))
                 .write.mode("overwrite").partitionBy("cell")
@@ -1051,6 +1072,9 @@ class IvfPqIndex:
             if not fs_exists(spark, f"{stage}/{SWAP_MARKER}"):
                 release_compact_lock(spark, path)
             raise
+        from keystone_spark.fsutil import bump_compact_epoch
+
+        bump_compact_epoch(spark, path)  # the mutation commit fence
         release_compact_lock(spark, path)
         return {"codes_files_before": before,
                 "codes_files_after": count_parquet_files(
@@ -1073,6 +1097,8 @@ class IvfPqIndex:
                   f"{path.rstrip('/')}/_compact_tmp")
         fs_delete(self.indexed.sparkSession,
                   f"{path.rstrip('/')}/_COMPACT_LOCK")
+        fs_delete(self.indexed.sparkSession,
+                  f"{path.rstrip('/')}/_COMPACT_EPOCH")
         self.indexed.write.mode("overwrite").partitionBy("cell").parquet(
             f"{path}/codes"
         )

@@ -720,3 +720,54 @@ def test_minhash_add_aborts_uncommitted_when_compact_starts_mid_add(
         spark, path, probe, texts, n_hashes=64, n_bands=16
     ).collect()
     assert [(r.doc_id, r.dup_of) for r in out] == [(100, 9)]
+
+
+def test_compact_completing_inside_add_window_fences_the_commit(
+    spark, tmp_path, monkeypatch
+):
+    """The epoch fence: a compact that starts AND FINISHES inside an
+    add's write window releases the lock before the add's commit
+    check, so the lock alone cannot catch it — the bumped compact
+    epoch does. The add aborts uncommitted, the compacted index is
+    consistent, and a retry lands the batch exactly once."""
+    from keystone_spark import fsutil
+    from keystone_spark.operators.nlp import Bm25Index
+
+    path = str(tmp_path / "bm25")
+    Bm25Index.build(_toks(spark, DOCS[:2]), n_term_buckets=4).save(path)
+    assert fsutil.read_compact_epoch(spark, path) == 0
+
+    real_write = Bm25Index._write_data
+    ran = {"compact": False}
+
+    def write_then_full_compact(self, p, mode, gen):
+        real_write(self, p, mode, gen)
+        if mode == "append" and not ran["compact"]:
+            ran["compact"] = True  # a whole compact runs mid-add
+            Bm25Index.compact(spark, path)
+
+    monkeypatch.setattr(Bm25Index, "_write_data", write_then_full_compact)
+    with pytest.raises(ValueError, match="compact completed"):
+        Bm25Index.add(spark, path, _toks(spark, DOCS[2:]))
+    monkeypatch.setattr(Bm25Index, "_write_data", real_write)
+
+    # the compact ran to completion: lock free, epoch bumped, index
+    # consistent at the pre-add corpus
+    assert not fsutil.fs_exists(spark, f"{path}/_COMPACT_LOCK")
+    assert fsutil.read_compact_epoch(spark, path) == 1
+    idx = Bm25Index.load(spark, path)
+    assert idx.params["n_docs"] == 2
+
+    # retry lands exactly once and matches the full rebuild
+    Bm25Index.add(spark, path, _toks(spark, DOCS[2:]))
+    idx = Bm25Index.load(spark, path)
+    assert idx.params["n_docs"] == 4
+    qs = spark.createDataFrame([(0, ["quick", "box"])],
+                               ["query_id", "q_toks"])
+    full = Bm25Index.build(_toks(spark, DOCS), n_term_buckets=4)
+
+    def key(df):
+        return sorted((r.query_id, r.rk, r.doc_id, round(r.score, 9))
+                      for r in df.collect())
+
+    assert key(idx.search(qs, k=4)) == key(full.search(qs, k=4))
