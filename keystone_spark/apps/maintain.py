@@ -10,7 +10,9 @@ Run:
   python -m keystone_spark.apps.maintain dq --src DIR
       [--not-null c1,c2] [--unique k1,k2] [--range col:lo:hi ...]
   python -m keystone_spark.apps.maintain index-compact --path DIR
-      --kind bm25|minhash|ivf|ivfpq
+      --kind bm25|minhash|ivf|ivfpq [--dest NEWDIR]
+  python -m keystone_spark.apps.maintain index-retrain --path DIR
+      --kind ivf|ivfpq --dest NEWDIR [--base PARQUET] [--n-cells N]
   python -m keystone_spark.apps.maintain index-delete --path DIR
       --kind bm25|minhash|ivf|ivfpq --ids id1,id2,...
   python -m keystone_spark.apps.maintain index-repair --path DIR
@@ -68,6 +70,21 @@ def main() -> None:
     ic = sub.add_parser("index-compact")
     ic.add_argument("--path", required=True)
     ic.add_argument("--kind", required=True, choices=kinds)
+    ic.add_argument("--dest", default=None,
+                    help="object-store-safe compact: write a fresh "
+                         "index at DEST and flip the _LATEST pointer "
+                         "at --path instead of swapping in place")
+
+    rt = sub.add_parser("index-retrain")
+    rt.add_argument("--path", required=True)
+    rt.add_argument("--kind", required=True, choices=["ivf", "ivfpq"])
+    rt.add_argument("--dest", required=True,
+                    help="new snapshot path (published via _LATEST)")
+    rt.add_argument("--base", default=None,
+                    help="raw-vector parquet path (REQUIRED for "
+                         "ivfpq — the index stores only codes)")
+    rt.add_argument("--n-cells", type=int, default=None)
+    rt.add_argument("--sample-size", type=int, default=4096)
 
     idel = sub.add_parser("index-delete")
     idel.add_argument("--path", required=True)
@@ -96,6 +113,30 @@ def main() -> None:
         print(json.dumps({"app": "maintain.index-repair", **stats}))
         return
 
+    if args.cmd == "index-retrain":
+        from keystone_spark.operators.similarity import IvfIndex, IvfPqIndex
+
+        if args.kind == "ivf":
+            stats = IvfIndex.retrain(
+                spark, args.path, args.dest, n_cells=args.n_cells,
+                sample_size=args.sample_size,
+            )
+        else:
+            if not args.base:
+                raise SystemExit(
+                    "index-retrain --kind ivfpq requires --base (the "
+                    "raw-vector parquet the index was built from — it "
+                    "stores only codes)"
+                )
+            stats = IvfPqIndex.retrain(
+                spark, args.path, args.dest,
+                spark.read.parquet(args.base), n_cells=args.n_cells,
+                sample_size=args.sample_size,
+            )
+        print(json.dumps({"app": "maintain.index-retrain",
+                          "kind": args.kind, **stats}))
+        return
+
     if args.cmd in ("index-compact", "index-delete"):
         from keystone_spark.operators import dedup as _dedup
         from keystone_spark.operators.nlp import Bm25Index
@@ -114,7 +155,8 @@ def main() -> None:
             "ivfpq": IvfPqIndex.delete,
         }
         if args.cmd == "index-compact":
-            stats = compactor[args.kind](spark, args.path)
+            stats = compactor[args.kind](spark, args.path,
+                                         dest=args.dest)
         else:
             # one-column STRING DataFrame: ids_to_tombstones casts it to
             # the index's stored id type, so "42" deletes a long id 42

@@ -1438,20 +1438,13 @@ def build_minhash_index(
     two-phase append — an interrupted mutation is invisible, a blind
     retry cannot double-index, and ``compact_minhash_index`` purges
     the orphan rows."""
-    from keystone_spark.fsutil import fs_delete
+    from keystone_spark.fsutil import clear_index_control_state
 
-    # a build is a brand-new index: stale tombstones or a stale compact
-    # stage left by a previous index at the same path must not leak
-    # into it (leftover tombstones would hide freshly indexed ids; a
-    # leftover swap marker would make every reader refuse the rebuild).
-    # Single-writer corollary: a rebuild must not race a live compact
-    # of the old index — these clears cannot tell a crashed compact's
-    # leftovers from a running one's
+    # a build is a brand-new index: control state from any previous
+    # index at this path (tombstones, compact stage, locks, epoch
+    # fence) must not leak into it — see clear_index_control_state
     spark = corpus.sparkSession
-    fs_delete(spark, f"{path}/tombstones")
-    fs_delete(spark, f"{path.rstrip('/')}/_compact_tmp")
-    fs_delete(spark, f"{path.rstrip('/')}/_COMPACT_LOCK")
-    fs_delete(spark, f"{path.rstrip('/')}/_COMPACT_EPOCH")
+    clear_index_control_state(spark, path)
     corpus = corpus.where(F.col(text_col).isNotNull())  # no-shingle docs
     # min-id-per-content collapse, mirroring neardup_against_corpus's
     # inline path (see its docstring for the result-identity argument):
@@ -1568,7 +1561,37 @@ def add_to_minhash_index(
     from keystone_spark.fsutil import is_missing_path
 
     from keystone_spark.fsutil import (
+        acquire_write_lock,
+        assert_latest_unchanged,
+        release_write_lock,
+        resolve_index_path,
+    )
+
+    # mutations target the CURRENT snapshot (a dest-compact may have
+    # republished the index under a _LATEST pointer)
+    root, path = path, resolve_index_path(spark, path)
+    # mutation lock FIRST (VERDICT r11 #1): generation allocation reads
+    # max_generation from the manifest, so two concurrent adds without
+    # the lock could both claim gen N+1 and interleave their rows under
+    # one committed generation. Lock-then-check-compact is the
+    # deadlock-free handshake documented on acquire_write_lock; the
+    # whole intent->commit span runs under it.
+    acquire_write_lock(spark, path)
+    try:
+        assert_latest_unchanged(spark, root, path)
+        return _add_to_minhash_locked(spark, path, batch, id_col,
+                                      text_col)
+    finally:
+        release_write_lock(spark, path)
+
+
+def _add_to_minhash_locked(spark, path: str, batch: DataFrame,
+                           id_col: str, text_col: str) -> dict:
+    from pyspark.errors import AnalysisException
+
+    from keystone_spark.fsutil import (
         assert_not_compacting,
+        is_missing_path,
         read_compact_epoch,
     )
 
@@ -1734,19 +1757,39 @@ def delete_from_minhash_index(
     excludes tombstoned ids from its already-indexed skip set, so that
     recovery works immediately, before any compact). ``ids`` is a list
     or a one-column DataFrame; unknown ids are harmless no-op rows.
-    The tombstone column takes the INDEX's stored id type (from the
-    sigs schema), so string-id indexes delete correctly too."""
+    The tombstone column takes the INDEX's stored id NAME AND TYPE
+    (from the sigs schema — ADVICE r11 #3: trusting the ``id_col``
+    argument made a default-arg CLI delete against a custom-id index
+    fail with a raw KeyError; the stored column is the only one the
+    anti-joins can ever match, so it is authoritative and the argument
+    is validated against it)."""
     from keystone_spark.fsutil import (
         assert_not_compacting,
         ids_to_tombstones,
+        resolve_index_path,
     )
 
+    root, path = path, resolve_index_path(spark, path)
     assert_not_compacting(spark, path)
-    id_type = spark.read.parquet(f"{path}/sigs").schema[id_col].dataType
+    schema = spark.read.parquet(f"{path}/sigs").schema
+    stored = [f for f in schema.fields if f.name not in ("sig", "gen")]
+    if len(stored) != 1:
+        raise ValueError(
+            f"cannot determine the id column of the index at {path}: "
+            f"sigs schema has non-sig columns "
+            f"{[f.name for f in stored]} — the index is corrupt"
+        )
+    if id_col != "doc_id" and id_col != stored[0].name:
+        raise ValueError(
+            f"id_col={id_col!r} does not match the index's stored id "
+            f"column {stored[0].name!r} — tombstones are keyed by the "
+            "stored column; omit id_col to use it"
+        )
+    id_col, id_type = stored[0].name, stored[0].dataType
     from keystone_spark.fsutil import append_tombstones
 
     tomb = ids_to_tombstones(spark, ids, id_col, id_type)
-    return append_tombstones(spark, path, tomb)
+    return append_tombstones(spark, path, tomb, root=root)
 
 
 def _minhash_tombstones(spark, path: str, id_col: str):
@@ -1755,24 +1798,71 @@ def _minhash_tombstones(spark, path: str, id_col: str):
     return read_tombstones(spark, path, id_col)
 
 
-def compact_minhash_index(spark, path: str) -> dict:
+def compact_minhash_index(spark, path: str, dest: str | None = None
+                          ) -> dict:
     """OPTIMIZE pass for an appended-to ``build_minhash_index`` — see
     ``_compact_minhash_locked`` for the full contract. Mutual exclusion
     with ``add``/``delete`` via the compact write-lock: a crash during
     the destructive swap keeps the lock held until
     ``fsutil.finish_swap`` repairs; a staging failure releases it (the
-    live index is untouched)."""
+    live index is untouched).
+
+    ``dest=...`` is the object-store-safe form (VERDICT r11 #3): the
+    compacted index is written as a FRESH index at ``dest`` (no rename
+    of live data) and published with one atomic ``_LATEST`` pointer
+    flip at ``path`` — readers resolving ``path`` see the old snapshot
+    until the flip, the new one after; the old snapshot stays intact
+    for in-flight readers. The source keeps its tombstones (it remains
+    a correct pre-compact snapshot); ``dest`` starts purged."""
     from keystone_spark.fsutil import (
         SWAP_MARKER,
         acquire_compact_lock,
         fs_exists,
         release_compact_lock,
+        resolve_index_path,
     )
 
+    root, path = path, resolve_index_path(spark, path)
+    if dest is not None and dest.rstrip("/") == path.rstrip("/"):
+        raise ValueError(
+            "compact dest must be a NEW index path, not the current "
+            "snapshot"
+        )
     _minhash_manifest(spark, path)  # validate before taking the lock
     acquire_compact_lock(spark, path)
     stage = f"{path.rstrip('/')}/_compact_tmp"
+    if dest is not None:
+        # dest mode never mutates the source: release unconditionally
+        try:
+            from keystone_spark.fsutil import (
+                assert_no_write_lock,
+                pointer_target,
+                write_latest_pointer,
+            )
+
+            assert_no_write_lock(spark, path)
+            cfg, tables = _compact_minhash_rewrite(spark, path, dest,
+                                                   fresh_dest=True)
+            ptr = write_latest_pointer(spark, root,
+                                       pointer_target(root, dest))
+        finally:
+            release_compact_lock(spark, path)
+        from keystone_spark.fsutil import count_parquet_files
+
+        return {
+            "dest": dest,
+            "pointer_version": ptr,
+            "band_files_after": count_parquet_files(
+                spark, f"{dest}/bands"),
+            "orphan_generations_purged": cfg["incomplete_generations"],
+        }
     try:
+        # compact's half of the mutation-lock handshake (r12): fail
+        # fast on an in-flight add/delete instead of purging its
+        # uncommitted rows and aborting it at its epoch fence
+        from keystone_spark.fsutil import assert_no_write_lock
+
+        assert_no_write_lock(spark, path)
         out = _compact_minhash_locked(spark, path)
     except BaseException:
         if not fs_exists(spark, f"{stage}/{SWAP_MARKER}"):
@@ -1807,8 +1897,33 @@ def _compact_minhash_locked(spark, path: str) -> dict:
     from keystone_spark.fsutil import (
         count_parquet_files,
         fs_delete,
-        fs_exists,
         swap_tables,
+    )
+
+    stage = f"{path.rstrip('/')}/_compact_tmp"
+    cfg, tables = _compact_minhash_rewrite(spark, path, stage)
+    before = count_parquet_files(spark, f"{path}/bands")
+    swap_tables(spark, path, stage, tables)
+    # tombstones are now physically purged from the data files
+    fs_delete(spark, f"{path}/tombstones")
+    return {
+        "band_files_before": before,
+        "band_files_after": count_parquet_files(spark, f"{path}/bands"),
+        "orphan_generations_purged": cfg["incomplete_generations"],
+    }
+
+
+def _compact_minhash_rewrite(spark, path: str, out_dir: str,
+                             fresh_dest: bool = False) -> tuple:
+    """The shared rewrite core of in-place and dest compaction: write
+    the purged, committed-only, single-generation-0 rewrite of the
+    index at ``path`` into ``out_dir`` (the compact stage, or a fresh
+    dest snapshot). Returns (cfg, written table names)."""
+    from keystone_spark.fsutil import (
+        clear_index_control_state,
+        count_parquet_files,
+        fs_delete,
+        fs_exists,
     )
 
     cfg = _minhash_manifest(spark, path)
@@ -1828,35 +1943,37 @@ def _compact_minhash_locked(spark, path: str) -> dict:
         content = content.join(F.broadcast(tomb), id_col, "left_anti")
         if texts is not None:
             texts = texts.join(F.broadcast(tomb), id_col, "left_anti")
-    stage = f"{path.rstrip('/')}/_compact_tmp"
-    fs_delete(spark, stage)
+    if fresh_dest:
+        clear_index_control_state(spark, out_dir)
+    else:
+        fs_delete(spark, out_dir)
     gen0 = F.lit(0)
     (
         bands.repartition(F.col("band"))
         .sortWithinPartitions("band", "bucket")
         .withColumn("gen", gen0)
         .write.mode("overwrite").partitionBy("band", "gen")
-        .parquet(f"{stage}/bands")
+        .parquet(f"{out_dir}/bands")
     )
     n = spark.sparkContext.defaultParallelism
     sigs.repartition(n).withColumn("gen", gen0).write.mode(
         "overwrite"
-    ).parquet(f"{stage}/sigs")
+    ).parquet(f"{out_dir}/sigs")
     content.repartition(n).withColumn("gen", gen0).write.mode(
         "overwrite"
-    ).parquet(f"{stage}/content")
+    ).parquet(f"{out_dir}/content")
     tables = ["bands", "sigs", "content"]
     if texts is not None:
         texts.repartition(n).withColumn("gen", gen0).write.mode(
             "overwrite"
-        ).parquet(f"{stage}/texts")
+        ).parquet(f"{out_dir}/texts")
         tables.append("texts")
     # single committed generation-0 manifest (the compact's commit row)
-    _minhash_append_manifest(spark, stage, cfg, 0, committed=True,
+    _minhash_append_manifest(spark, out_dir, cfg, 0, committed=True,
                              mode="overwrite")
     tables.append("params")
-    if count_parquet_files(spark, f"{stage}/bands") == 0:
-        fs_delete(spark, stage)
+    if count_parquet_files(spark, f"{out_dir}/bands") == 0:
+        fs_delete(spark, out_dir)
         raise ValueError(
             "compact aborted: every indexed document is tombstoned, and "
             "the staged rewrite would leave an empty bands table that no "
@@ -1865,15 +1982,7 @@ def _compact_minhash_locked(spark, path: str) -> dict:
             "untouched; delete the index directory instead of "
             "compacting it empty"
         )
-    before = count_parquet_files(spark, f"{path}/bands")
-    swap_tables(spark, path, stage, tables)
-    # tombstones are now physically purged from the data files
-    fs_delete(spark, f"{path}/tombstones")
-    return {
-        "band_files_before": before,
-        "band_files_after": count_parquet_files(spark, f"{path}/bands"),
-        "orphan_generations_purged": cfg["incomplete_generations"],
-    }
+    return cfg, tables
 
 
 def neardup_against_corpus(
@@ -2056,6 +2165,9 @@ def match_minhash_index(
     only generations with a committed manifest row are served (crash
     safety, VERDICT r10 #1) — so data without a readable manifest is an
     interrupted/corrupt index, not a validable one."""
+    from keystone_spark.fsutil import resolve_index_path
+
+    path = resolve_index_path(spark, path)  # follow _LATEST
     cfg = _minhash_manifest(spark, path)
     given = {"n_hashes": n_hashes, "n_bands": n_bands,
              "shingle_k": shingle_k, "seed": seed}

@@ -531,7 +531,8 @@ class Bm25Index:
 
     as a codegen expression over the pruned sliver it scans.
 
-    Storage format v3 (r11 = v2 + crash-safe generation commits). v1
+    Storage format v4 (r12 = v3 + a per-doc membership table; r11 = v2
+    + crash-safe generation commits). v1
     precomputed w into the postings (Lucene impact-style); that made
     weights depend on CORPUS-WIDE stats (N, avgdl, df) frozen at build
     time, so appending a batch either rewrote the whole index or
@@ -550,6 +551,14 @@ class Bm25Index:
     - ``{path}/df``: (term, df) deltas, same partitioning — a term's
       document frequency is the SUM of its delta rows (one per
       build/add generation that touched it);
+    - ``{path}/docs``: (id, dl) — ONE row per document, partitioned by
+      generation (v4, VERDICT r11 #2). This is the index's membership
+      authority: the idempotent ``add`` skip set anti-joins it (cost
+      grows with document count, not posting count — the postings id
+      column is ~two orders denser), zero-token documents appear in it
+      (they leave no postings, so the old skip set replayed them and
+      the old compact could not subtract them from N), and compact
+      derives exact purge accounting from it;
     - ``{path}/params``: rows carrying the immutable config (version,
       k1, b, n_term_buckets, id_col — validated identical across
       generations at load), a ``generation`` number, a ``committed``
@@ -585,12 +594,13 @@ class Bm25Index:
     tables — its plain rewrite drops the tbucket directory layout
     that search's partition pruning needs.)"""
 
-    FORMAT_VERSION = 3
+    FORMAT_VERSION = 4
 
     def __init__(self, postings: DataFrame, df_t: DataFrame, params: dict,
-                 path: str | None = None):
+                 path: str | None = None, docs: DataFrame | None = None):
         self.postings = postings  # (term, tbucket, id, tf, dl)
         self.df_t = df_t  # (term, tbucket, df) deltas
+        self.docs = docs  # (id, dl) — one row per document, v4
         self.params = params
         self.path = path  # set by save/load; required by add()
 
@@ -600,10 +610,14 @@ class Bm25Index:
 
     @classmethod
     def _stats(cls, docs: DataFrame, id_col: str, tokens_col: str,
-               n_term_buckets: int) -> tuple[DataFrame, DataFrame, int, int]:
-        """(postings, df deltas, n_docs, sum_dl) for one generation —
-        shared by build and add so their counts are definitionally the
-        same. Two corpus aggregations, both map-side combinable."""
+               n_term_buckets: int
+               ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """LAZY (postings, df deltas, per-doc membership rows) for one
+        generation — shared by build and add so their counts are
+        definitionally the same. Callers aggregate the membership
+        frame for (n_docs, sum_dl); ``add`` persists it first so the
+        aggregate materializes the cache the docs-table write then
+        reads (persist-once, VERDICT r10 #4 extended to v4)."""
         postings = (
             docs.select(
                 F.col(id_col),
@@ -621,10 +635,20 @@ class Bm25Index:
         df_t = postings.groupBy("term", "tbucket").agg(
             F.count("*").alias("df")
         )
-        tot = docs.agg(
-            F.count("*").alias("n"), F.sum(F.size(tokens_col)).alias("s")
+        # one row per document, ZERO-TOKEN docs included (explode drops
+        # them from postings; this table is where they remain visible
+        # to the idempotent skip set and to compact's exact N purge)
+        docs_tbl = docs.select(
+            F.col(id_col), F.size(tokens_col).alias("dl")
+        )
+        return postings, df_t, docs_tbl
+
+    @staticmethod
+    def _doc_totals(docs_tbl: DataFrame) -> tuple[int, int]:
+        tot = docs_tbl.agg(
+            F.count("*").alias("n"), F.sum("dl").alias("s")
         ).first()
-        return postings, df_t, int(tot["n"]), int(tot["s"] or 0)
+        return int(tot["n"]), int(tot["s"] or 0)
 
     @classmethod
     def build(
@@ -636,16 +660,17 @@ class Bm25Index:
         tokens_col: str = "toks",
         n_term_buckets: int = 64,
     ) -> "Bm25Index":
-        postings, df_t, n_docs, sum_dl = cls._stats(
+        postings, df_t, docs_tbl = cls._stats(
             docs, id_col, tokens_col, n_term_buckets
         )
+        n_docs, sum_dl = cls._doc_totals(docs_tbl)
         params = {
             "version": cls.FORMAT_VERSION,
             "k1": float(k1), "b": float(b), "n_docs": n_docs,
             "sum_dl": sum_dl, "n_term_buckets": int(n_term_buckets),
             "id_col": id_col,
         }
-        return cls(postings, df_t, params)
+        return cls(postings, df_t, params, docs=docs_tbl)
 
     _PARAMS_SCHEMA = (
         "version long, k1 double, b double, n_docs long, sum_dl long, "
@@ -676,6 +701,17 @@ class Bm25Index:
             .write.mode(mode).partitionBy("tbucket", "gen")
             .parquet(f"{path}/df")
         )
+        # v4 per-doc membership table (VERDICT r11 #2): one narrow row
+        # per document — the idempotent skip set anti-joins THIS (cost
+        # grows with doc count, not posting count), zero-token docs
+        # stay visible to it, and compact's purge subtracts exact
+        # (n_docs, sum_dl) from it. gen partitioning gives the same
+        # committed-only pruning as the other tables.
+        (
+            self.docs.withColumn("gen", F.lit(int(generation)))
+            .write.mode(mode).partitionBy("gen")
+            .parquet(f"{path}/docs")
+        )
 
     @classmethod
     def _append_manifest(cls, spark, path: str, p: dict, generation: int,
@@ -700,13 +736,10 @@ class Bm25Index:
         and must not race a live compact of the old one — the clears
         cannot distinguish a crashed compact's leftovers from a running
         one's; coordinate rebuilds with the compaction schedule."""
-        from keystone_spark.fsutil import fs_delete
+        from keystone_spark.fsutil import clear_index_control_state
 
         spark = self.postings.sparkSession
-        fs_delete(spark, f"{path}/tombstones")
-        fs_delete(spark, f"{path.rstrip('/')}/_compact_tmp")
-        fs_delete(spark, f"{path.rstrip('/')}/_COMPACT_LOCK")
-        fs_delete(spark, f"{path.rstrip('/')}/_COMPACT_EPOCH")
+        clear_index_control_state(spark, path)
         self._write_data(path, "overwrite", 0)
         self._append_manifest(
             self.postings.sparkSession, path, self.params, 0,
@@ -725,8 +758,12 @@ class Bm25Index:
         its generation number claimed). The orphan set is surfaced in
         ``params["incomplete_generations"]`` and physically purged at
         the next ``compact``."""
-        from keystone_spark.fsutil import assert_no_interrupted_swap
+        from keystone_spark.fsutil import (
+            assert_no_interrupted_swap,
+            resolve_index_path,
+        )
 
+        path = resolve_index_path(spark, path)  # follow _LATEST
         assert_no_interrupted_swap(spark, path)
         gens = spark.read.parquet(f"{path}/params").collect()
         fixed = {(int(r["version"]), float(r["k1"]), float(r["b"]),
@@ -741,8 +778,8 @@ class Bm25Index:
         if version != cls.FORMAT_VERSION:
             raise ValueError(
                 f"Bm25Index at {path} is format v{version}; this code "
-                f"reads v{cls.FORMAT_VERSION} (crash-safe generation "
-                "layout, r11) — rebuild the index with "
+                f"reads v{cls.FORMAT_VERSION} (per-doc membership "
+                "table, r12) — rebuild the index with "
                 "Bm25Index.build().save()"
             )
         from keystone_spark.fsutil import generation_sets
@@ -760,6 +797,7 @@ class Bm25Index:
             spark.read.parquet(f"{path}/postings").where(keep).drop("gen"),
             spark.read.parquet(f"{path}/df").where(keep).drop("gen"),
             params, path=path,
+            docs=spark.read.parquet(f"{path}/docs").where(keep).drop("gen"),
         )
 
     @classmethod
@@ -787,15 +825,17 @@ class Bm25Index:
         terms, not text). Or pass ``skip_existing_ids=True`` for the
         IDEMPOTENT form (the streaming-replay contract, same shape as
         ``IvfIndex.add``): ids already present in the committed
-        postings OR tombstoned are anti-joined out before anything is
-        counted, so a replayed batch appends nothing and stats stay
-        exact. Costs one narrow postings id-column scan per call
-        (committed generations only, so a retried CRASHED add still
-        lands — its orphan rows are never in the committed set).
-        Caveat: a document whose token array is EMPTY leaves no
-        postings, so the skip set cannot see it — an all-empty-docs
-        replay would re-count those n_docs; empty docs can never match
-        a query, but keep them out of streams you expect to replay.
+        per-doc membership table (``{path}/docs``) OR tombstoned are
+        anti-joined out before anything is counted, so a replayed
+        batch appends nothing and stats stay exact. The skip set is
+        one row per document, two narrow columns (v4, VERDICT r11 #2 —
+        the v3 form scanned the postings id column, whose size grows
+        with the INDEX at ~hundreds of rows per doc, paid per
+        micro-batch by ``stream_bm25_ingest``), and it carries
+        zero-token documents too, so an all-empty-docs replay is a
+        no-op (the v3 caveat is closed). Committed generations only,
+        so a retried CRASHED add still lands — its orphan rows are
+        never in the committed set.
 
         Crash safety (VERDICT r10 #1): the mutation is a two-phase
         commit — INTENT manifest row first (durably claims the
@@ -815,51 +855,90 @@ class Bm25Index:
         index (an already-loaded instance's file listing predates the
         append)."""
         from keystone_spark.fsutil import (
+            acquire_write_lock,
+            assert_latest_unchanged,
             assert_not_compacting,
             read_compact_epoch,
+            release_write_lock,
+            resolve_index_path,
         )
 
-        assert_not_compacting(spark, path)
-        entry_epoch = read_compact_epoch(spark, path)
-        idx = cls.load(spark, path)  # validates format + manifest
-        p = idx.params
-        if skip_existing_ids:
-            known = idx.postings.select(p["id_col"])
-            tomb = cls._tombstones(spark, path, p["id_col"])
-            if tomb is not None:
-                known = known.unionByName(tomb)
-            batch_docs = batch_docs.join(known, p["id_col"], "left_anti")
-        postings, df_t, n_docs, sum_dl = cls._stats(
-            batch_docs, p["id_col"], tokens_col, p["n_term_buckets"]
-        )
-        if n_docs == 0:
-            return {"batch_docs": 0, "postings_added": 0, "generation": None}
-        # persist-once (VERDICT r10 #4): the data write materializes
-        # the cache and the postings_added stat reads it back — the
-        # batch explode+groupBy no longer runs twice per append
-        postings = postings.persist()
+        # mutations target the CURRENT snapshot (a dest-compact/retrain
+        # may have republished the index under a _LATEST pointer)
+        root, path = path, resolve_index_path(spark, path)
+        # mutation lock FIRST (VERDICT r11 #1 — enforced single-writer):
+        # generation allocation below reads max_generation from the
+        # manifest, so two concurrent adds without the lock would both
+        # claim gen N+1 and interleave their data rows under one
+        # committed generation. Lock-then-check-compact is the
+        # deadlock-free handshake documented on acquire_write_lock.
+        acquire_write_lock(spark, path)
         try:
-            batch = cls(postings, df_t, p)
-            gen = int(p["max_generation"]) + 1
-            cls._append_manifest(spark, path, p, gen, 0, 0,
-                                 committed=False)
-            batch._write_data(path, "append", gen)
-            n_postings = postings.count()
-            # COMMIT-point fences: the lock check catches a compact
-            # still running; the epoch fence catches one that started
-            # AND FINISHED inside this add's write window (its swap
-            # already erased the gen-N files — committing would record
-            # a generation with no data, or double-count on a
-            # re-allocated gen number). Either way the add aborts
-            # uncommitted and a blind retry is safe.
-            from keystone_spark.fsutil import assert_same_compact_epoch
-
+            assert_latest_unchanged(spark, root, path)
             assert_not_compacting(spark, path)
-            assert_same_compact_epoch(spark, path, entry_epoch)
-            cls._append_manifest(spark, path, p, gen, n_docs, sum_dl,
-                                 committed=True)
+            entry_epoch = read_compact_epoch(spark, path)
+            idx = cls.load(spark, path)  # validates format + manifest
+            p = idx.params
+            if skip_existing_ids:
+                # anti-join against the per-doc membership table — one
+                # row per COMMITTED document (2 narrow columns), not the
+                # postings id column (VERDICT r11 #2: that scan grew
+                # with the INDEX, ~hundreds of posting rows per doc,
+                # paid per micro-batch by stream_bm25_ingest). The docs
+                # table also carries zero-token documents, so an
+                # all-empty-docs replay is skipped too (the old
+                # postings-derived skip set could not see them).
+                known = idx.docs.select(p["id_col"])
+                tomb = cls._tombstones(spark, path, p["id_col"])
+                if tomb is not None:
+                    known = known.unionByName(tomb)
+                batch_docs = batch_docs.join(
+                    known, p["id_col"], "left_anti"
+                )
+            postings, df_t, docs_tbl = cls._stats(
+                batch_docs, p["id_col"], tokens_col, p["n_term_buckets"]
+            )
+            # persist-once on BOTH batch lineages (VERDICT r10 #4,
+            # extended to the v4 docs table): the (n_docs, sum_dl)
+            # aggregate materializes the membership cache (the docs
+            # write reads it back), and the data write materializes
+            # the postings cache (the postings_added stat reads it
+            # back) — the batch is evaluated exactly twice per append
+            docs_tbl = docs_tbl.persist()
+            n_docs, sum_dl = cls._doc_totals(docs_tbl)
+            if n_docs == 0:
+                docs_tbl.unpersist()
+                return {"batch_docs": 0, "postings_added": 0,
+                        "generation": None}
+            postings = postings.persist()
+            try:
+                batch = cls(postings, df_t, p, docs=docs_tbl)
+                gen = int(p["max_generation"]) + 1
+                cls._append_manifest(spark, path, p, gen, 0, 0,
+                                     committed=False)
+                batch._write_data(path, "append", gen)
+                n_postings = postings.count()
+                # COMMIT-point fences: the lock check catches a compact
+                # still running; the epoch fence catches one that
+                # started AND FINISHED inside this add's write window
+                # (its swap already erased the gen-N files — committing
+                # would record a generation with no data, or
+                # double-count on a re-allocated gen number). Either
+                # way the add aborts uncommitted and a blind retry is
+                # safe.
+                from keystone_spark.fsutil import (
+                    assert_same_compact_epoch,
+                )
+
+                assert_not_compacting(spark, path)
+                assert_same_compact_epoch(spark, path, entry_epoch)
+                cls._append_manifest(spark, path, p, gen, n_docs,
+                                     sum_dl, committed=True)
+            finally:
+                postings.unpersist()
+                docs_tbl.unpersist()
         finally:
-            postings.unpersist()
+            release_write_lock(spark, path)
         return {
             "batch_docs": n_docs,
             "postings_added": n_postings,
@@ -880,7 +959,9 @@ class Bm25Index:
         Lucene parity: deleted docs keep counting toward df/idf until
         a segment merge there too — scores of surviving documents are
         unchanged by a delete and snap to the exact smaller-corpus
-        values at compact (both pinned by test).
+        values at compact (both pinned by test; exact even for
+        zero-token documents since v4's membership table carries
+        them).
 
         ``ids`` is a list of ids or a one-column DataFrame. Deleting
         an id not in the index is a harmless no-op row. Tombstones
@@ -892,8 +973,10 @@ class Bm25Index:
         from keystone_spark.fsutil import (
             assert_not_compacting,
             ids_to_tombstones,
+            resolve_index_path,
         )
 
+        root, path = path, resolve_index_path(spark, path)
         assert_not_compacting(spark, path)
         idx = cls.load(spark, path)
         id_col = idx.params["id_col"]
@@ -901,7 +984,7 @@ class Bm25Index:
         tomb = ids_to_tombstones(spark, ids, id_col, id_type)
         from keystone_spark.fsutil import append_tombstones
 
-        return append_tombstones(spark, path, tomb)
+        return append_tombstones(spark, path, tomb, root=root)
 
     @staticmethod
     def _tombstones(spark, path: str, id_col: str) -> DataFrame | None:
@@ -910,7 +993,7 @@ class Bm25Index:
         return read_tombstones(spark, path, id_col)
 
     @classmethod
-    def compact(cls, spark, path: str) -> dict:
+    def compact(cls, spark, path: str, dest: str | None = None) -> dict:
         """Rewrite an appended-to index back to its built shape — the
         OPTIMIZE pass of the ingest loop: postings become one
         term-sorted file per bucket (each add left a small file set
@@ -925,34 +1008,69 @@ class Bm25Index:
         the surviving postings, and (n_docs, sum_dl) subtract the
         deleted documents' exact contributions — search thereafter
         equals a from-scratch build over the surviving corpus (pinned
-        by test; caveat: a deleted doc that had ZERO tokens left no
-        postings to subtract, so it stays counted in N — a vanishing
-        idf perturbation, and such docs can never match anyway).
+        by test). The subtraction reads the v4 per-doc membership
+        table, so it is exact even for zero-token documents (the v3
+        postings-derived form could not see them and left them counted
+        in N forever).
 
-        The rewrite stages under ``{path}/_compact_tmp`` and swaps via
-        the Hadoop FileSystem API (VERDICT r10 #2 — the old
-        ``os.walk``/``shutil``/``os.rename`` tail only worked on the
-        driver's local disk while every other lifecycle op was
-        FS-agnostic), so ``file://``, bare local, and ``hdfs://``
+        In-place (``dest=None``): the rewrite stages under
+        ``{path}/_compact_tmp`` and swaps via the Hadoop FileSystem API
+        (VERDICT r10 #2), so ``file://``, bare local, and ``hdfs://``
         index paths all compact in place. Directory rename is atomic
-        on local/HDFS; object stores emulate it by copy+delete, so on
-        ``s3a://`` compact into a NEW index path and flip the reader's
-        pointer instead. Not safe to run concurrently with
-        ``add``/``delete``. Uncommitted orphan generations (from a
-        crashed add) are physically dropped here — the staged rewrite
-        reads through ``load``, which serves committed rows only."""
+        on local/HDFS; object stores emulate it by copy+delete.
+
+        Object stores (``dest=...``, VERDICT r11 #3): the compacted
+        index is written as a FRESH index at ``dest`` (no rename of
+        live data at all) and the flip is one atomic ``_LATEST``
+        pointer publish at ``path`` — readers that ``load(path)``
+        resolve the pointer and see the old snapshot until the flip
+        and the new one after; the old snapshot dir stays intact for
+        in-flight readers (delete it once they drain). Tombstones and
+        orphan generations are purged from ``dest``; the SOURCE
+        snapshot is untouched, so its own tombstone set keeps
+        filtering it correctly. Canonical layout: snapshots under a
+        root (``{root}/v0`` -> ``compact(root, dest=f"{root}/v1")``).
+
+        Not safe to run concurrently with ``add``/``delete`` (enforced
+        by the lock handshake). Uncommitted orphan generations (from a
+        crashed add) are physically dropped here — the rewrite reads
+        through ``load``, which serves committed rows only."""
         from keystone_spark.fsutil import (
             acquire_compact_lock,
             fs_delete,
             release_compact_lock,
+            resolve_index_path,
         )
 
+        root, path = path, resolve_index_path(spark, path)
+        if dest is not None and dest.rstrip("/") == path.rstrip("/"):
+            raise ValueError(
+                "compact dest must be a NEW index path, not the "
+                "current snapshot"
+            )
         # lock FIRST, list/load after: the staged rewrite's file
         # listing and tombstone read must postdate the lock, or a
         # mutation committing in between is silently erased by the swap
         acquire_compact_lock(spark, path)
         stage = f"{path.rstrip('/')}/_compact_tmp"
+        if dest is not None:
+            # dest mode never mutates the source, so the lock is
+            # released unconditionally — no repair path to keep it for
+            try:
+                from keystone_spark.fsutil import assert_no_write_lock
+
+                assert_no_write_lock(spark, path)
+                idx = cls.load(spark, path)
+                return cls._compact_into(spark, root, path, idx, dest)
+            finally:
+                release_compact_lock(spark, path)
         try:
+            # compact's half of the mutation-lock handshake (r12): an
+            # in-flight add/delete would otherwise be purged as orphans
+            # and aborted at its epoch fence — fail fast instead
+            from keystone_spark.fsutil import assert_no_write_lock
+
+            assert_no_write_lock(spark, path)
             idx = cls.load(spark, path)  # validates format + manifest
             fs_delete(spark, stage)
             return cls._compact_locked(spark, path, idx, stage)
@@ -967,6 +1085,93 @@ class Bm25Index:
             raise
 
     @classmethod
+    def _purged_for_compact(cls, spark, path: str, idx: "Bm25Index"
+                            ) -> tuple["Bm25Index", int, int]:
+        """(merged index over surviving docs, exact n_docs, sum_dl) —
+        the shared rewrite core of in-place and dest compaction."""
+        p = idx.params
+        id_col = p["id_col"]
+        postings = idx.postings
+        docs_tbl = idx.docs
+        n_docs, sum_dl = p["n_docs"], p["sum_dl"]
+        tomb = cls._tombstones(spark, path, id_col)
+        if tomb is not None:
+            # exact purge accounting from the per-doc membership table
+            # (v4): a deleted doc with ZERO tokens left no postings, so
+            # the old postings-derived subtraction kept it counted in N
+            # forever — the docs table has its row, so N and sum_dl
+            # land exactly on the surviving corpus.
+            gone = (
+                docs_tbl.join(F.broadcast(tomb), id_col, "left_semi")
+                .agg(F.count("*").alias("n"), F.sum("dl").alias("s"))
+                .first()
+            )
+            n_docs -= int(gone["n"])
+            sum_dl -= int(gone["s"] or 0)
+            postings = postings.join(F.broadcast(tomb), id_col,
+                                     "left_anti")
+            docs_tbl = docs_tbl.join(F.broadcast(tomb), id_col,
+                                     "left_anti")
+        # one whole bucket per task -> one right-sized file per bucket
+        # directory; _write_data re-sorts by (tbucket, term) for
+        # row-group pruning. df is RE-DERIVED from the (surviving)
+        # postings — exact by construction (one posting row per
+        # (doc, term)), and the single code path that is correct both
+        # with and without tombstones.
+        n = spark.sparkContext.defaultParallelism
+        merged = cls(
+            postings.repartition(F.col("tbucket")),
+            postings.groupBy("term", "tbucket").agg(
+                F.count("*").alias("df")
+            ),
+            p,
+            docs=docs_tbl.repartition(n),
+        )
+        return merged, n_docs, sum_dl
+
+    @classmethod
+    def _compact_into(cls, spark, root: str, path: str,
+                      idx: "Bm25Index", dest: str) -> dict:
+        """Dest-mode compact body (source lock held by the caller):
+        write the purged rewrite as a fresh index at ``dest``, then
+        publish it with one atomic ``_LATEST`` pointer flip at
+        ``root`` — the object-store-safe path (no rename of live
+        data)."""
+        from keystone_spark.fsutil import (
+            clear_index_control_state,
+            count_parquet_files,
+            fs_delete,
+            pointer_target,
+            write_latest_pointer,
+        )
+
+        merged, n_docs, sum_dl = cls._purged_for_compact(spark, path,
+                                                         idx)
+        clear_index_control_state(spark, dest)
+        merged._write_data(dest, "overwrite", 0)
+        cls._append_manifest(spark, dest, idx.params, 0, n_docs, sum_dl,
+                             committed=True, mode="overwrite")
+        if count_parquet_files(spark, f"{dest}/postings") == 0:
+            fs_delete(spark, dest)
+            raise ValueError(
+                "compact aborted: every document is tombstoned, and "
+                "the rewritten postings table at dest would be empty "
+                "(no reader can load a file-less directory) — the "
+                "live index is untouched; delete the index instead of "
+                "compacting it empty"
+            )
+        ptr = write_latest_pointer(spark, root,
+                                   pointer_target(root, dest))
+        return {
+            "dest": dest,
+            "pointer_version": ptr,
+            "postings_files_after": count_parquet_files(
+                spark, f"{dest}/postings"),
+            "orphan_generations_purged":
+                idx.params["incomplete_generations"],
+        }
+
+    @classmethod
     def _compact_locked(cls, spark, path: str, idx: "Bm25Index",
                         stage: str) -> dict:
         from keystone_spark.fsutil import (
@@ -977,33 +1182,8 @@ class Bm25Index:
         )
 
         p = idx.params
-        id_col = p["id_col"]
-        postings = idx.postings
-        n_docs, sum_dl = p["n_docs"], p["sum_dl"]
-        tomb = cls._tombstones(spark, path, id_col)
-        if tomb is not None:
-            gone = (
-                postings.join(F.broadcast(tomb), id_col, "left_semi")
-                .select(id_col, "dl").distinct()
-                .agg(F.count("*").alias("n"), F.sum("dl").alias("s"))
-                .first()
-            )
-            n_docs -= int(gone["n"])
-            sum_dl -= int(gone["s"] or 0)
-            postings = postings.join(F.broadcast(tomb), id_col, "left_anti")
-        # one whole bucket per task -> one right-sized file per bucket
-        # directory; _write_data re-sorts by (tbucket, term) for
-        # row-group pruning. df is RE-DERIVED from the (surviving)
-        # postings — exact by construction (one posting row per
-        # (doc, term)), and the single code path that is correct both
-        # with and without tombstones.
-        merged = cls(
-            postings.repartition(F.col("tbucket")),
-            postings.groupBy("term", "tbucket").agg(
-                F.count("*").alias("df")
-            ),
-            p,
-        )
+        merged, n_docs, sum_dl = cls._purged_for_compact(spark, path,
+                                                         idx)
         merged._write_data(stage, "overwrite", 0)
         cls._append_manifest(spark, stage, p, 0, n_docs, sum_dl,
                              committed=True, mode="overwrite")
@@ -1018,7 +1198,8 @@ class Bm25Index:
                 "empty"
             )
         files_before = count_parquet_files(spark, f"{path}/postings")
-        swap_tables(spark, path, stage, ["postings", "df", "params"])
+        swap_tables(spark, path, stage,
+                    ["postings", "df", "docs", "params"])
         # tombstones are now physically purged from the data files
         fs_delete(spark, f"{path}/tombstones")
         from keystone_spark.fsutil import bump_compact_epoch

@@ -419,55 +419,80 @@ class IvfIndex:
         re-ingest deleted content under a fresh id instead."""
         import os
 
-        from keystone_spark.fsutil import assert_not_compacting
-
-        assert_not_compacting(spark, path)
-        idx = cls.load(spark, path)
-        if skip_existing_ids:
-            known = idx.indexed.select(idx.id_col)
-            tomb = idx._load_tombstones(spark)
-            if tomb is not None:
-                known = known.unionByName(tomb)
-            batch = batch.join(known, idx.id_col, "left_anti")
-        assigned = cls._assign(
-            batch.where(F.col(idx.vec_col).isNotNull()),
-            idx.C, idx.id_col, idx.vec_col,
+        from keystone_spark.fsutil import (
+            acquire_write_lock,
+            assert_latest_unchanged,
+            assert_not_compacting,
+            release_write_lock,
+            resolve_index_path,
         )
-        # persist-once (VERDICT r10 #3): the histogram collect
-        # materializes the cache and the write reads it back — the
-        # assignment kernel no longer runs twice per append
-        assigned = assigned.persist()
-        try:
-            cells = {
-                int(r["cell"]): int(r["n"])
-                for r in assigned.groupBy("cell").agg(
-                    F.count("*").alias("n")
-                ).collect()
-            }
-            from keystone_spark.fsutil import (
-                assert_not_compacting,
-                assert_same_compact_epoch,
-                read_compact_epoch,
-            )
 
-            # re-check at the write: a compact listed its input before
-            # this batch existed — committing under it hands the swap
-            # rows it will erase
+        # mutations target the CURRENT snapshot (a dest-compact or
+        # retrain may have republished under a _LATEST pointer)
+        root, path = path, resolve_index_path(spark, path)
+        # mutation lock FIRST (VERDICT r11 #1): serializes concurrent
+        # adds/deletes; lock-then-check-compact is the deadlock-free
+        # handshake documented on acquire_write_lock
+        acquire_write_lock(spark, path)
+        try:
+            assert_latest_unchanged(spark, root, path)
             assert_not_compacting(spark, path)
-            entry_epoch = read_compact_epoch(spark, path)
-            assigned.write.mode("append").partitionBy("cell").parquet(
-                os.path.join(path, "corpus")
+            idx = cls.load(spark, path)
+            if skip_existing_ids:
+                known = idx.indexed.select(idx.id_col)
+                tomb = idx._load_tombstones(spark)
+                if tomb is not None:
+                    known = known.unionByName(tomb)
+                batch = batch.join(known, idx.id_col, "left_anti")
+            assigned = cls._assign(
+                batch.where(F.col(idx.vec_col).isNotNull()),
+                idx.C, idx.id_col, idx.vec_col,
             )
+            # persist-once (VERDICT r10 #3): the histogram collect
+            # materializes the cache and the write reads it back — the
+            # assignment kernel no longer runs twice per append
+            assigned = assigned.persist()
             try:
-                assert_same_compact_epoch(spark, path, entry_epoch)
-            except ValueError as e:
-                raise ValueError(
-                    str(e) + " — for vector appends, retry with "
-                    "skip_existing_ids=True (surviving rows are "
-                    "skipped, erased ones re-added)"
-                ) from e
+                cells = {
+                    int(r["cell"]): int(r["n"])
+                    for r in assigned.groupBy("cell").agg(
+                        F.count("*").alias("n")
+                    ).collect()
+                }
+                from keystone_spark.fsutil import (
+                    assert_not_compacting,
+                    assert_same_compact_epoch,
+                    read_compact_epoch,
+                )
+
+                # re-check at the write: a compact listed its input
+                # before this batch existed — committing under it hands
+                # the swap rows it will erase
+                assert_not_compacting(spark, path)
+                entry_epoch = read_compact_epoch(spark, path)
+                assigned.write.mode("append").partitionBy("cell").parquet(
+                    os.path.join(path, "corpus")
+                )
+                # post-write lock re-check (ADVICE r11 #2): the write
+                # job is the LONGEST phase — a compact that STARTED
+                # during it and is still running holds the lock but has
+                # not bumped the epoch yet, so the epoch fence alone
+                # would pass while the compact's swap goes on to erase
+                # the just-appended rows. Same pattern as
+                # fsutil.append_tombstones and Bm25Index.add.
+                try:
+                    assert_not_compacting(spark, path)
+                    assert_same_compact_epoch(spark, path, entry_epoch)
+                except ValueError as e:
+                    raise ValueError(
+                        str(e) + " — for vector appends, retry with "
+                        "skip_existing_ids=True (surviving rows are "
+                        "skipped, erased ones re-added)"
+                    ) from e
+            finally:
+                assigned.unpersist()
         finally:
-            assigned.unpersist()
+            release_write_lock(spark, path)
         return {"vectors_added": sum(cells.values()),
                 "cells_touched": len(cells), "cell_histogram": cells}
 
@@ -484,25 +509,31 @@ class IvfIndex:
         from keystone_spark.fsutil import (
             assert_not_compacting,
             ids_to_tombstones,
+            resolve_index_path,
         )
 
+        root, path = path, resolve_index_path(spark, path)
         assert_not_compacting(spark, path)
         idx = cls.load(spark, path)
         id_type = idx.indexed.schema[idx.id_col].dataType
         from keystone_spark.fsutil import append_tombstones
 
         tomb = ids_to_tombstones(spark, ids, idx.id_col, id_type)
-        return append_tombstones(spark, path, tomb)
+        return append_tombstones(spark, path, tomb, root=root)
 
     @classmethod
-    def compact(cls, spark, path: str) -> dict:
+    def compact(cls, spark, path: str, dest: str | None = None) -> dict:
         """Physically purge tombstoned vectors and rewrite the corpus
         to one file per cell directory (every ``add`` leaves a small
         file set per touched cell). Search results afterwards equal an
         index whose surviving corpus was assigned in one pass with the
-        same frozen centroids (pinned by test). Stage-and-swap through
-        the Hadoop FileSystem API; same object-store rename caveat as
-        the text indexes. Not safe concurrently with ``add``."""
+        same frozen centroids (pinned by test). In-place: stage-and-
+        swap through the Hadoop FileSystem API (rename is atomic on
+        local/HDFS only). ``dest=...``: the object-store-safe form —
+        purged corpus written as a FRESH index at ``dest``, published
+        with one atomic ``_LATEST`` pointer flip at ``path`` (see
+        ``Bm25Index.compact``). Not safe concurrently with ``add``
+        (enforced by the lock handshake)."""
         from keystone_spark.fsutil import (
             SWAP_MARKER,
             acquire_compact_lock,
@@ -510,17 +541,63 @@ class IvfIndex:
             fs_delete,
             fs_exists,
             release_compact_lock,
+            resolve_index_path,
             swap_tables,
         )
 
+        root, path = path, resolve_index_path(spark, path)
+        if dest is not None and dest.rstrip("/") == path.rstrip("/"):
+            raise ValueError(
+                "compact dest must be a NEW index path, not the "
+                "current snapshot"
+            )
         # lock FIRST, load after: the rewrite's file listing and
         # tombstone read must postdate the lock (see Bm25Index.compact).
         # The WHOLE post-lock body sits in one try — an analyzer or IO
         # error anywhere before the swap must release the lock, or it
         # leaks and blocks every later mutation
         acquire_compact_lock(spark, path)
+        if dest is not None:
+            # dest mode never mutates the source: release
+            # unconditionally — no repair path to keep the lock for
+            try:
+                from keystone_spark.fsutil import (
+                    assert_no_write_lock,
+                    pointer_target,
+                    write_latest_pointer,
+                )
+
+                assert_no_write_lock(spark, path)
+                idx = cls.load(spark, path)
+                corpus = idx.indexed
+                tomb = idx._load_tombstones(spark)
+                if tomb is not None:
+                    corpus = corpus.join(
+                        F.broadcast(tomb), idx.id_col, "left_anti"
+                    )
+                cls(idx.C, corpus.repartition(F.col("cell")),
+                    idx.id_col, idx.vec_col).save(dest)
+                if count_parquet_files(spark, f"{dest}/corpus") == 0:
+                    fs_delete(spark, dest)
+                    raise ValueError(
+                        "compact aborted: every vector is tombstoned "
+                        "and the rewritten corpus at dest would be "
+                        "empty — delete the index instead of "
+                        "compacting it empty"
+                    )
+                ptr = write_latest_pointer(spark, root,
+                                           pointer_target(root, dest))
+            finally:
+                release_compact_lock(spark, path)
+            return {"dest": dest, "pointer_version": ptr,
+                    "corpus_files_after": count_parquet_files(
+                        spark, f"{dest}/corpus")}
         stage = f"{path.rstrip('/')}/_compact_tmp"
         try:
+            # compact's half of the mutation-lock handshake (r12)
+            from keystone_spark.fsutil import assert_no_write_lock
+
+            assert_no_write_lock(spark, path)
             idx = cls.load(spark, path)
             corpus = idx.indexed
             tomb = idx._load_tombstones(spark)
@@ -558,6 +635,97 @@ class IvfIndex:
         return {"corpus_files_before": before,
                 "corpus_files_after": count_parquet_files(
                     spark, f"{path}/corpus")}
+
+    @classmethod
+    def retrain(cls, spark, path: str, dest: str, n_cells: int | None = None,
+                sample_size: int = 4096, seed: int = 42) -> dict:
+        """Re-train the coarse quantizer from the LIVE corpus and
+        re-assign every live vector into a NEW snapshot at ``dest``,
+        published with an atomic ``_LATEST`` pointer flip at ``path``
+        (VERDICT r11 #4 — completes the append story the way compact
+        completed the delete story). ``add`` freezes the centroids
+        (FAISS ``IndexIVF.add`` semantics), so a drifting distribution
+        crowds new vectors into few cells and recall/latency degrade at
+        fixed ``n_probe_cells``; the per-add cell histogram is the
+        monitor, and THIS is the response: train k-means on a sample of
+        the live corpus (tombstone-filtered, hash-ordered so the sample
+        spans the whole id range — build's min-id sample would miss the
+        drifted tail), re-assign all live rows with the new centroids
+        (one map-only Arrow pass over the corpus), write ``dest`` as a
+        fresh index, flip the pointer. Readers see the old snapshot
+        until the flip; mutations resolve the new one after it.
+        Tombstones are purged in ``dest`` (a retrain is also a
+        compact). Returns the new cell histogram for before/after
+        balance comparison."""
+        from keystone_spark.fsutil import (
+            acquire_compact_lock,
+            assert_no_write_lock,
+            count_parquet_files,
+            fs_delete,
+            pointer_target,
+            release_compact_lock,
+            resolve_index_path,
+            write_latest_pointer,
+        )
+
+        root, path = path, resolve_index_path(spark, path)
+        if dest.rstrip("/") == path.rstrip("/"):
+            raise ValueError(
+                "retrain dest must be a NEW index path, not the "
+                "current snapshot"
+            )
+        # same locking as a dest-compact: the rewrite must not race a
+        # mutation, and never mutates the source — release
+        # unconditionally
+        acquire_compact_lock(spark, path)
+        try:
+            assert_no_write_lock(spark, path)
+            idx = cls.load(spark, path)
+            corpus = idx.indexed
+            tomb = idx._load_tombstones(spark)
+            if tomb is not None:
+                corpus = corpus.join(
+                    F.broadcast(tomb), idx.id_col, "left_anti"
+                )
+            k = int(n_cells) if n_cells is not None else len(idx.C)
+            # hash-ordered deterministic sample across the WHOLE live
+            # id range: orderBy(id).limit() (build's shape) would
+            # sample only the oldest ids — exactly the rows that do
+            # NOT carry the drift a retrain exists to capture
+            samp = np.array(
+                [
+                    r[1]
+                    for r in corpus.select(idx.id_col, idx.vec_col)
+                    .orderBy(F.xxhash64(F.col(idx.id_col)))
+                    .limit(sample_size)
+                    .collect()
+                ],
+                dtype=np.float64,
+            )
+            C = _normalize(_kmeans_centroids(_normalize(samp), k, seed))
+            reassigned = cls._assign(
+                corpus.select(idx.id_col, idx.vec_col), C,
+                idx.id_col, idx.vec_col,
+            )
+            cls(C, reassigned.repartition(F.col("cell")),
+                idx.id_col, idx.vec_col).save(dest)
+            if count_parquet_files(spark, f"{dest}/corpus") == 0:
+                fs_delete(spark, dest)
+                raise ValueError(
+                    "retrain aborted: the live corpus is empty — "
+                    "nothing to train on"
+                )
+            hist = {
+                int(r["cell"]): int(r["n"])
+                for r in spark.read.parquet(f"{dest}/corpus")
+                .groupBy("cell").agg(F.count("*").alias("n")).collect()
+            }
+            ptr = write_latest_pointer(spark, root,
+                                       pointer_target(root, dest))
+        finally:
+            release_compact_lock(spark, path)
+        return {"dest": dest, "pointer_version": ptr, "n_cells": k,
+                "vectors": sum(hist.values()), "cell_histogram": hist}
 
     def _load_tombstones(self, spark) -> DataFrame | None:
         from keystone_spark.fsutil import read_tombstones
@@ -631,18 +799,15 @@ class IvfIndex:
         centroids as JSON."""
         import json
 
-        from keystone_spark.fsutil import fs_delete, fs_write_text
+        from keystone_spark.fsutil import (
+            clear_index_control_state,
+            fs_write_text,
+        )
 
-        # brand-new index: clear stale tombstones / compact stage from
-        # any previous index at this path (single-writer contract: a
-        # rebuild must not race a live compact of the old index)
-        fs_delete(self.indexed.sparkSession, f"{path}/tombstones")
-        fs_delete(self.indexed.sparkSession,
-                  f"{path.rstrip('/')}/_compact_tmp")
-        fs_delete(self.indexed.sparkSession,
-                  f"{path.rstrip('/')}/_COMPACT_LOCK")
-        fs_delete(self.indexed.sparkSession,
-                  f"{path.rstrip('/')}/_COMPACT_EPOCH")
+        # brand-new index: clear control state from any previous index
+        # at this path (single-writer contract: a rebuild must not race
+        # a live compact/mutation of the old index)
+        clear_index_control_state(self.indexed.sparkSession, path)
         self.indexed.write.mode("overwrite").partitionBy("cell").parquet(
             f"{path}/corpus"
         )
@@ -664,8 +829,10 @@ class IvfIndex:
         from keystone_spark.fsutil import (
             assert_no_interrupted_swap,
             fs_read_text,
+            resolve_index_path,
         )
 
+        path = resolve_index_path(spark, path)  # follow _LATEST
         assert_no_interrupted_swap(spark, path)
         meta = json.loads(fs_read_text(spark, f"{path}/centroids.json"))
         indexed = spark.read.parquet(f"{path}/corpus")
@@ -949,54 +1116,73 @@ class IvfPqIndex:
         appended ids too."""
         import os
 
-        from keystone_spark.fsutil import assert_not_compacting
-
-        assert_not_compacting(spark, path)
-        idx = cls.load(spark, path)
-        if skip_existing_ids:
-            known = idx.indexed.select(idx.id_col)
-            tomb = idx._load_tombstones(spark)
-            if tomb is not None:
-                known = known.unionByName(tomb)
-            batch = batch.join(known, idx.id_col, "left_anti")
-        encoded = cls._encode(
-            batch.where(F.col(idx.vec_col).isNotNull()),
-            idx.C, idx.books, idx.id_col, idx.vec_col,
+        from keystone_spark.fsutil import (
+            acquire_write_lock,
+            assert_latest_unchanged,
+            assert_not_compacting,
+            release_write_lock,
+            resolve_index_path,
         )
-        # persist-once (VERDICT r10 #3): histogram collect materializes
-        # the cache, the write reads it back — assign+encode runs once
-        encoded = encoded.persist()
-        try:
-            cells = {
-                int(r["cell"]): int(r["n"])
-                for r in encoded.groupBy("cell").agg(
-                    F.count("*").alias("n")
-                ).collect()
-            }
-            from keystone_spark.fsutil import (
-                assert_not_compacting,
-                assert_same_compact_epoch,
-                read_compact_epoch,
-            )
 
-            # re-check at the write: a compact listed its input before
-            # this batch existed — committing under it hands the swap
-            # rows it will erase
+        # mutation lock FIRST (VERDICT r11 #1) — see IvfIndex.add
+        root, path = path, resolve_index_path(spark, path)
+        acquire_write_lock(spark, path)
+        try:
+            assert_latest_unchanged(spark, root, path)
             assert_not_compacting(spark, path)
-            entry_epoch = read_compact_epoch(spark, path)
-            encoded.write.mode("append").partitionBy("cell").parquet(
-                os.path.join(path, "codes")
+            idx = cls.load(spark, path)
+            if skip_existing_ids:
+                known = idx.indexed.select(idx.id_col)
+                tomb = idx._load_tombstones(spark)
+                if tomb is not None:
+                    known = known.unionByName(tomb)
+                batch = batch.join(known, idx.id_col, "left_anti")
+            encoded = cls._encode(
+                batch.where(F.col(idx.vec_col).isNotNull()),
+                idx.C, idx.books, idx.id_col, idx.vec_col,
             )
+            # persist-once (VERDICT r10 #3): histogram collect
+            # materializes the cache, the write reads it back —
+            # assign+encode runs once
+            encoded = encoded.persist()
             try:
-                assert_same_compact_epoch(spark, path, entry_epoch)
-            except ValueError as e:
-                raise ValueError(
-                    str(e) + " — for vector appends, retry with "
-                    "skip_existing_ids=True (surviving rows are "
-                    "skipped, erased ones re-added)"
-                ) from e
+                cells = {
+                    int(r["cell"]): int(r["n"])
+                    for r in encoded.groupBy("cell").agg(
+                        F.count("*").alias("n")
+                    ).collect()
+                }
+                from keystone_spark.fsutil import (
+                    assert_not_compacting,
+                    assert_same_compact_epoch,
+                    read_compact_epoch,
+                )
+
+                # re-check at the write: a compact listed its input
+                # before this batch existed — committing under it hands
+                # the swap rows it will erase
+                assert_not_compacting(spark, path)
+                entry_epoch = read_compact_epoch(spark, path)
+                encoded.write.mode("append").partitionBy("cell").parquet(
+                    os.path.join(path, "codes")
+                )
+                # post-write lock re-check (ADVICE r11 #2) — see
+                # IvfIndex.add: a compact that started during the write
+                # job holds the lock but has not bumped the epoch, so
+                # the epoch fence alone would miss it
+                try:
+                    assert_not_compacting(spark, path)
+                    assert_same_compact_epoch(spark, path, entry_epoch)
+                except ValueError as e:
+                    raise ValueError(
+                        str(e) + " — for vector appends, retry with "
+                        "skip_existing_ids=True (surviving rows are "
+                        "skipped, erased ones re-added)"
+                    ) from e
+            finally:
+                encoded.unpersist()
         finally:
-            encoded.unpersist()
+            release_write_lock(spark, path)
         return {"vectors_added": sum(cells.values()),
                 "cells_touched": len(cells), "cell_histogram": cells}
 
@@ -1009,21 +1195,24 @@ class IvfPqIndex:
         from keystone_spark.fsutil import (
             assert_not_compacting,
             ids_to_tombstones,
+            resolve_index_path,
         )
 
+        root, path = path, resolve_index_path(spark, path)
         assert_not_compacting(spark, path)
         idx = cls.load(spark, path)
         id_type = idx.indexed.schema[idx.id_col].dataType
         from keystone_spark.fsutil import append_tombstones
 
         tomb = ids_to_tombstones(spark, ids, idx.id_col, id_type)
-        return append_tombstones(spark, path, tomb)
+        return append_tombstones(spark, path, tomb, root=root)
 
     @classmethod
-    def compact(cls, spark, path: str) -> dict:
+    def compact(cls, spark, path: str, dest: str | None = None) -> dict:
         """Purge tombstoned codes and rewrite one file per cell dir —
         ``IvfIndex.compact`` for the codes table; Hadoop-FS
-        stage-and-swap, same object-store rename caveat."""
+        stage-and-swap in place, or ``dest=...`` for the
+        object-store-safe fresh-snapshot + ``_LATEST`` pointer flip."""
         from keystone_spark.fsutil import (
             SWAP_MARKER,
             acquire_compact_lock,
@@ -1031,17 +1220,62 @@ class IvfPqIndex:
             fs_delete,
             fs_exists,
             release_compact_lock,
+            resolve_index_path,
             swap_tables,
         )
 
+        root, path = path, resolve_index_path(spark, path)
+        if dest is not None and dest.rstrip("/") == path.rstrip("/"):
+            raise ValueError(
+                "compact dest must be a NEW index path, not the "
+                "current snapshot"
+            )
         # lock FIRST, load after: the rewrite's file listing and
         # tombstone read must postdate the lock (see Bm25Index.compact).
         # The WHOLE post-lock body sits in one try — an analyzer or IO
         # error anywhere before the swap must release the lock, or it
         # leaks and blocks every later mutation
         acquire_compact_lock(spark, path)
+        if dest is not None:
+            try:
+                from keystone_spark.fsutil import (
+                    assert_no_write_lock,
+                    pointer_target,
+                    write_latest_pointer,
+                )
+
+                assert_no_write_lock(spark, path)
+                idx = cls.load(spark, path)
+                codes = idx.indexed
+                tomb = idx._load_tombstones(spark)
+                if tomb is not None:
+                    codes = codes.join(
+                        F.broadcast(tomb), idx.id_col, "left_anti"
+                    )
+                cls(idx.C, idx.books,
+                    codes.repartition(F.col("cell")),
+                    idx.id_col, idx.vec_col).save(dest)
+                if count_parquet_files(spark, f"{dest}/codes") == 0:
+                    fs_delete(spark, dest)
+                    raise ValueError(
+                        "compact aborted: every vector is tombstoned "
+                        "and the rewritten codes table at dest would "
+                        "be empty — delete the index instead of "
+                        "compacting it empty"
+                    )
+                ptr = write_latest_pointer(spark, root,
+                                           pointer_target(root, dest))
+            finally:
+                release_compact_lock(spark, path)
+            return {"dest": dest, "pointer_version": ptr,
+                    "codes_files_after": count_parquet_files(
+                        spark, f"{dest}/codes")}
         stage = f"{path.rstrip('/')}/_compact_tmp"
         try:
+            # compact's half of the mutation-lock handshake (r12)
+            from keystone_spark.fsutil import assert_no_write_lock
+
+            assert_no_write_lock(spark, path)
             idx = cls.load(spark, path)
             codes = idx.indexed
             tomb = idx._load_tombstones(spark)
@@ -1080,6 +1314,98 @@ class IvfPqIndex:
                 "codes_files_after": count_parquet_files(
                     spark, f"{path}/codes")}
 
+    @classmethod
+    def retrain(cls, spark, path: str, dest: str, base: DataFrame,
+                n_cells: int | None = None, m: int | None = None,
+                ks: int | None = None, sample_size: int = 4096,
+                seed: int = 42) -> dict:
+        """``IvfIndex.retrain`` for the PQ family (VERDICT r11 #4):
+        re-train coarse centroids AND PQ codebooks from a sample of the
+        LIVE corpus, re-encode every live vector, publish ``dest`` with
+        an atomic ``_LATEST`` pointer flip at ``path``. The index
+        stores only codes, so the raw vectors come from ``base`` — the
+        same table ``search`` already requires for exact re-rank; live
+        membership is the committed codes' ids minus tombstones,
+        semi-joined onto it. Defaults keep the stored model's shape
+        (n_cells from the centroid count, m/ks from the codebook
+        tensor)."""
+        from keystone_spark.fsutil import (
+            acquire_compact_lock,
+            assert_no_write_lock,
+            count_parquet_files,
+            fs_delete,
+            pointer_target,
+            release_compact_lock,
+            resolve_index_path,
+            write_latest_pointer,
+        )
+
+        root, path = path, resolve_index_path(spark, path)
+        if dest.rstrip("/") == path.rstrip("/"):
+            raise ValueError(
+                "retrain dest must be a NEW index path, not the "
+                "current snapshot"
+            )
+        acquire_compact_lock(spark, path)
+        try:
+            assert_no_write_lock(spark, path)
+            idx = cls.load(spark, path)
+            live_ids = idx.indexed.select(idx.id_col)
+            tomb = idx._load_tombstones(spark)
+            if tomb is not None:
+                live_ids = live_ids.join(
+                    F.broadcast(tomb), idx.id_col, "left_anti"
+                )
+            live = (
+                base.where(F.col(idx.vec_col).isNotNull())
+                .join(live_ids, idx.id_col, "left_semi")
+            )
+            k = int(n_cells) if n_cells is not None else len(idx.C)
+            mm = int(m) if m is not None else idx.books.shape[0]
+            kk = int(ks) if ks is not None else idx.books.shape[1]
+            # hash-ordered sample across the whole live id range — see
+            # IvfIndex.retrain
+            samp = np.array(
+                [
+                    r[1]
+                    for r in live.select(idx.id_col, idx.vec_col)
+                    .orderBy(F.xxhash64(F.col(idx.id_col)))
+                    .limit(sample_size)
+                    .collect()
+                ],
+                dtype=np.float64,
+            )
+            if len(samp) == 0:
+                raise ValueError(
+                    "retrain aborted: no live vectors in base — check "
+                    "that base covers the index's ids"
+                )
+            sn = _normalize(samp)
+            C = _normalize(_kmeans_centroids(sn, k, seed))
+            books = _train_pq_codebooks(sn, mm, kk, seed)
+            reencoded = cls._encode(live, C, books, idx.id_col,
+                                    idx.vec_col)
+            cls(C, books, reencoded.repartition(F.col("cell")),
+                idx.id_col, idx.vec_col).save(dest)
+            if count_parquet_files(spark, f"{dest}/codes") == 0:
+                fs_delete(spark, dest)
+                raise ValueError(
+                    "retrain aborted: the live corpus is empty — "
+                    "nothing to train on"
+                )
+            hist = {
+                int(r["cell"]): int(r["n"])
+                for r in spark.read.parquet(f"{dest}/codes")
+                .groupBy("cell").agg(F.count("*").alias("n")).collect()
+            }
+            ptr = write_latest_pointer(spark, root,
+                                       pointer_target(root, dest))
+        finally:
+            release_compact_lock(spark, path)
+        return {"dest": dest, "pointer_version": ptr, "n_cells": k,
+                "m": mm, "ks": kk, "vectors": sum(hist.values()),
+                "cell_histogram": hist}
+
     def _load_tombstones(self, spark) -> DataFrame | None:
         from keystone_spark.fsutil import read_tombstones
 
@@ -1090,15 +1416,12 @@ class IvfPqIndex:
     def save(self, path: str) -> None:
         import json
 
-        from keystone_spark.fsutil import fs_delete, fs_write_text
+        from keystone_spark.fsutil import (
+            clear_index_control_state,
+            fs_write_text,
+        )
 
-        fs_delete(self.indexed.sparkSession, f"{path}/tombstones")
-        fs_delete(self.indexed.sparkSession,
-                  f"{path.rstrip('/')}/_compact_tmp")
-        fs_delete(self.indexed.sparkSession,
-                  f"{path.rstrip('/')}/_COMPACT_LOCK")
-        fs_delete(self.indexed.sparkSession,
-                  f"{path.rstrip('/')}/_COMPACT_EPOCH")
+        clear_index_control_state(self.indexed.sparkSession, path)
         self.indexed.write.mode("overwrite").partitionBy("cell").parquet(
             f"{path}/codes"
         )
@@ -1120,8 +1443,10 @@ class IvfPqIndex:
         from keystone_spark.fsutil import (
             assert_no_interrupted_swap,
             fs_read_text,
+            resolve_index_path,
         )
 
+        path = resolve_index_path(spark, path)  # follow _LATEST
         assert_no_interrupted_swap(spark, path)
         meta = json.loads(fs_read_text(spark, f"{path}/model.json"))
         indexed = spark.read.parquet(f"{path}/codes")

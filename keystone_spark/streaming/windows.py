@@ -836,8 +836,12 @@ def stream_neardup_against_index(
         release,
     )
 
+    from keystone_spark.fsutil import resolve_index_path
+
     spark = stream_docs.sparkSession
-    store_texts = bool(_minhash_manifest(spark, index_path)["store_texts"])
+    store_texts = bool(_minhash_manifest(
+        spark, resolve_index_path(spark, index_path)
+    )["store_texts"])
     if update_index and not (store_texts or texts_path):
         raise ValueError(
             "update_index=True requires an index built with "
@@ -852,10 +856,13 @@ def stream_neardup_against_index(
         if store_texts:
             # the index stores every candidate's text by construction
             # (candidates are indexed representatives); re-read the
-            # manifest so texts committed by EARLIER folds are served
-            cfg = _minhash_manifest(spark, index_path)
+            # manifest so texts committed by EARLIER folds are served.
+            # Re-resolve per fold: a dest-compact between folds flips
+            # the _LATEST pointer to a new snapshot dir.
+            rp = resolve_index_path(spark, index_path)
+            cfg = _minhash_manifest(spark, rp)
             texts = _minhash_committed(
-                spark, index_path, "texts", cfg["committed"]
+                spark, rp, "texts", cfg["committed"]
             ).select(F.col(id_col), F.col(text_col))
         else:
             texts = corpus.select(F.col(id_col), F.col(text_col))
@@ -917,10 +924,12 @@ def stream_bm25_ingest(
     its postings under the bare fresh-id contract (the crash-safe v3
     layout only protects the restarted-PARTIAL-add case) — so the fold
     appends with ``skip_existing_ids=True``: replayed ids anti-join
-    against the committed postings and count nothing, at the price of
-    one narrow postings id-column scan per micro-batch (same contract
-    as the MinHash fold's content anti-join and
-    ``stream_vector_ingest``'s id skip set). Blocks until drained."""
+    against the committed per-doc membership table (``{path}/docs``,
+    v4 — one narrow row per DOCUMENT, so the per-micro-batch cost
+    grows with document count, not posting count; VERDICT r11 #2
+    closed the v3 shape that scanned the postings id column). Same
+    contract as the MinHash fold's content anti-join and
+    ``stream_vector_ingest``'s id skip set. Blocks until drained."""
     from keystone_spark.operators.nlp import Bm25Index
 
     spark = stream_docs.sparkSession

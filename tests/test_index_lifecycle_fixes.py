@@ -256,7 +256,8 @@ def test_interrupted_compact_swap_detected_and_repairable(
         Bm25Index.load(spark, path)
 
     stats = fsutil.finish_swap(spark, path)
-    assert set(stats["resumed_tables"]) == {"postings", "df", "params"}
+    assert set(stats["resumed_tables"]) == {"postings", "df", "docs",
+                                            "params"}
     assert not fsutil.fs_exists(spark, f"{path}/_compact_tmp")
 
     idx = Bm25Index.load(spark, path)
@@ -276,7 +277,8 @@ def test_interrupted_compact_swap_detected_and_repairable(
 
     # finish_swap on a healthy index is a no-op
     assert fsutil.finish_swap(spark, path) == {
-        "resumed_tables": [], "stage_dropped": False
+        "resumed_tables": [], "stage_dropped": False,
+        "write_lock_cleared": False,
     }
 
 
@@ -310,7 +312,8 @@ def test_maintain_index_repair_cli(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     stats = json.loads(r.stdout.strip().splitlines()[-1])
     assert stats == {"app": "maintain.index-repair",
-                     "resumed_tables": [], "stage_dropped": False}
+                     "resumed_tables": [], "stage_dropped": False,
+                     "write_lock_cleared": False}
 
 
 def test_rebuild_clears_stale_tombstones_and_stage(spark, tmp_path):
@@ -623,7 +626,8 @@ def test_finish_swap_refuses_ambiguous_markerless_stage(spark, tmp_path):
     Bm25Index.load(spark, path)
 
     out = fsutil.finish_swap(spark, path, force_unlock=True)
-    assert out == {"resumed_tables": [], "stage_dropped": True}
+    assert out == {"resumed_tables": [], "stage_dropped": True,
+                   "write_lock_cleared": False}
     assert not fsutil.fs_exists(spark, f"{path}/_compact_tmp")
     assert not fsutil.fs_exists(spark, f"{path}/_COMPACT_LOCK")
     Bm25Index.delete(spark, path, [1])  # mutations unblocked
@@ -728,8 +732,14 @@ def test_compact_completing_inside_add_window_fences_the_commit(
     """The epoch fence: a compact that starts AND FINISHES inside an
     add's write window releases the lock before the add's commit
     check, so the lock alone cannot catch it — the bumped compact
-    epoch does. The add aborts uncommitted, the compacted index is
-    consistent, and a retry lands the batch exactly once."""
+    epoch does. Since r12 the write-lock handshake makes the compact
+    refuse while the add is in flight, so reaching this scenario at
+    all now takes an operator FORCE-UNLOCK of the mutation lock (the
+    documented-dangerous path) — the simulated compact clears the
+    add's write lock first, exactly what `index-repair --force-unlock`
+    would do if an operator misjudged a live add as crashed. The add
+    aborts uncommitted, the compacted index is consistent, and a retry
+    lands the batch exactly once."""
     from keystone_spark import fsutil
     from keystone_spark.operators.nlp import Bm25Index
 
@@ -743,7 +753,9 @@ def test_compact_completing_inside_add_window_fences_the_commit(
     def write_then_full_compact(self, p, mode, gen):
         real_write(self, p, mode, gen)
         if mode == "append" and not ran["compact"]:
-            ran["compact"] = True  # a whole compact runs mid-add
+            ran["compact"] = True  # a whole compact runs mid-add,
+            # after an operator force-unlocks the live add's lock
+            fsutil.release_write_lock(spark, path)
             Bm25Index.compact(spark, path)
 
     monkeypatch.setattr(Bm25Index, "_write_data", write_then_full_compact)
