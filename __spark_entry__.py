@@ -3217,6 +3217,100 @@ def q_bm25_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rk")
 
 
+def q_bm25_pointer_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Object-store-safe compaction path (VERDICT r11 #3, r12): the
+    index lives under a versioned ROOT — snapshots ``{root}/v0``,
+    ``{root}/v1`` with an atomic ``_LATEST`` pointer naming the
+    current one. Build on half the corpus at v0, publish the pointer,
+    APPEND the other half and DELETE (doc_id % 10 == 7) through the
+    ROOT (mutations resolve the pointer and serialize under the r12
+    write-lock), then ``compact(dest=v1)``: the purged rewrite lands
+    as a FRESH index at v1 and the commit is ONE pointer flip — no
+    rename of live data, which is the only atomic shape an object
+    store offers (in-place stage-and-swap relies on atomic directory
+    rename, local/HDFS only). Search through the root then serves the
+    purged v1 snapshot; the oracle is bm25_search's full SQL over the
+    SURVIVING documents, so a stale pointer, an unpurged posting, a
+    mutation landed in the orphaned snapshot, or stale stats all break
+    the driver's hash. tbucket partition pruning is asserted on the
+    NEW snapshot's layout."""
+    from keystone_spark.fsutil import fs_delete, read_latest_pointer
+    from keystone_spark.fsutil import write_latest_pointer
+    from keystone_spark.functions.text import tokens
+    from keystone_spark.operators.nlp import Bm25Index
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    key = ("bm25ptr", id(spark._jsparkSession)
+           if hasattr(spark, "_jsparkSession") else id(spark), sf_dir)
+    root = _BM25_INDEX_CACHE.get(key)
+    if root is None:
+        root = _bm25_index_path(sf_dir, "bm25ptr")
+        fs_delete(spark, root)  # stale root (old pointer) from a
+        # previous harness session must not redirect the fresh build
+        Bm25Index.build(
+            d.where(F.col("doc_id") % 2 == 0), k1=1.2, b=0.75,
+            n_term_buckets=64,
+        ).save(f"{root}/v0")
+        write_latest_pointer(spark, root, "v0")
+        stats = Bm25Index.add(
+            spark, root, d.where(F.col("doc_id") % 2 != 0)
+        )
+        if stats["generation"] != 1 or stats["batch_docs"] <= 0:
+            raise AssertionError(f"bm25 append did not land: {stats}")
+        dstats = Bm25Index.delete(
+            spark, root, d.where(F.col("doc_id") % 10 == 7).select("doc_id")
+        )
+        if dstats["tombstones_added"] <= 0:
+            raise AssertionError(f"bm25 delete did not land: {dstats}")
+        cstats = Bm25Index.compact(spark, root, dest=f"{root}/v1")
+        if cstats["dest"] != f"{root}/v1":
+            raise AssertionError(f"dest compact did not land: {cstats}")
+        _BM25_INDEX_CACHE[key] = root
+    if read_latest_pointer(spark, root) != "v1":
+        raise AssertionError(
+            "dest compact did not flip the _LATEST pointer: "
+            f"{read_latest_pointer(spark, root)!r}"
+        )
+    idx = Bm25Index.load(spark, root)
+    if idx.path.rstrip("/") != f"{root}/v1":
+        raise AssertionError(
+            f"reader did not resolve the pointer: {idx.path}"
+        )
+    if idx.params["incomplete_generations"]:
+        raise AssertionError(
+            "dest compact left orphan generations: "
+            f"{idx.params['incomplete_generations']}"
+        )
+    qs = d.where(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"), F.slice("toks", 1, 5).alias("q_toks")
+    )
+    out = idx.search(qs, k=10, k1=1.2, b=0.75)
+
+    import re
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(
+        r"PartitionFilters: \[[^\]]*tbucket#\d+ (?:INSET|IN) \(?([^\])]*)",
+        plan,
+    )
+    if not m:
+        raise AssertionError(
+            "pointer-resolved Bm25Index search lost its tbucket "
+            "partition filter:\n" + plan[:2000]
+        )
+    n_scanned = len(m.group(1).split(","))
+    if not 0 < n_scanned < 64:
+        raise AssertionError(
+            f"post-dest-compact partition filter is vacuous "
+            f"({n_scanned} of 64 term buckets scanned):\n" + plan[:2000]
+        )
+    return out.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"), "rk"
+    ).orderBy("query_id", "rk")
+
+
 def q_gap_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear interpolation over the gap_fill grid (operators/relational
     .interpolate_linear): missing hourly points get the time-weighted
@@ -4878,88 +4972,54 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_multi_join(spark, "/root/testdata/sf0.001")
 
 
-# r11 driver-window rotation (VERDICT r10 #9): the driver samples the
+# r12 driver-window rotation (VERDICT r11 #7): the driver samples the
 # FIRST 50 registry entries each round. This round leads with (a) the
-# six queries whose implementation was REWIRED by the r11 index-
-# lifecycle hardening — bm25_incremental/bm25_indexed ride the
-# Bm25Index v3 intent/commit generation layout, incremental_index_add/
-# incremental_neardup ride the MinHash committed-generation manifest,
-# ivf_index_topk/ivfpq_topk ride the tombstone anti-join added to the
-# vector-index search path — and (b) the cohort least recently
-# driver-sampled: the r2-window cohort (relational core, functions,
-# NLP counts, evaluation). The head is 58 entries, so the 50-query
-# window samples the 2 new + 6 rewired + the first 42 r2-cohort
-# queries; the spill is five r2 members (term_frequency,
-# stupid_backoff, mean_avg_precision, window_range_frame, percentiles,
-# positions 51-55) plus the three r3-sampled queries (heavy_hitters,
-# fuzzy_name_pairs, funnel, positions 56-58) — all eight lead the r12
-# rotation. 45 of this 50-query window are NOT in the r10 window
-# (verified programmatically against CORRECTNESS_r10.json). queries() applies this order ON TOP of the historical dict
-# below, so round-history comments stay put; the full set stays
-# CI-gated at full width via tests/test_oracle_full.py regardless of
-# order. Update tests/test_entry_contract.py's pin when changing this.
-_R11_HEAD = [
-    # NEW r11 declared queries: the delete lifecycle driver-hash-
-    # checked (bm25 delete+compact == survivor rebuild; ivf
-    # tombstone anti-join serves no deleted id)
-    "bm25_delete_compact",
-    "ivf_delete_topk",
+# NEW r12 declared query — bm25_pointer_compact, the object-store-safe
+# dest-compaction + _LATEST pointer flip, hash-checked against the
+# full survivor-corpus SQL oracle — and (b) the two queries most
+# directly REWIRED by the Bm25Index v4 format (per-doc membership
+# table: add's skip set, compact's exact purge accounting):
+# bm25_incremental and bm25_delete_compact. The rest of the window is
+# the cohort least recently driver-sampled, oldest first: the five
+# r2-window members, the three r3 ones, the sixteen r4 statistics/
+# events queries, the ten r5 ones, the twelve r6 curation queries, and
+# pii_redact (r7) — 47 stale members in-window; collect_agg (r8, the
+# youngest of the stale cohort) spills to position 51. 48 of this
+# 50-query window are NOT in the r11 window (computed from
+# CORRECTNESS_r02..r11.json last-sampled rounds). queries() applies
+# this order ON TOP of the historical dict below, so round-history
+# comments stay put; the full set stays CI-gated at full width via
+# tests/test_oracle_full.py regardless of order. Update
+# tests/test_entry_contract.py's pin when changing this.
+_R12_HEAD = [
+    # NEW r12: dest-compaction + pointer flip, driver-hash-checked
+    "bm25_pointer_compact",
+    # rewired by the v4 per-doc membership table
     "bm25_incremental",
-    "bm25_indexed",
-    "incremental_index_add",
-    "incremental_neardup",
-    "ivf_index_topk",
-    "ivfpq_topk",
-    "filter_project",
-    "group_agg",
-    "multi_join",
-    "semi_join",
-    "anti_join",
-    "topk_per_group",
-    "window_running_sum",
-    "rollup",
-    "cube",
-    "set_ops",
-    "string_fns",
-    "date_fns",
-    "distinct_count",
-    "event_hourly_window",
-    "json_extract",
-    "sessionization",
-    "asof_join",
-    "token_counts",
-    "word_freq_encoder",
-    "ngram_counts",
-    "tf_idf",
-    "doc_quality",
-    "dedup_exact",
-    "ngram_jaccard_pairs",
-    "scaler_moments",
-    "cosine_topk",
-    "one_hot_labels",
-    "confusion_matrix",
-    "multiclass_metrics",
-    "session_window",
-    "standard_scaler",
-    "linear_mapper",
-    "lsh_cosine_topk",
-    "kmeans_clusters",
-    "multimodal_features",
-    "range_join",
-    "window_analytics",
-    "math_fns",
-    "array_fns",
-    "string_fns2",
-    "date_fns2",
-    "grouping_sets",
-    "term_frequency",
-    "stupid_backoff",
-    "mean_avg_precision",
-    "window_range_frame",
-    "percentiles",
-    "heavy_hitters",
-    "fuzzy_name_pairs",
-    "funnel",
+    "bm25_delete_compact",
+    # stale cohort, least recently sampled first: r2
+    "term_frequency", "stupid_backoff", "mean_avg_precision",
+    "window_range_frame", "percentiles",
+    # r3
+    "fuzzy_name_pairs", "heavy_hitters", "funnel",
+    # r4
+    "jaccard_prefix_pairs", "supplier_reliability", "cross_source_dups",
+    "label_coherence", "event_transitions", "session_stats",
+    "funnel_latency", "twap_hourly", "table_profile", "snapshot_diff",
+    "target_encoding", "quantile_normalize", "rolling_median",
+    "retention_cohorts", "anomaly_flags", "first_touch",
+    # r5
+    "weighted_sample", "hashed_tf", "scd2_lookup", "triangle_count",
+    "dq_checks", "hll_union", "binned_range", "assoc_rules",
+    "pagerank_ranks", "gap_interpolate",
+    # r6
+    "repetition_signals", "contamination", "line_dedup", "cdc_upsert",
+    "lm_score", "gopher_rules", "bm25_search", "url_stats",
+    "ewma_smooth", "winsorized_stats", "bpe_tokens", "semantic_clusters",
+    # r7 (position 50)
+    "pii_redact",
+    # r8 — spills to position 51, leads the r13 rotation
+    "collect_agg",
 ]
 
 
@@ -4992,6 +5052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_oracle_full.py regardless of order. ---
         "bm25_incremental": q_bm25_incremental,
         "bm25_delete_compact": q_bm25_delete_compact,
+        "bm25_pointer_compact": q_bm25_pointer_compact,
         "ivf_delete_topk": q_ivf_delete_topk,
         "incremental_index_add": q_incremental_index_add,
         "bm25_indexed": q_bm25_indexed,
@@ -5188,10 +5249,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_range_frame": q_window_range_frame,
         "percentiles": q_percentiles,
     }
-    # rotate the r11 head to the front (comment above _R11_HEAD); the
+    # rotate the r12 head to the front (comment above _R12_HEAD); the
     # second splat only UPDATES values for head keys, so order is
     # head-first then historical order for the rest
-    return {**{k: base[k] for k in _R11_HEAD}, **base}
+    return {**{k: base[k] for k in _R12_HEAD}, **base}
 
 
 def _oracle_sql_literals() -> dict[str, str]:
@@ -8240,4 +8301,10 @@ def oracle_sql() -> dict[str, str]:
     assert d["bm25_search"].count("FROM documents)") == 1
     d["bm25_delete_compact"] = d["bm25_search"].replace(
         "FROM documents)", "FROM documents WHERE doc_id % 10 <> 3)")
+    # bm25_pointer_compact = append + delete(doc_id % 10 == 7) +
+    # compact(dest) + _LATEST pointer flip; the dest rewrite re-derives
+    # EXACT survivor stats like the in-place compact, so the oracle is
+    # the same survivor-corpus form with the 7-residue delete set
+    d["bm25_pointer_compact"] = d["bm25_search"].replace(
+        "FROM documents)", "FROM documents WHERE doc_id % 10 <> 7)")
     return d

@@ -42,32 +42,36 @@ def test_registry_hygiene_full_surface():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
     head = list(q)[:50]
     assert head == [
-        # r11 rotation (VERDICT r10 #9): the two NEW delete-lifecycle
-        # queries first (bm25 delete+compact == survivor-rebuild hash;
-        # ivf tombstone anti-join serves no deleted id), then the six
-        # queries REWIRED by the index-lifecycle hardening (Bm25Index
-        # v3 commit layout; MinHash committed-generation manifest;
-        # tombstone anti-join in the vector-index search path), then
-        # the cohort least recently driver-sampled — the head members
-        # of the 47 queries last seen in the r2 window. 45 of this
-        # 50-query window are NOT in the r10 window.
-        "bm25_delete_compact", "ivf_delete_topk",
-        "bm25_incremental", "bm25_indexed",
-        "incremental_index_add", "incremental_neardup",
-        "ivf_index_topk", "ivfpq_topk",
-        # stale cohort: last driver-sampled in the r2 window
-        "filter_project", "group_agg", "multi_join", "semi_join",
-        "anti_join", "topk_per_group", "window_running_sum", "rollup",
-        "cube", "set_ops", "string_fns", "date_fns", "distinct_count",
-        "event_hourly_window", "json_extract", "sessionization",
-        "asof_join", "token_counts", "word_freq_encoder", "ngram_counts",
-        "tf_idf", "doc_quality", "dedup_exact", "ngram_jaccard_pairs",
-        "scaler_moments", "cosine_topk", "one_hot_labels",
-        "confusion_matrix", "multiclass_metrics", "session_window",
-        "standard_scaler", "linear_mapper", "lsh_cosine_topk",
-        "kmeans_clusters", "multimodal_features", "range_join",
-        "window_analytics", "math_fns", "array_fns", "string_fns2",
-        "date_fns2", "grouping_sets",
+        # r12 rotation (VERDICT r11 #7): the NEW dest-compaction +
+        # _LATEST pointer query first, then the two queries rewired by
+        # the Bm25Index v4 per-doc membership table, then the cohort
+        # least recently driver-sampled (last seen r2-r7), oldest
+        # first. 48 of this 50-query window are NOT in the r11 window.
+        "bm25_pointer_compact",
+        "bm25_incremental", "bm25_delete_compact",
+        # stale cohort: r2
+        "term_frequency", "stupid_backoff", "mean_avg_precision",
+        "window_range_frame", "percentiles",
+        # r3
+        "fuzzy_name_pairs", "heavy_hitters", "funnel",
+        # r4
+        "jaccard_prefix_pairs", "supplier_reliability",
+        "cross_source_dups", "label_coherence", "event_transitions",
+        "session_stats", "funnel_latency", "twap_hourly",
+        "table_profile", "snapshot_diff", "target_encoding",
+        "quantile_normalize", "rolling_median", "retention_cohorts",
+        "anomaly_flags", "first_touch",
+        # r5
+        "weighted_sample", "hashed_tf", "scd2_lookup",
+        "triangle_count", "dq_checks", "hll_union", "binned_range",
+        "assoc_rules", "pagerank_ranks", "gap_interpolate",
+        # r6
+        "repetition_signals", "contamination", "line_dedup",
+        "cdc_upsert", "lm_score", "gopher_rules", "bm25_search",
+        "url_stats", "ewma_smooth", "winsorized_stats", "bpe_tokens",
+        "semantic_clusters",
+        # r7
+        "pii_redact",
     ]
 
 

@@ -63,6 +63,7 @@ SF1_FAMILY = [
     "bm25_search", "bm25_indexed",
     "bm25_incremental", "incremental_index_add",  # r10 index maintenance
     "bm25_delete_compact", "ivf_delete_topk",  # r11 delete lifecycle
+    "bm25_pointer_compact",  # r12 dest-compaction + pointer flip
 ]
 SF1_SNAPSHOT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "registry_snapshot_sf1.json")
