@@ -1823,10 +1823,11 @@ def compact_minhash_index(spark, path: str, dest: str | None = None
     )
 
     root, path = path, resolve_index_path(spark, path)
-    if dest is not None and dest.rstrip("/") == path.rstrip("/"):
+    if dest is not None and dest.rstrip("/") in (path.rstrip("/"),
+                                                 root.rstrip("/")):
         raise ValueError(
-            "compact dest must be a NEW index path, not the current "
-            "snapshot"
+            "compact dest must be a NEW index path — not the current "
+            "snapshot, and not the pointer root itself"
         )
     _minhash_manifest(spark, path)  # validate before taking the lock
     acquire_compact_lock(spark, path)

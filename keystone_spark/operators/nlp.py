@@ -1043,10 +1043,11 @@ class Bm25Index:
         )
 
         root, path = path, resolve_index_path(spark, path)
-        if dest is not None and dest.rstrip("/") == path.rstrip("/"):
+        if dest is not None and dest.rstrip("/") in (path.rstrip("/"),
+                                                     root.rstrip("/")):
             raise ValueError(
-                "compact dest must be a NEW index path, not the "
-                "current snapshot"
+                "compact dest must be a NEW index path — not the "
+                "current snapshot, and not the pointer root itself"
             )
         # lock FIRST, list/load after: the staged rewrite's file
         # listing and tombstone read must postdate the lock, or a

@@ -546,10 +546,11 @@ class IvfIndex:
         )
 
         root, path = path, resolve_index_path(spark, path)
-        if dest is not None and dest.rstrip("/") == path.rstrip("/"):
+        if dest is not None and dest.rstrip("/") in (path.rstrip("/"),
+                                                     root.rstrip("/")):
             raise ValueError(
-                "compact dest must be a NEW index path, not the "
-                "current snapshot"
+                "compact dest must be a NEW index path — not the "
+                "current snapshot, and not the pointer root itself"
             )
         # lock FIRST, load after: the rewrite's file listing and
         # tombstone read must postdate the lock (see Bm25Index.compact).
@@ -669,10 +670,10 @@ class IvfIndex:
         )
 
         root, path = path, resolve_index_path(spark, path)
-        if dest.rstrip("/") == path.rstrip("/"):
+        if dest.rstrip("/") in (path.rstrip("/"), root.rstrip("/")):
             raise ValueError(
-                "retrain dest must be a NEW index path, not the "
-                "current snapshot"
+                "retrain dest must be a NEW index path — not the "
+                "current snapshot, and not the pointer root itself"
             )
         # same locking as a dest-compact: the rewrite must not race a
         # mutation, and never mutates the source — release
@@ -1225,10 +1226,11 @@ class IvfPqIndex:
         )
 
         root, path = path, resolve_index_path(spark, path)
-        if dest is not None and dest.rstrip("/") == path.rstrip("/"):
+        if dest is not None and dest.rstrip("/") in (path.rstrip("/"),
+                                                     root.rstrip("/")):
             raise ValueError(
-                "compact dest must be a NEW index path, not the "
-                "current snapshot"
+                "compact dest must be a NEW index path — not the "
+                "current snapshot, and not the pointer root itself"
             )
         # lock FIRST, load after: the rewrite's file listing and
         # tombstone read must postdate the lock (see Bm25Index.compact).
@@ -1341,10 +1343,10 @@ class IvfPqIndex:
         )
 
         root, path = path, resolve_index_path(spark, path)
-        if dest.rstrip("/") == path.rstrip("/"):
+        if dest.rstrip("/") in (path.rstrip("/"), root.rstrip("/")):
             raise ValueError(
-                "retrain dest must be a NEW index path, not the "
-                "current snapshot"
+                "retrain dest must be a NEW index path — not the "
+                "current snapshot, and not the pointer root itself"
             )
         acquire_compact_lock(spark, path)
         try:
