@@ -13,9 +13,12 @@ job).
 
 Atomicity note: ``fs_rename`` is atomic on local/HDFS directory
 renames; object stores emulate rename by copy+delete, so a
-stage-and-swap over s3a is briefly inconsistent — callers that need
-strict atomicity there should write to a NEW index path and flip the
-reader's pointer instead (documented on the compact entry points).
+stage-and-swap over s3a is briefly inconsistent. The executable
+object-store path is ``compact(dest=...)`` / ``retrain(dest=...)``
+on each index family (r12): the rewrite lands as a FRESH index at
+dest and the commit is one atomic versioned ``_LATEST.N`` pointer
+publish (``write_latest_pointer`` / ``resolve_index_path`` below) —
+no rename of live data at all.
 """
 
 from __future__ import annotations
