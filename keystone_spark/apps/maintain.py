@@ -13,6 +13,9 @@ Run:
       --kind bm25|minhash|ivf|ivfpq [--dest NEWDIR]
   python -m keystone_spark.apps.maintain index-retrain --path DIR
       --kind ivf|ivfpq --dest NEWDIR [--base PARQUET] [--n-cells N]
+  python -m keystone_spark.apps.maintain index-publish --path ROOT
+      --target v0
+  python -m keystone_spark.apps.maintain index-gc --path ROOT
   python -m keystone_spark.apps.maintain index-delete --path DIR
       --kind bm25|minhash|ivf|ivfpq --ids id1,id2,...
   python -m keystone_spark.apps.maintain index-repair --path DIR
@@ -92,6 +95,19 @@ def main() -> None:
     idel.add_argument("--ids", required=True,
                       help="comma-separated ids; cast to the stored id type")
 
+    ip = sub.add_parser("index-publish")
+    ip.add_argument("--path", required=True,
+                    help="snapshot ROOT (gets the _LATEST pointer)")
+    ip.add_argument("--target", required=True,
+                    help="snapshot to publish, relative to the root "
+                         "(e.g. v0) or absolute")
+
+    ig = sub.add_parser("index-gc")
+    ig.add_argument("--path", required=True,
+                    help="snapshot ROOT: deletes every snapshot dir "
+                         "the _LATEST pointer does not name (run once "
+                         "in-flight readers of old snapshots drain)")
+
     ir = sub.add_parser("index-repair")
     ir.add_argument("--path", required=True)
     ir.add_argument("--force-unlock", action="store_true",
@@ -111,6 +127,21 @@ def main() -> None:
         stats = finish_swap(spark, args.path,
                             force_unlock=args.force_unlock)
         print(json.dumps({"app": "maintain.index-repair", **stats}))
+        return
+
+    if args.cmd == "index-publish":
+        from keystone_spark.fsutil import write_latest_pointer
+
+        v = write_latest_pointer(spark, args.path, args.target)
+        print(json.dumps({"app": "maintain.index-publish",
+                          "target": args.target, "pointer_version": v}))
+        return
+
+    if args.cmd == "index-gc":
+        from keystone_spark.fsutil import gc_snapshots
+
+        stats = gc_snapshots(spark, args.path)
+        print(json.dumps({"app": "maintain.index-gc", **stats}))
         return
 
     if args.cmd == "index-retrain":

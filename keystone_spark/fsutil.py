@@ -425,6 +425,48 @@ def resolve_index_path(spark, path: str) -> str:
     return f"{path.rstrip('/')}/{t}"
 
 
+def gc_snapshots(spark, root: str) -> dict:
+    """Delete snapshot directories under a pointer ROOT that the
+    current ``_LATEST`` pointer does not name — the cleanup half of
+    ``compact(dest=...)`` / ``retrain`` (their contract leaves the old
+    snapshot intact "for in-flight readers; delete it once they
+    drain" — this is the executable form of that advice, CLI:
+    ``maintain index-gc``). Only IMMEDIATE subdirectories of the root
+    are considered; pointer and control files are never touched.
+    Refuses a root without a pointer: nothing would be "current", so
+    everything would be deletable — almost certainly a wrong path,
+    not a GC request. The operator owns the timing: run it when no
+    reader still holds an old snapshot open (a reader mid-scan of a
+    deleted snapshot fails; it never silently reads wrong data)."""
+    cur = read_latest_pointer(spark, root)
+    if cur is None:
+        raise ValueError(
+            f"no _LATEST pointer at {root}: this is not a snapshot "
+            "root (or the pointer was lost) — refusing to GC, since "
+            "without a pointer every subdirectory would be deletable"
+        )
+    r = root.rstrip("/")
+    if "://" in cur or cur.startswith("/"):
+        # absolute target: current only if it lives under the root
+        keep = {cur[len(r) + 1:].split("/")[0]} if cur.startswith(
+            r + "/") else set()
+    else:
+        keep = {cur.split("/")[0]}
+    fs, p = _fs_path(spark, r)
+    deleted, kept = [], []
+    for st in fs.listStatus(p):
+        if not st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        if name in keep:
+            kept.append(name)
+        else:
+            fs_delete(spark, f"{r}/{name}")
+            deleted.append(name)
+    return {"current": cur, "deleted": sorted(deleted),
+            "kept": sorted(kept)}
+
+
 def assert_latest_unchanged(spark, path: str, resolved: str) -> None:
     """Mutation-entry fence for pointer flips: between a mutation's
     pointer RESOLUTION and its lock ACQUISITION, a dest-compact/retrain

@@ -493,8 +493,15 @@ class IvfIndex:
                 assigned.unpersist()
         finally:
             release_write_lock(spark, path)
-        return {"vectors_added": sum(cells.values()),
-                "cells_touched": len(cells), "cell_histogram": cells}
+        total = sum(cells.values())
+        return {"vectors_added": total,
+                "cells_touched": len(cells), "cell_histogram": cells,
+                # drift signal (reads against 1/n_cells): the share of
+                # THIS batch landing in its most crowded cell — a
+                # batch whose mass piles into one build-time cell is
+                # the retrain() trigger the class docstring describes
+                "max_cell_share": round(max(cells.values()) / total, 4)
+                if total else 0.0}
 
     @classmethod
     def delete(cls, spark, path: str, ids) -> dict:
@@ -1184,8 +1191,12 @@ class IvfPqIndex:
                 encoded.unpersist()
         finally:
             release_write_lock(spark, path)
-        return {"vectors_added": sum(cells.values()),
-                "cells_touched": len(cells), "cell_histogram": cells}
+        total = sum(cells.values())
+        return {"vectors_added": total,
+                "cells_touched": len(cells), "cell_histogram": cells,
+                # drift signal — see IvfIndex.add
+                "max_cell_share": round(max(cells.values()) / total, 4)
+                if total else 0.0}
 
     @classmethod
     def delete(cls, spark, path: str, ids) -> dict:

@@ -599,6 +599,61 @@ def test_ivfpq_retrain_roundtrip(spark, tmp_path):
     }
 
 
+def test_snapshot_gc_deletes_only_stale_snapshots(spark, tmp_path):
+    """gc_snapshots is the executable form of 'delete the old snapshot
+    once readers drain': everything the pointer does not name goes,
+    the current snapshot and the pointer/control files stay, and a
+    pointerless root is refused."""
+    from keystone_spark.operators.nlp import Bm25Index
+
+    root = str(tmp_path / "bm25root")
+    v0, v1 = f"{root}/v0", f"{root}/v1"
+    Bm25Index.build(_toks(spark, DOCS), n_term_buckets=4).save(v0)
+    fsutil.write_latest_pointer(spark, root, "v0")
+    Bm25Index.delete(spark, root, [1])
+    Bm25Index.compact(spark, root, dest=v1)
+
+    stats = fsutil.gc_snapshots(spark, root)
+    assert stats == {"current": "v1", "deleted": ["v0"], "kept": ["v1"]}
+    assert not fsutil.fs_exists(spark, v0)
+    idx = Bm25Index.load(spark, root)  # root still serves v1
+    assert idx.params["n_docs"] == 3
+    # idempotent: a second GC deletes nothing
+    assert fsutil.gc_snapshots(spark, root)["deleted"] == []
+
+    with pytest.raises(ValueError, match="no _LATEST pointer"):
+        fsutil.gc_snapshots(spark, str(tmp_path / "not_a_root"))
+
+
+def test_vector_add_reports_drift_signal(spark, tmp_path):
+    """IvfIndex.add returns max_cell_share — the monitorable retrain
+    trigger: a drifted batch crowding one build-time cell reads ~1.0;
+    a batch matching the build distribution reads ~1/n_cells."""
+    from keystone_spark.operators.similarity import IvfIndex
+
+    data = _drifted_corpus(spark)
+    old = data.where(F.col("cohort") == "old").drop("cohort")
+    path = str(tmp_path / "ivf")
+    IvfIndex.build(old, n_cells=4, sample_size=160).save(path)
+    # a concentrated drifted batch (one new direction, constant tiny
+    # residual) crowds a single build-time cell -> share ~1.0
+    crowd = spark.createDataFrame(
+        [(20_000 + i,
+          [0.02, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0])
+         for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    drifted = IvfIndex.add(spark, path, crowd)
+    assert drifted["max_cell_share"] >= 0.9, drifted
+    balanced = IvfIndex.add(
+        spark, path,
+        # every 4th id spans all four build-time clusters evenly
+        old.where(F.col("vec_id") % 4 == 0)
+        .withColumn("vec_id", F.col("vec_id") + 10_000),
+    )
+    assert balanced["max_cell_share"] <= 0.6, balanced
+
+
 # ---------------------------------------------------------------- CLI
 
 def test_maintain_cli_dest_compact_and_minhash_custom_id(spark, tmp_path):
@@ -639,3 +694,21 @@ def test_maintain_cli_dest_compact_and_minhash_custom_id(spark, tmp_path):
         n_hashes=64, n_bands=16
     ).collect()
     assert got == []
+
+    # GC through the CLI: the stale v0 snapshot goes, v1 stays served
+    r = subprocess.run(
+        [sys.executable, "-m", "keystone_spark.apps.maintain",
+         "index-gc", "--path", root],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["deleted"] == ["v0"] and out["kept"] == ["v1"]
+    assert not fsutil.fs_exists(spark, v0)
+    assert ddp.match_minhash_index(
+        spark, root,
+        spark.createDataFrame([(101, DOCS[2][1])],
+                              "docid long, text string"),
+        corpus, id_col="docid", text_col="text",
+        n_hashes=64, n_bands=16,
+    ).count() == 1
