@@ -435,9 +435,16 @@ def gc_snapshots(spark, root: str) -> dict:
     are considered; pointer and control files are never touched.
     Refuses a root without a pointer: nothing would be "current", so
     everything would be deletable — almost certainly a wrong path,
-    not a GC request. The operator owns the timing: run it when no
-    reader still holds an old snapshot open (a reader mid-scan of a
-    deleted snapshot fails; it never silently reads wrong data)."""
+    not a GC request. The operator owns the reader-drain timing: run
+    it when no reader still holds an old snapshot open (a reader
+    mid-scan of a deleted snapshot fails; it never silently reads
+    wrong data). WRITER exclusion, by contrast, is enforced: a live
+    ``compact(dest=...)``/``retrain`` holds the CURRENT snapshot's
+    compact lock for its whole dest write, and its not-yet-published
+    dest dir is exactly what this GC would classify as stale and
+    delete mid-write (later table writes would recreate the dir and
+    the flip would publish a corrupt snapshot) — so GC takes the same
+    lock for its listing+delete span and fails fast if one is live."""
     cur = read_latest_pointer(spark, root)
     if cur is None:
         raise ValueError(
@@ -445,24 +452,44 @@ def gc_snapshots(spark, root: str) -> dict:
             "root (or the pointer was lost) — refusing to GC, since "
             "without a pointer every subdirectory would be deletable"
         )
-    r = root.rstrip("/")
-    if "://" in cur or cur.startswith("/"):
-        # absolute target: current only if it lives under the root
-        keep = {cur[len(r) + 1:].split("/")[0]} if cur.startswith(
-            r + "/") else set()
+    # resolve-lock-recheck: a dest-compact that flips between the
+    # resolve and the lock leaves GC holding the ORPHANED snapshot's
+    # lock (a fresh dest-compact would lock the new current and race
+    # the deletes again) — so re-resolve under the lock and move to
+    # the new current if it changed
+    for _ in range(5):
+        cur_snapshot = resolve_index_path(spark, root)
+        acquire_compact_lock(spark, cur_snapshot)
+        if resolve_index_path(spark, root) == cur_snapshot:
+            break
+        release_compact_lock(spark, cur_snapshot)
     else:
-        keep = {cur.split("/")[0]}
-    fs, p = _fs_path(spark, r)
-    deleted, kept = [], []
-    for st in fs.listStatus(p):
-        if not st.isDirectory():
-            continue
-        name = st.getPath().getName()
-        if name in keep:
-            kept.append(name)
+        raise ValueError(
+            f"the index at {root} is being republished faster than GC "
+            "can lock it — retry when the compact/retrain churn settles"
+        )
+    try:
+        cur = read_latest_pointer(spark, root)
+        r = root.rstrip("/")
+        if "://" in cur or cur.startswith("/"):
+            # absolute target: current only if it lives under the root
+            keep = {cur[len(r) + 1:].split("/")[0]} if cur.startswith(
+                r + "/") else set()
         else:
-            fs_delete(spark, f"{r}/{name}")
-            deleted.append(name)
+            keep = {cur.split("/")[0]}
+        fs, p = _fs_path(spark, r)
+        deleted, kept = [], []
+        for st in fs.listStatus(p):
+            if not st.isDirectory():
+                continue
+            name = st.getPath().getName()
+            if name in keep:
+                kept.append(name)
+            else:
+                fs_delete(spark, f"{r}/{name}")
+                deleted.append(name)
+    finally:
+        release_compact_lock(spark, cur_snapshot)
     return {"current": cur, "deleted": sorted(deleted),
             "kept": sorted(kept)}
 

@@ -624,6 +624,18 @@ def test_snapshot_gc_deletes_only_stale_snapshots(spark, tmp_path):
     with pytest.raises(ValueError, match="no _LATEST pointer"):
         fsutil.gc_snapshots(spark, str(tmp_path / "not_a_root"))
 
+    # writer exclusion: a live dest-compact/retrain holds the current
+    # snapshot's compact lock for its whole dest write — its
+    # unpublished dest dir is exactly what GC would delete mid-write,
+    # so GC must fail fast instead
+    fsutil.acquire_compact_lock(spark, v1)
+    try:
+        with pytest.raises(ValueError, match="compact lock already"):
+            fsutil.gc_snapshots(spark, root)
+    finally:
+        fsutil.release_compact_lock(spark, v1)
+    assert fsutil.gc_snapshots(spark, root)["kept"] == ["v1"]
+
 
 def test_vector_add_reports_drift_signal(spark, tmp_path):
     """IvfIndex.add returns max_cell_share — the monitorable retrain
