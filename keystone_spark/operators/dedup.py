@@ -1556,10 +1556,6 @@ def add_to_minhash_index(
 
     Returns {batch_docs, new_content, band_rows_added,
     band_rows_capped, generation}."""
-    from pyspark.errors import AnalysisException
-
-    from keystone_spark.fsutil import is_missing_path
-
     from keystone_spark.fsutil import (
         acquire_write_lock,
         assert_latest_unchanged,
