@@ -240,6 +240,38 @@ def test_epoch_fence_has_no_absence_window(spark, tmp_path):
     assert fsutil.fs_exists(spark, f"{legacy}/_COMPACT_EPOCH.8")
 
 
+def test_latest_pointer_has_no_absence_window(spark, tmp_path):
+    """_LATEST uses the same versioned-marker scheme as the epoch
+    fence: a flip CREATES _LATEST.N+1 before deleting _LATEST.N, so a
+    concurrent reader resolves the old or the new snapshot — never
+    nothing; a crash before the rename leaves only a .tmp and the old
+    pointer stays authoritative; a bare hand-written _LATEST file is
+    honored and migrated at the next flip."""
+    root = str(tmp_path / "root")
+    fsutil.fs_write_text(spark, f"{root}/_LATEST", "v0")  # hand-written
+    assert fsutil.read_latest_pointer(spark, root) == "v0"
+    assert fsutil.resolve_index_path(spark, root) == f"{root}/v0"
+
+    fsutil.write_latest_pointer(spark, root, "v1")
+    assert fsutil.read_latest_pointer(spark, root) == "v1"
+    assert not fsutil.fs_exists(spark, f"{root}/_LATEST")  # migrated
+
+    # mid-flip: both versions present -> newest wins
+    fsutil.fs_write_text(spark, f"{root}/_LATEST.2", "v2")
+    assert fsutil.read_latest_pointer(spark, root) == "v2"
+    # crash BEFORE the rename: only a staged .tmp -> invisible
+    fsutil.fs_write_text(spark, f"{root}/_LATEST.3.tmp", "v3")
+    assert fsutil.read_latest_pointer(spark, root) == "v2"
+    # the next flip resumes past the max and cleans stragglers
+    fsutil.write_latest_pointer(spark, root, "v4")
+    assert fsutil.read_latest_pointer(spark, root) == "v4"
+    assert not fsutil.fs_exists(spark, f"{root}/_LATEST.1")
+    assert not fsutil.fs_exists(spark, f"{root}/_LATEST.2")
+    # absolute targets resolve as given
+    fsutil.write_latest_pointer(spark, root, f"{root}/v9")
+    assert fsutil.resolve_index_path(spark, root) == f"{root}/v9"
+
+
 def test_finish_swap_repair_purges_stale_tombstones(spark, tmp_path):
     """ADVICE r11 #1: finish_swap completes a crashed compact's swap —
     whose staged tables already PURGED the tombstoned ids — so the
