@@ -1291,6 +1291,106 @@ def q_ivf_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_retrain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-index RETRAIN path (VERDICT r11 #4, r12): the persisted
+    IvfIndex lives under a versioned root with a ``_LATEST`` pointer;
+    after ``delete(vec_id % 7 == 3)`` it is RETRAINED into a new
+    snapshot — coarse quantizer re-fit on a hash-ordered sample of the
+    LIVE corpus, every live vector re-assigned, tombstones physically
+    purged (a retrain is also a compact), one atomic pointer flip.
+    The search then resolves the pointer to the retrained snapshot.
+    Declared result: the per-probe invariant set (ivf_delete_topk's
+    shape): k results with dense ranks 1..k, recall@10 >= 0.5 against
+    the exact kernel over the SURVIVING corpus, and ``no_deleted`` —
+    hash-checked by the driver at every sf it samples. In-query
+    asserts: the pointer flipped, load resolved the new snapshot, the
+    purge left no tombstone file, and the cell partition filter
+    survives on the retrained layout."""
+    import tempfile
+
+    from keystone_spark.fsutil import (
+        fs_exists,
+        read_latest_pointer,
+        write_latest_pointer,
+    )
+    from keystone_spark.operators.similarity import IvfIndex, cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") < 3)
+    deleted = F.col("vec_id") % 7 == 3
+    key = ("ivfrt", id(spark._jsparkSession)
+           if hasattr(spark, "_jsparkSession") else id(spark), sf_dir)
+    root = _IVF_INDEX_CACHE.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="ivf_retrain_")
+        IvfIndex.build(e, n_cells=16).save(f"{root}/v0")
+        write_latest_pointer(spark, root, "v0")
+        stats = IvfIndex.delete(
+            spark, root, e.where(deleted).select("vec_id")
+        )
+        if stats["tombstones_added"] <= 0:
+            raise AssertionError(f"ivf delete did not land: {stats}")
+        rstats = IvfIndex.retrain(spark, root, f"{root}/v1")
+        if rstats["pointer_version"] <= 1 or rstats["n_cells"] != 16:
+            raise AssertionError(f"retrain did not land: {rstats}")
+        _IVF_INDEX_CACHE[key] = root
+    if read_latest_pointer(spark, root) != "v1":
+        raise AssertionError(
+            "retrain did not flip the _LATEST pointer: "
+            f"{read_latest_pointer(spark, root)!r}"
+        )
+    idx = IvfIndex.load(spark, root)
+    if idx.path.rstrip("/") != f"{root}/v1":
+        raise AssertionError(f"reader did not resolve the pointer: {idx.path}")
+    if fs_exists(spark, f"{root}/v1/tombstones"):
+        raise AssertionError("retrain did not purge the tombstones")
+    out = idx.search(probes, k=10, n_probe_cells=6)
+
+    import re
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(
+        r"PartitionFilters: \[[^\]]*cell#\d+ (?:INSET|IN) \(?([^\])]*)",
+        plan,
+    )
+    if not m:
+        raise AssertionError(
+            "retrained IvfIndex search lost its cell partition "
+            "filter:\n" + plan[:2000]
+        )
+    n_cells_scanned = len(m.group(1).split(","))
+    if not 0 < n_cells_scanned < 16:
+        raise AssertionError(
+            f"retrained partition filter is vacuous ({n_cells_scanned} "
+            "of 16 cells scanned):\n" + plan[:2000]
+        )
+
+    exact = cosine_topk(e.where(~deleted), probes, k=10)
+    hits = (
+        out.select("probe", "vec_id")
+        .join(exact.select("probe", "vec_id"), ["probe", "vec_id"])
+        .groupBy("probe")
+        .agg(F.count("*").alias("hits"))
+    )
+    per = out.groupBy("probe").agg(
+        F.count("*").cast("long").alias("n"),
+        ((F.min("rk") == 1) & (F.max("rk") == 10)
+         & (F.count_distinct("rk") == 10)).alias("ranks_ok"),
+        (F.sum(F.when(deleted, 1).otherwise(0)) == 0).alias("no_deleted"),
+    )
+    return (
+        per.join(hits, "probe", "left")
+        .select(
+            "probe",
+            "n",
+            "ranks_ok",
+            (F.coalesce(F.col("hits"), F.lit(0)) >= 5).alias("recall_ok"),
+            "no_deleted",
+        )
+        .orderBy("probe")
+    )
+
+
 def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXISTS subquery (TPC-H Q4 shape): orders in 1996-H1 with at least one
     heavy lineitem, counted by priority — decorrelated to a left-semi join
@@ -4974,17 +5074,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # r12 driver-window rotation (VERDICT r11 #7): the driver samples the
 # FIRST 50 registry entries each round. This round leads with (a) the
-# NEW r12 declared query — bm25_pointer_compact, the object-store-safe
-# dest-compaction + _LATEST pointer flip, hash-checked against the
-# full survivor-corpus SQL oracle — and (b) the two queries most
-# directly REWIRED by the Bm25Index v4 format (per-doc membership
+# two NEW r12 declared queries — bm25_pointer_compact (object-store-
+# safe dest-compaction + _LATEST pointer flip, full survivor-corpus
+# SQL oracle) and ivf_retrain_topk (quantizer retrain + purge +
+# pointer-resolved search, invariant oracle) — and (b) the two queries
+# most directly REWIRED by the Bm25Index v4 format (per-doc membership
 # table: add's skip set, compact's exact purge accounting):
 # bm25_incremental and bm25_delete_compact. The rest of the window is
 # the cohort least recently driver-sampled, oldest first: the five
 # r2-window members, the three r3 ones, the sixteen r4 statistics/
-# events queries, the ten r5 ones, the twelve r6 curation queries, and
-# pii_redact (r7) — 47 stale members in-window; collect_agg (r8, the
-# youngest of the stale cohort) spills to position 51. 48 of this
+# events queries, the ten r5 ones, and the twelve r6 curation queries
+# — 46 stale members in-window; pii_redact (r7) and collect_agg (r8)
+# spill to positions 51-52 and lead the r13 rotation. 48 of this
 # 50-query window are NOT in the r11 window (computed from
 # CORRECTNESS_r02..r11.json last-sampled rounds). queries() applies
 # this order ON TOP of the historical dict below, so round-history
@@ -4992,8 +5093,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_oracle_full.py regardless of order. Update
 # tests/test_entry_contract.py's pin when changing this.
 _R12_HEAD = [
-    # NEW r12: dest-compaction + pointer flip, driver-hash-checked
+    # NEW r12: dest-compaction + pointer flip, and the retrain path,
+    # both driver-hash-checked
     "bm25_pointer_compact",
+    "ivf_retrain_topk",
     # rewired by the v4 per-doc membership table
     "bm25_incremental",
     "bm25_delete_compact",
@@ -5054,6 +5157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_delete_compact": q_bm25_delete_compact,
         "bm25_pointer_compact": q_bm25_pointer_compact,
         "ivf_delete_topk": q_ivf_delete_topk,
+        "ivf_retrain_topk": q_ivf_retrain_topk,
         "incremental_index_add": q_incremental_index_add,
         "bm25_indexed": q_bm25_indexed,
         "simhash_pairs": q_simhash_pairs,
@@ -8307,4 +8411,9 @@ def oracle_sql() -> dict[str, str]:
     # the same survivor-corpus form with the 7-residue delete set
     d["bm25_pointer_compact"] = d["bm25_search"].replace(
         "FROM documents)", "FROM documents WHERE doc_id % 10 <> 7)")
+    # ivf_retrain_topk declares the same invariant set as
+    # ivf_delete_topk (k results, dense ranks, recall floor vs the
+    # exact kernel over survivors, no deleted id served) — computed by
+    # the Spark query over the RETRAINED pointer-resolved snapshot
+    d["ivf_retrain_topk"] = d["ivf_delete_topk"]
     return d

@@ -42,12 +42,13 @@ def test_registry_hygiene_full_surface():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
     head = list(q)[:50]
     assert head == [
-        # r12 rotation (VERDICT r11 #7): the NEW dest-compaction +
-        # _LATEST pointer query first, then the two queries rewired by
-        # the Bm25Index v4 per-doc membership table, then the cohort
-        # least recently driver-sampled (last seen r2-r7), oldest
-        # first. 48 of this 50-query window are NOT in the r11 window.
-        "bm25_pointer_compact",
+        # r12 rotation (VERDICT r11 #7): the two NEW queries first
+        # (dest-compaction + _LATEST pointer; quantizer retrain), then
+        # the two queries rewired by the Bm25Index v4 per-doc
+        # membership table, then the cohort least recently
+        # driver-sampled (last seen r2-r6), oldest first. 48 of this
+        # 50-query window are NOT in the r11 window.
+        "bm25_pointer_compact", "ivf_retrain_topk",
         "bm25_incremental", "bm25_delete_compact",
         # stale cohort: r2
         "term_frequency", "stupid_backoff", "mean_avg_precision",
@@ -70,8 +71,6 @@ def test_registry_hygiene_full_surface():
         "cdc_upsert", "lm_score", "gopher_rules", "bm25_search",
         "url_stats", "ewma_smooth", "winsorized_stats", "bpe_tokens",
         "semantic_clusters",
-        # r7
-        "pii_redact",
     ]
 
 
