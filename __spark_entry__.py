@@ -1391,6 +1391,143 @@ def q_ivf_retrain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_stream_autoretrain_topk(spark: SparkSession, sf_dir: str
+                                  ) -> DataFrame:
+    """The CLOSED drift loop, driver-hash-checked (r13, VERDICT r12
+    "what's missing" #2): the persisted IvfIndex is built on the even
+    half of the embeddings, takes a delete, then the odd half arrives
+    through the STREAMING ingest fold (``stream_vector_ingest`` —
+    foreachBatch, idempotent ``skip_existing_ids`` adds) with
+    ``retrain_if_skewed`` armed; the fold itself watches each add's
+    ``max_cell_share`` drift signal and fires the quantizer retrain —
+    sample the live corpus hash-ordered, re-assign every live vector,
+    purge tombstones, publish via one ``_LATEST`` pointer flip — with
+    NO operator in the loop. The search then resolves the pointer to
+    the fold-published snapshot. Declared result: the per-probe
+    invariant set (ivf_delete_topk's shape) — k results with dense
+    ranks 1..k, recall@10 >= 0.5 against the exact kernel over the
+    surviving union (floor calibrated for sf >= 0.01 — a 16-cell IVF
+    over sf0.001's ~100 vectors is degenerate and one probe reads 4/10
+    there), and ``no_deleted``. In-query asserts: the fold
+    (not a manual call) flipped the pointer to its auto-named
+    ``retrain_e{epoch}`` snapshot, the purge landed, every streamed id
+    is served exactly once, and the cell partition filter survives on
+    the retrained layout."""
+    import tempfile
+
+    from keystone_spark.fsutil import (
+        fs_exists,
+        read_latest_pointer,
+        write_latest_pointer,
+    )
+    from keystone_spark.operators.similarity import IvfIndex, cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") < 3)
+    even = F.col("vec_id") % 2 == 0
+    deleted = even & (F.col("vec_id") % 7 == 5)
+    key = ("ivfstream", id(spark._jsparkSession)
+           if hasattr(spark, "_jsparkSession") else id(spark), sf_dir)
+    root = _IVF_INDEX_CACHE.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="ivf_stream_")
+        IvfIndex.build(e.where(even), n_cells=16).save(f"{root}/v0")
+        write_latest_pointer(spark, root, "v0")
+        stats = IvfIndex.delete(
+            spark, root, e.where(deleted).select("vec_id")
+        )
+        if stats["tombstones_added"] <= 0:
+            raise AssertionError(f"ivf delete did not land: {stats}")
+        # the odd half streams in as one micro-batch; threshold 0 means
+        # any non-empty add fires the fold's retrain (the drift
+        # SEMANTICS — signal crosses only under real skew — are pinned
+        # by test_stream_vector_ingest_auto_retrains_on_drift; this
+        # query pins the driver-checkable LOOP: signal -> retrain ->
+        # pointer flip -> correct pointer-resolved search)
+        from keystone_spark.streaming.windows import stream_vector_ingest
+
+        src = tempfile.mkdtemp(prefix="ivf_stream_src_")
+        e.where(~even).select("vec_id", "embedding").coalesce(1) \
+            .write.mode("overwrite").parquet(f"{src}/b0")
+        # schema from the written file, not a hand-typed string: the
+        # corpus stores array<float>, and a double-declared stream
+        # would append an unmergeable parquet file (add() also casts
+        # to the stored schema as the product-level guard)
+        stream = spark.readStream.schema(
+            spark.read.parquet(f"{src}/b0").schema
+        ).parquet(f"{src}/*")
+        stream_vector_ingest(stream, root, family="ivf",
+                             retrain_if_skewed=0.0)
+        _IVF_INDEX_CACHE[key] = root
+    ptr = read_latest_pointer(spark, root)
+    if not (ptr or "").startswith("retrain_e"):
+        raise AssertionError(
+            f"the ingest fold did not auto-retrain: pointer={ptr!r}"
+        )
+    idx = IvfIndex.load(spark, root)
+    if idx.path.rstrip("/") != f"{root}/{ptr}":
+        raise AssertionError(f"reader did not resolve the pointer: {idx.path}")
+    if fs_exists(spark, f"{root}/{ptr}/tombstones"):
+        raise AssertionError("the fold's retrain did not purge tombstones")
+    # every live id exactly once in the retrained snapshot (zero
+    # lost/duplicated through the stream + retrain)
+    n_live = e.where(~deleted).count()
+    n_idx = idx.indexed.count()
+    dup = idx.indexed.groupBy("vec_id").count().where("count > 1").count()
+    if n_idx != n_live or dup:
+        raise AssertionError(
+            f"retrained corpus {n_idx} != live {n_live} (dups={dup})"
+        )
+    # 8 of 16 cells: the half-corpus build + full-corpus retrain sits a
+    # touch below the full-corpus-build queries' recall at 6 cells, and
+    # the probe union still leaves 2 cells pruned (non-vacuous filter)
+    out = idx.search(probes, k=10, n_probe_cells=8)
+
+    import re
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(
+        r"PartitionFilters: \[[^\]]*cell#\d+ (?:INSET|IN) \(?([^\])]*)",
+        plan,
+    )
+    if not m:
+        raise AssertionError(
+            "auto-retrained IvfIndex search lost its cell partition "
+            "filter:\n" + plan[:2000]
+        )
+    n_cells_scanned = len(m.group(1).split(","))
+    if not 0 < n_cells_scanned < 16:
+        raise AssertionError(
+            f"auto-retrained partition filter is vacuous "
+            f"({n_cells_scanned} of 16 cells scanned):\n" + plan[:2000]
+        )
+
+    exact = cosine_topk(e.where(~deleted), probes, k=10)
+    hits = (
+        out.select("probe", "vec_id")
+        .join(exact.select("probe", "vec_id"), ["probe", "vec_id"])
+        .groupBy("probe")
+        .agg(F.count("*").alias("hits"))
+    )
+    per = out.groupBy("probe").agg(
+        F.count("*").cast("long").alias("n"),
+        ((F.min("rk") == 1) & (F.max("rk") == 10)
+         & (F.count_distinct("rk") == 10)).alias("ranks_ok"),
+        (F.sum(F.when(deleted, 1).otherwise(0)) == 0).alias("no_deleted"),
+    )
+    return (
+        per.join(hits, "probe", "left")
+        .select(
+            "probe",
+            "n",
+            "ranks_ok",
+            (F.coalesce(F.col("hits"), F.lit(0)) >= 5).alias("recall_ok"),
+            "no_deleted",
+        )
+        .orderBy("probe")
+    )
+
+
 def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXISTS subquery (TPC-H Q4 shape): orders in 1996-H1 with at least one
     heavy lineitem, counted by priority — decorrelated to a left-semi join
@@ -5125,6 +5262,37 @@ _R12_HEAD = [
     "collect_agg",
 ]
 
+# r13 driver-window rotation (VERDICT r12 #8): leads with the one NEW
+# r13 declared query — ivf_stream_autoretrain_topk (the closed drift
+# loop: streaming ingest fold watches the max_cell_share signal and
+# fires the quantizer retrain itself; invariant oracle) — then the
+# cohort least recently driver-sampled, oldest first: pii_redact (last
+# sampled r7), collect_agg (r8), and the 47 r9-window members
+# (computed from CORRECTNESS_r02..r12.json last-sampled rounds). 49 of
+# this 50-query window are NOT in the r12 window. Update
+# tests/test_entry_contract.py's pin when changing this.
+_R13_HEAD = [
+    # NEW r13: the fold-triggered retrain loop, driver-hash-checked
+    "ivf_stream_autoretrain_topk",
+    # stale cohort, least recently sampled first: r7, r8
+    "pii_redact", "collect_agg",
+    # r9 cohort (47)
+    "phash_neardup", "ordered_funnel", "source_similarity", "psi_drift",
+    "oov_rate", "dedup_savings", "doc_chunks", "url_dedup",
+    "mixture_weights", "key_skew_profile", "top_paths", "mad_outliers",
+    "duplicate_spans", "dsir_weights", "top_boilerplate_spans",
+    "dsir_resample", "strip_spans", "equidepth_hist",
+    "revenue_concentration", "doc_fingerprint", "minhash_dedup",
+    "dedup_clusters", "monthly_trend", "abc_classes",
+    "repeat_purchase_curve", "activity_heatmap", "chi_square_test",
+    "token_entropy", "rfm_segments", "brand_hhi", "group_mode",
+    "interarrival_stats", "twoway_effects", "value_autocorr",
+    "cusum_drift", "vocab_growth", "zipf_curve", "order_gaps",
+    "dup_rate_by_source", "gap_fill", "udtf_sentences", "nation_trade",
+    "nation_profit", "late_shipments", "order_distribution",
+    "waiting_suppliers", "window_nav",
+]
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's CORRECTNESS check samples the FIRST 50
@@ -5158,6 +5326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_pointer_compact": q_bm25_pointer_compact,
         "ivf_delete_topk": q_ivf_delete_topk,
         "ivf_retrain_topk": q_ivf_retrain_topk,
+        # NEW r13: fold-triggered auto-retrain (closed drift loop)
+        "ivf_stream_autoretrain_topk": q_ivf_stream_autoretrain_topk,
         "incremental_index_add": q_incremental_index_add,
         "bm25_indexed": q_bm25_indexed,
         "simhash_pairs": q_simhash_pairs,
@@ -5353,10 +5523,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_range_frame": q_window_range_frame,
         "percentiles": q_percentiles,
     }
-    # rotate the r12 head to the front (comment above _R12_HEAD); the
+    # rotate the r13 head to the front (comment above _R13_HEAD); the
     # second splat only UPDATES values for head keys, so order is
-    # head-first then historical order for the rest
-    return {**{k: base[k] for k in _R12_HEAD}, **base}
+    # head-first then historical order for the rest (_R12_HEAD kept
+    # above as round history)
+    return {**{k: base[k] for k in _R13_HEAD}, **base}
 
 
 def _oracle_sql_literals() -> dict[str, str]:
@@ -8416,4 +8587,9 @@ def oracle_sql() -> dict[str, str]:
     # exact kernel over survivors, no deleted id served) — computed by
     # the Spark query over the RETRAINED pointer-resolved snapshot
     d["ivf_retrain_topk"] = d["ivf_delete_topk"]
+    # ivf_stream_autoretrain_topk (r13): same invariant set again,
+    # computed over the snapshot the STREAMING fold's auto-retrain
+    # published (delete -> stream-ingest -> fold fires retrain ->
+    # pointer-resolved search over the surviving union)
+    d["ivf_stream_autoretrain_topk"] = d["ivf_delete_topk"]
     return d

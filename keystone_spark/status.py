@@ -1,0 +1,141 @@
+"""One observability verb for the stored index families (VERDICT r12
+"what's missing" #3): everything an operator previously assembled by
+reading parquet manifests by hand — family, format version, pointer
+state, committed vs orphan generations, live doc/vector counts,
+tombstones, compact epoch, occupancy skew, locks — in ONE dict, printed
+as one JSON line by ``maintain index-status``. This is the ops front
+door: the first command to run before deciding between retry, repair,
+compact, retrain, or GC.
+
+Deliberately load()-free: ``load`` REFUSES an interrupted swap or a
+format mismatch, but diagnosis is exactly when those states must be
+REPORTED — so this reads the raw manifests/control files directly and
+never raises on a repairable index. Driver-side metadata reads plus
+three narrow Spark jobs (tombstone count, membership count, occupancy
+histogram over the partition column); no corpus-wide vector/posting
+bytes are touched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from keystone_spark import fsutil
+
+
+def _family(spark, snap: str) -> tuple[str, str, str, str]:
+    """(family, membership table, partitioned data table, partition
+    column) sniffed from the snapshot's own layout — each family has a
+    unique marker file/table, so no --kind argument is needed."""
+    if fsutil.fs_exists(spark, f"{snap}/model.json"):
+        return "ivfpq", "codes", "codes", "cell"
+    if fsutil.fs_exists(spark, f"{snap}/centroids.json"):
+        return "ivf", "corpus", "corpus", "cell"
+    if fsutil.fs_exists(spark, f"{snap}/postings"):
+        return "bm25", "docs", "postings", "tbucket"
+    if fsutil.fs_exists(spark, f"{snap}/bands"):
+        return "minhash", "sigs", "bands", "band"
+    raise ValueError(
+        f"no stored index recognized at {snap} — expected one of "
+        "model.json (ivfpq), centroids.json (ivf), postings/ (bm25), "
+        "bands/ (minhash)"
+    )
+
+
+def _occupancy(spark, path: str, part_col: str) -> dict:
+    """Physical occupancy skew of the partitioned data table: max share
+    of rows in one partition value (orphan generations INCLUDED — this
+    is what is on disk, the view file-count and skew problems live in).
+    Reads only the partition column (parquet footer metadata scan)."""
+    df = spark.read.parquet(path)
+    rows = df.groupBy(part_col).agg(F.count("*").alias("n")).collect()
+    counts = {int(r[part_col]): int(r["n"]) for r in rows}
+    total = sum(counts.values())
+    return {
+        "partitions": len(counts),
+        "rows": total,
+        "max_share": round(max(counts.values()) / total, 4)
+        if total else 0.0,
+    }
+
+
+def index_status(spark, path: str) -> dict:
+    """The one-line health report for an index dir or snapshot root."""
+    root = path.rstrip("/")
+    ptr_files = fsutil._latest_files(spark, root)
+    snap = fsutil.resolve_index_path(spark, root)
+    family, member_table, part_table, part_col = _family(spark, snap)
+
+    out = {
+        "family": family,
+        "root": root,
+        "snapshot": snap,
+        "pointer_version": max(v for v, _ in ptr_files)
+        if ptr_files else None,
+        "compact_epoch": fsutil.read_compact_epoch(spark, snap),
+        "write_lock": fsutil.fs_exists(
+            spark, f"{snap}/{fsutil.WRITE_LOCK}"),
+        "compact_lock": fsutil.fs_exists(
+            spark, f"{snap}/{fsutil.COMPACT_LOCK}"),
+        "interrupted_swap": fsutil.fs_exists(
+            spark, f"{snap}/_compact_tmp/{fsutil.SWAP_MARKER}"),
+    }
+
+    # tombstones: distinct pending takedowns (purged at next compact)
+    if fsutil.fs_exists(spark, f"{snap}/tombstones"):
+        out["tombstones"] = (
+            spark.read.parquet(f"{snap}/tombstones").distinct().count()
+        )
+    else:
+        out["tombstones"] = 0
+
+    # generation log (bm25/minhash): committed vs orphan; live count
+    if family in ("bm25", "minhash"):
+        rows = spark.read.parquet(f"{snap}/params").collect()
+        if "generation" in rows[0].__fields__:
+            sets = fsutil.generation_sets(rows)
+            out["committed_generations"] = len(sets["committed"])
+            out["orphan_generations"] = len(
+                sets["incomplete_generations"])
+            out["max_generation"] = sets["max_generation"]
+            committed = set(sets["committed"])
+        else:  # pre-r11 single-row manifest: one implicit generation
+            out["committed_generations"] = 1
+            out["orphan_generations"] = 0
+            out["max_generation"] = 0
+            committed = {0}
+        if family == "bm25":
+            out["format_version"] = int(rows[0]["version"])
+            out["n_docs"] = sum(
+                int(r["n_docs"]) for r in rows if r["committed"])
+        elif family == "minhash":
+            # 2 = r11 crash-safe generation layout, 1 = pre-r11
+            out["format_version"] = (
+                2 if "generation" in rows[0].__fields__ else 1)
+        if family == "minhash":
+            df = spark.read.parquet(f"{snap}/{member_table}")
+            if "gen" in df.columns:
+                df = df.where(F.col("gen").isin(
+                    [int(g) for g in committed]))
+            out["n_docs"] = df.count()
+    else:  # vector families: single-write appends, no generation log
+        out["format_version"] = 1
+        out["committed_generations"] = None
+        out["orphan_generations"] = None
+        out["n_vectors"] = (
+            spark.read.parquet(f"{snap}/{member_table}").count()
+        )
+        if family == "ivfpq":
+            import json as _json
+
+            meta = _json.loads(
+                fsutil.fs_read_text(spark, f"{snap}/model.json"))
+            # the retrain/re-rank raw-vector table (r13 manifest field)
+            out["base_path"] = meta.get("base_path")
+
+    # physical skew over the pruning column: the drift/retrain and
+    # compact-scheduling observable (mirrors add()'s max_cell_share,
+    # but for the WHOLE index, not one batch)
+    out["occupancy"] = _occupancy(
+        spark, f"{snap}/{part_table}", part_col)
+    return out

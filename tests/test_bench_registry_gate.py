@@ -27,6 +27,25 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SNAPSHOT = os.path.join(REPO, "tools", "registry_snapshot.json")
 
 
+def _skip_if_cpu_mismatch(snapshot_path):
+    """VERDICT r12 "what's wrong" #1: the gate inherits
+    SPARK_GRAFT_CPUS silently, so a runner at 8 cores compared
+    data-bound timings against the 32-core snapshot basis and failed
+    spuriously. Skip (with the explanation) instead of reporting a
+    fake regression; bench_registry.py --check refuses the same way
+    (exit 3)."""
+    with open(snapshot_path) as f:
+        snap_cpus = (json.load(f).get("__protocol__") or {}).get("cpus")
+    cur = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if snap_cpus is not None and int(snap_cpus) != cur:
+        pytest.skip(
+            f"SPARK_GRAFT_CPUS={cur} but the snapshot basis is "
+            f"cpus={snap_cpus} — data-bound timings do not transfer "
+            f"across core counts; rerun at {snap_cpus} cores or "
+            "regenerate the snapshot on this machine"
+        )
+
+
 @pytest.mark.slow
 def test_registry_snapshot_covers_every_declared_query():
     sys.path.insert(0, REPO)
@@ -43,6 +62,7 @@ def test_registry_snapshot_covers_every_declared_query():
 
 @pytest.mark.slow
 def test_no_query_regressed_vs_snapshot():
+    _skip_if_cpu_mismatch(SNAPSHOT)
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "bench_registry.py"),
          "--check", SNAPSHOT],
@@ -89,6 +109,7 @@ def test_sf1_family_not_regressed_vs_snapshot():
     missing = set(SF1_FAMILY) - set(snap)
     assert not missing, (
         f"family queries missing from sf1 snapshot: {sorted(missing)}")
+    _skip_if_cpu_mismatch(sf1_snapshot)
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "bench_registry.py"),
          "--check", sf1_snapshot, "--sf-dir", sf1, "--family-sf1"],
@@ -135,6 +156,7 @@ def test_sf5_family_not_regressed_vs_snapshot():
     missing = set(SF5_FAMILY) - set(snap)
     assert not missing, (
         f"family queries missing from sf5 snapshot: {sorted(missing)}")
+    _skip_if_cpu_mismatch(sf5_snapshot)
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "bench_registry.py"),
          "--check", sf5_snapshot, "--sf-dir", sf5, "--family-sf5"],
@@ -200,6 +222,38 @@ def test_check_retries_flagged_queries_once(tmp_path):
         lambda keys: pytest.fail("remeasure must not run"),
         log=logs.append) == []
     assert len(logs) == n_logs
+
+
+def test_check_refuses_cpu_basis_mismatch(monkeypatch):
+    """The environment pin end-to-end (VERDICT r12 "what's wrong" #1):
+    a --check at a core count that differs from the snapshot's
+    recorded basis exits 3 BEFORE measuring anything (no Spark
+    session, so this runs in seconds), with an explanation instead of
+    fake regressions. A matching count passes the pin; legacy
+    snapshots without the field are not refused."""
+    import tools.bench_registry as br
+
+    snap = {"__protocol__": {"cpus": 32}, "q": 1.0}
+    assert br.snapshot_cpus_mismatch(snap, 32) is None
+    msg = br.snapshot_cpus_mismatch(snap, 8)
+    assert msg and "SPARK_GRAFT_CPUS=8" in msg and "cpus=32" in msg
+    assert br.snapshot_cpus_mismatch({"q": 1.0}, 8) is None  # legacy
+
+    # every committed snapshot now records its basis
+    for name in ("registry_snapshot.json", "registry_snapshot_sf1.json",
+                 "registry_snapshot_sf5.json"):
+        with open(os.path.join(REPO, "tools", name)) as f:
+            assert json.load(f)["__protocol__"]["cpus"] == 32, name
+
+    # end-to-end: the CLI refuses with exit 3 before starting Spark
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "bench_registry.py"),
+         "--check", SNAPSHOT],
+        cwd=REPO, capture_output=True, text=True, timeout=120,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "8"},
+    )
+    assert proc.returncode == 3, (proc.returncode, proc.stderr[-500:])
+    assert "snapshot basis mismatch" in proc.stderr
 
 
 def test_family_check_uses_family_snapshot(tmp_path):

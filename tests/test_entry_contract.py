@@ -42,35 +42,30 @@ def test_registry_hygiene_full_surface():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
     head = list(q)[:50]
     assert head == [
-        # r12 rotation (VERDICT r11 #7): the two NEW queries first
-        # (dest-compaction + _LATEST pointer; quantizer retrain), then
-        # the two queries rewired by the Bm25Index v4 per-doc
-        # membership table, then the cohort least recently
-        # driver-sampled (last seen r2-r6), oldest first. 48 of this
-        # 50-query window are NOT in the r11 window.
-        "bm25_pointer_compact", "ivf_retrain_topk",
-        "bm25_incremental", "bm25_delete_compact",
-        # stale cohort: r2
-        "term_frequency", "stupid_backoff", "mean_avg_precision",
-        "window_range_frame", "percentiles",
-        # r3
-        "fuzzy_name_pairs", "heavy_hitters", "funnel",
-        # r4
-        "jaccard_prefix_pairs", "supplier_reliability",
-        "cross_source_dups", "label_coherence", "event_transitions",
-        "session_stats", "funnel_latency", "twap_hourly",
-        "table_profile", "snapshot_diff", "target_encoding",
-        "quantile_normalize", "rolling_median", "retention_cohorts",
-        "anomaly_flags", "first_touch",
-        # r5
-        "weighted_sample", "hashed_tf", "scd2_lookup",
-        "triangle_count", "dq_checks", "hll_union", "binned_range",
-        "assoc_rules", "pagerank_ranks", "gap_interpolate",
-        # r6
-        "repetition_signals", "contamination", "line_dedup",
-        "cdc_upsert", "lm_score", "gopher_rules", "bm25_search",
-        "url_stats", "ewma_smooth", "winsorized_stats", "bpe_tokens",
-        "semantic_clusters",
+        # r13 rotation (VERDICT r12 #8): the NEW query first (the
+        # fold-triggered auto-retrain loop), then the cohort least
+        # recently driver-sampled, oldest first: pii_redact (r7),
+        # collect_agg (r8), and the 47 r9-window members. 49 of this
+        # 50-query window are NOT in the r12 window.
+        "ivf_stream_autoretrain_topk",
+        # r7, r8
+        "pii_redact", "collect_agg",
+        # r9 cohort
+        "phash_neardup", "ordered_funnel", "source_similarity",
+        "psi_drift", "oov_rate", "dedup_savings", "doc_chunks",
+        "url_dedup", "mixture_weights", "key_skew_profile", "top_paths",
+        "mad_outliers", "duplicate_spans", "dsir_weights",
+        "top_boilerplate_spans", "dsir_resample", "strip_spans",
+        "equidepth_hist", "revenue_concentration", "doc_fingerprint",
+        "minhash_dedup", "dedup_clusters", "monthly_trend",
+        "abc_classes", "repeat_purchase_curve", "activity_heatmap",
+        "chi_square_test", "token_entropy", "rfm_segments", "brand_hhi",
+        "group_mode", "interarrival_stats", "twoway_effects",
+        "value_autocorr", "cusum_drift", "vocab_growth", "zipf_curve",
+        "order_gaps", "dup_rate_by_source", "gap_fill",
+        "udtf_sentences", "nation_trade", "nation_profit",
+        "late_shipments", "order_distribution", "waiting_suppliers",
+        "window_nav",
     ]
 
 

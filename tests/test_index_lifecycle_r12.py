@@ -186,6 +186,9 @@ def test_lock_error_catch_is_narrowed(spark, tmp_path, monkeypatch):
         pass
 
     class FakeFs:
+        def getScheme(self):
+            return "mock"  # not "file": exercise the Hadoop branch
+
         def create(self, p, overwrite):
             raise Boom("connection reset")
 
@@ -646,7 +649,8 @@ def test_snapshot_gc_deletes_only_stale_snapshots(spark, tmp_path):
     Bm25Index.compact(spark, root, dest=v1)
 
     stats = fsutil.gc_snapshots(spark, root)
-    assert stats == {"current": "v1", "deleted": ["v0"], "kept": ["v1"]}
+    assert stats == {"current": "v1", "deleted": ["v0"], "kept": ["v1"],
+                     "dry_run": False}  # r13: retention/dry-run fields
     assert not fsutil.fs_exists(spark, v0)
     idx = Bm25Index.load(spark, root)  # root still serves v1
     assert idx.params["n_docs"] == 3
