@@ -13,7 +13,7 @@ Run:
       --kind bm25|minhash|ivf|ivfpq [--dest NEWDIR]
   python -m keystone_spark.apps.maintain index-retrain --path DIR
       --kind ivf|ivfpq --dest NEWDIR [--base PARQUET] [--force-base]
-      [--n-cells N]
+      [--n-cells N] [--if-occupancy-above SHARE]
   python -m keystone_spark.apps.maintain index-publish --path ROOT
       --target v0
   python -m keystone_spark.apps.maintain index-gc --path ROOT
@@ -97,6 +97,11 @@ def main() -> None:
                          "really moved first)")
     rt.add_argument("--n-cells", type=int, default=None)
     rt.add_argument("--sample-size", type=int, default=4096)
+    rt.add_argument("--if-occupancy-above", type=float, default=None,
+                    help="cron guard: retrain only when the index's "
+                         "occupancy max_share (index-status's skew "
+                         "observable) exceeds this; otherwise print "
+                         "skipped=true and exit 0")
 
     idel = sub.add_parser("index-delete")
     idel.add_argument("--path", required=True)
@@ -178,6 +183,24 @@ def main() -> None:
 
     if args.cmd == "index-retrain":
         from keystone_spark.operators.similarity import IvfIndex, IvfPqIndex
+
+        if args.if_occupancy_above is not None:
+            # the cron form of the drift loop (the streaming form is
+            # stream_vector_ingest's retrain_if_skewed): measure the
+            # WHOLE index's occupancy skew and no-op below threshold,
+            # so a daily `index-retrain --if-occupancy-above 0.3` is
+            # safe to schedule unconditionally
+            from keystone_spark.status import index_status
+
+            st = index_status(spark, args.path)
+            share = st["occupancy"]["max_share"]
+            if share < args.if_occupancy_above:
+                print(json.dumps({
+                    "app": "maintain.index-retrain", "kind": args.kind,
+                    "skipped": True, "max_share": share,
+                    "threshold": args.if_occupancy_above,
+                }))
+                return
 
         if args.kind == "ivf":
             stats = IvfIndex.retrain(

@@ -622,3 +622,44 @@ def test_index_status_all_families_and_cli(spark, tmp_path):
     out = _json.loads(proc.stdout.strip().splitlines()[-1])
     assert out["app"] == "maintain.index-status"
     assert out["family"] == "ivf" and out["tombstones"] == 2
+
+
+def test_maintain_cli_conditional_retrain(spark, tmp_path):
+    """The cron form of the drift loop: `index-retrain
+    --if-occupancy-above T` measures the whole index's occupancy skew
+    (index-status's observable) and no-ops below the threshold — so a
+    scheduled retrain is safe to run unconditionally — and retrains
+    (pointer flip) when the threshold is met."""
+    import json as _json
+    import subprocess
+    import sys
+
+    from keystone_spark.operators.similarity import IvfIndex
+    from keystone_spark.sources import load_table
+
+    e = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    root = str(tmp_path / "ivfroot")
+    IvfIndex.build(e, n_cells=4).save(f"{root}/v0")
+    fsutil.write_latest_pointer(spark, root, "v0")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+
+    def run(*extra):
+        proc = subprocess.run(
+            [sys.executable, "-m", "keystone_spark.apps.maintain",
+             "index-retrain", "--path", root, "--kind", "ivf",
+             "--dest", f"{root}/v1", *extra],
+            cwd=repo, capture_output=True, text=True, timeout=300,
+            env=env,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return _json.loads(proc.stdout.strip().splitlines()[-1])
+
+    out = run("--if-occupancy-above", "0.99")
+    assert out["skipped"] is True and 0 < out["max_share"] < 0.99
+    assert fsutil.read_latest_pointer(spark, root) == "v0"  # no-op
+
+    out = run("--if-occupancy-above", "0.0")
+    assert "skipped" not in out and out["pointer_version"] >= 2
+    assert fsutil.read_latest_pointer(spark, root) == "v1"
