@@ -3386,6 +3386,80 @@ def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rk")
 
 
+def q_bm25_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING lexical-index ingest, driver-hash-checked (r13): the
+    Bm25Index is built on half the corpus (doc_id % 2 == 0) and the
+    other half arrives through ``streaming.stream_bm25_ingest`` — the
+    foreachBatch production fold, two micro-batches, idempotent
+    ``skip_existing_ids`` adds wrapped in the r13
+    ``retry_contention`` contention-retry, with the fold's own
+    ``compact_every_n`` compaction exercised mid-stream. Because the
+    raw-count layout is associative under append and compact re-derives
+    exact survivor stats, a search afterwards is HASH-IDENTICAL to an
+    index built from scratch over the union — so this query shares
+    bm25_search's full-corpus SQL oracle, and the driver's hash compare
+    is the stream==rebuild identity at every sf it samples (upgrading
+    the fold's oracle class from behavioral-pytest to DuckDB hash).
+    In-query asserts: both halves landed exactly once (n_docs) and the
+    post-compact tbucket partition pruning survives."""
+    import tempfile
+
+    from keystone_spark.functions.text import tokens
+    from keystone_spark.operators.nlp import Bm25Index
+    from keystone_spark.streaming.windows import stream_bm25_ingest
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    key = ("bm25stream", id(spark._jsparkSession)
+           if hasattr(spark, "_jsparkSession") else id(spark), sf_dir)
+    path = _BM25_INDEX_CACHE.get(key)
+    if path is None:
+        path = _bm25_index_path(sf_dir, "bm25stream")
+        Bm25Index.build(
+            d.where(F.col("doc_id") % 2 == 0), k1=1.2, b=0.75,
+            n_term_buckets=64,
+        ).save(path)
+        src = tempfile.mkdtemp(prefix="bm25_stream_src_")
+        odd = d.where(F.col("doc_id") % 2 != 0)
+        # two micro-batches by id parity-of-half (maxFilesPerTrigger=1)
+        odd.where(F.col("doc_id") % 4 == 1).coalesce(1).write.mode(
+            "overwrite").parquet(f"{src}/b0")
+        odd.where(F.col("doc_id") % 4 == 3).coalesce(1).write.mode(
+            "overwrite").parquet(f"{src}/b1")
+        stream = (
+            spark.readStream.schema(spark.read.parquet(f"{src}/b0").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        stream_bm25_ingest(stream, path, compact_every_n=2)
+        _BM25_INDEX_CACHE[key] = path
+    idx = Bm25Index.load(spark, path)
+    n_all = d.count()
+    if idx.params["n_docs"] != n_all:
+        raise AssertionError(
+            f"stream ingest lost/duplicated docs: index n_docs "
+            f"{idx.params['n_docs']} != corpus {n_all}"
+        )
+    qs = d.where(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"), F.slice("toks", 1, 5).alias("q_toks")
+    )
+    out = idx.search(qs, k=10)
+
+    import re
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*tbucket#\d+ (?:INSET|IN)", plan)
+    if not m:
+        raise AssertionError(
+            "post-compact streamed Bm25Index search lost its tbucket "
+            "partition filter:\n" + plan[:2000]
+        )
+    return out.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"), "rk"
+    ).orderBy("query_id", "rk")
+
+
 def q_bm25_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index delete+compact path (VERDICT r10 #1/#2, r11): the
     full-corpus Bm25Index gets ``delete(doc_id % 10 == 3)`` then
@@ -5272,8 +5346,11 @@ _R12_HEAD = [
 # this 50-query window are NOT in the r12 window. Update
 # tests/test_entry_contract.py's pin when changing this.
 _R13_HEAD = [
-    # NEW r13: the fold-triggered retrain loop, driver-hash-checked
+    # NEW r13: the fold-triggered retrain loop and the streaming BM25
+    # ingest fold (oracle class upgraded to DuckDB hash), both
+    # driver-hash-checked
     "ivf_stream_autoretrain_topk",
+    "bm25_stream_ingest",
     # stale cohort, least recently sampled first: r7, r8
     "pii_redact", "collect_agg",
     # r9 cohort (47)
@@ -5322,6 +5399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Everything stays CI-gated at full width via
         # tests/test_oracle_full.py regardless of order. ---
         "bm25_incremental": q_bm25_incremental,
+        "bm25_stream_ingest": q_bm25_stream_ingest,  # NEW r13
         "bm25_delete_compact": q_bm25_delete_compact,
         "bm25_pointer_compact": q_bm25_pointer_compact,
         "ivf_delete_topk": q_ivf_delete_topk,
@@ -8565,6 +8643,11 @@ def oracle_sql() -> dict[str, str]:
     # layout makes append exact, so the full-corpus oracle applies and
     # the driver's hash compare IS the add==rebuild identity check
     d["bm25_incremental"] = d["bm25_search"]
+    # bm25_stream_ingest (r13) = build on half + the rest through the
+    # STREAMING fold (idempotent adds + in-fold compact); associative
+    # counts + exact-survivor compact keep the full-corpus oracle, so
+    # the driver hash compare is the stream==rebuild identity
+    d["bm25_stream_ingest"] = d["bm25_search"]
     # incremental_index_add = build on the low-id half + append the
     # rest; monotone-ingest ids keep every stored rep the min-id
     # tie-break winner, so the full-corpus incremental oracle applies

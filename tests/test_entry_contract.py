@@ -42,12 +42,14 @@ def test_registry_hygiene_full_surface():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
     head = list(q)[:50]
     assert head == [
-        # r13 rotation (VERDICT r12 #8): the NEW query first (the
-        # fold-triggered auto-retrain loop), then the cohort least
-        # recently driver-sampled, oldest first: pii_redact (r7),
-        # collect_agg (r8), and the 47 r9-window members. 49 of this
-        # 50-query window are NOT in the r12 window.
-        "ivf_stream_autoretrain_topk",
+        # r13 rotation (VERDICT r12 #8): the two NEW queries first (the
+        # fold-triggered auto-retrain loop; the streaming BM25 ingest
+        # fold under the full-corpus SQL oracle), then the cohort
+        # least recently driver-sampled, oldest first: pii_redact
+        # (r7), collect_agg (r8), and the r9-window members
+        # (window_nav spills to 51 and leads the r14 rotation). 50 of
+        # this 50-query window are NOT in the r12 window.
+        "ivf_stream_autoretrain_topk", "bm25_stream_ingest",
         # r7, r8
         "pii_redact", "collect_agg",
         # r9 cohort
@@ -65,7 +67,6 @@ def test_registry_hygiene_full_surface():
         "order_gaps", "dup_rate_by_source", "gap_fill",
         "udtf_sentences", "nation_trade", "nation_profit",
         "late_shipments", "order_distribution", "waiting_suppliers",
-        "window_nav",
     ]
 
 

@@ -64,6 +64,8 @@ SF1_FAMILY = [
     "bm25_incremental", "incremental_index_add",  # r10 index maintenance
     "bm25_delete_compact", "ivf_delete_topk",  # r11 delete lifecycle
     "bm25_pointer_compact",  # r12 dest-compaction + pointer flip
+    # r13 streaming-ingest lifecycle (foreachBatch folds + retrain)
+    "bm25_stream_ingest", "ivf_stream_autoretrain_topk",
 ]
 SF1_SNAPSHOT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "registry_snapshot_sf1.json")
