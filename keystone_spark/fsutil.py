@@ -632,8 +632,12 @@ def gc_snapshots(spark, root: str, keep_last: int = 0,
 
     Retention guards (VERDICT r12 "what's missing" #5 — what makes
     this safe to cron): ``keep_last=N`` retains the N newest
-    non-current snapshot dirs (by directory modification time) as
-    rollback targets for ``maintain index-publish``; ``dry_run=True``
+    non-current snapshot dirs (by directory modification time; an
+    object store without real directory mtimes degrades to the
+    deterministic lexicographic tie-break, which misorders unpadded
+    numeric names past v9 — zero-pad snapshot names there, or rely on
+    the pointer alone) as rollback targets for
+    ``maintain index-publish``; ``dry_run=True``
     deletes NOTHING and lists what a real run would delete (no lock is
     taken — a preview cannot corrupt a live dest-write, though its
     listing may transiently include one)."""

@@ -663,3 +663,49 @@ def test_maintain_cli_conditional_retrain(spark, tmp_path):
     out = run("--if-occupancy-above", "0.0")
     assert "skipped" not in out and out["pointer_version"] >= 2
     assert fsutil.read_latest_pointer(spark, root) == "v1"
+
+
+def test_stream_ivfpq_auto_retrain_uses_manifest_base(spark, tmp_path):
+    """The fold's auto-retrain for the PQ family rides the r13
+    manifest base_path: no base argument exists on the fold, so a
+    threshold-crossing batch can only retrain if the index records
+    where its raw vectors live. After the stream, the pointer names
+    the fold-published snapshot, the manifest still carries the base,
+    and pointer-resolved search (self top-1 via the base re-rank)
+    works."""
+    from keystone_spark.operators.similarity import IvfPqIndex
+    from keystone_spark.sources import load_table
+    from keystone_spark.streaming.windows import stream_vector_ingest
+
+    e = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    base_dir = str(tmp_path / "base")
+    e.write.parquet(base_dir)
+    base = spark.read.parquet(base_dir)
+
+    root = str(tmp_path / "pqroot")
+    even = F.col("vec_id") % 2 == 0
+    IvfPqIndex.build(base.where(even), n_cells=4, m=8, ks=16,
+                     base_path=base_dir).save(f"{root}/v0")
+    fsutil.write_latest_pointer(spark, root, "v0")
+
+    src = tmp_path / "pq_incoming"
+    src.mkdir()
+    base.where(~even).select("vec_id", "embedding").coalesce(1) \
+        .write.parquet(str(src / "b0"))
+    stream = spark.readStream.schema(
+        spark.read.parquet(str(src / "b0")).schema
+    ).parquet(str(src / "*"))
+    stream_vector_ingest(stream, root, family="ivfpq",
+                         retrain_if_skewed=0.0)
+
+    ptr = fsutil.read_latest_pointer(spark, root)
+    assert ptr.startswith("retrain_e"), ptr
+    idx = IvfPqIndex.load(spark, root)
+    assert idx.base_path == base_dir  # carried through the retrain
+    assert idx.indexed.count() == e.count()
+    probes = base.limit(3)
+    got = idx.search(base, probes, k=1, n_probe_cells=4,
+                     exclude_self=False).collect()
+    assert {(int(r["probe"]), int(r[1])) for r in got} == {
+        (int(r[0]), int(r[0])) for r in probes.select("vec_id").collect()
+    }
