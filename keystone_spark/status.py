@@ -72,6 +72,10 @@ def index_status(spark, path: str) -> dict:
         "snapshot": snap,
         "pointer_version": max(v for v, _ in ptr_files)
         if ptr_files else None,
+        # versioned-root occupancy: snapshot dirs the pointer does NOT
+        # name are GC candidates (`maintain index-gc`); None for a
+        # plain index dir
+        "stale_snapshots": None,
         "compact_epoch": fsutil.read_compact_epoch(spark, snap),
         "write_lock": fsutil.fs_exists(
             spark, f"{snap}/{fsutil.WRITE_LOCK}"),
@@ -80,6 +84,14 @@ def index_status(spark, path: str) -> dict:
         "interrupted_swap": fsutil.fs_exists(
             spark, f"{snap}/_compact_tmp/{fsutil.SWAP_MARKER}"),
     }
+    if ptr_files:
+        fs, p = fsutil._fs_path(spark, root)
+        cur_name = snap[len(root) + 1:].split("/")[0] \
+            if snap.startswith(root + "/") else None
+        out["stale_snapshots"] = sum(
+            1 for st in fs.listStatus(p)
+            if st.isDirectory() and st.getPath().getName() != cur_name
+        )
 
     # tombstones: distinct pending takedowns (purged at next compact)
     if fsutil.fs_exists(spark, f"{snap}/tombstones"):

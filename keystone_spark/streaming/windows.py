@@ -778,6 +778,7 @@ def stream_neardup_against_index(
     compact_every_n: int | None = None,
     retry_attempts: int = 8,
     retry_base_sleep: float = 0.1,
+    compact_dest: bool = False,
 ) -> None:
     """Streaming incremental near-dedup: a stream of new documents is
     matched per micro-batch against the STORED MinHash band index
@@ -902,13 +903,38 @@ def stream_neardup_against_index(
                 ).parquet(f"{texts_path}/epoch={int(epoch_id)}")
         n_folds["n"] += 1
         if compact_every_n and n_folds["n"] % compact_every_n == 0:
-            retry_contention(
-                lambda: compact_minhash_index(spark, index_path),
-                attempts=retry_attempts, base_sleep=retry_base_sleep,
-                max_sleep=30.0,
-            )
+            _fold_compact(spark, index_path, compact_minhash_index,
+                          epoch_id, compact_dest, retry_attempts,
+                          retry_base_sleep)
 
     run_foreach_batch(stream_docs, fold, output_mode="append")
+
+
+def _fold_compact(spark, index_path: str, compact_fn, epoch_id: int,
+                  compact_dest: bool, retry_attempts: int,
+                  retry_base_sleep: float) -> None:
+    """The shared periodic-compaction tail of the three ingest folds.
+    ``compact_dest=False``: in-place stage-and-swap (atomic on
+    local/HDFS only). ``compact_dest=True``: the object-store-safe
+    form — each firing writes a FRESH snapshot at an epoch-named dest
+    under the index root and publishes it with one atomic ``_LATEST``
+    pointer flip, so a long-lived stream on s3a can bound its file
+    count without ever renaming live data (the epoch-named dest makes
+    an at-least-once replay idempotent: a replayed epoch whose compact
+    already published resolves to its own dest and skips). Old
+    snapshots accumulate until ``maintain index-gc`` — the operator
+    owns reader-drain timing, exactly as for manual dest-compacts."""
+    from keystone_spark.fsutil import resolve_index_path, retry_contention
+
+    if compact_dest:
+        dest = f"{index_path.rstrip('/')}/compact_e{int(epoch_id)}"
+        if resolve_index_path(spark, index_path).rstrip("/") == dest:
+            return  # replayed epoch: this compact already published
+        fn = lambda: compact_fn(spark, index_path, dest=dest)  # noqa: E731
+    else:
+        fn = lambda: compact_fn(spark, index_path)  # noqa: E731
+    retry_contention(fn, attempts=retry_attempts,
+                     base_sleep=retry_base_sleep, max_sleep=30.0)
 
 
 def stream_bm25_ingest(
@@ -918,6 +944,7 @@ def stream_bm25_ingest(
     compact_every_n: int | None = None,
     retry_attempts: int = 8,
     retry_base_sleep: float = 0.1,
+    compact_dest: bool = False,
 ) -> None:
     """Streaming lexical-index ingest: each micro-batch of tokenized
     documents is APPENDED to a stored ``operators.nlp.Bm25Index``
@@ -973,11 +1000,9 @@ def stream_bm25_ingest(
         )
         n_folds["n"] += 1
         if compact_every_n and n_folds["n"] % compact_every_n == 0:
-            retry_contention(
-                lambda: Bm25Index.compact(spark, index_path),
-                attempts=retry_attempts, base_sleep=retry_base_sleep,
-                max_sleep=30.0,
-            )
+            _fold_compact(spark, index_path, Bm25Index.compact,
+                          epoch_id, compact_dest, retry_attempts,
+                          retry_base_sleep)
 
     run_foreach_batch(stream_docs, fold, output_mode="append")
 
@@ -991,6 +1016,7 @@ def stream_vector_ingest(
     retry_base_sleep: float = 0.1,
     retrain_if_skewed: float | None = None,
     retrain_sample_size: int = 4096,
+    compact_dest: bool = False,
 ) -> None:
     """Streaming vector-index ingest — the fourth and final family
     member of the ingest loop (BM25: ``stream_bm25_ingest``; MinHash:
@@ -1067,10 +1093,8 @@ def stream_vector_ingest(
                 max_sleep=30.0,
             )
         if compact_every_n and n_folds["n"] % compact_every_n == 0:
-            retry_contention(
-                lambda: fam.compact(spark, index_path),
-                attempts=retry_attempts, base_sleep=retry_base_sleep,
-                max_sleep=30.0,
-            )
+            _fold_compact(spark, index_path, fam.compact, epoch_id,
+                          compact_dest, retry_attempts,
+                          retry_base_sleep)
 
     run_foreach_batch(stream_vecs, fold, output_mode="append")

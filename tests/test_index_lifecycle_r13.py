@@ -709,3 +709,49 @@ def test_stream_ivfpq_auto_retrain_uses_manifest_base(spark, tmp_path):
     assert {(int(r["probe"]), int(r[1])) for r in got} == {
         (int(r[0]), int(r[0])) for r in probes.select("vec_id").collect()
     }
+
+
+def test_stream_bm25_ingest_compact_dest_flips_pointer(spark, tmp_path):
+    """Fold-level OBJECT-STORE-SAFE compaction: with
+    ``compact_dest=True`` the periodic in-stream compact writes an
+    epoch-named fresh snapshot and publishes it via the ``_LATEST``
+    flip instead of swapping in place — a long-lived s3a stream can
+    bound its file count without renaming live data. Search afterwards
+    equals the from-scratch rebuild; index-status counts the old
+    snapshots GC will reclaim."""
+    from keystone_spark.operators.nlp import Bm25Index
+    from keystone_spark.status import index_status
+    from keystone_spark.streaming.windows import stream_bm25_ingest
+
+    seed = [(0, "alpha beta gamma"), (1, "beta beta delta")]
+    batches = [
+        [(10, "alpha delta epsilon"), (11, "zeta beta")],
+        [(20, "epsilon epsilon alpha"), (21, "gamma zeta")],
+    ]
+    root = str(tmp_path / "bm25root")
+    Bm25Index.build(_toks(spark, seed), n_term_buckets=8).save(f"{root}/v0")
+    fsutil.write_latest_pointer(spark, root, "v0")
+
+    stream_bm25_ingest(
+        _bm25_stream(spark, tmp_path, batches), root,
+        compact_every_n=1, compact_dest=True,
+    )
+    ptr = fsutil.read_latest_pointer(spark, root)
+    assert ptr.startswith("compact_e"), ptr  # the fold published it
+
+    idx = Bm25Index.load(spark, root)
+    assert idx.params["n_docs"] == 6
+    every = seed + [d for b in batches for d in b]
+    full = Bm25Index.build(_toks(spark, every), n_term_buckets=8)
+    qs = spark.createDataFrame(
+        [(0, ["alpha", "epsilon"]), (1, ["beta"])], ["query_id", "q_toks"]
+    )
+    assert _bm25_key(idx.search(qs, k=6)) == _bm25_key(full.search(qs, k=6))
+
+    # v0 + the first compact's snapshot are now stale; status surfaces
+    # the GC debt, and GC(keep_last=1) keeps one rollback target
+    st = index_status(spark, root)
+    assert st["snapshot"].endswith(ptr) and st["stale_snapshots"] == 2
+    out = fsutil.gc_snapshots(spark, root, keep_last=1)
+    assert len(out["deleted"]) == 1 and len(out["kept"]) == 2
+    assert index_status(spark, root)["stale_snapshots"] == 1
