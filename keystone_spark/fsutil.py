@@ -324,15 +324,22 @@ def retry_contention(fn, attempts: int = 8, base_sleep: float = 0.1,
     After ``attempts`` losses the final IndexContention propagates —
     a lock that never releases (crashed holder) must fail loudly, not
     spin forever."""
+    import logging
     import random
     import time
 
+    log = logging.getLogger("keystone_spark.fsutil")
     for i in range(attempts):
         try:
             return fn()
-        except IndexContention:
+        except IndexContention as e:
             if i == attempts - 1:
                 raise
+            # logged at INFO so an operator can SEE contention churn
+            # (a stream that is alive but slow because a compact holds
+            # the lock looks hung without this)
+            log.info("index contention (attempt %d/%d), backing off: %s",
+                     i + 1, attempts, str(e).split(" — ")[0])
             # randomized exponential backoff: random jitter prevents
             # two retrying losers from re-colliding in lockstep
             time.sleep(min(max_sleep, base_sleep * (2 ** i))

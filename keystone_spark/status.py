@@ -59,6 +59,21 @@ def _occupancy(spark, path: str, part_col: str) -> dict:
     }
 
 
+def _file_age_sec(spark, path: str) -> "int | None":
+    """Age in whole seconds of a control file (None when absent) — the
+    lock-staleness observable: locks carry no liveness, so 'held for
+    0.4 s' vs 'held for 3 days' is the whole basis of the force-unlock
+    decision, and before this field the operator had to stat the file
+    by hand."""
+    import time
+
+    fs, p = fsutil._fs_path(spark, path)
+    if not fs.exists(p):
+        return None
+    return max(0, int(time.time() - fs.getFileStatus(p)
+                      .getModificationTime() / 1000))
+
+
 def index_status(spark, path: str) -> dict:
     """The one-line health report for an index dir or snapshot root."""
     root = path.rstrip("/")
@@ -79,7 +94,11 @@ def index_status(spark, path: str) -> dict:
         "compact_epoch": fsutil.read_compact_epoch(spark, snap),
         "write_lock": fsutil.fs_exists(
             spark, f"{snap}/{fsutil.WRITE_LOCK}"),
+        "write_lock_age_sec": _file_age_sec(
+            spark, f"{snap}/{fsutil.WRITE_LOCK}"),
         "compact_lock": fsutil.fs_exists(
+            spark, f"{snap}/{fsutil.COMPACT_LOCK}"),
+        "compact_lock_age_sec": _file_age_sec(
             spark, f"{snap}/{fsutil.COMPACT_LOCK}"),
         "interrupted_swap": fsutil.fs_exists(
             spark, f"{snap}/_compact_tmp/{fsutil.SWAP_MARKER}"),

@@ -40,10 +40,14 @@ def _bm25_key(df):
 
 # ------------------------------------------------------- retry_contention
 
-def test_retry_contention_retries_only_contention():
+def test_retry_contention_retries_only_contention(caplog):
     """IndexContention retries up to the attempt budget; every other
     error class propagates on the FIRST call (retrying a schema
-    mismatch would just re-fail slower)."""
+    mismatch would just re-fail slower). Each backoff is logged at
+    INFO so a slow-but-alive contended stream is distinguishable from
+    a hung one."""
+    import logging
+
     calls = {"n": 0}
 
     def flaky():
@@ -52,8 +56,12 @@ def test_retry_contention_retries_only_contention():
             raise IndexContention("lock already held")
         return "done"
 
-    assert retry_contention(flaky, attempts=5, base_sleep=0.001) == "done"
+    with caplog.at_level(logging.INFO, logger="keystone_spark.fsutil"):
+        assert retry_contention(flaky, attempts=5,
+                                base_sleep=0.001) == "done"
     assert calls["n"] == 3
+    retries = [r for r in caplog.records if "index contention" in r.message]
+    assert len(retries) == 2 and "attempt 1/5" in retries[0].message
 
     # non-contention: first attempt propagates
     calls["n"] = 0
@@ -566,10 +574,15 @@ def test_index_status_bm25_reports_orphans_tombstones_and_locks(
     occ = st["occupancy"]
     assert occ["partitions"] >= 1 and 0 < occ["max_share"] <= 1.0
 
-    # a held lock shows up (the first thing an operator checks)
+    assert st["write_lock_age_sec"] is None  # no lock, no age
+    # a held lock shows up with its age (staleness is the whole basis
+    # of the force-unlock decision)
     fsutil.acquire_write_lock(spark, f"{root}/v0")
     try:
-        assert index_status(spark, root)["write_lock"] is True
+        st2 = index_status(spark, root)
+        assert st2["write_lock"] is True
+        assert isinstance(st2["write_lock_age_sec"], int)
+        assert 0 <= st2["write_lock_age_sec"] < 600
     finally:
         fsutil.release_write_lock(spark, f"{root}/v0")
 
