@@ -608,6 +608,21 @@ def publish_pointer(spark, root: str, target: str) -> dict:
             "churn settles"
         )
     try:
+        # re-validate the target UNDER the lock (ADVICE r13 #1): the
+        # pre-lock existence check races a concurrent gc_snapshots that
+        # already holds this lock — it can delete a non-current target
+        # (outside keep_last) between the check and the flip, and the
+        # flip would then publish a pointer to a deleted snapshot,
+        # breaking every subsequent load. Once we hold the compact
+        # lock GC is excluded, so a target that exists HERE stays
+        # existing through the flip.
+        if not fs_exists(spark, t):
+            raise ValueError(
+                f"publish target {t} vanished before the pointer flip "
+                "(a concurrent index-gc deleted it) — re-create or "
+                "re-compact the snapshot, or raise --keep-last on the "
+                "GC schedule"
+            )
         prev = read_latest_pointer(spark, root)
         v = write_latest_pointer(spark, root, target)
     finally:

@@ -20,6 +20,8 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+from functools import reduce
+from operator import or_
 from typing import Iterable, Iterator
 
 import numpy as np
@@ -321,6 +323,52 @@ def ivf_topk(
     )
 
 
+def _cast_batch_checked(batch: DataFrame, id_col: str, vec_col: str,
+                        stored) -> DataFrame:
+    """Schema-pin an append batch to the STORED table's column types,
+    refusing casts that nulled values out (ADVICE r13 #2): the engine
+    session runs with ``spark.sql.ansi.enabled=false`` (session.py),
+    so an un-castable batch — string ids into a long-id corpus — would
+    silently become NULL and be appended; null-id rows never match the
+    ``skip_existing_ids`` anti-join, so every at-least-once replay
+    would duplicate them. Pre-r13 the mismatch at least failed loudly
+    at the parquet merge; this keeps the r13 schema-pinning AND the
+    loud failure. One narrow count job over the micro-batch's own two
+    columns (no index scan) — appends are micro-batch-sized, so this
+    is noise next to the assignment kernel.
+
+    ``stored`` is the stored table's StructType; columns absent from
+    it (IvfPqIndex stores codes, not raw vectors) are left as-is —
+    the encode kernel consumes them as float64 and fails loudly on
+    garbage."""
+    checked = []
+    for c in (id_col, vec_col):
+        if c not in stored.fieldNames():
+            continue
+        t = stored[c].dataType
+        batch = batch.withColumn(f"__cast_{c}", F.col(c).cast(t))
+        checked.append(c)
+    if not checked:
+        return batch
+    bad = batch.where(
+        reduce(or_, [F.col(c).isNotNull() & F.col(f"__cast_{c}").isNull()
+                     for c in checked])
+    ).count()
+    if bad:
+        raise ValueError(
+            f"append batch does not cast to the stored index schema: "
+            f"{bad} row(s) would have their "
+            f"{'/'.join(checked)} nulled by the cast (non-ANSI mode "
+            "turns an un-castable value into NULL instead of an "
+            "error) — fix the batch's column types; nothing was "
+            "appended"
+        )
+    for c in checked:
+        batch = batch.withColumn(c, F.col(f"__cast_{c}")) \
+                     .drop(f"__cast_{c}")
+    return batch
+
+
 class IvfIndex:
     """Fit-once IVF index: trained centroids + a cell-assigned corpus.
 
@@ -443,15 +491,8 @@ class IvfIndex:
             # into an array<float> table) writes parquet files the
             # reader cannot merge — later scans fail (or flake by
             # file-listing order) with a physical-type mismatch.
-            batch = batch.withColumn(
-                idx.id_col,
-                F.col(idx.id_col).cast(
-                    idx.indexed.schema[idx.id_col].dataType),
-            ).withColumn(
-                idx.vec_col,
-                F.col(idx.vec_col).cast(
-                    idx.indexed.schema[idx.vec_col].dataType),
-            )
+            batch = _cast_batch_checked(
+                batch, idx.id_col, idx.vec_col, idx.indexed.schema)
             if skip_existing_ids:
                 known = idx.indexed.select(idx.id_col)
                 tomb = idx._load_tombstones(spark)
@@ -1181,6 +1222,12 @@ class IvfPqIndex:
             assert_latest_unchanged(spark, root, path)
             assert_not_compacting(spark, path)
             idx = cls.load(spark, path)
+            # pin the id column to the stored codes-table type, cast
+            # validated (ADVICE r13 #2 — the IvfIndex.add note; the
+            # vec column is not stored here, the encode kernel consumes
+            # it as float64 and fails loudly on garbage)
+            batch = _cast_batch_checked(
+                batch, idx.id_col, idx.vec_col, idx.indexed.schema)
             if skip_existing_ids:
                 known = idx.indexed.select(idx.id_col)
                 tomb = idx._load_tombstones(spark)

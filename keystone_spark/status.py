@@ -59,19 +59,26 @@ def _occupancy(spark, path: str, part_col: str) -> dict:
     }
 
 
-def _file_age_sec(spark, path: str) -> "int | None":
-    """Age in whole seconds of a control file (None when absent) — the
+def _file_age_sec(spark, path: str) -> "tuple[int, int] | None":
+    """(age_sec, mtime_ms) of a control file (None when absent) — the
     lock-staleness observable: locks carry no liveness, so 'held for
     0.4 s' vs 'held for 3 days' is the whole basis of the force-unlock
     decision, and before this field the operator had to stat the file
-    by hand."""
+    by hand.
+
+    CAVEAT (VERDICT r13 "what's wrong" #3): the age mixes DRIVER
+    wall-clock with the FILESYSTEM's mtime — on an object store whose
+    clock is skewed against the driver's, the age can read 0 (the
+    max-clamp hides a negative skew) or inflated by the skew. The raw
+    ``mtime_ms`` is returned alongside so an operator can judge the
+    age against a clock they trust before a force-unlock."""
     import time
 
     fs, p = fsutil._fs_path(spark, path)
     if not fs.exists(p):
         return None
-    return max(0, int(time.time() - fs.getFileStatus(p)
-                      .getModificationTime() / 1000))
+    mtime_ms = int(fs.getFileStatus(p).getModificationTime())
+    return max(0, int(time.time() - mtime_ms / 1000)), mtime_ms
 
 
 def index_status(spark, path: str) -> dict:
@@ -94,15 +101,18 @@ def index_status(spark, path: str) -> dict:
         "compact_epoch": fsutil.read_compact_epoch(spark, snap),
         "write_lock": fsutil.fs_exists(
             spark, f"{snap}/{fsutil.WRITE_LOCK}"),
-        "write_lock_age_sec": _file_age_sec(
-            spark, f"{snap}/{fsutil.WRITE_LOCK}"),
         "compact_lock": fsutil.fs_exists(
-            spark, f"{snap}/{fsutil.COMPACT_LOCK}"),
-        "compact_lock_age_sec": _file_age_sec(
             spark, f"{snap}/{fsutil.COMPACT_LOCK}"),
         "interrupted_swap": fsutil.fs_exists(
             spark, f"{snap}/_compact_tmp/{fsutil.SWAP_MARKER}"),
     }
+    # lock ages + raw mtimes (see _file_age_sec's clock-skew caveat:
+    # judge the age against the raw mtime before a force-unlock)
+    for lock, name in ((fsutil.WRITE_LOCK, "write_lock"),
+                       (fsutil.COMPACT_LOCK, "compact_lock")):
+        st = _file_age_sec(spark, f"{snap}/{lock}")
+        out[f"{name}_age_sec"] = st[0] if st else None
+        out[f"{name}_mtime_ms"] = st[1] if st else None
     if ptr_files:
         fs, p = fsutil._fs_path(spark, root)
         cur_name = snap[len(root) + 1:].split("/")[0] \
@@ -137,8 +147,17 @@ def index_status(spark, path: str) -> dict:
             committed = {0}
         if family == "bm25":
             out["format_version"] = int(rows[0]["version"])
-            out["n_docs"] = sum(
-                int(r["n_docs"]) for r in rows if r["committed"])
+            # pre-r11 single-row manifests lack the committed column
+            # too (ADVICE r13 #3): the one implicit generation IS the
+            # committed state — mirror the committed={0} fallback
+            # above instead of raising on a legacy index (this module's
+            # contract is to REPORT repairable/legacy states, never
+            # refuse them)
+            if "committed" in rows[0].__fields__:
+                out["n_docs"] = sum(
+                    int(r["n_docs"]) for r in rows if r["committed"])
+            else:
+                out["n_docs"] = sum(int(r["n_docs"]) for r in rows)
         elif family == "minhash":
             # 2 = r11 crash-safe generation layout, 1 = pre-r11
             out["format_version"] = (
