@@ -1213,6 +1213,120 @@ def q_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN (r14, VERDICT r13 #2): top-k neighbors SUBJECT TO a
+    metadata predicate (here ``label % 3 = 0`` over the embeddings
+    table — the ``lang='en' AND quality > t`` shape of a training-data
+    pipeline), pushed INTO the cell-pruned index scan before the
+    per-cell top-k kernel (FAISS pre-filtered-search parity). The
+    push-down is the point: post-filtering k unconstrained results
+    under-returns whenever fewer than k of them satisfy the predicate
+    (pinned by test_dedup_similarity's under-return fixture); here
+    every probe must come back with a FULL k=10 — asserted as the
+    ``n`` invariant — because the filter ran before the kernel.
+
+    Declared result (the ivf_delete_topk invariant shape, driver-hash
+    -checked): per probe k=10 rows, dense ranks, ``filter_ok`` (every
+    returned neighbor satisfies the predicate), recall@10 >= 0.5
+    against the exact kernel over the PREDICATE-FILTERED corpus (at
+    sf0.01, this config reads 0.8; the floor is calibrated for the
+    hash-checked sf — sf0.001's 500-vector corpus reads 0.6).
+    In-query assert: the cell partition filter survives the added
+    semi-join and stays non-vacuous (14 of 16 cells at 3 probes x 8)."""
+    import tempfile
+
+    from keystone_spark.operators.similarity import IvfIndex, cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") < 3)
+    pred = F.col("label") % 3 == 0
+    # same build as q_ivf_index_topk -> shared cache key: one persisted
+    # index serves both the unfiltered and the filtered search query
+    key = (id(spark._jsparkSession) if hasattr(spark, "_jsparkSession")
+           else id(spark), sf_dir)
+    path = _IVF_INDEX_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="ivf_index_")
+        IvfIndex.build(e, n_cells=16).save(path)
+        _IVF_INDEX_CACHE[key] = path
+    idx = IvfIndex.load(spark, path)
+    out = idx.search(probes, k=10, n_probe_cells=8,
+                     predicate=pred, metadata=e)
+
+    import re
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(
+        r"PartitionFilters: \[[^\]]*cell#\d+ (?:INSET|IN) \(?([^\])]*)",
+        plan,
+    )
+    if not m:
+        raise AssertionError(
+            "filtered IvfIndex search lost its cell partition filter "
+            "(the predicate semi-join must not defeat pruning):\n"
+            + plan[:2000]
+        )
+    n_cells_scanned = len(m.group(1).split(","))
+    if not 0 < n_cells_scanned < 16:
+        raise AssertionError(
+            f"filtered partition filter is vacuous ({n_cells_scanned} "
+            "of 16 cells scanned):\n" + plan[:2000]
+        )
+
+    # exact ground truth over the predicate-filtered corpus — recall
+    # against THIS (not the unfiltered truth) is what filtered ANN owes
+    exact = cosine_topk(e.where(pred), probes, k=10)
+    hits = (
+        out.select("probe", "vec_id")
+        .join(exact.select("probe", "vec_id"), ["probe", "vec_id"])
+        .groupBy("probe")
+        .agg(F.count("*").alias("hits"))
+    )
+    labels = e.select("vec_id", "label")
+    per = (
+        out.join(labels, "vec_id")
+        .groupBy("probe")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            ((F.min("rk") == 1) & (F.max("rk") == 10)
+             & (F.count_distinct("rk") == 10)).alias("ranks_ok"),
+            (F.sum(F.when(F.col("label") % 3 == 0, 0).otherwise(1)) == 0
+             ).alias("filter_ok"),
+        )
+    )
+    return (
+        per.join(hits, "probe", "left")
+        .select(
+            "probe",
+            "n",
+            "ranks_ok",
+            "filter_ok",
+            (F.coalesce(F.col("hits"), F.lit(0)) >= 5).alias("recall_ok"),
+        )
+        .orderBy("probe")
+    )
+
+
+def q_cosine_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact filtered similarity search, value-hashed (r14): brute-force
+    cosine top-10 per probe over the PREDICATE-FILTERED corpus
+    (``label % 3 = 0``) — the exact-baseline half of filtered ANN
+    (q_ivf_filtered_topk is the index half). The predicate is a plain
+    Catalyst filter under the Arrow gemm kernel, so it pushes to the
+    parquet scan; the oracle recomputes the same filtered top-k in
+    DuckDB and the driver hashes actual (probe, vec_id, cos, rk)
+    rows — no invariant indirection on this path."""
+    from keystone_spark.operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") < 10)
+    out = cosine_topk(e.where(F.col("label") % 3 == 0), probes, k=10)
+    return (
+        out.select("probe", "vec_id", F.round("cos", 6).alias("cos"), "rk")
+        .orderBy("probe", "rk")
+    )
+
+
 def q_ivf_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-index TAKEDOWN path (VERDICT r10 #2, r11): the persisted
     IvfIndex gets ``delete(vec_id % 7 == 2)`` and is searched BEFORE
@@ -1439,9 +1553,11 @@ def q_ivf_stream_autoretrain_topk(spark: SparkSession, sf_dir: str
         if stats["tombstones_added"] <= 0:
             raise AssertionError(f"ivf delete did not land: {stats}")
         # the odd half streams in as one micro-batch; threshold 0 means
-        # any non-empty add fires the fold's retrain (the drift
-        # SEMANTICS — signal crosses only under real skew — are pinned
-        # by test_stream_vector_ingest_auto_retrains_on_drift; this
+        # the whole-index occupancy gate (r14 semantics — the fold
+        # reads the stats manifest the add just refreshed) always
+        # crosses, so the retrain fires on this epoch (the drift
+        # SEMANTICS — fire only under real index-level skew, rate
+        # limited — are pinned by test_index_lifecycle_r13/r14; this
         # query pins the driver-checkable LOOP: signal -> retrain ->
         # pointer flip -> correct pointer-resolved search)
         from keystone_spark.streaming.windows import stream_vector_ingest
@@ -5371,6 +5487,33 @@ _R13_HEAD = [
 ]
 
 
+_R14_HEAD = [
+    # NEW r14: filtered ANN (predicate pushed into the cell-pruned
+    # scan, invariant oracle) and its exact value-hashed baseline
+    "ivf_filtered_topk",
+    "cosine_filtered_topk",
+    # window_nav spilled to position 51 in r13 (the r13 head comment
+    # flagged it to lead this rotation); then the stalest cohort —
+    # every query last sampled in the r10 window (45), then the r11
+    # head's first two. ZERO overlap with the r13 window.
+    "window_nav",
+    "approx_distinct", "approx_percentile", "argmin_part", "array_fns2",
+    "augmented_eval", "binary_metrics", "conditional_agg", "covar_corr",
+    "disjunctive_pred", "embedding_neardup", "event_sliding_window",
+    "excess_shipments", "exists_subquery", "funnel_completions",
+    "grouped_ols", "histogram_bins", "idle_customers",
+    "important_stock", "ivf_topk", "kmv_distinct", "lang_id",
+    "large_orders", "local_supplier_volume", "map_fns", "market_share",
+    "null_fns", "ohlc_rollup", "pivot_counts", "pq_topk",
+    "promo_revenue", "regr_fns", "reservoir_sample", "returned_items",
+    "revenue_predicate", "scalar_subquery", "scd2_intervals",
+    "shipping_priority", "simhash_pairs", "supplier_part_counts",
+    "token_packing", "token_packing_greedy", "top_supplier",
+    "unpivot_long", "variant_json", "window_pct",
+    "anti_join", "array_fns",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's CORRECTNESS check samples the FIRST 50
     # entries. Rounds 1-4 have cumulatively driver-verified 150/167
@@ -5404,6 +5547,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_pointer_compact": q_bm25_pointer_compact,
         "ivf_delete_topk": q_ivf_delete_topk,
         "ivf_retrain_topk": q_ivf_retrain_topk,
+        # NEW r14: filtered ANN (predicate pushed into the cell-pruned
+        # scan) + its exact value-hashed baseline
+        "ivf_filtered_topk": q_ivf_filtered_topk,
+        "cosine_filtered_topk": q_cosine_filtered_topk,
         # NEW r13: fold-triggered auto-retrain (closed drift loop)
         "ivf_stream_autoretrain_topk": q_ivf_stream_autoretrain_topk,
         "incremental_index_add": q_incremental_index_add,
@@ -5601,11 +5748,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_range_frame": q_window_range_frame,
         "percentiles": q_percentiles,
     }
-    # rotate the r13 head to the front (comment above _R13_HEAD); the
+    # rotate the r14 head to the front (comment above _R14_HEAD); the
     # second splat only UPDATES values for head keys, so order is
-    # head-first then historical order for the rest (_R12_HEAD kept
+    # head-first then historical order for the rest (_R12/_R13_HEAD kept
     # above as round history)
-    return {**{k: base[k] for k in _R13_HEAD}, **base}
+    return {**{k: base[k] for k in _R14_HEAD}, **base}
 
 
 def _oracle_sql_literals() -> dict[str, str]:
@@ -8270,6 +8417,34 @@ def _oracle_sql_literals() -> dict[str, str]:
                    TRUE AS recall_ok,
                    TRUE AS no_deleted
             FROM embeddings WHERE vec_id < 3 ORDER BY probe
+        """,
+        # filtered ANN invariant set: the pushed-down predicate must
+        # return a FULL k per probe (n=10 — post-filtering could not),
+        # only predicate-satisfying neighbors, recall vs the exact
+        # FILTERED kernel
+        "ivf_filtered_topk": """
+            SELECT CAST(vec_id AS BIGINT) AS probe,
+                   CAST(10 AS BIGINT) AS n,
+                   TRUE AS ranks_ok,
+                   TRUE AS filter_ok,
+                   TRUE AS recall_ok
+            FROM embeddings WHERE vec_id < 3 ORDER BY probe
+        """,
+        # exact filtered top-k: value-hashed actual neighbor rows
+        "cosine_filtered_topk": """
+            SELECT probe, vec_id, cos, rk FROM (
+                SELECT p.vec_id AS probe, e.vec_id AS vec_id,
+                       ROUND(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                                    CAST(e.embedding AS DOUBLE[])), 6) AS cos,
+                       ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                           ORDER BY list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                                           CAST(e.embedding AS DOUBLE[])) DESC,
+                                    e.vec_id) AS rk
+                FROM embeddings p
+                JOIN embeddings e ON e.vec_id <> p.vec_id
+                                 AND e.label % 3 = 0
+                WHERE p.vec_id < 10) t
+            WHERE rk <= 10 ORDER BY probe, rk
         """,
         # greedy packing replayed exactly: the per-group sequential
         # recurrence (close pack on overflow) as a recursive CTE — one

@@ -7,9 +7,14 @@ Each query is materialized with the ``noop`` sink (ADVICE r1: ``count()``
 lets Catalyst prune output-only projections — e.g. a final ``round()``
 above an aggregate — so it under-measures; the noop write forces every
 output column through the full plan with no driver-side row transfer). A
-warmup pass primes the JVM/codegen caches; reported value is the best of 2
-timed iterations (steady-state, matches how a long-running cluster
-behaves).
+warmup pass primes the JVM/codegen caches; reported value is the best of 3
+timed iterations at the primary scale point (best of 2 at the embedded
+scaled points, which are minutes-long and less load-sensitive per
+second). Best-of-N on a shared host measures the CODE, not ambient load
+(VERDICT r13 "what's wrong" #4: round-over-round swings of +-30-49%
+tracked machine load, uniformly across slots whose code never changed);
+the ``protocol`` field in the JSON records the discipline so BENCH_rN
+files are comparable on their own terms.
 
 Second scale point (VERDICT r3 #7): when ``.localdata/sf1`` exists
 (build: ``python tools/make_scaled_data.py``), the same suite also runs
@@ -76,7 +81,8 @@ def main() -> None:
         for c in getattr(df, "_keystone_caches", []):
             c.unpersist()
 
-    def run_suite(d: str, curation: bool = False) -> dict[str, float]:
+    def run_suite(d: str, curation: bool = False,
+                  iters: int = 2) -> dict[str, float]:
         slots = [(n, (k,)) for n, k in BENCH_QUERIES]
         if curation:
             slots.append(CURATION_SLOT)
@@ -86,7 +92,7 @@ def main() -> None:
             for k in keys:  # warmup (plan + codegen + file listing)
                 run(qs[k](spark, d))
             best = float("inf")
-            for _ in range(2):
+            for _ in range(iters):
                 t0 = time.perf_counter()
                 for k in keys:
                     run(qs[k](spark, d))
@@ -94,7 +100,7 @@ def main() -> None:
             timings[name] = round(best, 4)
         return timings
 
-    timings = run_suite(sf_dir)
+    timings = run_suite(sf_dir, iters=3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "bench_suite_total",
@@ -102,6 +108,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # the measurement discipline, stamped so BENCH_rN comparisons
+        # know what they are comparing (see module docstring)
+        "protocol": "noop-sink, warmup + best-of-3 (scaled points: 2)",
     }
 
     here = os.path.dirname(os.path.abspath(__file__))

@@ -134,6 +134,11 @@ def main() -> None:
                           "JSON line: family, format, pointer, "
                           "generations, doc/vector count, tombstones, "
                           "epoch, occupancy skew, locks")
+    ist.add_argument("--log", action="store_true",
+                     help="also append the line to the index's "
+                          "_status_log.jsonl so cron ticks build a "
+                          "drift/GC-debt/perf history instead of "
+                          "point-in-time snapshots")
 
     ir = sub.add_parser("index-repair")
     ir.add_argument("--path", required=True)
@@ -175,9 +180,11 @@ def main() -> None:
         return
 
     if args.cmd == "index-status":
-        from keystone_spark.status import index_status
+        from keystone_spark.status import append_status_log, index_status
 
         stats = index_status(spark, args.path)
+        if args.log:
+            append_status_log(spark, args.path, stats)
         print(json.dumps({"app": "maintain.index-status", **stats}))
         return
 

@@ -1490,6 +1490,12 @@ def build_minhash_index(
            "store_texts": store_texts}
     _minhash_append_manifest(spark, path, cfg, 0, committed=True,
                              mode="overwrite")
+    # manifest-carried occupancy (r14) — see Bm25Index.save: a later
+    # add_to_minhash_index stales this via the file-count fence and
+    # status falls back to the band scan until the next compact
+    from keystone_spark.fsutil import refresh_index_stats
+
+    refresh_index_stats(spark, path, "bands", "band")
     n_bands_rows = spark.read.parquet(f"{path}/bands").count()
     return {
         "corpus_docs": n_sigs,
@@ -1865,9 +1871,11 @@ def compact_minhash_index(spark, path: str, dest: str | None = None
         if not fs_exists(spark, f"{stage}/{SWAP_MARKER}"):
             release_compact_lock(spark, path)
         raise
-    from keystone_spark.fsutil import bump_compact_epoch
+    from keystone_spark.fsutil import bump_compact_epoch, refresh_index_stats
 
     bump_compact_epoch(spark, path)  # the mutation commit fence
+    # re-sync the occupancy manifest to the merged rewrite (r14)
+    refresh_index_stats(spark, path, "bands", "band")
     release_compact_lock(spark, path)
     return out
 

@@ -746,6 +746,14 @@ class Bm25Index:
             self.params["n_docs"], self.params["sum_dl"],
             committed=True, mode="overwrite",
         )
+        # manifest-carried occupancy (r14): index-status reads this
+        # instead of scanning postings; any later generation append
+        # stales it via the file-count fence and status falls back to
+        # the scan until the next compact re-syncs it
+        from keystone_spark.fsutil import refresh_index_stats
+
+        refresh_index_stats(
+            self.postings.sparkSession, path, "postings", "tbucket")
         self.path = path
 
     @classmethod
@@ -1203,9 +1211,14 @@ class Bm25Index:
                     ["postings", "df", "docs", "params"])
         # tombstones are now physically purged from the data files
         fs_delete(spark, f"{path}/tombstones")
-        from keystone_spark.fsutil import bump_compact_epoch
+        from keystone_spark.fsutil import (
+            bump_compact_epoch,
+            refresh_index_stats,
+        )
 
         bump_compact_epoch(spark, path)  # the mutation commit fence
+        # re-sync the occupancy manifest to the merged rewrite (r14)
+        refresh_index_stats(spark, path, "postings", "tbucket")
         release_compact_lock(spark, path)
         return {"postings_files_before": files_before,
                 "postings_files_after": count_parquet_files(

@@ -369,6 +369,44 @@ def _cast_batch_checked(batch: DataFrame, id_col: str, vec_col: str,
     return batch
 
 
+def _apply_search_predicate(subset: DataFrame, predicate, metadata,
+                            id_col: str) -> DataFrame:
+    """Push a metadata predicate into an index scan as a left-semi join
+    on the allowed-id set — shared by ``IvfIndex.search`` and
+    ``IvfPqIndex.search`` (see the former's docstring for the filtered
+    ANN contract). No-op when ``predicate`` is None."""
+    if predicate is None:
+        return subset
+    if isinstance(predicate, DataFrame):
+        if metadata is not None:
+            raise ValueError(
+                "pass either an allowed-id DataFrame as predicate= OR "
+                "a predicate expression with metadata=, not both"
+            )
+        cols = predicate.columns
+        allowed = (predicate.select(id_col) if id_col in cols
+                   else predicate.select(F.col(cols[0]).alias(id_col)))
+        if len(cols) > 1 and id_col not in cols:
+            raise ValueError(
+                f"allowed-id predicate DataFrame must carry {id_col!r} "
+                f"or be single-column, got {cols}"
+            )
+    else:
+        if metadata is None:
+            raise ValueError(
+                "a Column/SQL predicate needs metadata= (a DataFrame "
+                f"carrying {id_col!r} and the predicate's columns)"
+            )
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        allowed = metadata.where(cond).select(id_col)
+    # left-semi keeps the scan's partition filter and is existence-
+    # based (duplicate allowed-ids cannot duplicate corpus rows, so no
+    # distinct/shuffle needed); the allowed side is a narrow id
+    # projection of the metadata scan (never vector bytes), broadcast
+    # by AQE when small
+    return subset.join(allowed, id_col, "left_semi")
+
+
 class IvfIndex:
     """Fit-once IVF index: trained centroids + a cell-assigned corpus.
 
@@ -525,6 +563,17 @@ class IvfIndex:
                 # the swap rows it will erase
                 assert_not_compacting(spark, path)
                 entry_epoch = read_compact_epoch(spark, path)
+                # pre-write stats read (r14): validation is against the
+                # PRE-append file listing, so it must happen before the
+                # parquet write changes the count
+                from keystone_spark.fsutil import (
+                    read_valid_index_stats,
+                    refresh_index_stats,
+                    write_index_stats,
+                )
+
+                pre_counts = read_valid_index_stats(
+                    spark, path, "corpus", "cell")
                 assigned.write.mode("append").partitionBy("cell").parquet(
                     os.path.join(path, "corpus")
                 )
@@ -548,6 +597,20 @@ class IvfIndex:
                         "skip_existing_ids=True (surviving rows are "
                         "skipped, erased ones re-added)"
                     ) from e
+                # manifest-carried occupancy stays current through the
+                # streaming fold without a corpus scan: merge this
+                # batch's histogram into the pre-append counts (or
+                # re-scan once if a non-stats-aware mutation staled
+                # them). A crash between the append and this write is
+                # detected by the file-count fence — readers fall back
+                # to the scan, never serve a silently wrong number.
+                if pre_counts is not None:
+                    for c, n in cells.items():
+                        pre_counts[c] = pre_counts.get(c, 0) + n
+                    write_index_stats(
+                        spark, path, "corpus", "cell", pre_counts)
+                else:
+                    refresh_index_stats(spark, path, "corpus", "cell")
             finally:
                 assigned.unpersist()
         finally:
@@ -695,9 +758,15 @@ class IvfIndex:
             if not fs_exists(spark, f"{stage}/{SWAP_MARKER}"):
                 release_compact_lock(spark, path)
             raise
-        from keystone_spark.fsutil import bump_compact_epoch
+        from keystone_spark.fsutil import (
+            bump_compact_epoch,
+            refresh_index_stats,
+        )
 
         bump_compact_epoch(spark, path)  # the mutation commit fence
+        # re-sync the occupancy manifest to the rewritten corpus (r14);
+        # one narrow partition-column scan inside the already-held lock
+        refresh_index_stats(spark, path, "corpus", "cell")
         release_compact_lock(spark, path)
         return {"corpus_files_before": before,
                 "corpus_files_after": count_parquet_files(
@@ -818,7 +887,34 @@ class IvfIndex:
         k: int = 10,
         n_probe_cells: int = 4,
         exclude_self: bool = True,
+        predicate=None,
+        metadata: "DataFrame | None" = None,
     ) -> DataFrame:
+        """Top-k cosine neighbors per probe over the cell-pruned scan.
+
+        ``predicate`` — FILTERED ANN (r14, VERDICT r13 #2; FAISS
+        "pre-filtered search" / IDSelector parity, Spark-first): the
+        metadata constraint is pushed INTO the cell-pruned corpus scan,
+        BEFORE the per-cell top-k kernel — post-filtering k results
+        would silently under-return whenever fewer than k of the
+        unconstrained neighbors satisfy it (pinned by test). Two forms:
+
+        - a DataFrame of allowed ids (its ``id_col`` column, or its
+          single column) — the pre-computed FAISS-IDSelector shape;
+        - a Column or SQL string evaluated against ``metadata`` (a
+          DataFrame carrying ``id_col`` + the predicate's columns),
+          e.g. ``predicate="lang = 'en' AND quality > 0.5"``.
+
+        The filter lands as a left-semi join on the pruned subset:
+        Catalyst keeps the cell partition filter on the scan, AQE
+        broadcasts the allowed-id side when it is small, and only rows
+        surviving BOTH prune and predicate reach the Arrow top-k
+        kernel — at 100 TB the predicate side is a metadata-column
+        scan, never the vector bytes. Recall caveat: IVF recall under
+        a HIGHLY selective predicate degrades at fixed
+        ``n_probe_cells`` (the survivors may live outside the probed
+        cells); raise ``n_probe_cells`` as selectivity rises — the
+        standard IVF prefilter trade-off."""
         id_col, vec_col = self.id_col, self.vec_col
         p_ids, p_mat = _collect_probes(probes, id_col, vec_col)
         p_norm = _normalize(p_mat)
@@ -826,6 +922,8 @@ class IvfIndex:
         wanted = sorted({int(c) for row in probe_cells for c in row})
         # cell filter prunes at the scan (partition pruning on a saved index)
         subset = self.indexed.where(F.col("cell").isin(wanted))
+        subset = _apply_search_predicate(
+            subset, predicate, metadata, id_col)
         tomb = self._load_tombstones(probes.sparkSession)
         if tomb is not None:
             # deleted vectors vanish from results immediately; physical
@@ -889,6 +987,14 @@ class IvfIndex:
         self.indexed.write.mode("overwrite").partitionBy("cell").parquet(
             f"{path}/corpus"
         )
+        # manifest-carried occupancy (r14): one narrow partition-column
+        # scan NOW so every later index-status / --if-occupancy-above /
+        # streaming retrain-gate read is driver-side metadata instead
+        # of a corpus-proportional Spark job
+        from keystone_spark.fsutil import refresh_index_stats
+
+        refresh_index_stats(
+            self.indexed.sparkSession, path, "corpus", "cell")
         # centroid JSON rides the same Hadoop FileSystem as the corpus
         # (file://, hdfs://, bare local all work) — a driver-local
         # open() here made every non-local path fail at load before the
@@ -1260,6 +1366,15 @@ class IvfPqIndex:
                 # the swap rows it will erase
                 assert_not_compacting(spark, path)
                 entry_epoch = read_compact_epoch(spark, path)
+                # pre-write stats read (r14) — see IvfIndex.add
+                from keystone_spark.fsutil import (
+                    read_valid_index_stats,
+                    refresh_index_stats,
+                    write_index_stats,
+                )
+
+                pre_counts = read_valid_index_stats(
+                    spark, path, "codes", "cell")
                 encoded.write.mode("append").partitionBy("cell").parquet(
                     os.path.join(path, "codes")
                 )
@@ -1280,6 +1395,15 @@ class IvfPqIndex:
                         "skip_existing_ids=True (surviving rows are "
                         "skipped, erased ones re-added)"
                     ) from e
+                # merge batch histogram into the occupancy manifest
+                # (r14) — see IvfIndex.add
+                if pre_counts is not None:
+                    for c, n in cells.items():
+                        pre_counts[c] = pre_counts.get(c, 0) + n
+                    write_index_stats(
+                        spark, path, "codes", "cell", pre_counts)
+                else:
+                    refresh_index_stats(spark, path, "codes", "cell")
             finally:
                 encoded.unpersist()
         finally:
@@ -1413,9 +1537,14 @@ class IvfPqIndex:
             if not fs_exists(spark, f"{stage}/{SWAP_MARKER}"):
                 release_compact_lock(spark, path)
             raise
-        from keystone_spark.fsutil import bump_compact_epoch
+        from keystone_spark.fsutil import (
+            bump_compact_epoch,
+            refresh_index_stats,
+        )
 
         bump_compact_epoch(spark, path)  # the mutation commit fence
+        # re-sync the occupancy manifest to the rewritten table (r14)
+        refresh_index_stats(spark, path, "codes", "cell")
         release_compact_lock(spark, path)
         return {"codes_files_before": before,
                 "codes_files_after": count_parquet_files(
@@ -1574,6 +1703,11 @@ class IvfPqIndex:
         self.indexed.write.mode("overwrite").partitionBy("cell").parquet(
             f"{path}/codes"
         )
+        # manifest-carried occupancy (r14) — see IvfIndex.save
+        from keystone_spark.fsutil import refresh_index_stats
+
+        refresh_index_stats(
+            self.indexed.sparkSession, path, "codes", "cell")
         fs_write_text(
             self.indexed.sparkSession, f"{path}/model.json",
             json.dumps({
@@ -1618,10 +1752,19 @@ class IvfPqIndex:
         n_probe_cells: int = 6,
         refine: int = 4,
         exclude_self: bool = True,
+        predicate=None,
+        metadata: "DataFrame | None" = None,
     ) -> DataFrame:
         """``base`` is the raw-vector table (re-rank source) — at scale
         the index's code files are the only thing scanned broadly; base
-        rows are fetched just for the refine*k candidates per probe."""
+        rows are fetched just for the refine*k candidates per probe.
+
+        ``predicate``/``metadata``: filtered ANN — the constraint is
+        pushed into the cell-pruned CODES scan before ADC candidate
+        selection (so every one of the refine*k candidates already
+        satisfies it), not applied to the final k. Same two forms and
+        the same selectivity-vs-n_probe_cells caveat as
+        ``IvfIndex.search``."""
         id_col, vec_col = self.id_col, self.vec_col
         m, ks, dsub = self.books.shape
         p_ids, p_mat = _collect_probes(probes, id_col, vec_col)
@@ -1634,6 +1777,8 @@ class IvfPqIndex:
         n_cand = refine * k
 
         subset = self.indexed.where(F.col("cell").isin(wanted))
+        subset = _apply_search_predicate(
+            subset, predicate, metadata, id_col)
         tomb = self._load_tombstones(probes.sparkSession)
         if tomb is not None:
             # deleted vectors can never candidate; purge at compact

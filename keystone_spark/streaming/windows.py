@@ -1017,6 +1017,7 @@ def stream_vector_ingest(
     retrain_if_skewed: float | None = None,
     retrain_sample_size: int = 4096,
     compact_dest: bool = False,
+    min_epochs_between_retrains: int = 8,
 ) -> None:
     """Streaming vector-index ingest — the fourth and final family
     member of the ingest loop (BM25: ``stream_bm25_ingest``; MinHash:
@@ -1051,16 +1052,45 @@ def stream_vector_ingest(
     (lock loss, epoch fence, pointer flip mid-add) retry safely under
     ``skip_existing_ids``.
 
-    Drift response (VERDICT r12 "what's missing" #2 — the closed
-    loop): ``retrain_if_skewed=t`` watches each add's ``max_cell_share``
-    signal (the share of the batch landing in its most crowded cell;
-    balanced ingest reads ~1/n_cells) and, when a batch crosses ``t``,
-    fires the family's ``retrain`` into an auto-named snapshot
-    (``{index}/retrain_e{epoch}`` — deterministic per epoch, so an
+    Drift response (VERDICT r12 "what's missing" #2; trigger semantics
+    reworked in r14 per VERDICT r13 #1 / ADVICE r13 #4):
+    ``retrain_if_skewed=t`` gates on the WHOLE-INDEX occupancy
+    ``max_share`` — the same signal ``maintain index-retrain
+    --if-occupancy-above`` crons on, read from the r14 stats manifest
+    the preceding ``add`` just refreshed, so the per-batch check is a
+    driver-side metadata read, NOT a corpus scan. (Pre-r14 the fold
+    watched the BATCH's ``max_cell_share``, which a small batch
+    crosses by chance — 4 vectors into 16 cells reads >= 0.25 — so one
+    anomalous micro-batch into a balanced index fired a full quantizer
+    retrain.) When occupancy crosses ``t``, the fold fires the
+    family's ``retrain`` into an auto-named snapshot
+    (``{index}/retrain_e{epoch:06d}`` — deterministic per epoch so an
     at-least-once replay overwrites its own retrain instead of
-    stacking new ones) published via the ``_LATEST`` pointer flip.
-    Subsequent folds resolve the retrained snapshot automatically. For
-    ``family="ivfpq"`` the index manifest must carry ``base_path``
+    stacking new ones; zero-padded so ``gc_snapshots(keep_last)``'s
+    lexicographic mtime tie-break orders them correctly past epoch 9,
+    VERDICT r13 #3) published via the ``_LATEST`` pointer flip.
+    Subsequent folds resolve the retrained snapshot automatically.
+
+    Two guards around the trigger:
+
+    - **Rate limit**: ``min_epochs_between_retrains=N`` (default 8)
+      skips a NEW trigger within N epochs of the last published
+      retrain — sustained genuinely-skewed ingest (where even a fresh
+      quantizer leaves max_share above ``t``) costs at most one
+      retrain + one snapshot of GC debt per N micro-batches instead
+      of one per batch. ``0`` disables the limit.
+    - **Crash-safe replay** (ADVICE r13 #4): the fold persists a
+      pending-retrain marker (``{root}/_RETRAIN_STATE.json``) BEFORE
+      firing. A crash after the add committed but before the retrain
+      published replays the epoch with ``vectors_added=0`` — the
+      marker (still pending, pointer not flipped) re-fires the retrain
+      into the SAME dest rather than silently dropping the drift
+      response; a crash after the publish but before the marker clear
+      is recognized by the pointer already naming the pending dest and
+      just clears the marker. Completing a pending retrain is exempt
+      from the rate limit (it is the same logical retrain).
+
+    For ``family="ivfpq"`` the index manifest must carry ``base_path``
     (build with it) — retrain reads the raw vectors from there. NOTE:
     the auto-dest lives INSIDE the index root; if the root predates
     the versioned-snapshot layout this converts it to one (readers
@@ -1073,24 +1103,22 @@ def stream_vector_ingest(
         raise ValueError(f"family must be 'ivf' or 'ivfpq', got {family!r}")
     spark = stream_vecs.sparkSession
     n_folds = {"n": 0}
+    table = "corpus" if family == "ivf" else "codes"
 
     def fold(bdf: DataFrame, epoch_id: int) -> None:
-        stats = retry_contention(
+        retry_contention(
             lambda: fam.add(spark, index_path, bdf,
                             skip_existing_ids=True),
             attempts=retry_attempts, base_sleep=retry_base_sleep,
             max_sleep=30.0,
         )
         n_folds["n"] += 1
-        if (retrain_if_skewed is not None
-                and stats["vectors_added"] > 0
-                and stats["max_cell_share"] >= retrain_if_skewed):
-            dest = f"{index_path.rstrip('/')}/retrain_e{int(epoch_id)}"
-            retry_contention(
-                lambda: fam.retrain(spark, index_path, dest,
-                                    sample_size=retrain_sample_size),
-                attempts=retry_attempts, base_sleep=retry_base_sleep,
-                max_sleep=30.0,
+        if retrain_if_skewed is not None:
+            _maybe_auto_retrain(
+                spark, index_path, fam, table, int(epoch_id),
+                retrain_if_skewed, retrain_sample_size,
+                min_epochs_between_retrains, retry_attempts,
+                retry_base_sleep,
             )
         if compact_every_n and n_folds["n"] % compact_every_n == 0:
             _fold_compact(spark, index_path, fam.compact, epoch_id,
@@ -1098,3 +1126,96 @@ def stream_vector_ingest(
                           retry_base_sleep)
 
     run_foreach_batch(stream_vecs, fold, output_mode="append")
+
+
+RETRAIN_STATE = "_RETRAIN_STATE.json"
+
+
+def _read_retrain_state(spark, root: str) -> dict:
+    import json as _json
+
+    from keystone_spark import fsutil
+
+    p = f"{root.rstrip('/')}/{RETRAIN_STATE}"
+    if not fsutil.fs_exists(spark, p):
+        return {"last_epoch": None, "pending": None}
+    try:
+        return _json.loads(fsutil.fs_read_text(spark, p))
+    except Exception:
+        return {"last_epoch": None, "pending": None}
+
+
+def _write_retrain_state(spark, root: str, state: dict) -> None:
+    import json as _json
+
+    from keystone_spark import fsutil
+
+    p = f"{root.rstrip('/')}/{RETRAIN_STATE}"
+    fsutil.fs_write_text(spark, f"{p}.tmp", _json.dumps(state))
+    fsutil.fs_delete(spark, p)
+    fsutil.fs_rename(spark, f"{p}.tmp", p)
+
+
+def _maybe_auto_retrain(spark, index_path: str, fam, table: str,
+                        epoch_id: int, threshold: float,
+                        sample_size: int, min_epochs: int,
+                        retry_attempts: int, retry_base_sleep: float
+                        ) -> None:
+    """The fold's drift trigger — see ``stream_vector_ingest``'s
+    docstring for the three-way contract (index-level occupancy gate,
+    rate limit, crash-safe pending marker)."""
+    import logging
+
+    from keystone_spark import fsutil
+
+    log = logging.getLogger("keystone_spark.streaming")
+    root = index_path.rstrip("/")
+    state = _read_retrain_state(spark, root)
+    pending = state.get("pending")
+    snap = fsutil.resolve_index_path(spark, root)
+    if pending is not None and snap.rstrip("/") == pending["dest"].rstrip("/"):
+        # the retrain PUBLISHED but the crash hit before the marker
+        # clear: complete the bookkeeping, nothing to re-fire
+        state = {"last_epoch": int(pending["epoch"]), "pending": None}
+        _write_retrain_state(spark, root, state)
+        pending = None
+
+    if pending is None:
+        # occupancy signal: manifest-first (the add this fold just ran
+        # refreshed it under its own lock), scan fallback for pre-r14
+        # indexes that have never been compacted
+        counts = fsutil.read_valid_index_stats(spark, snap, table, "cell")
+        if counts is None:
+            counts = fsutil.scan_index_stats(spark, snap, table, "cell")
+        occ = fsutil.occupancy_from_counts(counts)
+        if occ["max_share"] < threshold:
+            return
+        last = state.get("last_epoch")
+        if (min_epochs and last is not None
+                and epoch_id - int(last) < int(min_epochs)):
+            log.info(
+                "auto-retrain rate-limited at epoch %d: occupancy "
+                "max_share=%.4f >= %.4f but last retrain was epoch %s "
+                "(< %d epochs ago)", epoch_id, occ["max_share"],
+                threshold, last, min_epochs)
+            return
+        dest = f"{root}/retrain_e{epoch_id:06d}"
+        state = {"last_epoch": state.get("last_epoch"),
+                 "pending": {"epoch": epoch_id, "dest": dest}}
+        _write_retrain_state(spark, root, state)
+    else:
+        # replayed epoch after a crash mid-retrain: finish the SAME
+        # logical retrain (same dest — overwrite-safe), rate limit
+        # does not apply
+        dest = pending["dest"]
+        log.info("completing pending auto-retrain into %s after replay",
+                 dest)
+
+    fsutil.retry_contention(
+        lambda: fam.retrain(spark, root, dest, sample_size=sample_size),
+        attempts=retry_attempts, base_sleep=retry_base_sleep,
+        max_sleep=30.0,
+    )
+    _write_retrain_state(
+        spark, root,
+        {"last_epoch": int(state["pending"]["epoch"]), "pending": None})

@@ -1604,3 +1604,96 @@ def test_vector_index_add_skip_existing_ids(spark, tmp_path):
         # without the flag the legacy fresh-ids contract is unchanged:
         # the same batch WOULD duplicate (caller's responsibility)
         assert spark.read.parquet(f"{path}/{tbl}").count() == n_rows
+
+
+# ------------------------------ filtered ANN (r14, VERDICT r13 #2)
+
+
+def _filtered_fixture(spark):
+    """40 vectors in 2 tight clusters on e0/e1 + a metadata flag that is
+    FALSE for most of cluster 0 — built so an unfiltered top-k around a
+    cluster-0 probe is dominated by flag=false neighbors and
+    post-filtering visibly under-returns."""
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(40):
+        c = i % 2
+        v = np.zeros(8)
+        v[c] = 1.0
+        v[2] = 0.02 * rng.standard_normal()
+        # cluster 0: only ids 0,2,4,6 allowed; cluster 1: all allowed
+        allowed = bool(c == 1 or i <= 6)
+        rows.append((i, v.tolist(), allowed))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, allowed boolean")
+
+
+def test_filtered_search_pushdown_vs_postfilter(spark, tmp_path):
+    """The reason the predicate is pushed INTO the scan: post-filtering
+    the unconstrained top-k under-returns on this fixture (fewer than k
+    of the nearest neighbors satisfy the predicate), while the pushed
+    form returns a full k of predicate-satisfying neighbors that match
+    the exact filtered kernel."""
+    from keystone_spark.operators.similarity import IvfIndex
+
+    data = _filtered_fixture(spark)
+    path = str(tmp_path / "ivf")
+    IvfIndex.build(data, n_cells=2, sample_size=40).save(path)
+    idx = IvfIndex.load(spark, path)
+    probe = data.where(F.col("vec_id") == 0)
+    k = 6
+
+    # post-filter baseline: unfiltered top-k, THEN the predicate — the
+    # k nearest live in the probe's own tight cluster, where only 3
+    # ids are allowed, so the user gets 3 results instead of 6
+    unf = idx.search(probe, k=k, n_probe_cells=2)
+    post = unf.join(data.where("allowed").select("vec_id"), "vec_id",
+                    "left_semi")
+    n_post = post.count()
+    assert n_post < k, f"fixture too easy: post-filter returned {n_post}"
+
+    # pushed predicate: full k, all allowed, and (with every cell
+    # probed on this 2-cell fixture) EXACTLY the filtered kernel's set
+    got = idx.search(probe, k=k, n_probe_cells=2,
+                     predicate="allowed", metadata=data)
+    rows = got.collect()
+    assert len(rows) == k
+    got_ids = {int(r["vec_id"]) for r in rows}
+    allowed_ids = {int(r["vec_id"])
+                   for r in data.where("allowed").collect()}
+    assert got_ids <= allowed_ids
+    exact = cosine_topk(data.where("allowed"), probe, k=k)
+    exact_ids = {int(r["vec_id"]) for r in exact.collect()}
+    assert got_ids == exact_ids, (got_ids, exact_ids)
+
+    # allowed-id DataFrame form == predicate/metadata form
+    got2 = idx.search(probe, k=k, n_probe_cells=2,
+                      predicate=data.where("allowed").select("vec_id"))
+    assert {int(r["vec_id"]) for r in got2.collect()} == got_ids
+
+    # arg validation
+    with pytest.raises(ValueError, match="metadata"):
+        idx.search(probe, k=k, predicate="allowed")
+    with pytest.raises(ValueError, match="not both"):
+        idx.search(probe, k=k, predicate=data.select("vec_id"),
+                   metadata=data)
+
+
+def test_ivfpq_filtered_search(spark, tmp_path):
+    """Same predicate surface on the PQ family: candidates are filtered
+    BEFORE ADC selection, so the refine*k pool is already
+    predicate-clean and the final k are all allowed."""
+    from keystone_spark.operators.similarity import IvfPqIndex
+
+    data = _filtered_fixture(spark)
+    path = str(tmp_path / "pq")
+    IvfPqIndex.build(data, n_cells=2, m=4, ks=8,
+                     sample_size=40).save(path)
+    idx = IvfPqIndex.load(spark, path)
+    probe = data.where(F.col("vec_id") == 0)
+    got = idx.search(data, probe, k=6, n_probe_cells=2,
+                     predicate="allowed", metadata=data)
+    rows = got.collect()
+    allowed_ids = {int(r["vec_id"])
+                   for r in data.where("allowed").collect()}
+    assert rows and {int(r["vec_id"]) for r in rows} <= allowed_ids

@@ -42,31 +42,32 @@ def test_registry_hygiene_full_surface():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
     head = list(q)[:50]
     assert head == [
-        # r13 rotation (VERDICT r12 #8): the two NEW queries first (the
-        # fold-triggered auto-retrain loop; the streaming BM25 ingest
-        # fold under the full-corpus SQL oracle), then the cohort
-        # least recently driver-sampled, oldest first: pii_redact
-        # (r7), collect_agg (r8), and the r9-window members
-        # (window_nav spills to 51 and leads the r14 rotation). 50 of
-        # this 50-query window are NOT in the r12 window.
-        "ivf_stream_autoretrain_topk", "bm25_stream_ingest",
-        # r7, r8
-        "pii_redact", "collect_agg",
-        # r9 cohort
-        "phash_neardup", "ordered_funnel", "source_similarity",
-        "psi_drift", "oov_rate", "dedup_savings", "doc_chunks",
-        "url_dedup", "mixture_weights", "key_skew_profile", "top_paths",
-        "mad_outliers", "duplicate_spans", "dsir_weights",
-        "top_boilerplate_spans", "dsir_resample", "strip_spans",
-        "equidepth_hist", "revenue_concentration", "doc_fingerprint",
-        "minhash_dedup", "dedup_clusters", "monthly_trend",
-        "abc_classes", "repeat_purchase_curve", "activity_heatmap",
-        "chi_square_test", "token_entropy", "rfm_segments", "brand_hhi",
-        "group_mode", "interarrival_stats", "twoway_effects",
-        "value_autocorr", "cusum_drift", "vocab_growth", "zipf_curve",
-        "order_gaps", "dup_rate_by_source", "gap_fill",
-        "udtf_sentences", "nation_trade", "nation_profit",
-        "late_shipments", "order_distribution", "waiting_suppliers",
+        # r14 rotation (VERDICT r13 #8): the two NEW queries first
+        # (filtered ANN + its exact value-hashed baseline), then
+        # window_nav (spilled to 51 in r13), then every query last
+        # sampled in the r10 window (the stalest cohort, 45), then the
+        # r11 head's first two. ZERO of this 50-query window are in
+        # the r13 window (computed from CORRECTNESS_r*.json history).
+        "ivf_filtered_topk", "cosine_filtered_topk",
+        # r9 spill
+        "window_nav",
+        # r10 cohort (45)
+        "approx_distinct", "approx_percentile", "argmin_part",
+        "array_fns2", "augmented_eval", "binary_metrics",
+        "conditional_agg", "covar_corr", "disjunctive_pred",
+        "embedding_neardup", "event_sliding_window", "excess_shipments",
+        "exists_subquery", "funnel_completions", "grouped_ols",
+        "histogram_bins", "idle_customers", "important_stock",
+        "ivf_topk", "kmv_distinct", "lang_id", "large_orders",
+        "local_supplier_volume", "map_fns", "market_share", "null_fns",
+        "ohlc_rollup", "pivot_counts", "pq_topk", "promo_revenue",
+        "regr_fns", "reservoir_sample", "returned_items",
+        "revenue_predicate", "scalar_subquery", "scd2_intervals",
+        "shipping_priority", "simhash_pairs", "supplier_part_counts",
+        "token_packing", "token_packing_greedy", "top_supplier",
+        "unpivot_long", "variant_json", "window_pct",
+        # r11 head's first two
+        "anti_join", "array_fns",
     ]
 
 

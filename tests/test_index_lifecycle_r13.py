@@ -469,15 +469,18 @@ def test_stream_ingest_retries_through_held_lock_then_fails_if_stuck(
 
 def test_stream_vector_ingest_auto_retrains_on_drift(spark, tmp_path):
     """VERDICT r12 #5 done-criterion: the ingest fold itself watches
-    the add-time max_cell_share signal and fires retrain when a batch
-    crosses the threshold — no operator in the loop — and recall@10
-    at n_probe_cells=1 recovers vs the frozen-quantizer snapshot.
-    Fixture: the r12 drifted corpus (two new clusters in dims the
-    build never saw); its 120-vector drifted batch reads a
-    deterministic max_cell_share = 0.275 against the balanced floor of
-    0.25 (4 cells), so the 0.26 threshold sits between the two — this
-    is SCATTER drift, where the signal is inherently mild (crowding
-    drift reads far higher; the threshold is the operator's dial)."""
+    the drift signal and fires retrain — no operator in the loop — and
+    recall@10 at n_probe_cells=1 recovers vs the frozen-quantizer
+    snapshot. Fixture: the r12 drifted corpus (two new clusters in
+    dims the build never saw). Signal semantics updated in r14
+    (VERDICT r13 #1): the gate is WHOLE-INDEX occupancy, which after
+    the 120-vector drifted add reads a deterministic max_share =
+    0.2607 against the balanced floor of 0.25 (4 cells), so the 0.26
+    threshold sits between the two — this is SCATTER drift, where the
+    signal is inherently mild (crowding drift reads far higher; the
+    threshold is the operator's dial). The false-positive and
+    rate-limit halves of the r14 contract live in
+    test_index_lifecycle_r14."""
     from keystone_spark.operators.similarity import IvfIndex
     from keystone_spark.streaming.windows import stream_vector_ingest
     from test_index_lifecycle_r12 import _drifted_corpus
