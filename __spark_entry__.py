@@ -1049,6 +1049,44 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank (r14, operators/similarity.mmr_rerank):
+    per probe (vec_id < 3), greedily pick 4 of the exact top-8 cosine
+    candidates maximizing 0.7*rel - 0.3*max_sim_to_selected — the
+    retrieval de-dup step between ANN candidate generation and an LLM
+    context window. Candidate generation is the distributed gemm
+    kernel; the greedy loop runs per-probe over the bounded candidate
+    set in applyInPandas. Value-hashed: the DuckDB oracle UNROLLS the
+    4-step greedy recurrence as chained CTEs (argmax per step via
+    window rank, ties by id) — same selection, independently derived."""
+    from keystone_spark.operators.similarity import mmr_rerank
+
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") < 3)
+    out = mmr_rerank(e, probes, k=4, candidates=8, lam=0.7)
+    return out.orderBy("probe", "mmr_rank")
+
+
+def q_embedding_decontamination(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Embedding-space train/eval leakage sweep (r14,
+    operators/similarity.embedding_decontamination): max train-corpus
+    cosine per benchmark vector (bench = vec_id % 11 == 0, train = the
+    rest), flagged at >= 0.45 — the semantic complement of the n-gram
+    `contamination` query (paraphrased leakage shares no 4-grams but
+    sits next to its source in embedding space). One training-corpus
+    scan with map-side top-1 pruning; the bench side rides the Arrow
+    kernel as the probe matrix. Value-hashed: (vec_id, max_cos,
+    contaminated) vs the DuckDB exact max over the cross product."""
+    from keystone_spark.operators.similarity import embedding_decontamination
+
+    e = _t(spark, sf_dir, "embeddings")
+    bench = e.where(F.col("vec_id") % 11 == 0)
+    train = e.where(F.col("vec_id") % 11 != 0)
+    out = embedding_decontamination(train, bench, threshold=0.45)
+    return out.orderBy("vec_id")
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style document fingerprint: min hash over every 8-token
     shingle (shift-invariant content fingerprint; functions/text
@@ -5489,9 +5527,12 @@ _R13_HEAD = [
 
 _R14_HEAD = [
     # NEW r14: filtered ANN (predicate pushed into the cell-pruned
-    # scan, invariant oracle) and its exact value-hashed baseline
+    # scan, invariant oracle), its exact value-hashed baseline, MMR
+    # diversity re-rank, and embedding-space decontamination
     "ivf_filtered_topk",
     "cosine_filtered_topk",
+    "mmr_rerank",
+    "embedding_decontamination",
     # window_nav spilled to position 51 in r13 (the r13 head comment
     # flagged it to lead this rotation); then the stalest cohort —
     # every query last sampled in the r10 window (45), then the r11
@@ -5510,7 +5551,6 @@ _R14_HEAD = [
     "shipping_priority", "simhash_pairs", "supplier_part_counts",
     "token_packing", "token_packing_greedy", "top_supplier",
     "unpivot_long", "variant_json", "window_pct",
-    "anti_join", "array_fns",
 ]
 
 
@@ -5551,6 +5591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scan) + its exact value-hashed baseline
         "ivf_filtered_topk": q_ivf_filtered_topk,
         "cosine_filtered_topk": q_cosine_filtered_topk,
+        "embedding_decontamination": q_embedding_decontamination,
+        "mmr_rerank": q_mmr_rerank,
         # NEW r13: fold-triggered auto-retrain (closed drift loop)
         "ivf_stream_autoretrain_topk": q_ivf_stream_autoretrain_topk,
         "incremental_index_add": q_incremental_index_add,
@@ -8429,6 +8471,110 @@ def _oracle_sql_literals() -> dict[str, str]:
                    TRUE AS filter_ok,
                    TRUE AS recall_ok
             FROM embeddings WHERE vec_id < 3 ORDER BY probe
+        """,
+        # MMR greedy selection replayed as UNROLLED chained CTEs: cand =
+        # exact top-8 per probe; s1 = argmax rel; each later step scores
+        # the un-chosen candidates 0.7*rel - 0.3*max(sim to chosen) and
+        # takes the per-probe window argmax (ties by id) — the same
+        # recurrence mmr_rerank's per-probe numpy loop runs
+        "mmr_rerank": """
+            WITH cand AS (
+                SELECT probe, vec_id, cos, emb FROM (
+                    SELECT p.vec_id AS probe, e.vec_id AS vec_id,
+                           list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                                  CAST(e.embedding AS DOUBLE[])) AS cos,
+                           CAST(e.embedding AS DOUBLE[]) AS emb,
+                           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                               ORDER BY list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                                               CAST(e.embedding AS DOUBLE[])) DESC,
+                                        e.vec_id) AS rk
+                    FROM embeddings p
+                    JOIN embeddings e ON e.vec_id <> p.vec_id
+                    WHERE p.vec_id < 3) t
+                WHERE rk <= 8),
+            sim AS (
+                SELECT a.probe, a.vec_id AS i, b.vec_id AS j,
+                       list_cosine_similarity(a.emb, b.emb) AS s
+                FROM cand a JOIN cand b
+                  ON a.probe = b.probe AND a.vec_id <> b.vec_id),
+            s1 AS (
+                SELECT probe, vec_id FROM (
+                    SELECT probe, vec_id,
+                           ROW_NUMBER() OVER (PARTITION BY probe
+                               ORDER BY cos DESC, vec_id) AS rn
+                    FROM cand) WHERE rn = 1),
+            ch1 AS (SELECT * FROM s1),
+            st2 AS (
+                SELECT c.probe, c.vec_id,
+                       0.7 * MIN(c.cos) - 0.3 * MAX(s.s) AS score
+                FROM cand c
+                JOIN sim s ON s.probe = c.probe AND s.i = c.vec_id
+                JOIN ch1 ON ch1.probe = s.probe AND ch1.vec_id = s.j
+                WHERE NOT EXISTS (SELECT 1 FROM ch1 x
+                                  WHERE x.probe = c.probe
+                                    AND x.vec_id = c.vec_id)
+                GROUP BY c.probe, c.vec_id),
+            s2 AS (
+                SELECT probe, vec_id FROM (
+                    SELECT probe, vec_id,
+                           ROW_NUMBER() OVER (PARTITION BY probe
+                               ORDER BY score DESC, vec_id) AS rn
+                    FROM st2) WHERE rn = 1),
+            ch2 AS (SELECT * FROM ch1 UNION ALL SELECT * FROM s2),
+            st3 AS (
+                SELECT c.probe, c.vec_id,
+                       0.7 * MIN(c.cos) - 0.3 * MAX(s.s) AS score
+                FROM cand c
+                JOIN sim s ON s.probe = c.probe AND s.i = c.vec_id
+                JOIN ch2 ON ch2.probe = s.probe AND ch2.vec_id = s.j
+                WHERE NOT EXISTS (SELECT 1 FROM ch2 x
+                                  WHERE x.probe = c.probe
+                                    AND x.vec_id = c.vec_id)
+                GROUP BY c.probe, c.vec_id),
+            s3 AS (
+                SELECT probe, vec_id FROM (
+                    SELECT probe, vec_id,
+                           ROW_NUMBER() OVER (PARTITION BY probe
+                               ORDER BY score DESC, vec_id) AS rn
+                    FROM st3) WHERE rn = 1),
+            ch3 AS (SELECT * FROM ch2 UNION ALL SELECT * FROM s3),
+            st4 AS (
+                SELECT c.probe, c.vec_id,
+                       0.7 * MIN(c.cos) - 0.3 * MAX(s.s) AS score
+                FROM cand c
+                JOIN sim s ON s.probe = c.probe AND s.i = c.vec_id
+                JOIN ch3 ON ch3.probe = s.probe AND ch3.vec_id = s.j
+                WHERE NOT EXISTS (SELECT 1 FROM ch3 x
+                                  WHERE x.probe = c.probe
+                                    AND x.vec_id = c.vec_id)
+                GROUP BY c.probe, c.vec_id),
+            s4 AS (
+                SELECT probe, vec_id FROM (
+                    SELECT probe, vec_id,
+                           ROW_NUMBER() OVER (PARTITION BY probe
+                               ORDER BY score DESC, vec_id) AS rn
+                    FROM st4) WHERE rn = 1),
+            ranked AS (
+                SELECT probe, vec_id, 1 AS mmr_rank FROM s1
+                UNION ALL SELECT probe, vec_id, 2 FROM s2
+                UNION ALL SELECT probe, vec_id, 3 FROM s3
+                UNION ALL SELECT probe, vec_id, 4 FROM s4)
+            SELECT CAST(probe AS BIGINT) AS probe,
+                   CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(mmr_rank AS BIGINT) AS mmr_rank
+            FROM ranked ORDER BY probe, mmr_rank
+        """,
+        # embedding-space leakage sweep: exact max-cos per bench vector
+        "embedding_decontamination": """
+            SELECT b.vec_id,
+                   ROUND(MAX(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                                    CAST(t.embedding AS DOUBLE[]))), 6) AS max_cos,
+                   MAX(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                              CAST(t.embedding AS DOUBLE[]))) >= 0.45 AS contaminated
+            FROM embeddings b
+            JOIN embeddings t ON t.vec_id % 11 <> 0
+            WHERE b.vec_id % 11 = 0
+            GROUP BY b.vec_id ORDER BY b.vec_id
         """,
         # exact filtered top-k: value-hashed actual neighbor rows
         "cosine_filtered_topk": """

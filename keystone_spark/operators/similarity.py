@@ -164,6 +164,118 @@ def lsh_signatures(
     return data.select(id_col, vec_col).mapInPandas(part, out_schema)
 
 
+def embedding_decontamination(
+    train: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str | None = None,
+) -> DataFrame:
+    """Embedding-space train/eval decontamination (r14): for every
+    benchmark/eval vector, the maximum cosine similarity over the
+    TRAINING corpus, flagged ``contaminated`` at >= ``threshold`` —
+    the semantic complement of ``curation.contamination_check``'s
+    n-gram overlap (paraphrased or re-tokenized leakage shares few
+    n-grams but sits next to its source in embedding space; both
+    checks together are the standard LLM-corpus leakage sweep).
+
+    Plan shape: the bench side collects to the driver and rides the
+    Arrow gemm kernel as the probe matrix (eval sets are small by
+    construction), so the whole check is ONE scan of the training
+    corpus with map-side top-1 pruning — no pairwise join, no
+    shuffle of vector bytes. For corpus-vs-corpus scale, run the
+    probes through a stored ``IvfIndex.search`` instead (approximate
+    top-1, same flag rule).
+
+    Returns (``{bench_id_col}``, ``max_cos``, ``contaminated``), one
+    row per bench vector with at least one non-null train vector
+    scanned."""
+    bench_id_col = bench_id_col or id_col
+    top1 = cosine_topk(train, bench, k=1, id_col=id_col,
+                       vec_col=vec_col, probe_id_col=bench_id_col,
+                       exclude_self=False)
+    return top1.select(
+        F.col("probe").alias(bench_id_col),
+        F.round(F.col("cos"), 6).alias("max_cos"),
+        (F.col("cos") >= float(threshold)).alias("contaminated"),
+    )
+
+
+def mmr_rerank(
+    data: DataFrame,
+    probes: DataFrame,
+    k: int = 4,
+    candidates: int = 8,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversity re-rank (r14): per probe,
+    greedily select ``k`` of the top-``candidates`` exact-cosine
+    neighbors maximizing ``lam * rel - (1 - lam) * max_sim_to_already_
+    selected`` (Carbonell & Goldstein 1998) — the standard retrieval
+    de-duplication step when the raw top-k is dominated by
+    near-identical passages.
+
+    Scale shape: candidate GENERATION is the distributed part (the
+    ``cosine_topk`` gemm kernel — swap in ``IvfIndex.search`` upstream
+    for corpus scale); the sequential greedy loop runs per-probe over
+    the BOUNDED candidate set inside ``applyInPandas`` (one Arrow
+    group per probe, numpy pairwise sims over ``candidates`` rows —
+    never the corpus), so re-ranking parallelizes across probes and
+    touches no unbounded state. Ties at equal MMR score break by id
+    ascending (deterministic; matches the SQL-unrolled oracle).
+
+    Returns (probe, ``{id_col}``, mmr_rank) with mmr_rank in 1..k."""
+    cand = cosine_topk(data, probes, k=candidates, id_col=id_col,
+                       vec_col=vec_col)
+    with_vec = cand.join(
+        data.select(id_col, vec_col), id_col
+    ).select("probe", id_col, "cos", vec_col)
+
+    out_schema = StructType([
+        StructField("probe", LongType()),
+        StructField(id_col, LongType()),
+        StructField("mmr_rank", LongType()),
+    ])
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        # sort by (cos desc, id) so argmax ties resolve to lowest id
+        pdf = pdf.sort_values(
+            ["cos", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        X = _normalize(np.asarray(list(pdf[vec_col]), dtype=np.float64))
+        rel = pdf["cos"].to_numpy(np.float64)
+        ids = pdf[id_col].to_numpy(np.int64)
+        sims = X @ X.T
+        chosen: list = []
+        avail = list(range(len(pdf)))
+        while avail and len(chosen) < k:
+            if not chosen:
+                best = avail[0]  # already (cos desc, id) sorted
+            else:
+                scores = [
+                    lam * rel[i] - (1.0 - lam) * sims[i, chosen].max()
+                    for i in avail
+                ]
+                # argmax with lowest-id tie-break: avail is rel-sorted,
+                # so re-sort the scored view by (score desc, id)
+                best = min(
+                    zip(scores, ids[avail], avail),
+                    key=lambda t: (-t[0], t[1]),
+                )[2]
+            chosen.append(best)
+            avail.remove(best)
+        return pd.DataFrame({
+            "probe": [int(pdf["probe"].iloc[0])] * len(chosen),
+            id_col: ids[chosen],
+            "mmr_rank": np.arange(1, len(chosen) + 1, dtype=np.int64),
+        })
+
+    return with_vec.groupBy("probe").applyInPandas(greedy, out_schema)
+
+
 def lsh_bucket_topk(
     data: DataFrame,
     probes: DataFrame,

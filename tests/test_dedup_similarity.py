@@ -1697,3 +1697,63 @@ def test_ivfpq_filtered_search(spark, tmp_path):
     allowed_ids = {int(r["vec_id"])
                    for r in data.where("allowed").collect()}
     assert rows and {int(r["vec_id"]) for r in rows} <= allowed_ids
+
+
+def test_mmr_rerank_diversifies(spark):
+    """On a corpus where the raw top-k around the probe is a pile of
+    near-identical vectors plus a distinct-but-relevant cluster, MMR at
+    lambda=0.7 must pull members of the second cluster into the
+    selection that plain top-k relevance ranks below the duplicates."""
+    from keystone_spark.operators.similarity import mmr_rerank
+
+    # geometry note: duplicates exactly ON the probe direction can
+    # never be displaced at lam=0.7 (their relevance edge 0.7*(1-c)
+    # always beats the diversity penalty 0.3*(1-c)); what MMR fixes is
+    # a duplicate CLUSTER sitting off to one side — here +15 deg off
+    # the probe (mutual sim ~1), with the distinct cluster at -25 deg
+    # (rel 0.91, but only cos40 ~ 0.77 to the duplicates), so after
+    # one duplicate is chosen the distinct side scores higher
+    rng = np.random.default_rng(5)
+    a15, a25 = np.deg2rad(15), np.deg2rad(25)
+    rows = [(0, [1.0, 0.0, 0.0, 0.0])]  # the probe
+    for i in range(1, 6):  # 5 near-copies, +15 deg off-probe
+        v = np.array([np.cos(a15), np.sin(a15), 0.0, 0.0])
+        v = v + 0.001 * rng.standard_normal(4)
+        rows.append((i, v.tolist()))
+    for i in range(6, 9):  # relevant-but-distinct cluster, -25 deg
+        v = np.array([np.cos(a25), -np.sin(a25), 0.0, 0.0])
+        v = v + 0.001 * rng.standard_normal(4)
+        rows.append((i, v.tolist()))
+    data = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probe = data.where("vec_id = 0")
+
+    out = mmr_rerank(data, probe, k=4, candidates=8, lam=0.7)
+    sel = [int(r["vec_id"]) for r in out.orderBy("mmr_rank").collect()]
+    assert len(sel) == 4 and len(set(sel)) == 4
+    assert sel[0] in {1, 2, 3, 4, 5}  # rank 1 = pure relevance
+    assert any(i in {6, 7, 8} for i in sel), sel  # diversity kicked in
+    # plain top-4 relevance would be all near-copies
+    from keystone_spark.operators.similarity import cosine_topk
+
+    top4 = {int(r["vec_id"])
+            for r in cosine_topk(data, probe, k=4).collect()}
+    assert top4 <= {1, 2, 3, 4, 5}
+
+
+def test_embedding_decontamination_flags(spark):
+    from keystone_spark.operators.similarity import embedding_decontamination
+
+    rng = np.random.default_rng(3)
+    train = [(i, rng.standard_normal(8).tolist()) for i in range(50)]
+    train_df = spark.createDataFrame(
+        train, "vec_id long, embedding array<double>")
+    # bench 100: near-copy of train 7 (leaked); bench 101: orthogonal-ish
+    leaked = (np.asarray(train[7][1]) * 2.0).tolist()
+    bench_df = spark.createDataFrame(
+        [(100, leaked), (101, (rng.standard_normal(8) * 0.1).tolist())],
+        "vec_id long, embedding array<double>")
+    out = {int(r["vec_id"]): r for r in embedding_decontamination(
+        train_df, bench_df, threshold=0.95).collect()}
+    assert out[100]["contaminated"] is True
+    assert out[100]["max_cos"] > 0.999
+    assert out[101]["contaminated"] is False

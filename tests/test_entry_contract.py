@@ -42,13 +42,15 @@ def test_registry_hygiene_full_surface():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
     head = list(q)[:50]
     assert head == [
-        # r14 rotation (VERDICT r13 #8): the two NEW queries first
-        # (filtered ANN + its exact value-hashed baseline), then
-        # window_nav (spilled to 51 in r13), then every query last
-        # sampled in the r10 window (the stalest cohort, 45), then the
-        # r11 head's first two. ZERO of this 50-query window are in
-        # the r13 window (computed from CORRECTNESS_r*.json history).
+        # r14 rotation (VERDICT r13 #8): the four NEW queries first
+        # (filtered ANN + its exact value-hashed baseline, MMR
+        # re-rank, embedding decontamination), then window_nav
+        # (spilled to 51 in r13), then every query last sampled in the
+        # r10 window (the stalest cohort, 45). ZERO of this 50-query
+        # window are in the r13 window (computed from
+        # CORRECTNESS_r*.json history).
         "ivf_filtered_topk", "cosine_filtered_topk",
+        "mmr_rerank", "embedding_decontamination",
         # r9 spill
         "window_nav",
         # r10 cohort (45)
@@ -66,8 +68,6 @@ def test_registry_hygiene_full_surface():
         "shipping_priority", "simhash_pairs", "supplier_part_counts",
         "token_packing", "token_packing_greedy", "top_supplier",
         "unpivot_long", "variant_json", "window_pct",
-        # r11 head's first two
-        "anti_join", "array_fns",
     ]
 
 
