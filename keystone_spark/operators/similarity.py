@@ -445,9 +445,13 @@ def _cast_batch_checked(batch: DataFrame, id_col: str, vec_col: str,
     ``skip_existing_ids`` anti-join, so every at-least-once replay
     would duplicate them. Pre-r13 the mismatch at least failed loudly
     at the parquet merge; this keeps the r13 schema-pinning AND the
-    loud failure. One narrow count job over the micro-batch's own two
-    columns (no index scan) — appends are micro-batch-sized, so this
-    is noise next to the assignment kernel.
+    loud failure. Cost discipline: a batch whose column types ALREADY
+    match the stored schema (every well-typed streaming fold) is
+    returned untouched — no cast, no extra pass, and the add's
+    persist-once contract (VERDICT r10 #3, pinned by
+    test_vector_index_add_runs_kernel_once) holds. Only a genuinely
+    type-drifted batch pays one narrow validation count over its own
+    two columns before being cast (or refused).
 
     ``stored`` is the stored table's StructType; columns absent from
     it (IvfPqIndex stores codes, not raw vectors) are left as-is —
@@ -458,6 +462,8 @@ def _cast_batch_checked(batch: DataFrame, id_col: str, vec_col: str,
         if c not in stored.fieldNames():
             continue
         t = stored[c].dataType
+        if batch.schema[c].dataType == t:
+            continue  # already the stored type: nothing to validate
         batch = batch.withColumn(f"__cast_{c}", F.col(c).cast(t))
         checked.append(c)
     if not checked:
