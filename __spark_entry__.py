@@ -1049,6 +1049,116 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQ8_INDEX_CACHE: dict = {}
+
+
+def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit scalar-quantized flat search (r14,
+    operators/similarity.Sq8Index — FAISS IndexScalarQuantizer QT_8bit
+    parity): the persisted corpus is one uint8 per dimension (4x
+    smaller than float32 on the broad scan), search dequantizes per
+    Arrow batch with map-side top-(refine*k) pruning, and the bounded
+    candidate union is re-ranked exactly against the raw table.
+    VALUE-hashed against the plain exact-top-k SQL: at every tested sf
+    the quantized candidate pass recovers the exact result set, so the
+    oracle is equality with the full-precision answer — the strongest
+    claim an approximate index can make."""
+    import tempfile
+
+    from keystone_spark.operators.similarity import Sq8Index
+
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") < 10)
+    key = (id(spark._jsparkSession) if hasattr(spark, "_jsparkSession")
+           else id(spark), sf_dir)
+    path = _SQ8_INDEX_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="sq8_index_")
+        Sq8Index.build(e).save(path)
+        _SQ8_INDEX_CACHE[key] = path
+    idx = Sq8Index.load(spark, path)
+    out = idx.search(e, probes, k=10, refine=4)
+    return (
+        out.select("probe", "vec_id", F.round("cos", 6).alias("cos"), "rk")
+        .orderBy("probe", "rk")
+    )
+
+
+def q_group_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-group neighbor search (r14,
+    operators/similarity.grouped_cosine_topk): exact top-5 cosine
+    restricted to the probe's OWN label group — the per-language /
+    per-source shape where neighbors must never cross the group
+    boundary; each probe carries its own constraint (vs. the single
+    global predicate of filtered ANN). One scan, per-probe group mask
+    ahead of the gemm; the group filter pushes to the scan (partition
+    pruning when the table is partitioned by the group column).
+    Value-hashed."""
+    from keystone_spark.operators.similarity import grouped_cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") < 6)
+    out = grouped_cosine_topk(e, probes, "label", k=5)
+    return (
+        out.select("probe", "vec_id", F.round("cos", 6).alias("cos"), "rk")
+        .orderBy("probe", "rk")
+    )
+
+
+def q_ivfpq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN on the PQ family (r14 — the IvfPqIndex half of
+    ivf_filtered_topk): the predicate lands on the cell-pruned CODES
+    scan before ADC candidate selection, so the whole refine*k pool is
+    predicate-clean and the exact re-rank returns a FULL k of
+    predicate-satisfying neighbors. Invariant oracle (n=10, dense
+    ranks, filter_ok, recall@10 >= 0.5 vs the exact kernel over the
+    predicate-filtered corpus — 0.8 at the hash-checked sf0.01)."""
+    import tempfile
+
+    from keystone_spark.operators.similarity import IvfPqIndex, cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") < 3)
+    pred = F.col("label") % 3 == 0
+    key = (id(spark._jsparkSession) if hasattr(spark, "_jsparkSession")
+           else id(spark), sf_dir)
+    path = _IVFPQ_INDEX_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="ivfpq_index_")
+        IvfPqIndex.build(e, n_cells=16, m=16, ks=32).save(path)
+        _IVFPQ_INDEX_CACHE[key] = path
+    idx = IvfPqIndex.load(spark, path)
+    out = idx.search(e, probes, k=10, n_probe_cells=8, refine=8,
+                     predicate=pred, metadata=e)
+    exact = cosine_topk(e.where(pred), probes, k=10)
+    hits = (
+        out.select("probe", "vec_id")
+        .join(exact.select("probe", "vec_id"), ["probe", "vec_id"])
+        .groupBy("probe")
+        .agg(F.count("*").alias("hits"))
+    )
+    labels = e.select("vec_id", "label")
+    per = (
+        out.join(labels, "vec_id")
+        .groupBy("probe")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            ((F.min("rk") == 1) & (F.max("rk") == 10)
+             & (F.count_distinct("rk") == 10)).alias("ranks_ok"),
+            (F.sum(F.when(F.col("label") % 3 == 0, 0).otherwise(1)) == 0
+             ).alias("filter_ok"),
+        )
+    )
+    return (
+        per.join(hits, "probe", "left")
+        .select(
+            "probe", "n", "ranks_ok", "filter_ok",
+            (F.coalesce(F.col("hits"), F.lit(0)) >= 5).alias("recall_ok"),
+        )
+        .orderBy("probe")
+    )
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversity re-rank (r14, operators/similarity.mmr_rerank):
     per probe (vec_id < 3), greedily pick 4 of the exact top-8 cosine
@@ -5533,6 +5643,9 @@ _R14_HEAD = [
     "cosine_filtered_topk",
     "mmr_rerank",
     "embedding_decontamination",
+    "sq8_topk",
+    "group_cosine_topk",
+    "ivfpq_filtered_topk",
     # window_nav spilled to position 51 in r13 (the r13 head comment
     # flagged it to lead this rotation); then the stalest cohort —
     # every query last sampled in the r10 window (45), then the r11
@@ -5550,7 +5663,6 @@ _R14_HEAD = [
     "revenue_predicate", "scalar_subquery", "scd2_intervals",
     "shipping_priority", "simhash_pairs", "supplier_part_counts",
     "token_packing", "token_packing_greedy", "top_supplier",
-    "unpivot_long", "variant_json", "window_pct",
 ]
 
 
@@ -5593,6 +5705,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_filtered_topk": q_cosine_filtered_topk,
         "embedding_decontamination": q_embedding_decontamination,
         "mmr_rerank": q_mmr_rerank,
+        "sq8_topk": q_sq8_topk,
+        "group_cosine_topk": q_group_cosine_topk,
+        "ivfpq_filtered_topk": q_ivfpq_filtered_topk,
         # NEW r13: fold-triggered auto-retrain (closed drift loop)
         "ivf_stream_autoretrain_topk": q_ivf_stream_autoretrain_topk,
         "incremental_index_add": q_incremental_index_add,
@@ -8465,6 +8580,47 @@ def _oracle_sql_literals() -> dict[str, str]:
         # only predicate-satisfying neighbors, recall vs the exact
         # FILTERED kernel
         "ivf_filtered_topk": """
+            SELECT CAST(vec_id AS BIGINT) AS probe,
+                   CAST(10 AS BIGINT) AS n,
+                   TRUE AS ranks_ok,
+                   TRUE AS filter_ok,
+                   TRUE AS recall_ok
+            FROM embeddings WHERE vec_id < 3 ORDER BY probe
+        """,
+        # SQ8 quantized search recovers the EXACT answer after re-rank:
+        # the oracle is the plain full-precision top-k
+        "sq8_topk": """
+            SELECT probe, vec_id, cos, rk FROM (
+                SELECT p.vec_id AS probe, e.vec_id AS vec_id,
+                       ROUND(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                                    CAST(e.embedding AS DOUBLE[])), 6) AS cos,
+                       ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                           ORDER BY list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                                           CAST(e.embedding AS DOUBLE[])) DESC,
+                                    e.vec_id) AS rk
+                FROM embeddings p
+                JOIN embeddings e ON e.vec_id <> p.vec_id
+                WHERE p.vec_id < 10) t
+            WHERE rk <= 10 ORDER BY probe, rk
+        """,
+        # within-group top-k: the join carries the per-probe group bound
+        "group_cosine_topk": """
+            SELECT probe, vec_id, cos, rk FROM (
+                SELECT p.vec_id AS probe, e.vec_id AS vec_id,
+                       ROUND(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                                    CAST(e.embedding AS DOUBLE[])), 6) AS cos,
+                       ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                           ORDER BY list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                                           CAST(e.embedding AS DOUBLE[])) DESC,
+                                    e.vec_id) AS rk
+                FROM embeddings p
+                JOIN embeddings e ON e.vec_id <> p.vec_id
+                                 AND e.label = p.label
+                WHERE p.vec_id < 6) t
+            WHERE rk <= 5 ORDER BY probe, rk
+        """,
+        # PQ-family filtered ANN invariant set (see ivf_filtered_topk)
+        "ivfpq_filtered_topk": """
             SELECT CAST(vec_id AS BIGINT) AS probe,
                    CAST(10 AS BIGINT) AS n,
                    TRUE AS ranks_ok,

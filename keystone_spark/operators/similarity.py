@@ -1975,3 +1975,253 @@ class IvfPqIndex:
             exact_df.withColumn("rk", F.row_number().over(w).cast("long"))
             .where(F.col("rk") <= k)
         )
+
+
+class Sq8Index:
+    """8-bit scalar-quantized FLAT index — FAISS ``IndexScalarQuantizer``
+    (``QT_8bit``) parity, Spark-first (r14). The corpus is stored as
+    one uint8 code per dimension (a ``binary`` column: 4x smaller than
+    float32, 8x smaller than the float64 arrays the raw tables carry),
+    with per-dimension (min, span) trained on a deterministic sample of
+    the NORMALIZED vectors. Search scans only the compact codes table:
+    an Arrow kernel dequantizes per batch, scores approximate cosine
+    against the probe matrix with map-side top-``refine*k`` pruning,
+    and the bounded candidate union is re-ranked EXACTLY against the
+    raw base table (same refine recipe as ``IvfPqIndex``) — so the
+    broad scan reads ~1/8th the bytes and the full-precision vectors
+    are fetched only for ``partitions * refine * k`` rows.
+
+    Where it sits in the family: FLAT means no cell pruning — every
+    search reads all codes (sequentially, vectorized), which beats IVF
+    when recall must be ~exact and the corpus fits a fast scan, and
+    loses to ``IvfIndex``/``IvfPqIndex`` when partition pruning can
+    skip most of the corpus. Rebuild-only by design: no add/delete/
+    compact — SQ8's per-dim ranges are corpus-global, so mutations go
+    through the IVF families or a rebuild (honest scope, documented).
+
+    Quantization error bound: SQ8 on normalized vectors perturbs each
+    coordinate by <= span/510, so approximate cosine differs from true
+    cosine by O(sqrt(d) * max_span / 510) — with ``refine*k``
+    candidates the exact re-rank recovers the true top-k whenever the
+    true k-th neighbor's margin over the (refine*k)-th exceeds that
+    error (pinned empirically by the value-hashed ``sq8_topk`` driver
+    query: equality with the exact kernel at every tested sf)."""
+
+    MODEL_FILE = "sq8.json"  # NOT model.json: that marker means ivfpq
+
+    def __init__(self, mins, spans, indexed, id_col="vec_id",
+                 vec_col="embedding", path=None):
+        self.mins = np.asarray(mins, dtype=np.float64)
+        self.spans = np.asarray(spans, dtype=np.float64)
+        self.indexed = indexed  # DataFrame(id, codes binary)
+        self.id_col, self.vec_col = id_col, vec_col
+        self.path = path
+
+    @classmethod
+    def build(cls, data: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "embedding",
+              sample_size: int = 4096) -> "Sq8Index":
+        data = data.where(F.col(vec_col).isNotNull())
+        samp = np.array(
+            [r[1] for r in data.select(id_col, vec_col)
+             .orderBy(id_col).limit(sample_size).collect()],
+            dtype=np.float64,
+        )
+        sn = _normalize(samp)
+        mins = sn.min(axis=0)
+        spans = sn.max(axis=0) - mins
+        spans[spans == 0.0] = 1.0  # constant dim: any code decodes to min
+        indexed = cls._encode(data, mins, spans, id_col, vec_col)
+        return cls(mins, spans, indexed, id_col, vec_col)
+
+    @staticmethod
+    def _encode(data: DataFrame, mins: np.ndarray, spans: np.ndarray,
+                id_col: str, vec_col: str) -> DataFrame:
+        from pyspark.sql.types import BinaryType
+
+        out_schema = StructType([
+            StructField(id_col, LongType()),
+            StructField("codes", BinaryType()),
+        ])
+
+        def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = _normalize(
+                    np.asarray(list(pdf[vec_col]), dtype=np.float64))
+                q = np.clip(
+                    np.rint((X - mins) / spans * 255.0), 0, 255
+                ).astype(np.uint8)
+                yield pd.DataFrame({
+                    id_col: pdf[id_col].to_numpy(np.int64),
+                    "codes": [row.tobytes() for row in q],
+                })
+
+        return data.select(id_col, vec_col).mapInPandas(enc, out_schema)
+
+    def save(self, path: str) -> None:
+        import json
+
+        from keystone_spark.fsutil import (
+            clear_index_control_state,
+            fs_write_text,
+        )
+
+        spark = self.indexed.sparkSession
+        clear_index_control_state(spark, path)
+        self.indexed.write.mode("overwrite").parquet(f"{path}/codes")
+        fs_write_text(
+            spark, f"{path}/{self.MODEL_FILE}",
+            json.dumps({"mins": self.mins.tolist(),
+                        "spans": self.spans.tolist(),
+                        "id_col": self.id_col,
+                        "vec_col": self.vec_col}),
+        )
+        self.path = path
+
+    @classmethod
+    def load(cls, spark, path: str) -> "Sq8Index":
+        import json
+
+        from keystone_spark.fsutil import (
+            assert_no_interrupted_swap,
+            fs_read_text,
+            resolve_index_path,
+        )
+
+        path = resolve_index_path(spark, path)
+        assert_no_interrupted_swap(spark, path)
+        meta = json.loads(fs_read_text(spark, f"{path}/{cls.MODEL_FILE}"))
+        return cls(
+            np.asarray(meta["mins"]), np.asarray(meta["spans"]),
+            spark.read.parquet(f"{path}/codes"),
+            meta["id_col"], meta["vec_col"], path=path,
+        )
+
+    def search(self, base: DataFrame, probes: DataFrame, k: int = 10,
+               refine: int = 4, exclude_self: bool = True) -> DataFrame:
+        """``base`` is the raw-vector table (exact re-rank source).
+        Returns (probe, id, cos, rk) with EXACT cosines — the codes
+        scan only decides which ``refine*k`` rows per probe (per
+        partition) are worth fetching at full precision."""
+        id_col, vec_col = self.id_col, self.vec_col
+        mins, spans = self.mins, self.spans
+        p_ids, p_mat = _collect_probes(probes, id_col, vec_col)
+        p_norm = _normalize(p_mat)
+        n_cand = refine * k
+
+        out_schema = StructType([
+            StructField("probe", LongType()),
+            StructField(id_col, LongType()),
+        ])
+
+        def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                ids = pdf[id_col].to_numpy(np.int64)
+                q = np.frombuffer(
+                    b"".join(pdf["codes"]), dtype=np.uint8
+                ).reshape(len(pdf), len(mins)).astype(np.float64)
+                Xq = _normalize(mins + q / 255.0 * spans)
+                out_p, out_i = [], []
+                for j in range(len(p_ids)):
+                    score = Xq @ p_norm[j]
+                    if exclude_self:
+                        score = np.where(ids == p_ids[j], -np.inf, score)
+                    take = min(n_cand, len(ids))
+                    cand = np.argpartition(-score, take - 1)[:take]
+                    out_p.extend([p_ids[j]] * take)
+                    out_i.extend(ids[cand].tolist())
+                yield pd.DataFrame({"probe": out_p, id_col: out_i})
+
+        cand_ids = (
+            self.indexed.mapInPandas(part, out_schema)
+            .select(id_col).distinct()
+        )
+        # exact re-rank over the bounded candidate union: a candidate
+        # surfaced for ANY probe competes for every probe (supersets
+        # only help recall); the semi join fetches full-precision rows
+        # for candidates only
+        return cosine_topk(
+            base.join(cand_ids, id_col, "left_semi"), probes, k=k,
+            id_col=id_col, vec_col=vec_col, exclude_self=exclude_self,
+        )
+
+
+def grouped_cosine_topk(
+    data: DataFrame,
+    probes: DataFrame,
+    group_col: str,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k restricted to the probe's OWN group (r14):
+    the per-language / per-source / per-tenant neighbor search — "the
+    nearest English docs to this English doc", never crossing the
+    group boundary. Differs from ``predicate=`` filtered search in
+    that the constraint is PER-PROBE (each probe carries its own group
+    value), not one global predicate.
+
+    One scan of ``data`` with the probe matrix in the task closure;
+    the kernel masks each partition's rows to the probe's group before
+    the gemm, and per-partition top-k prunes map-side exactly like
+    ``cosine_topk``. Partition/bucket ``data`` by ``group_col``
+    upstream and Catalyst prunes the scan to the probed groups — the
+    100 TB form; the kernel is unchanged either way.
+
+    Returns (probe, ``{id_col}``, cos, rk) with rk dense per probe."""
+    data = data.where(F.col(vec_col).isNotNull())
+    rows = probes.select(id_col, vec_col, group_col).collect()
+    if not rows:
+        raise ValueError("probes must be a non-empty DataFrame")
+    p_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    p_norm = _normalize(np.array([r[1] for r in rows], dtype=np.float64))
+    p_groups = [r[2] for r in rows]
+    wanted_groups = sorted({g for g in p_groups if g is not None})
+    # group filter pushes to the scan (partition pruning when data is
+    # partitioned/bucketed by the group column)
+    subset = data.where(F.col(group_col).isin(wanted_groups))
+
+    out_schema = StructType([
+        StructField("probe", LongType()),
+        StructField(id_col, LongType()),
+        StructField("cos", DoubleType()),
+    ])
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(np.int64)
+            groups = pdf[group_col].to_numpy()
+            X = _normalize(np.asarray(list(pdf[vec_col]), dtype=np.float64))
+            out_p, out_i, out_c = [], [], []
+            for j in range(len(p_ids)):
+                mask = groups == p_groups[j]
+                if exclude_self:
+                    mask &= ids != p_ids[j]
+                idx = np.nonzero(mask)[0]
+                if len(idx) == 0:
+                    continue
+                col = X[idx] @ p_norm[j]
+                take = min(k, len(idx))
+                cand = idx[np.argpartition(-col, take - 1)[:take]]
+                order = np.lexsort((ids[cand], -(X[cand] @ p_norm[j])))
+                cand = cand[order]
+                out_p.extend([p_ids[j]] * len(cand))
+                out_i.extend(ids[cand].tolist())
+                out_c.extend((X[cand] @ p_norm[j]).tolist())
+            yield pd.DataFrame({"probe": out_p, id_col: out_i,
+                                "cos": out_c})
+
+    partial = subset.select(
+        id_col, vec_col, group_col).mapInPandas(part, out_schema)
+    w = Window.partitionBy("probe").orderBy(F.col("cos").desc(), id_col)
+    return (
+        partial.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+    )

@@ -1757,3 +1757,73 @@ def test_embedding_decontamination_flags(spark):
     assert out[100]["contaminated"] is True
     assert out[100]["max_cos"] > 0.999
     assert out[101]["contaminated"] is False
+
+
+def test_sq8_index_roundtrip_compression_and_exactness(spark, sf_dir,
+                                                       tmp_path):
+    """Sq8Index: saved codes are 1 byte/dim (8x smaller than the
+    float64 arrays in the raw table), load round-trips the model, and
+    search-with-refine returns EXACTLY the full-precision top-k on the
+    fixture (the quantization error is far below the neighbor
+    margins)."""
+    from keystone_spark.operators.similarity import Sq8Index, cosine_topk
+    from keystone_spark.sources import load_table
+
+    e = load_table(spark, "embeddings", sf_dir)
+    dim = len(e.select("embedding").first()[0])
+    path = str(tmp_path / "sq8")
+    Sq8Index.build(e).save(path)
+    idx = Sq8Index.load(spark, path)
+    assert idx.mins.shape == (dim,) and idx.spans.shape == (dim,)
+    row = idx.indexed.first()
+    assert len(bytes(row["codes"])) == dim  # 1 byte per dimension
+
+    probes = e.where(F.col("vec_id") < 5)
+    got = idx.search(e, probes, k=8, refine=4)
+    exact = cosine_topk(e, probes, k=8)
+    key = lambda df: sorted(
+        (int(r["probe"]), int(r["rk"]), int(r["vec_id"]))
+        for r in df.collect())
+    assert key(got) == key(exact)
+
+    # codes parquet is materially smaller than the raw vector column
+    import os as _os
+
+    def _du(p):
+        return sum(_os.path.getsize(_os.path.join(dp, f))
+                   for dp, _, fs in _os.walk(p) for f in fs)
+
+    raw = e.select("vec_id", "embedding")
+    rawp = str(tmp_path / "raw")
+    raw.write.parquet(rawp)
+    assert _du(f"{path}/codes") < 0.55 * _du(rawp)
+
+
+def test_grouped_cosine_topk_respects_group_boundary(spark, sf_dir):
+    """Every neighbor shares the probe's label; within the group the
+    ranking equals exact cosine over that group only."""
+    from keystone_spark.operators.similarity import (
+        cosine_topk,
+        grouped_cosine_topk,
+    )
+    from keystone_spark.sources import load_table
+
+    e = load_table(spark, "embeddings", sf_dir)
+    probes = e.where(F.col("vec_id") < 4)
+    out = grouped_cosine_topk(e, probes, "label", k=5)
+    lab = {int(r["vec_id"]): int(r["label"])
+           for r in e.select("vec_id", "label").collect()}
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert lab[int(r["vec_id"])] == lab[int(r["probe"])]
+    # per-probe parity with cosine_topk over the probe's own group
+    p0 = probes.first()
+    g = lab[int(p0["vec_id"])]
+    same = {(int(r["vec_id"]), int(r["rk"]))
+            for r in rows if int(r["probe"]) == int(p0["vec_id"])}
+    exact = cosine_topk(
+        e.where(F.col("label") == g),
+        probes.where(F.col("vec_id") == p0["vec_id"]), k=5)
+    assert same == {(int(r["vec_id"]), int(r["rk"]))
+                    for r in exact.collect()}
