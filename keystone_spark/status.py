@@ -31,6 +31,8 @@ def _family(spark, snap: str) -> tuple[str, str, str, str]:
     """(family, membership table, partitioned data table, partition
     column) sniffed from the snapshot's own layout — each family has a
     unique marker file/table, so no --kind argument is needed."""
+    if fsutil.fs_exists(spark, f"{snap}/sq8.json"):
+        return "sq8", "codes", "codes", None  # flat index: no partition
     if fsutil.fs_exists(spark, f"{snap}/model.json"):
         return "ivfpq", "codes", "codes", "cell"
     if fsutil.fs_exists(spark, f"{snap}/centroids.json"):
@@ -41,8 +43,8 @@ def _family(spark, snap: str) -> tuple[str, str, str, str]:
         return "minhash", "sigs", "bands", "band"
     raise ValueError(
         f"no stored index recognized at {snap} — expected one of "
-        "model.json (ivfpq), centroids.json (ivf), postings/ (bm25), "
-        "bands/ (minhash)"
+        "sq8.json (sq8), model.json (ivfpq), centroids.json (ivf), "
+        "postings/ (bm25), bands/ (minhash)"
     )
 
 
@@ -196,8 +198,15 @@ def index_status(spark, path: str) -> dict:
 
     # physical skew over the pruning column: the drift/retrain and
     # compact-scheduling observable (mirrors add()'s max_cell_share,
-    # but for the WHOLE index, not one batch)
-    out["occupancy"] = _occupancy(spark, snap, part_table, part_col)
+    # but for the WHOLE index, not one batch). The flat sq8 family has
+    # no pruning column — occupancy is None there (nothing to skew)
+    # and the vector count is one narrow codes-table count
+    if part_col is None:
+        out["occupancy"] = None
+        out["n_vectors"] = (
+            spark.read.parquet(f"{snap}/{part_table}").count())
+    else:
+        out["occupancy"] = _occupancy(spark, snap, part_table, part_col)
     if family in ("ivf", "ivfpq"):
         # member table == partitioned table for the vector families, so
         # the physical row count rides the same (usually manifest-only)

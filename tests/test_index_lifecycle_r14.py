@@ -447,3 +447,16 @@ def test_status_log_appends_history(spark, tmp_path):
         d = json.loads(ln)
         assert d["family"] == "ivf" and isinstance(d["ts"], int)
         assert d["occupancy"]["source"] == "manifest"
+
+
+def test_index_status_recognizes_sq8(spark, tmp_path):
+    from keystone_spark.operators.similarity import Sq8Index
+    from keystone_spark.status import index_status
+
+    path = str(tmp_path / "sq8")
+    Sq8Index.build(_vecs(spark, range(25))).save(path)
+    st = index_status(spark, path)
+    assert st["family"] == "sq8"
+    assert st["n_vectors"] == 25
+    assert st["occupancy"] is None  # flat: no pruning column to skew
+    assert st["tombstones"] == 0 and st["interrupted_swap"] is False
