@@ -1159,6 +1159,32 @@ def q_ivfpq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-greedy selection under a global token budget (r14,
+    operators/curation.token_budget_select): fill a 12k-token budget
+    with the highest-quality docs (quality = tokens/chars density,
+    integer-exact token counts), prefix semantics. The operator's 100 TB
+    shape: uniform quality buckets + per-bucket totals (two narrow
+    aggs), whole buckets kept map-side, and ONLY the one budget-
+    straddling bucket pays an ordered cumulative window — never a
+    global unpartitioned sort. Value-hashed against DuckDB's global
+    running-sum prefix."""
+    from keystone_spark.operators.curation import token_budget_select
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("toks"),
+        (F.size(F.split("text", " ")) * F.lit(1.0)
+         / F.col("n_chars")).alias("quality"),
+    )
+    out = token_budget_select(scored, budget=12000, n_buckets=32)
+    return (
+        out.select("doc_id", "toks", F.round("quality", 6).alias("quality"))
+        .orderBy("doc_id")
+    )
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversity re-rank (r14, operators/similarity.mmr_rerank):
     per probe (vec_id < 3), greedily pick 4 of the exact top-8 cosine
@@ -5646,6 +5672,7 @@ _R14_HEAD = [
     "sq8_topk",
     "group_cosine_topk",
     "ivfpq_filtered_topk",
+    "token_budget_select",
     # window_nav spilled to position 51 in r13 (the r13 head comment
     # flagged it to lead this rotation); then the stalest cohort —
     # every query last sampled in the r10 window (45), then the r11
@@ -5662,7 +5689,7 @@ _R14_HEAD = [
     "promo_revenue", "regr_fns", "reservoir_sample", "returned_items",
     "revenue_predicate", "scalar_subquery", "scd2_intervals",
     "shipping_priority", "simhash_pairs", "supplier_part_counts",
-    "token_packing", "token_packing_greedy", "top_supplier",
+    "token_packing", "token_packing_greedy",
 ]
 
 
@@ -5706,6 +5733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_decontamination": q_embedding_decontamination,
         "mmr_rerank": q_mmr_rerank,
         "sq8_topk": q_sq8_topk,
+        "token_budget_select": q_token_budget_select,
         "group_cosine_topk": q_group_cosine_topk,
         "ivfpq_filtered_topk": q_ivfpq_filtered_topk,
         # NEW r13: fold-triggered auto-retrain (closed drift loop)
@@ -8586,6 +8614,21 @@ def _oracle_sql_literals() -> dict[str, str]:
                    TRUE AS filter_ok,
                    TRUE AS recall_ok
             FROM embeddings WHERE vec_id < 3 ORDER BY probe
+        """,
+        # budget prefix replayed as one global running sum (the engine
+        # side does it bucket-wise to avoid the unpartitioned window)
+        "token_budget_select": """
+            WITH d AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+                       len(string_split(text, ' ')) * 1.0 / n_chars AS quality
+                FROM documents),
+            c AS (
+                SELECT *, SUM(toks) OVER (ORDER BY quality DESC, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM d)
+            SELECT doc_id, toks, ROUND(quality, 6) AS quality
+            FROM c WHERE cum <= 12000 ORDER BY doc_id
         """,
         # SQ8 quantized search recovers the EXACT answer after re-rank:
         # the oracle is the plain full-precision top-k

@@ -573,3 +573,42 @@ def test_source_unigram_similarity_orders_pairs(spark):
     # disjoint pair: no shared token survives the join -> pair absent
     assert ("a", "c") not in out
     assert 0.0 < out[("a", "d")] < 1.0
+
+
+def test_token_budget_select_prefix_and_bucket_equivalence(spark):
+    """The bucket-wise selection equals the naive global prefix rule
+    (quality DESC, id ASC, keep while running tokens <= budget) on a
+    corpus engineered so the budget line lands MID-bucket, and the
+    boundary behavior is exact: first overflowing doc ends the
+    selection even when later docs would fit."""
+    from keystone_spark.operators.curation import token_budget_select
+
+    rows = [
+        # (id, toks, quality)
+        (1, 100, 0.9), (2, 100, 0.8), (3, 100, 0.7),
+        (4, 300, 0.6),            # overflows at budget 350
+        (5, 10, 0.5), (6, 10, 0.4),  # would fit, but come after the line
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, toks long, quality double")
+    for nb in (1, 2, 4, 64):
+        got = sorted(
+            r["doc_id"] for r in token_budget_select(
+                df, budget=350, n_buckets=nb).collect())
+        assert got == [1, 2, 3], (nb, got)
+
+    # exact-fit boundary is inclusive
+    got = sorted(r["doc_id"] for r in token_budget_select(
+        df, budget=300).collect())
+    assert got == [1, 2, 3]
+    # zero budget, empty frame
+    assert token_budget_select(df, budget=0).count() == 0
+    assert token_budget_select(df.limit(0), budget=10).count() == 0
+    # quality ties break by id: 2 docs at the same quality, budget for 1
+    tie = spark.createDataFrame(
+        [(7, 100, 0.5), (8, 100, 0.5)],
+        "doc_id long, toks long, quality double")
+    assert [r["doc_id"] for r in token_budget_select(
+        tie, budget=100).collect()] == [7]
+    # constant quality (degenerate single bucket) still prefixes by id
+    assert sorted(r["doc_id"] for r in token_budget_select(
+        tie, budget=200).collect()) == [7, 8]

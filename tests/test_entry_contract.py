@@ -42,18 +42,20 @@ def test_registry_hygiene_full_surface():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
     head = list(q)[:50]
     assert head == [
-        # r14 rotation (VERDICT r13 #8): the seven NEW queries first
+        # r14 rotation (VERDICT r13 #8): the eight NEW queries first
         # (filtered ANN both families + the exact value-hashed
         # baseline, MMR re-rank, embedding decontamination, SQ8
-        # quantized search, within-group top-k), then window_nav
-        # (spilled to 51 in r13), then the stalest cohort — the r10
-        # window minus its three youngest (unpivot_long, variant_json,
-        # window_pct spill to 51+ and lead the r15 rotation). ZERO of
-        # this 50-query window are in the r13 window (computed from
+        # quantized search, within-group top-k, token-budget
+        # selection), then window_nav (spilled to 51 in r13), then the
+        # stalest cohort — the r10 window minus its four youngest
+        # (top_supplier, unpivot_long, variant_json, window_pct spill
+        # to 51+ and lead the r15 rotation). ZERO of this 50-query
+        # window are in the r13 window (computed from
         # CORRECTNESS_r*.json history).
         "ivf_filtered_topk", "cosine_filtered_topk",
         "mmr_rerank", "embedding_decontamination",
         "sq8_topk", "group_cosine_topk", "ivfpq_filtered_topk",
+        "token_budget_select",
         # r9 spill
         "window_nav",
         # r10 cohort (45)
@@ -69,7 +71,7 @@ def test_registry_hygiene_full_surface():
         "regr_fns", "reservoir_sample", "returned_items",
         "revenue_predicate", "scalar_subquery", "scd2_intervals",
         "shipping_priority", "simhash_pairs", "supplier_part_counts",
-        "token_packing", "token_packing_greedy", "top_supplier",
+        "token_packing", "token_packing_greedy",
     ]
 
 
