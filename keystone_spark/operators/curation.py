@@ -1000,6 +1000,10 @@ def token_budget_select(
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
     q, t = F.col(quality_col), F.col(tokens_col).cast("long")
+    # a doc with no quality or no token count cannot be ranked against
+    # the budget — drop it up front (a NULL bucket key would otherwise
+    # poison the driver-side bucket walk)
+    df = df.where(q.isNotNull() & t.isNotNull())
     mn, mx = df.agg(F.min(q), F.max(q)).first()
     if mn is None:
         return df.limit(0)

@@ -612,3 +612,14 @@ def test_token_budget_select_prefix_and_bucket_equivalence(spark):
     # constant quality (degenerate single bucket) still prefixes by id
     assert sorted(r["doc_id"] for r in token_budget_select(
         tie, budget=200).collect()) == [7, 8]
+
+
+def test_token_budget_select_drops_null_quality_rows(spark):
+    from keystone_spark.operators.curation import token_budget_select
+
+    df = spark.createDataFrame(
+        [(1, 10, 0.9), (2, None, 0.8), (3, 10, None), (4, 10, 0.5)],
+        "doc_id long, toks long, quality double")
+    got = sorted(r["doc_id"] for r in token_budget_select(
+        df, budget=100).collect())
+    assert got == [1, 4]
