@@ -640,27 +640,51 @@ def jaccard_verify(
             ),
         )
     sh = _persist_once(sh, caches)
-    side_cols = ["__sh"] + (["__h"] if use_hist else [])
 
-    def side(name: str, suffix: str):
+    # Two-phase attach (r14 optimization round, guide §8 "decide with
+    # small rows, move big rows once" / §2.3 "shuffle fewer bytes"):
+    # both lossless prefilters — the size ratio and the histogram
+    # intersection bound — read only (|sh|, histogram) METADATA, a few
+    # hundred bytes per doc, while the shingle ARRAYS they used to ride
+    # along with are multi-KB per doc. Attaching the arrays to every
+    # candidate pair made the prefilter join carry ~KB x 2 x n_pairs
+    # through the build/stream sides only to discard >99.9% of rows
+    # (simhash_pairs at sf0.1: 806k pairs -> 241 survivors); now the
+    # prefilter joins attach metadata only, and the arrays are joined
+    # back for the SURVIVORS alone before the exact intersect. Same
+    # pairs, same jac — the filters are unchanged and lossless, only
+    # their input width changes. When ``use_hist`` is off the callers
+    # (minhash paths) have already estimate-pruned candidates to
+    # near-certain verifies, so the one-phase attach stays: a metadata
+    # pass would not discard enough rows to pay for the second join.
+    def side(name: str, suffix: str, cols: list[str]):
         return sh.select(
             F.col(id_col).alias(name),
-            *[F.col(c).alias(c + suffix) for c in side_cols],
+            *[F.col(c).alias(c + suffix) for c in cols],
         )
 
-    out = (
-        pairs.join(side("i", "i"), "i")
-        .join(side("j", "j"), "j")
-        .withColumn("__ni", F.size("__shi"))
-        .withColumn("__nj", F.size("__shj"))
-        # lossless size filter: min/max >= threshold is NECESSARY for
-        # jac >= threshold; evaluated on two ints, prunes before intersect
-        .where(
-            F.least("__ni", "__nj")
-            >= F.lit(threshold) * F.greatest("__ni", "__nj")
-        )
-    )
     if use_hist:
+        meta_cols = ["__n", "__h"]
+        meta = sh.select(
+            F.col(id_col), F.size("__sh").alias("__n"), "__h"
+        )
+
+        def mside(name: str, suffix: str):
+            return meta.select(
+                F.col(id_col).alias(name),
+                *[F.col(c).alias(c + suffix) for c in meta_cols],
+            )
+
+        surv = (
+            pairs.join(mside("i", "i"), "i")
+            .join(mside("j", "j"), "j")
+            # lossless size filter: min/max >= threshold is NECESSARY
+            # for jac >= threshold; evaluated on two ints
+            .where(
+                F.least("__ni", "__nj")
+                >= F.lit(threshold) * F.greatest("__ni", "__nj")
+            )
+        )
         # sum_b min(cA_b, cB_b) — lossless intersection upper bound;
         # J <= ub/(ni+nj-ub), so require ub*(1+t) >= t*(ni+nj)
         inter_ub = F.aggregate(
@@ -668,9 +692,25 @@ def jaccard_verify(
             F.lit(0),
             lambda acc, x: acc + x,
         )
-        out = out.withColumn("__ub", inter_ub).where(
+        surv = surv.withColumn("__ub", inter_ub).where(
             F.col("__ub") * F.lit(1.0 + threshold)
             >= F.lit(threshold) * (F.col("__ni") + F.col("__nj"))
+        ).select("i", "j", "__ni", "__nj")
+        out = (
+            surv.join(side("i", "i", ["__sh"]), "i")
+            .join(side("j", "j", ["__sh"]), "j")
+        )
+    else:
+        out = (
+            pairs.join(side("i", "i", ["__sh"]), "i")
+            .join(side("j", "j", ["__sh"]), "j")
+            .withColumn("__ni", F.size("__shi"))
+            .withColumn("__nj", F.size("__shj"))
+            # lossless size filter (as above), on the one-phase attach
+            .where(
+                F.least("__ni", "__nj")
+                >= F.lit(threshold) * F.greatest("__ni", "__nj")
+            )
         )
     out = (
         out.withColumn("__inter", F.size(F.array_intersect("__shi", "__shj")))
