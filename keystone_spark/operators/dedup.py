@@ -824,11 +824,14 @@ def minhash_dedup(
     same text, so any near-dup caught via the duplicate is caught via its
     keeper.
 
-    Cache hygiene (VERDICT r1 #6): signatures / candidate / shingle caches
-    are unpersisted before returning; only the (small) drop-id set stays
-    persisted because the lazily-returned DataFrame still references it —
-    call ``release(result)`` when done with the result in a long-lived
-    session."""
+    Cache hygiene (VERDICT r1 #6, rephased r15): every persist the
+    operator creates rides ``result._keystone_caches`` — call
+    ``release(result)`` after materializing the result (the bench and
+    registry harnesses do) so caches never accumulate across queries in
+    a long-lived session. No construction-time actions: the plan is
+    fully lazy and the caches materialize inside the caller's one
+    action instead of a serial chain of eager ``.count()`` barriers
+    (VERDICT r14 #4)."""
     # null text never dedups (matches SQL NULL semantics and the oracle:
     # no shingles -> no pairs), so nulls bypass the exact phase untouched
     nn = df.where(F.col(text_col).isNotNull())
@@ -851,36 +854,38 @@ def minhash_dedup(
         result_caches,
     )
     # signatures are consumed twice (band join + estimate filter);
-    # persist + materialize so the Arrow stage runs exactly once
+    # persist so the Arrow stage runs exactly once
     # (AutoCacheRule R2: reuse count >= 2 -> cache)
-    band_caches: list = []
     sigs = _persist_once(minhash_signatures(
         survivors, id_col, text_col, n_hashes, shingle_k, seed
-    ), band_caches)
+    ), result_caches)
     cand = minhash_lsh_candidates(sigs, id_col, n_bands, n_hashes, bucket_cap,
-                                  caches=band_caches)
-    likely_own: list = []
+                                  caches=result_caches)
     likely = _persist_once(
         minhash_estimate_filter(cand, sigs, id_col, n_hashes, threshold),
-        likely_own,
+        result_caches,
     )
-    likely.count()
-    for c in band_caches:
-        c.unpersist()
-    caches: list = []
+    # r15 (VERDICT r14 #4): no eager .count() barriers. The old shape
+    # materialized `likely` and `drop` with construction-time jobs
+    # purely so upstream caches could be unpersisted mid-pipeline; that
+    # serialized the whole operator into a chain of driver actions
+    # (b13 scaled 1.22x from 8 to 32 cores at sf1). Every cache now
+    # rides ``_keystone_caches`` and is released by the caller's
+    # ``release(out)`` AFTER the one real action — the r7 bimodality
+    # fix (caches must not accumulate ACROSS queries in a long-lived
+    # session) is about release-per-query, which still happens; only
+    # the within-query peak footprint grows, by spillable
+    # MEMORY_AND_DISK blocks that are each a projection of the
+    # candidate- or distinct-content-scale tables.
     dups = jaccard_verify(
         likely, survivors, id_col, text_col, shingle_k, threshold,
-        caches=caches, n_hist=None,  # estimate filter already pruned
+        caches=result_caches, n_hist=None,  # estimate filter already pruned
     )
-    drop_own: list = []
     drop = _persist_once(
-        dups.select(F.col("j").alias(id_col)).distinct(), drop_own
+        dups.select(F.col("j").alias(id_col)).distinct(), result_caches
     )
-    drop.count()
-    for c in likely_own + caches:
-        c.unpersist()
     out = survivors.join(drop, id_col, "left_anti")
-    out._keystone_caches = drop_own + result_caches  # via release(out)
+    out._keystone_caches = result_caches  # via release(out)
     return out
 
 
@@ -933,29 +938,26 @@ def dedup_clusters(
         ),
         late_caches,
     )
-    band_caches: list = []
+    # r15 (VERDICT r14 #4): no eager .count() barrier — caches release
+    # together after connected_components has materialized the labels
+    # (CC localCheckpoints eagerly, so labels no longer reference them)
     sigs = _persist_once(minhash_signatures(
         survivors, id_col, text_col, n_hashes, shingle_k, seed
-    ), band_caches)
+    ), late_caches)
     cand = minhash_lsh_candidates(sigs, id_col, n_bands, n_hashes, bucket_cap,
-                                  caches=band_caches)
-    likely_own: list = []
+                                  caches=late_caches)
     likely = _persist_once(minhash_estimate_filter(
         cand, sigs, id_col, n_hashes, threshold
-    ), likely_own)
-    likely.count()
-    for c in band_caches:
-        c.unpersist()
-    caches: list = []
+    ), late_caches)
     near = jaccard_verify(
         likely, survivors, id_col, text_col, shingle_k, threshold,
-        caches=caches, n_hist=None,  # estimate filter already pruned
+        caches=late_caches, n_hist=None,  # estimate filter already pruned
     ).select("i", "j")
     edges = exact_edges.unionByName(near)
     labels = connected_components(
         edges, "i", "j", node_col=id_col, comp_col="cluster_id"
     )
-    for c in likely_own + caches + late_caches:
+    for c in late_caches:
         c.unpersist()
     return labels
 
@@ -2155,10 +2157,9 @@ def neardup_against_corpus(
             ["band", "bucket"],
             bucket_cap,
         )
-    sigs_b_own: list = []
     sigs_b = _persist_once(minhash_signatures(
         batch_reps, id_col, text_col, n_hashes, shingle_k, seed
-    ), sigs_b_own)
+    ), result_caches)
     bands_b = minhash_banded(sigs_b, id_col, n_bands, n_hashes)
     # batch ids -> i, corpus ids -> j; a pair can agree in several bands,
     # so dedup candidates before the estimate/verify joins (candidate
@@ -2184,12 +2185,11 @@ def neardup_against_corpus(
         .distinct()
     )
     sigs_all = sigs_b.unionByName(sigs_c)
+    # r15 (VERDICT r14 #4): no eager .count() barrier — sigs_b releases
+    # with the rest of result_caches via release(out)
     likely = _persist_once(minhash_estimate_filter(
         cand, sigs_all, id_col, n_hashes, threshold
     ), result_caches)
-    likely.count()
-    for c in sigs_b_own:
-        c.unpersist()
     texts = batch_reps.select(id_col, text_col).unionByName(
         corpus_reps.select(id_col, text_col)
     )
