@@ -987,8 +987,9 @@ def token_budget_select(
        fits are kept WHOLE (a map-side filter, no window at all), the
        single bucket straddling the budget becomes the boundary;
     3. only the boundary bucket — ~1/n_buckets of the data — runs the
-       ordered cumulative window, and only those rows pay a
-       single-task sort.
+       ordered cumulative sum, as a two-phase range-shuffle prefix sum
+       (every partition sorts locally in parallel; one row per
+       partition to the driver) — no single-task sort anywhere (r15).
 
     Equivalence to the global prefix rule is exact: buckets partition
     the quality axis into ranges, so every kept-whole row precedes
@@ -1028,15 +1029,48 @@ def token_budget_select(
     out = dfb.where(F.col("__qb").isin(keep_whole)) if keep_whole \
         else dfb.limit(0)
     if boundary is not None:
+        # r15 (VERDICT r14 #4/#5): the boundary bucket used to run an
+        # UNPARTITIONED cumulative window — bounded to ~1/n_buckets of
+        # the data, but at 100 TB still a multi-TB single-task sort.
+        # Replace it with the exact two-phase range-shuffle prefix sum
+        # (the ranked_series shape, in pure long arithmetic so the
+        # running total stays integer-exact like the oracle's):
+        # range-partition on the selection order, pin the partitioning
+        # (repartitionByRange re-samples boundaries per action), collect
+        # ONE ROW PER PARTITION of token totals, broadcast exclusive
+        # offsets back, and finish with a partition-LOCAL window. Every
+        # partition sorts in parallel; driver-side data is one row per
+        # partition, never the bucket.
+        rem = int(budget) - spent
+        spark = dfb.sparkSession
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        pr = (
+            dfb.where(F.col("__qb") == boundary)
+            .repartitionByRange(n_parts, q.desc(), F.col(id_col))
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint(eager=True)
+        )
+        stats = sorted(
+            pr.groupBy("__pid").agg(F.sum(t).alias("__s")).collect(),
+            key=lambda r: r["__pid"],
+        )
+        offs, run = [], 0
+        for r in stats:
+            offs.append((int(r["__pid"]), run))
+            run += int(r["__s"])
+        off_df = spark.createDataFrame(
+            offs or [(0, 0)], "__pid int, __off long"
+        )
         w = (
-            Window.orderBy(q.desc(), F.col(id_col))
+            Window.partitionBy("__pid")
+            .orderBy(q.desc(), F.col(id_col))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         part = (
-            dfb.where(F.col("__qb") == boundary)
-            .withColumn("__cum", F.sum(t).over(w))
-            .where(F.col("__cum") <= budget - spent)
-            .drop("__cum")
+            pr.join(F.broadcast(off_df), "__pid")
+            .withColumn("__cum", F.sum(t).over(w) + F.col("__off"))
+            .where(F.col("__cum") <= rem)
+            .drop("__cum", "__off", "__pid")
         )
         out = out.unionByName(part)
     return out.drop("__qb")

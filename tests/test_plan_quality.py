@@ -488,13 +488,9 @@ GLOBAL_WINDOW_ALLOWLIST = {
     # r7: rank/cumsum windows sit ABOVE limit(top_k) — 10/15-row slices
     "key_skew_profile": "rank+running-share over the top-10 key slice",
     "top_paths": "rank over the top-15 path slice after limit",
-    # r14: the cumulative window runs over ONLY the single quality
-    # bucket straddling the token budget (~1/n_buckets of the data by
-    # construction — whole buckets above it are kept map-side with no
-    # window at all; curation.token_budget_select's docstring is the
-    # bound's contract)
-    "token_budget_select": "running sum over the one budget-straddling "
-                           "quality bucket",
+    # r15: token_budget_select's boundary-bucket window is now the
+    # two-phase range-shuffle prefix sum (partitioned by __pid) — no
+    # allowlist entry needed anymore
 }
 
 
