@@ -688,8 +688,18 @@ class Bm25Index:
         # tbucket pruning at search is untouched, and load's
         # committed-generations filter prunes orphan directories
         # without reading a byte of their data.
+        # repartition by tbucket before the partitioned write (guide §6
+        # small-files): postings come out of a groupBy hash-partitioned
+        # on (id, dl, term), so every write task holds rows of EVERY
+        # bucket and each generation emits up to tasks x n_term_buckets
+        # files (measured 198 postings files for one build+add at
+        # sf0.1). Clustering by tbucket first bounds it at one file per
+        # (tbucket, gen) dir — compact already normalizes to this
+        # layout; build/add now write it directly. Search-side pruning
+        # reads dirs, not file counts, so results are unchanged.
         (
             self.postings.withColumn("gen", F.lit(int(generation)))
+            .repartition(F.col("tbucket"))
             .sortWithinPartitions("tbucket", "term")
             .write.mode(mode).partitionBy("tbucket", "gen")
             .parquet(f"{path}/postings")
@@ -697,6 +707,7 @@ class Bm25Index:
         (
             self.df_t.select("term", "tbucket", "df")
             .withColumn("gen", F.lit(int(generation)))
+            .repartition(F.col("tbucket"))
             .sortWithinPartitions("tbucket", "term")
             .write.mode(mode).partitionBy("tbucket", "gen")
             .parquet(f"{path}/df")
