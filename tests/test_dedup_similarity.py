@@ -958,6 +958,7 @@ def test_ann_recall_at_sf1(spark):
     print(f"sf1 recall@10: ivf={r_ivf} pq={r_pq} ivfpq={r_ivfpq}")
 
 
+@pytest.mark.slow
 def test_minhash_index_add_equals_rebuild(spark, tmp_path):
     """Append-without-rebuild (VERDICT r9 #1): build the index on the
     low-id half of the corpus, add the high-id half in two batches
@@ -1123,6 +1124,7 @@ def test_ivfpq_index_add_equals_one_pass_encoding(spark, tmp_path):
     assert len(got) > 0
 
 
+@pytest.mark.slow
 def test_compact_minhash_index_preserves_matches(spark, tmp_path):
     """compact_minhash_index rewrites appended band/sig/content files
     to one file per band dir with NO row changes — match results are
@@ -1164,6 +1166,7 @@ def test_compact_minhash_index_preserves_matches(spark, tmp_path):
     assert run() == before
 
 
+@pytest.mark.slow
 def test_minhash_index_delete_then_compact_purges(spark, tmp_path):
     """delete_from_minhash_index: a tombstoned corpus doc stops being
     reported as dup_of immediately; compact purges its band/sig/content
@@ -1221,6 +1224,7 @@ def test_minhash_index_delete_then_compact_purges(spark, tmp_path):
     assert stats["new_content"] > 0
 
 
+@pytest.mark.slow
 def test_minhash_delete_then_readd_before_compact(spark, tmp_path):
     """ADVICE r10 #1 / VERDICT r10 #1: after deleting a representative,
     adding a surviving copy of the SAME content must index it fresh
@@ -1328,6 +1332,7 @@ def test_tombstone_read_propagates_schema_mismatch(spark, tmp_path):
         read_tombstones(spark, path, "doc_id").collect()
 
 
+@pytest.mark.slow
 def test_minhash_index_interrupted_add_is_invisible_and_retryable(
         spark, tmp_path, monkeypatch):
     """Crash-safe MinHash mutations (VERDICT r10 #1): an add killed
@@ -1404,6 +1409,7 @@ def test_minhash_index_interrupted_add_is_invisible_and_retryable(
     assert run() == want
 
 
+@pytest.mark.slow
 def test_compact_minhash_index_on_file_uri(spark, tmp_path):
     """compact_minhash_index swaps through the Hadoop FileSystem API
     (VERDICT r10 #2): compacting an index addressed by a file:// URI

@@ -160,6 +160,7 @@ def test_image_classify_app_sift_fisher_vector(spark):
     assert out["accuracy"] >= 0.95
 
 
+@pytest.mark.slow
 def test_curate_corpus_app_monotone_stages(spark, sf_dir):
     """North-star LLM curation pipeline: stage counts must be monotonically
     non-increasing and near-dedup must actually drop the fixture's planted
@@ -176,6 +177,7 @@ def test_curate_corpus_app_monotone_stages(spark, sf_dir):
     assert out["over_budget_packs"] == 0
 
 
+@pytest.mark.slow
 def test_curate_corpus_app_writes_shards(spark, sf_dir, tmp_path):
     """--out writes the packed corpus partitioned by predicted language;
     reading one language back prunes the rest and budgets hold."""
@@ -256,46 +258,32 @@ def test_quality_classifier_pipeline(spark, sf_dir):
 
 def test_maintain_app_cli(spark, tmp_path):
     """maintain CLI: compact emits file accounting; dq exits non-zero on
-    planted violations and zero on a clean table."""
+    planted violations and zero on a clean table. The four subcommands
+    are independent JVMs over pre-built fixtures, so they run
+    concurrently (each is ~16 s of session bootstrap + one tiny job;
+    serially they dominated the suite's pytest budget)."""
     import json
+    import os
     import subprocess
     import sys
-
-    src = str(tmp_path / "frag")
-    spark.range(2000).selectExpr("id", "id % 5 AS k").repartition(
-        16
-    ).write.parquet(src)
-
-    def run(*argv):
-        return subprocess.run(
-            [sys.executable, "-m", "keystone_spark.apps.maintain", *argv],
-            capture_output=True, text=True, cwd="/root/repo",
-        )
-
-    r = run("compact", "--src", src, "--dst", str(tmp_path / "out"),
-            "--target-mb", "128")
-    assert r.returncode == 0, r.stderr[-2000:]
-    stats = json.loads(r.stdout.strip().splitlines()[-1])
-    assert stats["files_before"] == 16 and stats["files_after"] <= 2
-
-    r = run("dq", "--src", src, "--not-null", "k", "--unique", "id")
-    assert r.returncode == 0, r.stderr[-2000:]
-
-    bad = str(tmp_path / "bad")
-    spark.range(10).selectExpr(
-        "CAST(NULL AS BIGINT) AS id", "id AS k"
-    ).write.parquet(bad)
-    r = run("dq", "--src", bad, "--not-null", "id")
-    assert r.returncode == 1, (r.stdout, r.stderr[-500:])
-
-    # index-compact: the OPTIMIZE pass for an appended-to Bm25Index —
-    # preserves the tbucket layout (generic compact would drop it)
-    import os
 
     from pyspark.sql import functions as F
 
     from keystone_spark.operators.nlp import Bm25Index
 
+    # --- fixtures first, all of them -------------------------------
+    src = str(tmp_path / "frag")
+    spark.range(2000).selectExpr("id", "id % 5 AS k").repartition(
+        16
+    ).write.parquet(src)
+
+    bad = str(tmp_path / "bad")
+    spark.range(10).selectExpr(
+        "CAST(NULL AS BIGINT) AS id", "id AS k"
+    ).write.parquet(bad)
+
+    # index-compact fixture: an appended-to Bm25Index (the OPTIMIZE
+    # pass must preserve the tbucket layout generic compact would drop)
     docs = spark.range(20).select(
         F.col("id").alias("doc_id"),
         F.array(F.concat(F.lit("w"), (F.col("id") % 4).cast("string")),
@@ -304,14 +292,49 @@ def test_maintain_app_cli(spark, tmp_path):
     ipath = str(tmp_path / "bm25_idx")
     Bm25Index.build(docs.where("doc_id < 10"), n_term_buckets=4).save(ipath)
     Bm25Index.add(spark, ipath, docs.where("doc_id >= 10"))
-    r = run("index-compact", "--path", ipath, "--kind", "bm25")
-    assert r.returncode == 0, r.stderr[-2000:]
-    stats = json.loads(r.stdout.strip().splitlines()[-1])
+
+    # --- all four CLI JVMs in flight at once -----------------------
+    def launch(*argv):
+        return subprocess.Popen(
+            [sys.executable, "-m", "keystone_spark.apps.maintain", *argv],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cwd="/root/repo",
+        )
+
+    procs = {
+        "compact": launch("compact", "--src", src, "--dst",
+                          str(tmp_path / "out"), "--target-mb", "128"),
+        "dq_clean": launch("dq", "--src", src, "--not-null", "k",
+                           "--unique", "id"),
+        "dq_bad": launch("dq", "--src", bad, "--not-null", "id"),
+        "index_compact": launch("index-compact", "--path", ipath,
+                                "--kind", "bm25"),
+    }
+    res = {}
+    for k, p in procs.items():
+        out, err = p.communicate()
+        res[k] = (p.returncode, out, err)
+
+    rc, out, err = res["compact"]
+    assert rc == 0, err[-2000:]
+    stats = json.loads(out.strip().splitlines()[-1])
+    assert stats["files_before"] == 16 and stats["files_after"] <= 2
+
+    rc, out, err = res["dq_clean"]
+    assert rc == 0, err[-2000:]
+
+    rc, out, err = res["dq_bad"]
+    assert rc == 1, (out, err[-500:])
+
+    rc, out, err = res["index_compact"]
+    assert rc == 0, err[-2000:]
+    stats = json.loads(out.strip().splitlines()[-1])
     assert stats["postings_files_after"] < stats["postings_files_before"]
     assert any(x.startswith("tbucket=") for x in
                os.listdir(os.path.join(ipath, "postings")))
 
 
+@pytest.mark.slow
 def test_maintain_index_delete_cli(spark, tmp_path):
     """index-delete (r11): the takedown entry point — ids land as
     tombstones (string CLI input cast to the stored id type), search

@@ -19,10 +19,24 @@ def test_queries_have_oracles(spark):
 
 
 def test_all_queries_run(spark, sf_dir):
-    for name, fn in entry_mod.queries().items():
-        df = fn(spark, sf_dir)
-        assert df.columns, name
-        df.limit(5).collect()
+    # Same per-query assertions as the original serial loop, but the
+    # ~200 tiny jobs overlap on the scheduler (guide §2.6) so the gate
+    # fits the driver's pytest budget; failures carry the query name.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run(item):
+        name, fn = item
+        try:
+            df = fn(spark, sf_dir)
+            assert df.columns, name
+            df.limit(5).collect()
+            return None
+        except Exception as e:  # noqa: BLE001 - reported with name below
+            return (name, repr(e))
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        failures = [r for r in pool.map(run, entry_mod.queries().items()) if r]
+    assert not failures, failures
 
 
 def test_registry_hygiene_full_surface():

@@ -46,6 +46,7 @@ def test_tombstone_ids_that_cast_to_null_raise(spark, tmp_path):
     assert stats["tombstones_added"] == 1
 
 
+@pytest.mark.slow
 def test_minhash_add_skips_tombstoned_ids(spark, tmp_path):
     """A batch row carrying a TOMBSTONED id must not be indexed — its
     rows would be invisible to match and purged at compact (a black
@@ -126,6 +127,7 @@ def test_minhash_occupancy_ignores_tombstoned_rows(spark, tmp_path):
     assert stats["band_rows_added"] == 16
 
 
+@pytest.mark.slow
 def test_bm25_add_skip_existing_ids_and_stream_replay(spark, tmp_path):
     """Bm25Index.add(skip_existing_ids=True) anti-joins committed
     postings ∪ tombstones, so a replayed batch counts nothing; the
@@ -180,6 +182,7 @@ def test_bm25_add_skip_existing_ids_and_stream_replay(spark, tmp_path):
     assert key(idx.search(qs, k=4)) == key(full.search(qs, k=4))
 
 
+@pytest.mark.slow
 def test_compact_to_empty_aborts_and_leaves_index_live(spark, tmp_path):
     """Tombstoning EVERY document and compacting used to install empty
     data dirs that brick every later load (UNABLE_TO_INFER_SCHEMA).
@@ -316,6 +319,7 @@ def test_maintain_index_repair_cli(tmp_path):
                      "write_lock_cleared": False}
 
 
+@pytest.mark.slow
 def test_rebuild_clears_stale_tombstones_and_stage(spark, tmp_path):
     """A build/save at an existing index path is a brand-new index:
     leftover tombstones (which would hide freshly indexed ids) and a
@@ -438,7 +442,13 @@ def test_bm25_swap_crash_at_every_position_is_repairable(
     assert key(idx.search(qs, k=4)) == key(survivors.search(qs, k=4))
 
 
-@pytest.mark.parametrize("crash_at", [1, 2, 3, 4, 5])
+@pytest.mark.parametrize("crash_at", [
+    1,
+    pytest.param(2, marks=pytest.mark.slow),
+    pytest.param(3, marks=pytest.mark.slow),
+    pytest.param(4, marks=pytest.mark.slow),
+    5,
+])
 def test_minhash_swap_crash_at_every_position_is_repairable(
     spark, tmp_path, monkeypatch, crash_at
 ):

@@ -704,6 +704,7 @@ def test_vector_add_reports_drift_signal(spark, tmp_path):
 
 # ---------------------------------------------------------------- CLI
 
+@pytest.mark.slow
 def test_maintain_cli_dest_compact_and_minhash_custom_id(spark, tmp_path):
     """index-compact --dest goes through the CLI; index-delete on a
     minhash index with a CUSTOM id column works (ADVICE r11 #3: the

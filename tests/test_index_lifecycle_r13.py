@@ -325,6 +325,7 @@ def _bm25_stream(spark, tmp_path, batches):
     )
 
 
+@pytest.mark.slow
 def test_stream_bm25_ingest_survives_concurrent_dest_compact(
     spark, tmp_path
 ):
@@ -590,6 +591,7 @@ def test_index_status_bm25_reports_orphans_tombstones_and_locks(
         fsutil.release_write_lock(spark, f"{root}/v0")
 
 
+@pytest.mark.slow
 def test_index_status_all_families_and_cli(spark, tmp_path):
     from keystone_spark.operators import dedup as ddp
     from keystone_spark.operators.similarity import IvfIndex, IvfPqIndex
@@ -640,6 +642,7 @@ def test_index_status_all_families_and_cli(spark, tmp_path):
     assert out["family"] == "ivf" and out["tombstones"] == 2
 
 
+@pytest.mark.slow
 def test_maintain_cli_conditional_retrain(spark, tmp_path):
     """The cron form of the drift loop: `index-retrain
     --if-occupancy-above T` measures the whole index's occupancy skew

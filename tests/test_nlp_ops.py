@@ -293,6 +293,7 @@ def test_bm25_index_matches_bm25_search(spark, tmp_path):
     assert key(loaded.search(qs, k=3, k1=1.2, b=0.75)) == expect
 
 
+@pytest.mark.slow
 def test_bm25_index_partition_pruning(spark, tmp_path):
     """The search scan must carry a tbucket PartitionFilter restricted to
     the query terms' hash buckets — the structural property that makes a

@@ -503,8 +503,15 @@ def test_no_global_window_over_unbounded_input(spark, sf_dir, qs):
     pin keeps the class from re-entering silently."""
     offenders = {}
     allowed_seen = set()
-    for name, fn in qs.items():
-        gw = _global_window_nodes(fn(spark, sf_dir))
+    from concurrent.futures import ThreadPoolExecutor
+
+    def nodes(item):
+        name, fn = item
+        return name, _global_window_nodes(fn(spark, sf_dir))
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(nodes, qs.items()))
+    for name, gw in results:
         if not gw:
             continue
         if name in GLOBAL_WINDOW_ALLOWLIST:

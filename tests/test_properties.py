@@ -7,6 +7,7 @@ kept small (max_examples=10, one-row DataFrames) so each property costs
 """
 
 import numpy as np
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -233,6 +234,7 @@ def test_line_dedup_identity_below_threshold(spark, docs):
         max_size=10,
     )
 )
+@pytest.mark.slow
 def test_semantic_clusters_vs_union_find(spark, pairs):
     """Distributed connected components + singleton spine must equal a
     driver-side union-find over the same edges."""

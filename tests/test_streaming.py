@@ -801,6 +801,7 @@ def test_stream_neardup_matches_batch(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_stream_neardup_updates_its_index(spark, tmp_path):
     """update_index=True (VERDICT r9 #1): batch 2 must near-dup against
     batch 1's documents — the foreachBatch fold appends each processed
@@ -918,6 +919,7 @@ def test_stream_bm25_ingest_equals_batch_build(spark, tmp_path):
     assert key(streamed.search(qs, k=4)) == key(full.search(qs, k=4))
 
 
+@pytest.mark.slow
 def test_stream_neardup_store_texts_bounds_history(spark, tmp_path):
     """VERDICT r10 #5: with an index built store_texts=True, the
     streaming fold's verify source is the index's OWN texts table —
