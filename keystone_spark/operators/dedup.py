@@ -693,6 +693,12 @@ def jaccard_verify(
             *[F.col(c).alias(c + suffix) for c in cols],
         )
 
+    # lossless size filter: min/max >= threshold is NECESSARY for
+    # jac >= threshold; evaluated on two ints. One definition shared by
+    # both verify branches (ADVICE r14) so they can't desynchronize.
+    def _size_ratio_ok(ni, nj):
+        return F.least(ni, nj) >= F.lit(threshold) * F.greatest(ni, nj)
+
     if use_hist:
         meta_cols = ["__n", "__h"]
         meta = sh.select(
@@ -708,12 +714,7 @@ def jaccard_verify(
         surv = (
             pairs.join(mside("i", "i"), "i")
             .join(mside("j", "j"), "j")
-            # lossless size filter: min/max >= threshold is NECESSARY
-            # for jac >= threshold; evaluated on two ints
-            .where(
-                F.least("__ni", "__nj")
-                >= F.lit(threshold) * F.greatest("__ni", "__nj")
-            )
+            .where(_size_ratio_ok(F.col("__ni"), F.col("__nj")))
         )
         # sum_b min(cA_b, cB_b) — lossless intersection upper bound;
         # J <= ub/(ni+nj-ub), so require ub*(1+t) >= t*(ni+nj)
@@ -736,11 +737,8 @@ def jaccard_verify(
             .join(side("j", "j", ["__sh"]), "j")
             .withColumn("__ni", F.size("__shi"))
             .withColumn("__nj", F.size("__shj"))
-            # lossless size filter (as above), on the one-phase attach
-            .where(
-                F.least("__ni", "__nj")
-                >= F.lit(threshold) * F.greatest("__ni", "__nj")
-            )
+            # same lossless size filter, on the one-phase attach
+            .where(_size_ratio_ok(F.col("__ni"), F.col("__nj")))
         )
     out = (
         out.withColumn("__inter", F.size(F.array_intersect("__shi", "__shj")))
