@@ -5693,6 +5693,36 @@ _R14_HEAD = [
 ]
 
 
+# r15 driver-window rotation (continuing the freshness-maximizing
+# pattern; no NEW queries this round — r15 is the second OPTIMIZATION
+# round). The four r10 stragglers the r14 head comment flagged lead
+# (top_supplier, unpivot_long, variant_json, window_pct — last sampled
+# r10), then the cohort last sampled in the r11 window, in that
+# window's own order (48 members; computed from
+# CORRECTNESS_r02..r14.json last-sampled rounds). 4 + 46 fill the
+# window; date_fns2 and grouping_sets (the two r11 members left out)
+# stay the stalest cohort and lead the r16 rotation. ZERO overlap with the r14 window. Update
+# tests/test_entry_contract.py's pin when changing this.
+_R15_HEAD = [
+    # r10 stragglers (flagged by the r14 head comment)
+    "top_supplier", "unpivot_long", "variant_json", "window_pct",
+    # r11 cohort (46 of 48, r11-window order)
+    "ivf_delete_topk", "bm25_indexed", "incremental_index_add",
+    "incremental_neardup", "ivf_index_topk", "ivfpq_topk",
+    "filter_project", "group_agg", "multi_join", "semi_join",
+    "anti_join", "topk_per_group", "window_running_sum", "rollup",
+    "cube", "set_ops", "string_fns", "date_fns", "distinct_count",
+    "event_hourly_window", "json_extract", "sessionization",
+    "asof_join", "token_counts", "word_freq_encoder", "ngram_counts",
+    "tf_idf", "doc_quality", "dedup_exact", "ngram_jaccard_pairs",
+    "scaler_moments", "cosine_topk", "one_hot_labels",
+    "confusion_matrix", "multiclass_metrics", "session_window",
+    "standard_scaler", "linear_mapper", "lsh_cosine_topk",
+    "kmeans_clusters", "multimodal_features", "range_join",
+    "window_analytics", "math_fns", "array_fns", "string_fns2",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's CORRECTNESS check samples the FIRST 50
     # entries. Rounds 1-4 have cumulatively driver-verified 150/167
@@ -5933,11 +5963,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_range_frame": q_window_range_frame,
         "percentiles": q_percentiles,
     }
-    # rotate the r14 head to the front (comment above _R14_HEAD); the
+    # rotate the r15 head to the front (comment above _R15_HEAD); the
     # second splat only UPDATES values for head keys, so order is
-    # head-first then historical order for the rest (_R12/_R13_HEAD kept
-    # above as round history)
-    return {**{k: base[k] for k in _R14_HEAD}, **base}
+    # head-first then historical order for the rest (_R12/_R13/_R14_HEAD
+    # kept above as round history)
+    return {**{k: base[k] for k in _R15_HEAD}, **base}
 
 
 def _oracle_sql_literals() -> dict[str, str]:

@@ -56,36 +56,30 @@ def test_registry_hygiene_full_surface():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
     head = list(q)[:50]
     assert head == [
-        # r14 rotation (VERDICT r13 #8): the eight NEW queries first
-        # (filtered ANN both families + the exact value-hashed
-        # baseline, MMR re-rank, embedding decontamination, SQ8
-        # quantized search, within-group top-k, token-budget
-        # selection), then window_nav (spilled to 51 in r13), then the
-        # stalest cohort — the r10 window minus its four youngest
-        # (top_supplier, unpivot_long, variant_json, window_pct spill
-        # to 51+ and lead the r15 rotation). ZERO of this 50-query
-        # window are in the r13 window (computed from
+        # r15 rotation (no NEW queries — second optimization round):
+        # the four r10 stragglers the r14 head comment flagged
+        # (top_supplier, unpivot_long, variant_json, window_pct, last
+        # sampled r10), then the cohort last sampled in the r11 window
+        # in that window's own order; date_fns2 and grouping_sets (the
+        # two left out) stay stalest and lead the r16 rotation. ZERO of this
+        # 50-query window are in the r14 window (computed from
         # CORRECTNESS_r*.json history).
-        "ivf_filtered_topk", "cosine_filtered_topk",
-        "mmr_rerank", "embedding_decontamination",
-        "sq8_topk", "group_cosine_topk", "ivfpq_filtered_topk",
-        "token_budget_select",
-        # r9 spill
-        "window_nav",
-        # r10 cohort (45)
-        "approx_distinct", "approx_percentile", "argmin_part",
-        "array_fns2", "augmented_eval", "binary_metrics",
-        "conditional_agg", "covar_corr", "disjunctive_pred",
-        "embedding_neardup", "event_sliding_window", "excess_shipments",
-        "exists_subquery", "funnel_completions", "grouped_ols",
-        "histogram_bins", "idle_customers", "important_stock",
-        "ivf_topk", "kmv_distinct", "lang_id", "large_orders",
-        "local_supplier_volume", "map_fns", "market_share", "null_fns",
-        "ohlc_rollup", "pivot_counts", "pq_topk", "promo_revenue",
-        "regr_fns", "reservoir_sample", "returned_items",
-        "revenue_predicate", "scalar_subquery", "scd2_intervals",
-        "shipping_priority", "simhash_pairs", "supplier_part_counts",
-        "token_packing", "token_packing_greedy",
+        "top_supplier", "unpivot_long", "variant_json", "window_pct",
+        # r11 cohort (46 of 48)
+        "ivf_delete_topk", "bm25_indexed", "incremental_index_add",
+        "incremental_neardup", "ivf_index_topk", "ivfpq_topk",
+        "filter_project", "group_agg", "multi_join", "semi_join",
+        "anti_join", "topk_per_group", "window_running_sum", "rollup",
+        "cube", "set_ops", "string_fns", "date_fns", "distinct_count",
+        "event_hourly_window", "json_extract", "sessionization",
+        "asof_join", "token_counts", "word_freq_encoder",
+        "ngram_counts", "tf_idf", "doc_quality", "dedup_exact",
+        "ngram_jaccard_pairs", "scaler_moments", "cosine_topk",
+        "one_hot_labels", "confusion_matrix", "multiclass_metrics",
+        "session_window", "standard_scaler", "linear_mapper",
+        "lsh_cosine_topk", "kmeans_clusters", "multimodal_features",
+        "range_join", "window_analytics", "math_fns", "array_fns",
+        "string_fns2",
     ]
 
 
