@@ -516,6 +516,7 @@ def test_minhash_swap_crash_at_every_position_is_repairable(
     assert [(r.doc_id, r.dup_of) for r in out3] == [(101, 3)]
 
 
+@pytest.mark.slow
 def test_compact_write_lock_excludes_mutations(spark, tmp_path):
     """Lucene write.lock parity: while the compact lock is held, add
     and delete raise (rows appended during a compact would be silently
@@ -690,6 +691,7 @@ def test_bm25_add_aborts_uncommitted_when_compact_starts_mid_add(
     assert key(idx.search(qs, k=4)) == key(full.search(qs, k=4))
 
 
+@pytest.mark.slow
 def test_minhash_add_aborts_uncommitted_when_compact_starts_mid_add(
     spark, tmp_path, monkeypatch
 ):

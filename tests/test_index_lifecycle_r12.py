@@ -86,6 +86,7 @@ def test_write_lock_serializes_concurrent_bm25_adds(
     assert _bm25_key(idx.search(qs, k=4)) == _bm25_key(full.search(qs, k=4))
 
 
+@pytest.mark.slow
 def test_write_lock_serializes_concurrent_minhash_adds(
     spark, tmp_path, monkeypatch
 ):

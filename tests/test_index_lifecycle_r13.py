@@ -730,6 +730,7 @@ def test_stream_ivfpq_auto_retrain_uses_manifest_base(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_stream_bm25_ingest_compact_dest_flips_pointer(spark, tmp_path):
     """Fold-level OBJECT-STORE-SAFE compaction: with
     ``compact_dest=True`` the periodic in-stream compact writes an

@@ -322,6 +322,7 @@ def test_bm25_index_partition_pruning(spark, tmp_path):
     out.count()
 
 
+@pytest.mark.slow
 def test_bm25_index_add_equals_rebuild(spark, tmp_path):
     """Append-without-rebuild (VERDICT r9 #1): build on half the corpus,
     add the other half in two batches, and the search result is
@@ -702,6 +703,7 @@ def test_bm25_index_interrupted_add_is_invisible_and_retryable(spark, tmp_path):
     assert key(compacted.search(qs, k=5)) == want
 
 
+@pytest.mark.slow
 def test_bm25_index_compact_on_file_uri(spark, tmp_path):
     """Compact routes its stage-and-swap through the Hadoop FileSystem
     API (VERDICT r10 #2), proven by compacting an index addressed by a

@@ -990,6 +990,7 @@ def test_stream_neardup_store_texts_bounds_history(spark, tmp_path):
     assert cfg["max_generation"] <= 2
 
 
+@pytest.mark.slow
 def test_stream_neardup_replayed_epoch_is_idempotent(spark, tmp_path):
     """ADVICE r10 #4: per-epoch outputs land under epoch={id} with
     overwrite, so re-running a micro-batch fold (foreachBatch is
